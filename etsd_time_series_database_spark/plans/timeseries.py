@@ -1,0 +1,622 @@
+"""Time-series catalog queries Q01–Q19, Q23, Q27, Q28 (SURVEY.md §2.2).
+
+These exercise the reference's query surface — scans, time-range
+filters, as-of lookups, range aggregation (etsdAMT, reference
+code/etsdQuery.c:218-401), counter rate/rollover semantics
+(code/etsdSave.c:396-398, code/etsdQuery.c:332-336), RRA downsampling
+(code/plugins/edoRRD.c:44-74), threshold statistics (ETSD_KS,
+code/etsdQuery.h:25-55) and boundary interpolation
+(code/etsdQuery.c:254,279) — over the driver's ``events`` table where
+``event_type`` plays the ETSD channel role.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.functions.exprs import DEC, bucket_epoch, davg, epoch_us
+from etsd_time_series_database_spark.operators import (
+    asof_join,
+    downsample,
+    etsd_ks,
+    first_crossing,
+    gaps,
+    interpolated_total,
+    range_stats,
+    rate,
+    reconstruct_from_deltas,
+    rollover_corrected,
+    time_of_extreme,
+    value_at,
+)
+from etsd_time_series_database_spark.plans.registry import register
+from etsd_time_series_database_spark.sources.store import load_table
+
+# Deterministic parameters (events spans 2024-01-01 .. 2024-01-30 UTC).
+T0 = "2024-01-05 00:00:00"
+T1 = "2024-01-20 00:00:00"
+TP = "2024-01-15 12:00:00"
+K = 250.0
+GAP_S = 600
+A_INTERP = "2024-01-05 00:30:00"
+B_INTERP = "2024-01-19 23:15:00"
+A_EPOCH = 1704414600  # 2024-01-05 00:30:00 UTC
+B_EPOCH = 1705706100  # 2024-01-19 23:15:00 UTC
+
+
+def _events(
+    spark: SparkSession,
+    sf_dir: str,
+    ts_range: tuple[str | None, str | None] | None = None,
+) -> DataFrame:
+    """events scan; pass ts_range so the predicate hits the raw parquet
+    column (PushedFilters) — see sources.store.load_table."""
+    return load_table(spark, sf_dir, "events", ts_range=ts_range)
+
+
+@register(
+    "q01_scan_project",
+    "scan+project",
+    """
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, event_type, value
+    FROM events ORDER BY event_id LIMIT 100
+    """,
+    doc="Full scan + projection (reference O3/O5 sequential decode).",
+)
+def q01(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            "event_id",
+            epoch_us("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q02_time_range_filter",
+    "filter",
+    f"""
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '{T0}' AND ts <= TIMESTAMP '{T1}'
+    ORDER BY event_id
+    """,
+    doc="Time-range scan; the ts predicate reaches the Parquet scan "
+    "(PushedFilters) = reference block skip O4 (code/etsdRead.c:300-353).",
+    headline=True,
+)
+def q02(spark, sf_dir):
+    e = _events(spark, sf_dir, (T0, T1))
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit(T0).cast("timestamp"))
+            & (F.col("ts") <= F.lit(T1).cast("timestamp"))
+        )
+        .select("event_id", epoch_us("ts").alias("ts_us"), "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q03_asof_point_lookup",
+    "as-of",
+    f"""
+    WITH f AS (SELECT * FROM events WHERE ts <= TIMESTAMP '{TP}'),
+    m AS (SELECT event_type, max(ts) AS mts FROM f GROUP BY event_type)
+    SELECT f.event_type,
+           CAST(max(epoch_us(f.ts)) AS BIGINT) AS asof_ts_us,
+           max(f.value) AS asof_value
+    FROM f JOIN m ON f.event_type = m.event_type AND f.ts = m.mts
+    GROUP BY f.event_type ORDER BY f.event_type
+    """,
+    doc="Value-at-time per channel (reference etsdVAT, code/etsdQuery.c:206-215).",
+)
+def q03(spark, sf_dir):
+    return value_at(_events(spark, sf_dir, (None, TP)), TP)
+
+
+@register(
+    "q04_range_aggregate",
+    "aggregate",
+    f"""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{T0}' AND ts <= TIMESTAMP '{T1}'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Per-channel min/max/avg/total over a range — the reference's core "
+    "query etsdAMT (code/etsdQuery.c:316-396) for all channels in one scan.",
+    headline=True,
+)
+def q04(spark, sf_dir):
+    return range_stats(_events(spark, sf_dir, (T0, T1)), T0, T1)
+
+
+@register(
+    "q05_count_distinct",
+    "aggregate",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q05(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("value").alias("n_values"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q06_time_bucket",
+    "time-bucket",
+    f"""
+    SELECT event_type,
+           (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}'
+    GROUP BY event_type, bucket_s ORDER BY event_type, bucket_s
+    """,
+    doc="Tumbling-window consolidation (reference RRA AVERAGE, O22).",
+    headline=True,
+)
+def q06(spark, sf_dir):
+    e = _events(spark, sf_dir, (T0, T1)).filter(
+        (F.col("ts") >= F.lit(T0).cast("timestamp"))
+        & (F.col("ts") < F.lit(T1).cast("timestamp"))
+    )
+    return (
+        e.withColumn("bucket_s", bucket_epoch("ts", 3600))
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            davg("value", "avg_value"),
+        )
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+@register(
+    "q07_delta_rate",
+    "window",
+    """
+    WITH d AS (
+      SELECT event_id, event_type,
+             value - lag(value) OVER w AS dv,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type, dv * 1000000.0 / dt_us AS rate_per_s
+    FROM d ORDER BY event_id
+    """,
+    doc="Counter->rate via lag (reference delta encoding O10, "
+    "code/etsdSave.c:396-398, re-derived at query time).",
+    headline=True,
+)
+def q07(spark, sf_dir):
+    return rate(_events(spark, sf_dir))
+
+
+@register(
+    "q08_rollover_correction",
+    "window",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, value, ts,
+             CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS bump
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type,
+           value + CAST(SUM(bump) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   * 4294967296.0 AS corrected_value
+    FROM b ORDER BY event_id
+    """,
+    doc="Cumulative 2^32 rollover correction — the reference's 'bump' "
+    "(code/etsdQuery.c:332-336,383).",
+)
+def q08(spark, sf_dir):
+    return rollover_corrected(_events(spark, sf_dir))
+
+
+@register(
+    "q09_topk_per_channel",
+    "window",
+    """
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, rn, event_id, value FROM r WHERE rn <= 3
+    ORDER BY event_type, rn
+    """,
+    doc="Top-k per channel via ranking window.",
+)
+def q09(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+        .orderBy("event_type", "rn")
+    )
+
+
+@register(
+    "q10_moving_average",
+    "window",
+    """
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Moving average with an explicit ROWS frame.",
+)
+def q10(spark, sf_dir):
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-5, 0)
+    )
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "event_type",
+            (
+                F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+                / F.count("value").over(w)
+            ).alias("mov_avg"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q11_threshold_stats",
+    "threshold",
+    f"""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value > {K} THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           CAST(SUM(CASE WHEN value < {K} THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+           CAST(SUM(CASE WHEN value = {K} THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+           CAST(SUM(CASE WHEN value > {K} THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+             / SUM(CASE WHEN value > {K} THEN 1 END) AS avg_when_over,
+           CAST(SUM(CASE WHEN value < {K} THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+             / SUM(CASE WHEN value < {K} THEN 1 END) AS avg_when_under
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ETSD_KS nOver/nUnder/nEqual/AWO/AWU (reference "
+    "code/etsdQuery.h:25-55 — declared but stubbed in C, implemented here).",
+)
+def q11(spark, sf_dir):
+    v = F.col("value")
+    k = F.lit(K)
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(v > k, 1).otherwise(0)).alias("n_over"),
+            F.sum(F.when(v < k, 1).otherwise(0)).alias("n_under"),
+            F.sum(F.when(v == k, 1).otherwise(0)).alias("n_equal"),
+            (
+                F.sum(F.when(v > k, v.cast(DEC))).cast("double")
+                / F.sum(F.when(v > k, 1))
+            ).alias("avg_when_over"),
+            (
+                F.sum(F.when(v < k, v.cast(DEC))).cast("double")
+                / F.sum(F.when(v < k, 1))
+            ).alias("avg_when_under"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q12_first_crossing",
+    "threshold",
+    f"""
+    SELECT event_type,
+           MIN(CASE WHEN value > {K} THEN epoch_us(ts) END) AS first_over_us,
+           MIN(CASE WHEN value < {K} THEN epoch_us(ts) END) AS first_under_us,
+           MIN(CASE WHEN value = {K} THEN epoch_us(ts) END) AS first_equal_us
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="First interval crossing a constant (ETSD_KS fOver/fUnder/fEqual).",
+)
+def q12(spark, sf_dir):
+    return first_crossing(_events(spark, sf_dir), K)
+
+
+@register(
+    "q13_time_of_extreme",
+    "threshold",
+    """
+    WITH ext AS (
+      SELECT event_type, min(value) AS minv, max(value) AS maxv
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MIN(CASE WHEN e.value = x.minv THEN epoch_us(e.ts) END) AS t_min_us,
+           MIN(CASE WHEN e.value = x.maxv THEN epoch_us(e.ts) END) AS t_max_us,
+           MIN(x.minv) AS min_value,
+           MAX(x.maxv) AS max_value
+    FROM events e JOIN ext x ON e.event_type = x.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="Timestamp of each channel's extreme (ETSD_KS tMin/tMax); "
+    "deterministic ties via earliest-ts, not engine max_by.",
+)
+def q13(spark, sf_dir):
+    return time_of_extreme(_events(spark, sf_dir))
+
+
+@register(
+    "q14_gap_detection",
+    "quality",
+    f"""
+    WITH d AS (
+      SELECT event_type, value,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS dt_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN dt_us > {GAP_S * 1_000_000} THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Invalid-sample + gap accounting (reference O28 validity words).",
+)
+def q14(spark, sf_dir):
+    return gaps(_events(spark, sf_dir), GAP_S)
+
+
+@register(
+    "q15_boundary_interpolation",
+    "interpolation",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+             SUM(CAST(value AS DECIMAL(18,6))) AS tot
+      FROM events GROUP BY event_type, bucket_s
+    )
+    SELECT event_type,
+           CAST(SUM(tot * (LEAST(bucket_s + 3600, {B_EPOCH})
+                           - GREATEST(bucket_s, {A_EPOCH}))) AS DOUBLE)
+             / 3600.0 AS interp_total
+    FROM h
+    WHERE bucket_s + 3600 > {A_EPOCH} AND bucket_s < {B_EPOCH}
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Pro-rata partial-interval total (reference head/tail interpolation, "
+    "code/etsdQuery.c:254,279) over a non-aligned range.",
+)
+def q15(spark, sf_dir):
+    return interpolated_total(
+        _events(spark, sf_dir, ("2024-01-04 23:30:00", "2024-01-20 00:15:00")),
+        A_INTERP,
+        B_INTERP,
+        3600,
+    )
+
+
+@register(
+    "q16_global_topk",
+    "sort",
+    """
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value
+    FROM events ORDER BY value DESC, event_id LIMIT 50
+    """,
+    doc="Global top-k (TakeOrderedAndProject — no full sort at scale).",
+)
+def q16(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .select("event_id", epoch_us("ts").alias("ts_us"), "event_type", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "q17_downsample_average",
+    "downsample",
+    f"""
+    SELECT event_type, (epoch_us(ts) // 60000000) * 60 AS bucket_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}'
+    GROUP BY event_type, bucket_s ORDER BY event_type, bucket_s
+    """,
+    doc="RRA AVERAGE consolidation at 60 s (reference edoRRD O22).",
+)
+def q17(spark, sf_dir):
+    return downsample(_events(spark, sf_dir, (T0, T1)), 60, "avg", T0, T1)
+
+
+@register(
+    "q18_downsample_minmax",
+    "downsample",
+    f"""
+    SELECT event_type, (epoch_us(ts) // 60000000) * 60 AS bucket_s,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}'
+    GROUP BY event_type, bucket_s ORDER BY event_type, bucket_s
+    """,
+    doc="RRA MIN/MAX consolidation.",
+)
+def q18(spark, sf_dir):
+    return downsample(_events(spark, sf_dir, (T0, T1)), 60, "minmax", T0, T1)
+
+
+@register(
+    "q19_downsample_last",
+    "downsample",
+    f"""
+    WITH b AS (
+      SELECT *, (epoch_us(ts) // 60000000) * 60 AS bucket_s
+      FROM events
+      WHERE ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}'
+    ),
+    r AS (
+      SELECT event_type, bucket_s, value,
+             row_number() OVER (PARTITION BY event_type, bucket_s
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM b
+    )
+    SELECT event_type, bucket_s, value AS last_value
+    FROM r WHERE rn = 1 ORDER BY event_type, bucket_s
+    """,
+    doc="RRA LAST consolidation; deterministic via (ts, event_id) ordering.",
+)
+def q19(spark, sf_dir):
+    return downsample(_events(spark, sf_dir, (T0, T1)), 60, "last", T0, T1)
+
+
+@register(
+    "q23_asof_join",
+    "join",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+           (SELECT CAST(epoch_us(max(c.ts)) AS BIGINT) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts) AS click_ts_us
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    doc="As-of join: each purchase matched to the user's latest preceding "
+    "click — union-tag window formulation, one shuffle, no theta join "
+    "(operators/asof.py; reference etsdVAT generalized).",
+    headline=True,
+)
+def q23(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("p_ts_us"),
+        epoch_us("ts_asof").alias("click_ts_us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q27_etsd_ks_composite",
+    "composite",
+    f"""
+    WITH f AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '{T0}' AND ts <= TIMESTAMP '{T1}'
+    ),
+    ext AS (
+      SELECT event_type, min(value) AS minv, max(value) AS maxv
+      FROM f GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS intv_cnt,
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS err_cnt,
+             min(value) AS min_value,
+             max(value) AS max_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             CAST(SUM(CASE WHEN value > {K} THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+             CAST(SUM(CASE WHEN value < {K} THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+             CAST(SUM(CASE WHEN value = {K} THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+             MIN(CASE WHEN value > {K} THEN epoch_us(ts) END) AS first_over_us,
+             MIN(CASE WHEN value < {K} THEN epoch_us(ts) END) AS first_under_us,
+             MIN(CASE WHEN value = {K} THEN epoch_us(ts) END) AS first_equal_us,
+             CAST(SUM(CASE WHEN value > {K} THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN value > {K} THEN 1 END) AS avg_when_over,
+             CAST(SUM(CASE WHEN value < {K} THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN value < {K} THEN 1 END) AS avg_when_under
+      FROM f GROUP BY event_type
+    ),
+    tx AS (
+      SELECT f.event_type,
+             MIN(CASE WHEN f.value = x.minv THEN epoch_us(f.ts) END) AS t_min_us,
+             MIN(CASE WHEN f.value = x.maxv THEN epoch_us(f.ts) END) AS t_max_us
+      FROM f JOIN ext x ON f.event_type = x.event_type
+      GROUP BY f.event_type
+    )
+    SELECT base.*, tx.t_min_us, tx.t_max_us
+    FROM base JOIN tx ON base.event_type = tx.event_type
+    ORDER BY base.event_type
+    """,
+    doc="The full ETSD_KS record (reference code/etsdQuery.h:25-55) for "
+    "every channel over a range in one query.",
+    headline=True,
+)
+def q27(spark, sf_dir):
+    return etsd_ks(_events(spark, sf_dir, (T0, T1)), K, T0, T1)
+
+
+@register(
+    "q28_delta_reconstruction",
+    "roundtrip",
+    """
+    WITH d AS (
+      SELECT event_type, value, ts, event_id,
+             value - lag(value) OVER w AS delta
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    r AS (
+      SELECT event_type, value,
+             SUM(COALESCE(delta, value)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS recon
+      FROM d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN abs(recon - value) > 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Delta-encode -> cumsum-reconstruct round trip (reference encode "
+    "code/etsdSave.c:396-398, decode code/etsdRead.c:274).",
+)
+def q28(spark, sf_dir):
+    return reconstruct_from_deltas(_events(spark, sf_dir))

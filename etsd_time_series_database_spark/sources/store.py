@@ -1,0 +1,134 @@
+"""Table store: read/create/append partitioned Parquet tables.
+
+Replaces the reference's file layer (etsdInit/etsdRW/etsdCommit/
+etsdRotate — reference code/etsd.c:41-165, code/etsdSave.c:34-99).
+The ETSD file's 512-byte self-timestamped append-only blocks map to
+immutable Parquet files in a date-partitioned directory tree; schema
+lives in the Parquet footer instead of block 0; "rotation" is
+partition lifecycle.
+
+At 100 TB the events table is written date-partitioned and sorted by
+(channel-ish key, ts) within partitions so Parquet row-group min/max
+statistics give the same block-skipping the reference gets from its
+sector arithmetic (code/etsdRead.c:300-353) — but federated across
+thousands of files and pruned by Catalyst before any I/O happens.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _epoch_us(literal: str) -> int:
+    return int(
+        datetime.fromisoformat(literal)
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range: tuple[str | None, str | None] | None = None,
+) -> DataFrame:
+    """Load one testdata table. Schema comes from the Parquet footer
+    (the analog of reading the ETSD header block, code/etsd.c:41-123).
+
+    Nanosecond parquet timestamps arrive as LongType (session conf
+    ``spark.sql.legacy.parquet.nanosAsLong``) and are floor-truncated
+    to a micros TimestampType — exactly what DuckDB does when it reads
+    the same file, so both engines see identical instants.
+
+    ``ts_range=(lo, hi)`` (inclusive, conservative) applies the time
+    predicate on the RAW int64 column *before* the conversion: a
+    function-wrapped column defeats Parquet predicate pushdown, so
+    this is what turns the query's time range into actual row-group
+    skipping (the reference's block-skip search,
+    code/etsdRead.c:300-353). Callers keep their exact filter on the
+    converted column; this prefilter is a superset.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    raw_ns = any(
+        f.name == "ts" and f.dataType.simpleString() == "bigint"
+        for f in df.schema.fields
+    )
+    if ts_range is not None and "ts" in df.columns:
+        lo, hi = ts_range
+        if raw_ns:
+            if lo is not None:
+                df = df.filter(F.col("ts") >= F.lit(_epoch_us(lo) * 1000))
+            if hi is not None:
+                df = df.filter(F.col("ts") < F.lit((_epoch_us(hi) + 1) * 1000))
+        else:
+            if lo is not None:
+                df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                df = df.filter(F.col("ts") <= F.lit(hi).cast("timestamp"))
+    if raw_ns:
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def create_events_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_col: str = "ts",
+) -> None:
+    """Write an events-shaped DataFrame as a date-partitioned,
+    sort-within-partition Parquet table (the CREATE/append path;
+    reference createETSD code/etsdCmd.c:91-344 + etsdCommit
+    code/etsdSave.c:58-75).
+
+    Sorting by (event_type, ts) inside each file makes Parquet
+    row-group stats selective for both per-channel and time-range
+    predicates — the scale replacement for the reference's
+    largest-width-first stream sort (code/etsdCmd.c:167-185).
+    """
+    (
+        df.withColumn("dt", F.to_date(F.col(partition_col)))
+        .repartition(F.col("dt"))
+        .sortWithinPartitions("event_type", partition_col)
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def read_events_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("dt")
