@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The scale story (100 TB documents):
+  * exact dedup is a hash groupBy on a fingerprint — one shuffle keyed
+    by a high-entropy 64-bit-ish key, perfectly parallel;
+  * MinHash LSH is shingle-explode -> per-doc signature (map-side) ->
+    band-bucket self-join; the only shuffle keys are (band, signature)
+    buckets, which is exactly how near-dup detection is sharded on
+    large corpora (Broder's MinHash + banding);
+  * pairwise Jaccard is ONLY run on LSH candidates (or a bounded
+    subset) — the all-pairs form is O(n^2) and exists here as the
+    verification oracle path, not the scale path.
+
+Portability note: Spark's xxhash64 is the right shingle hash at scale,
+but it is engine-specific, so catalog queries that must match a DuckDB
+oracle use ``hash_mode="dict"`` — a deterministic dense-id dictionary
+(global sort of distinct shingles). Operators default to the scale
+path; the catalog opts into portability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# (a, b) parameters for the universal hash family h_j(x) = (a*x+b) mod P
+MINHASH_PARAMS = [
+    (1, 0),
+    (2971, 577),
+    (6011, 1009),
+    (7919, 2003),
+    (9973, 3001),
+    (12007, 4001),
+    (14009, 5003),
+    (16001, 6007),
+]
+MINHASH_P = 2147483647
+SIMHASH_BITS = 30
+FP_MOD = 1_000_000_007
+
+
+def _tokens(text: str = "text") -> Column:
+    return F.filter(F.split(F.col(text), " "), lambda x: x != "")
+
+
+def shingle_expr(toks_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles from a materialized token-array column —
+    a JVM transform over sequence; empty array when too few tokens."""
+    parts = ", ".join(f"{toks_col}[i + {k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_col}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by full-text equality: canonical id =
+    min(key), n_copies per distinct text. One hash-aggregate shuffle."""
+    return (
+        df.groupBy(text)
+        .agg(F.min(key).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text: str = "text", key: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(key, shingle) distinct pairs."""
+    toks = df.select(key, _tokens(text).alias("__toks"))
+    return (
+        toks.select(key, F.explode(shingle_expr("__toks", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shared-shingle join.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — pure integer counts +
+    one final double division, so bit-exact on any engine. Quadratic in
+    corpus size: at scale call this on LSH candidate pairs only.
+    """
+    sh = doc_shingles(df, text, key, n).cache()
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .groupBy(
+            F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(key, "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(key, "doc_b").withColumnRenamed("n_sh", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
+    """Attach an integer id per shingle.
+
+    'hash64': xxhash64 (scale path — stateless, no shuffle).
+    'dict'  : dense rank by sorted shingle text (portable across
+              engines for oracle comparison; needs a global sort of
+              the distinct-shingle dictionary, fine up to ~1e9
+              shingles with a range-partitioned sort).
+    """
+    if hash_mode == "hash64":
+        return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)))
+    dict_df = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
+    )
+    return sh.join(dict_df, "shingle")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """Per-document MinHash signature: (key, j, h) with
+    h = min over shingles of (a_j*sid + b_j) mod P."""
+    sh = _shingle_ids(doc_shingles(df, text, key, n), hash_mode)
+    params = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    exploded = sh.select(key, "sid", F.explode(params).alias("p"))
+    return exploded.groupBy(key, F.col("p.j").alias("j")).agg(
+        F.min(
+            (F.col("p.a") * F.col("sid") + F.col("p.b")) % F.lit(MINHASH_P)
+        ).alias("h")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    rows_per_band: int = 2,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """LSH banding: documents sharing any (band, band-signature) bucket
+    are near-duplicate candidates. Output (doc_a, doc_b,
+    n_shared_bands); the bucket join is the ONLY pairwise step, so cost
+    is bounded by real collisions, not n^2."""
+    mh = minhash_signatures(df, text, key, n, hash_mode)
+    bands = (
+        mh.withColumn("band", F.expr(f"j div {rows_per_band}"))
+        .groupBy(key, "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "h"))),
+                    lambda s: s["h"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{key}") < F.col(f"y.{key}")),
+        )
+        .groupBy(
+            F.col(f"x.{key}").alias("doc_a"), F.col(f"y.{key}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """SimHash over whitespace tokens: per-token portable polynomial
+    hash, bit-majority vote across tokens, 30-bit signature. One
+    explode + one grouped aggregate (map-side combinable)."""
+    tok_hash = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok")),
+            lambda i: F.ascii(F.substr(F.col("tok"), i, F.lit(1))),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x.cast("bigint")) % F.lit(FP_MOD),
+    )
+    toks = df.select(key, F.explode(_tokens(text)).alias("tok")).withColumn(
+        "h", tok_hash
+    )
+    votes = toks.groupBy(key).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else (sig + term)
+    return votes.select(key, sig.alias("simhash")).orderBy(key)

@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All of these are pure JVM-side Catalyst expressions (split / filter /
+transform / aggregate lambdas) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with input splits: a 100 TB
+documents table is just more parquet partitions, no shuffle at all for
+any per-document metric.
+
+This extends the reference's scope: the reference is a numeric TSDB
+with no text facility; these operators are the data-pipeline
+capabilities a Spark-native engine adds on top (SURVEY.md §2 extension
+set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.functions.exprs import poly_fingerprint
+
+# Deterministic tiny English stopword list for the language heuristic.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(text: str = "text") -> Column:
+    """Whitespace tokens with empties removed (JVM lambda)."""
+    return F.filter(F.split(F.col(text), " "), lambda x: x != "")
+
+
+def token_counts(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Whitespace token count + regex ([a-z0-9]+, a BPE-ish word unit)
+    token count per document."""
+    return df.select(
+        key,
+        F.size(_tokens(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text), F.lit(TOKEN_RE), 0)).alias(
+            "n_re_tokens"
+        ),
+    ).orderBy(key)
+
+
+def quality_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, token count, distinct-token
+    ratio, average token length, composite score in [0,1]."""
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    chars_no_space = F.length(F.replace(F.col(text), F.lit(" "), F.lit("")))
+    # try_divide: empty documents yield NULL ratios instead of an ANSI
+    # divide-by-zero error (same as SQL NULLIF-guarded division).
+    distinct_ratio = F.try_divide(n_dis, n_tok)
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    return df.select(
+        key,
+        F.length(text).cast("int").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.try_divide(chars_no_space, n_tok).alias("avg_token_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        (F.lit(0.5) * distinct_ratio + F.lit(0.5) * len_score).alias("quality"),
+    ).orderBy(key)
+
+
+def language_id(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """N-gram/stopword language heuristic: ratio of English stopwords
+    among tokens; >= 5% -> 'en' else 'und'. (A real model would be a
+    fastText-style classifier behind a Pandas UDF; the Spark plumbing
+    is identical.)"""
+    toks = _tokens(text)
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(filter(split({text}, ' '), x -> x != ''), x -> x IN ({in_list}))")
+    )
+    n_tok = F.size(toks)
+    ratio = F.try_divide(n_stop, n_tok)
+    return df.select(
+        key,
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    ).orderBy(key)
+
+
+def fingerprint(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Deterministic rolling-hash document fingerprint (dedup key).
+    Portable across engines (unlike builtin hash()): h = fold over
+    ascii codes of (h*31 + c) mod 1e9+7."""
+    return df.select(key, poly_fingerprint(text).alias("fp")).orderBy(key)

@@ -1,5 +1,387 @@
-"""Training-data pipeline catalog queries (dedup / similarity / text
-analysis / multimodal) over the ``documents`` and ``embeddings`` tables.
-Filled in alongside operators/{dedup,similarity,textstats}.py."""
+"""Training-data pipeline catalog queries (SURVEY.md §2 extension set):
+deduplication, similarity search, text analysis, multimodal plumbing —
+the operations a 100 TB training-data pipeline runs, expressed
+Spark-first over the ``documents`` and ``embeddings`` tables.
+
+Oracle portability notes:
+  * shingle/minhash/fingerprint hashing uses a portable polynomial /
+    universal hash — engine builtins (xxhash64) are the scale path but
+    can't be verified cross-engine (operators default to hash64;
+    catalog queries opt into the portable mode);
+  * embedding math folds sequentially on both engines (Spark
+    F.aggregate == DuckDB list_reduce), so cosines match bit-for-bit
+    with no rounding.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.operators.dedup import (
+    MINHASH_P,
+    MINHASH_PARAMS,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etsd_time_series_database_spark.operators.multimodal import (
+    extract_features,
+    to_blob_table,
+)
+from etsd_time_series_database_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from etsd_time_series_database_spark.operators.textstats import (
+    STOPWORDS,
+    TOKEN_RE,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from etsd_time_series_database_spark.plans.registry import register
+from etsd_time_series_database_spark.sources.store import load_table
+
+# ------------------------------- shared SQL fragments (DuckDB oracle)
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """Sequential-fold cosine in DuckDB — bit-identical to Spark's
+    zip_with/aggregate expression in functions.exprs."""
+    dot = (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({v}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))"
+        )
+
+    return f"{dot} / ({norm(a)} * {norm(b)})"
+
+
+_DUCK_POLY_FP = (
+    "list_reduce(list_transform(range(1, length({col}) + 1), "
+    "i -> CAST(ascii(substr({col}, i, 1)) AS BIGINT)), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+# ------------------------------------------------------ deduplication
+
+
+@register(
+    "p01_dedup_exact",
+    "dedup",
+    """
+    SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text ORDER BY canonical_id
+    """,
+    doc="Exact dedup by full-text equality (hash groupBy; at scale, "
+    "group by a 64-bit fingerprint instead of the raw text).",
+)
+def p01(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p02_ngram_jaccard",
+    "dedup",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 150
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+    doc="All-pairs word-3-gram Jaccard on a bounded subset (the "
+    "verification path; the scale path feeds LSH candidates into the "
+    "same jaccard expression).",
+)
+def p02(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+def _minhash_oracle() -> str:
+    hp_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS))
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok)
+    ),
+    dict AS (
+      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    hp(j, a, b) AS (VALUES {hp_rows}),
+    mh AS (
+      SELECT sh.doc_id, hp.j, MIN((hp.a * d.sid + hp.b) % {MINHASH_P}) AS h
+      FROM sh JOIN dict d ON sh.shingle = d.shingle CROSS JOIN hp
+      GROUP BY sh.doc_id, hp.j
+    ),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "p03_minhash_lsh",
+    "dedup",
+    _minhash_oracle(),
+    doc="MinHash (8 universal hashes over 3-gram shingles) + LSH banding "
+    "(4 bands x 2 rows): candidate near-dup pairs from bucket "
+    "collisions only — never an n^2 comparison. Portable dict-id mode "
+    "for the oracle; xxhash64 mode for scale.",
+)
+def p03(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="dict")
+
+
+def _simhash_oracle() -> str:
+    tok_fp = _DUCK_POLY_FP.format(col="tok")
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {tok_fp} AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+    FROM votes ORDER BY doc_id
+    """
+
+
+@register(
+    "p04_simhash",
+    "dedup",
+    _simhash_oracle(),
+    doc="30-bit SimHash signature per document (bit-majority over "
+    "portable token hashes); near-dups then cluster by hamming "
+    "distance on the signature.",
+)
+def p04(spark, sf_dir):
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+# -------------------------------------------------- similarity search
+
+
+@register(
+    "p05_ann_cosine_topk",
+    "similarity",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_duck_cos("e.embedding", "q.qv")} AS cosine
+    FROM embeddings e, q WHERE e.vec_id != 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force exact cosine top-k (baseline ANN path): codegen'd "
+    "fold + TakeOrderedAndProject, no global sort.",
+    headline=True,
+)
+def p05(spark, sf_dir):
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "p06_ivf_topk",
+    "similarity",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {_duck_cos("e.embedding", "c.cv")} AS cos
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cent_id) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    qcell AS (
+      SELECT cent_id AS qc, embedding AS qv FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id, {_duck_cos("a.embedding", "qcell.qv")} AS cosine
+    FROM assigned a, qcell
+    WHERE a.cent_id = qcell.qc AND a.vec_id != 0
+    ORDER BY cosine DESC, vec_id LIMIT 5
+    """,
+    doc="IVF-bucketed approximate top-k: assign to nearest of 8 seed "
+    "centroids (broadcast), probe only the query's cell — at scale the "
+    "cell id is a partition column and the probe prunes to one cell.",
+)
+def p06(spark, sf_dir):
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        centroid_ids=list(range(1, 9)),
+        k=5,
+    )
+
+
+@register(
+    "p07_embedding_near_dup",
+    "dedup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cos("a.embedding", "b.embedding")} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND {_duck_cos("a.embedding", "b.embedding")} >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-duplicate pairs (cosine >= 0.35) on a bounded "
+    "subset; at scale the same expression runs per LSH/IVF bucket.",
+)
+def p07(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return cosine_pairs(emb, threshold=0.35)
+
+# ------------------------------------------------------ text analysis
+
+
+@register(
+    "p08_language_id",
+    "text",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x)))
+                AS INTEGER) AS n_stopwords,
+           len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x)))
+             / len(toks) AS stopword_ratio,
+           CASE WHEN len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x)))
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'und' END AS pred_lang
+    FROM t ORDER BY doc_id
+    """,
+    doc="Stopword-ratio language heuristic (n-gram LM stand-in).",
+)
+def p08(spark, sf_dir):
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p09_quality_score",
+    "text",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           length(replace(text, ' ', '')) / len(toks) AS avg_token_len,
+           len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+           0.5 * (len(list_distinct(toks)) / len(toks))
+             + 0.5 * least(1.0, len(toks) / 100.0) AS quality
+    FROM t ORDER BY doc_id
+    """,
+    doc="Heuristic document quality score (length / distinctness).",
+)
+def p09(spark, sf_dir):
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p10_token_count",
+    "text",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INTEGER) AS n_re_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Whitespace + regex (BPE-ish word unit) token counting.",
+)
+def p10(spark, sf_dir):
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p11_fingerprint",
+    "text",
+    f"""
+    SELECT doc_id, {_DUCK_POLY_FP.format(col="text")} AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Portable rolling-hash document fingerprint (dedup key that "
+    "matches across engines, unlike builtin hash()).",
+)
+def p11(spark, sf_dir):
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+# --------------------------------------------------------- multimodal
+
+
+@register(
+    "p12_multimodal_features",
+    "multimodal",
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_DUCK_POLY_FP.format(col="text")} AS byte_fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Binary-column plumbing: text->blob table, Arrow-batched "
+    "mapInPandas feature extraction (deterministic stand-in for "
+    "image/audio decode, which is stubbed — libs not in container).",
+)
+def p12(spark, sf_dir):
+    blobs = to_blob_table(load_table(spark, sf_dir, "documents"))
+    return extract_features(blobs).orderBy("doc_id")
