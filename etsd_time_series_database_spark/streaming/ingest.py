@@ -1,0 +1,256 @@
+"""Structured-Streaming ingest: the reference's ``edd`` daemon
+re-expressed as streaming plans.
+
+Reference lifecycle (edd main loop, reference code/edd.c:239-387):
+poll up to 4 dlopen'd source plugins once per interval, route each
+channel's reading to the ETSD encoder and/or an external output
+(RRDTool), commit a block when full. Here:
+
+  * a **source registry** replaces the dlopen plugin ABI
+    (code/edd.c:77-237, Plugin_API.txt): any callable
+    ``(spark, **opts) -> streaming DataFrame`` with the canonical row
+    schema ``(ts, source, channel, value, status)`` — the relational
+    form of the plugin contract srcCheckData/srcReadChan
+    (code/plugins/sourceAPI.txt);
+  * the **sim source** replaces srcSIM's sine-wave generator
+    (code/plugins/srcSIM.c:97-117): a rate stream transformed by
+    deterministic JVM expressions;
+  * **ingest_to_parquet** replaces the per-interval block commit
+    (etsdCommit, code/etsdSave.c:58-75): foreachBatch appends
+    date-partitioned parquet — each micro-batch is the 'block', made
+    durable exactly once, with the same self-describing recoverability
+    the 512-byte blocks give the reference;
+  * **windowed_aggregate** replaces the RRD export consolidation
+    (edoRRD, code/plugins/edoRRD.c:44-74) with watermarked windows —
+    late data within the watermark updates its window, later data is
+    dropped and accounted, the streaming analog of the reference's
+    short blocks (code/etsdSave.c:103-113);
+  * **session_gaps** detects activity sessions split by silence — the
+    query-side view of the reference's missed-update tracking
+    (code/etsdSave.c:450-458).
+
+Scale: streaming state is keyed by (source, channel [, window]) — at
+1000 executors state shards by key with no skew since windows rotate;
+the parquet sink partitions by date so downstream batch reads prune.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CANONICAL_SCHEMA = "ts timestamp, source string, channel string, value double, status int"
+
+SOURCE_REGISTRY: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_source(name: str):
+    """Register a streaming source factory (the plugin-ABI analog:
+    reference Plugin_API.txt srcSetup/srcCheckData/srcReadChan)."""
+
+    def deco(fn: Callable[..., DataFrame]):
+        SOURCE_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_source("sim")
+def sim_source(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    n_channels: int = 5,
+    amplitude: float = 100.0,
+    period_s: float = 60.0,
+) -> DataFrame:
+    """Deterministic sine-wave source (reference srcSIM,
+    code/plugins/srcSIM.c:97-117: counters accumulating
+    (sin(k/p)+1)*amp plus a gauge).
+
+    Built on the rate source; each tick fans out to n_channels rows via
+    a JVM transform+explode — value is a pure function of (tick,
+    channel) so replays are idempotent.
+    """
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    chans = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_channels - 1)),
+            lambda i: i.cast("int"),
+        )
+    ).alias("chan")
+    df = rate.select("timestamp", "value", chans)
+    phase = (F.col("value") + F.col("chan") * 7) / F.lit(period_s)
+    return df.select(
+        F.col("timestamp").alias("ts"),
+        F.lit("sim").alias("source"),
+        F.concat(F.lit("chan_"), F.col("chan")).alias("channel"),
+        ((F.sin(phase) + 1.0) * amplitude).alias("value"),
+        F.lit(0).alias("status"),
+    )
+
+
+def union_sources(dfs: list[DataFrame]) -> DataFrame:
+    """N plugin sources -> one stream (the reference polls each source
+    per interval, code/edd.c:309-311; union is the declarative form)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def ingest_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int = 10,
+    downsample_to: str | None = None,
+    downsample_width_s: int = 60,
+):
+    """Start the ingest sink: append raw rows date-partitioned (the
+    block-commit path) and optionally maintain a downsampled second
+    sink in the same foreachBatch (the edo external-output path,
+    code/edd.c:333-346) — both updated transactionally per micro-batch.
+    """
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.withColumn("dt", F.to_date("ts"))
+            .repartition("dt")
+            .sortWithinPartitions("channel", "ts")
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(path)
+        )
+        if downsample_to is not None:
+            (
+                batch.groupBy(
+                    "source",
+                    "channel",
+                    F.window("ts", f"{downsample_width_s} seconds").alias("w"),
+                )
+                .agg(
+                    F.count("value").alias("n"),
+                    F.avg("value").alias("avg_value"),
+                    F.min("value").alias("min_value"),
+                    F.max("value").alias("max_value"),
+                )
+                .select(
+                    "source",
+                    "channel",
+                    F.col("w.start").alias("bucket_ts"),
+                    "n",
+                    "avg_value",
+                    "min_value",
+                    "max_value",
+                )
+                .write.mode("append")
+                .parquet(downsample_to)
+            )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    width_s: int = 60,
+    slide_s: int | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window min/max/avg/count per
+    channel (the RRA consolidation, streaming form). Data later than
+    the watermark is dropped — the reference's short-block semantics
+    (valid-interval accounting, code/etsdSave.c:58-66)."""
+    win = (
+        F.window("ts", f"{width_s} seconds")
+        if slide_s is None
+        else F.window("ts", f"{width_s} seconds", f"{slide_s} seconds")
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("source", "channel", win.alias("w"))
+        .agg(
+            F.count("value").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            "source",
+            "channel",
+            F.col("w.start").alias("bucket_ts"),
+            "n",
+            "min_value",
+            "max_value",
+            "avg_value",
+        )
+    )
+
+
+def session_gaps(
+    stream: DataFrame, gap_s: int = 300, watermark: str = "2 minutes"
+) -> DataFrame:
+    """Session windows split by >= gap_s of silence per channel
+    (streaming sessionization via session_window; the batch equivalent
+    is the lag/cumsum formulation in catalog q29)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            "source", "channel", F.session_window("ts", f"{gap_s} seconds").alias("w")
+        )
+        .agg(F.count("value").alias("n_events"))
+        .select(
+            "source",
+            "channel",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def carry_forward_batch(batch: DataFrame, state: DataFrame | None) -> tuple[DataFrame, DataFrame]:
+    """Carry-forward / LastReading state as an incremental batch fold:
+    given this batch and the previous per-channel state
+    ``(source, channel, last_ts, last_value)``, fill NULL readings with
+    the last known value and emit updated state.
+
+    This is the foreachBatch-friendly formulation of the reference's
+    LastReading/MissedUpdate arrays (code/etsd.h:114-121,
+    backfill code/etsdSave.c:445-447). An applyInPandasWithState
+    variant exists in streaming tests; this one is deterministic,
+    replayable, and state lives in a table — the robust pattern at
+    scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "channel").orderBy("ts")
+    cur = batch
+    if state is not None:
+        seed = state.select(
+            F.col("last_ts").alias("ts"),
+            "source",
+            "channel",
+            F.col("last_value").alias("value"),
+            F.lit(-1).alias("status"),
+        )
+        cur = batch.unionByName(seed)
+    filled = cur.withColumn(
+        "value_filled", F.last("value", ignorenulls=True).over(w)
+    ).filter(F.col("status") >= 0)
+    new_state = (
+        filled.groupBy("source", "channel")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("value_filled", "ts").alias("last_value"),
+        )
+    )
+    return filled, new_state

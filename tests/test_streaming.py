@@ -1,0 +1,126 @@
+"""Streaming-module tests (SURVEY.md §5 layer 4).
+
+The windowed/session operators are tested deterministically in batch
+mode (watermark is a no-op on batch DataFrames, window/session_window
+semantics are identical), plus one true micro-batch smoke through the
+rate-based sim source and the memory sink.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.streaming import ingest
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(ts, "s", ch, float(v) if v is not None else None, st) for ts, ch, v, st in rows],
+        "ts string, source string, channel string, value double, status int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_windowed_aggregate_batch_semantics(spark):
+    df = _events(
+        spark,
+        [
+            ("2026-01-01 00:00:05", "a", 1, 0),
+            ("2026-01-01 00:00:55", "a", 3, 0),
+            ("2026-01-01 00:01:05", "a", 10, 0),
+            ("2026-01-01 00:00:10", "b", 7, 0),
+        ],
+    )
+    out = {
+        (r.channel, str(r.bucket_ts)): (r.n, r.min_value, r.max_value, r.avg_value)
+        for r in ingest.windowed_aggregate(df, width_s=60).collect()
+    }
+    assert out[("a", "2026-01-01 00:00:00")] == (2, 1.0, 3.0, 2.0)
+    assert out[("a", "2026-01-01 00:01:00")] == (1, 10.0, 10.0, 10.0)
+    assert out[("b", "2026-01-01 00:00:00")] == (1, 7.0, 7.0, 7.0)
+
+
+def test_session_gaps_batch_semantics(spark):
+    df = _events(
+        spark,
+        [
+            ("2026-01-01 00:00:00", "a", 1, 0),
+            ("2026-01-01 00:01:00", "a", 1, 0),
+            # > 300 s of silence -> new session
+            ("2026-01-01 00:10:00", "a", 1, 0),
+        ],
+    )
+    rows = sorted(
+        ingest.session_gaps(df, gap_s=300).collect(), key=lambda r: r.session_start
+    )
+    assert len(rows) == 2
+    assert rows[0].n_events == 2 and rows[1].n_events == 1
+
+
+def test_carry_forward_batch_fills_and_updates_state(spark):
+    b = _events(
+        spark,
+        [
+            ("2026-01-01 00:00:02", "a", None, 0),
+            ("2026-01-01 00:00:03", "a", 9, 0),
+            ("2026-01-01 00:00:04", "a", None, 0),
+        ],
+    )
+    state = spark.createDataFrame(
+        [("s", "a", "2026-01-01 00:00:01", 7.5)],
+        "source string, channel string, last_ts string, last_value double",
+    ).withColumn("last_ts", F.to_timestamp("last_ts"))
+
+    filled, new_state = ingest.carry_forward_batch(b, state)
+    vals = [r.value_filled for r in filled.orderBy("ts").collect()]
+    # NULL at :02 takes the seeded 7.5; :03 reads 9; NULL at :04 carries 9.
+    assert vals == [7.5, 9.0, 9.0]
+    ns = new_state.collect()[0]
+    assert ns.last_value == 9.0 and str(ns.last_ts).startswith("2026-01-01 00:00:04")
+
+
+def test_carry_forward_without_state(spark):
+    b = _events(
+        spark,
+        [("2026-01-01 00:00:01", "a", None, 0), ("2026-01-01 00:00:02", "a", 4, 0)],
+    )
+    filled, new_state = ingest.carry_forward_batch(b, None)
+    vals = [r.value_filled for r in filled.orderBy("ts").collect()]
+    assert vals == [None, 4.0]
+    assert new_state.collect()[0].last_value == 4.0
+
+
+def test_source_registry_and_union(spark):
+    assert "sim" in ingest.SOURCE_REGISTRY
+    a = _events(spark, [("2026-01-01 00:00:01", "a", 1, 0)])
+    b = _events(spark, [("2026-01-01 00:00:02", "b", 2, 0)])
+    assert ingest.union_sources([a, b]).count() == 2
+
+
+@pytest.mark.slow
+def test_sim_source_micro_batch_smoke(spark):
+    """One true streaming run: sim source -> windowed agg -> memory sink."""
+    src = ingest.sim_source(spark, rows_per_second=50, n_channels=3)
+    assert src.isStreaming
+    agg = ingest.windowed_aggregate(src, width_s=2, watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sim_smoke")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from sim_smoke").collect()[0][0]
+            if n > 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert n > 0
