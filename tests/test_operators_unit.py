@@ -1,0 +1,199 @@
+"""Unit tests for the time-series operator library on tiny hand-built
+DataFrames with hand-computed expected outputs (SURVEY.md §5 layer 2 —
+the ETSD semantic details of §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import importlib
+
+ops = importlib.import_module("etsd_time_series_database_spark.operators.range_stats")
+
+
+def _series(spark, rows):
+    """rows: (ts_str, channel, value_or_None, seq)"""
+    return spark.createDataFrame(
+        [(ts, ch, float(v) if v is not None else None, int(sq)) for ts, ch, v, sq in rows],
+        "ts string, event_type string, value double, event_id bigint",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_range_stats_excludes_nulls_from_min_max_avg(spark):
+    # Reference excludes invalid (0xFFFFFFFF) samples, code/etsdQuery.c:320-331.
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:01", "a", 10, 1),
+            ("2026-01-01 00:00:02", "a", None, 2),
+            ("2026-01-01 00:00:03", "a", 20, 3),
+            ("2026-01-01 00:00:09", "a", 99, 4),  # outside range
+        ],
+    )
+    r = ops.range_stats(df, "2026-01-01 00:00:00", "2026-01-01 00:00:05").collect()[0]
+    assert (r.n, r.min_value, r.max_value) == (2, 10.0, 20.0)
+    assert float(r.avg_value) == 15.0 and float(r.total_value) == 30.0
+
+
+def test_value_at_asof_semantics(spark):
+    # etsdVAT intent: latest reading with ts <= t (code/etsdQuery.c:206-215).
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:01", "a", 1, 1),
+            ("2026-01-01 00:00:05", "a", 5, 2),
+            ("2026-01-01 00:00:09", "a", 9, 3),  # after the as-of point
+            ("2026-01-01 00:00:02", "b", 2, 4),
+        ],
+    )
+    rows = {r.event_type: r.asof_value for r in ops.value_at(df, "2026-01-01 00:00:06").collect()}
+    assert rows == {"a": 5.0, "b": 2.0}
+
+
+def test_rate_is_delta_over_dt(spark):
+    # Counter->rate, the read-side inverse of delta encoding
+    # (code/etsdSave.c:396-398): 10 units over 5 s = 2/s.
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:00", "a", 100, 1),
+            ("2026-01-01 00:00:05", "a", 110, 2),
+            ("2026-01-01 00:00:15", "a", 140, 3),
+        ],
+    )
+    rates = [r.rate_per_s for r in ops.rate(df).collect()]
+    assert rates[0] is None
+    assert rates[1] == 2.0 and rates[2] == 3.0
+
+
+def test_rollover_bump(spark):
+    # The 'bump' correction (code/etsdQuery.c:332-336): a drop below the
+    # predecessor adds one 2^32 span; two drops add two spans.
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:01", "a", 4294967290, 1),
+            ("2026-01-01 00:00:02", "a", 5, 2),       # rolled over
+            ("2026-01-01 00:00:03", "a", 100, 3),
+            ("2026-01-01 00:00:04", "a", 3, 4),       # rolled over again
+        ],
+    )
+    vals = [r.corrected_value for r in ops.rollover_corrected(df).collect()]
+    assert vals == [
+        4294967290.0,
+        5.0 + 2**32,
+        100.0 + 2**32,
+        3.0 + 2 * 2**32,
+    ]
+
+
+def test_first_crossing(spark):
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:01", "a", 5, 1),
+            ("2026-01-01 00:00:02", "a", 15, 2),   # first over 10
+            ("2026-01-01 00:00:03", "a", 10, 3),   # first equal
+            ("2026-01-01 00:00:04", "a", 25, 4),
+        ],
+    )
+    r = ops.first_crossing(df, 10.0).collect()[0]
+    us = lambda s: int(s) * 1_000_000  # noqa: E731
+    from datetime import datetime, timezone
+
+    base = int(datetime(2026, 1, 1, tzinfo=timezone.utc).timestamp())
+    assert r.first_over_us == us(base + 2)
+    assert r.first_under_us == us(base + 1)
+    assert r.first_equal_us == us(base + 3)
+
+
+def test_time_of_extreme_earliest_wins_on_ties(spark):
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:01", "a", 7, 1),
+            ("2026-01-01 00:00:02", "a", 7, 2),  # tie for max AND min
+        ],
+    )
+    r = ops.time_of_extreme(df).collect()[0]
+    assert r.t_min_us == r.t_max_us  # earliest ts both times
+    assert r.min_value == r.max_value == 7.0
+
+
+def test_gaps_counts_nulls_and_long_silences(spark):
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:00", "a", 1, 1),
+            ("2026-01-01 00:00:10", "a", None, 2),   # 10 s gap (> 5 s), null
+            ("2026-01-01 00:00:12", "a", 3, 3),
+            ("2026-01-01 00:01:00", "a", 4, 4),      # 48 s gap
+        ],
+    )
+    r = ops.gaps(df, gap_s=5).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_gaps) == (4, 1, 2)
+
+
+def test_reconstruct_from_deltas_roundtrip(spark):
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:01", "a", 3, 1),
+            ("2026-01-01 00:00:02", "a", 8, 2),
+            ("2026-01-01 00:00:03", "a", 6, 3),
+            ("2026-01-01 00:00:01", "b", 100, 4),
+            ("2026-01-01 00:00:02", "b", 250, 5),
+        ],
+    )
+    rows = {r.event_type: r for r in ops.reconstruct_from_deltas(df).collect()}
+    assert rows["a"].n_mismatch == 0 and rows["a"].n_rows == 3
+    assert rows["b"].n_mismatch == 0
+
+
+def test_interpolated_total_pro_rata_boundaries(spark):
+    # Reference head/tail interpolation (code/etsdQuery.c:254,279):
+    # partial coverage of an interval contributes proportionally.
+    # Buckets of 60 s; values land one per bucket; query covers the
+    # second half of bucket0 and the first half of bucket1.
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:10", "a", 60, 1),   # bucket 00:00
+            ("2026-01-01 00:01:10", "a", 120, 2),  # bucket 01:00
+        ],
+    )
+    r = ops.interpolated_total(
+        df, "2026-01-01 00:00:30", "2026-01-01 00:01:30", interval_s=60
+    ).collect()[0]
+    # bucket0 overlap 30/60 -> 30; bucket1 overlap 30/60 -> 60; total 90
+    assert r.interp_total == 90.0
+
+
+def test_downsample_last_deterministic_on_ts_ties(spark):
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:10", "a", 1, 1),
+            ("2026-01-01 00:00:10", "a", 2, 2),  # same ts, higher seq wins
+        ],
+    )
+    r = ops.downsample(df, 60, how="last").collect()[0]
+    assert r.last_value == 2.0
+
+
+def test_etsd_ks_composite_members(spark):
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:01", "a", 5, 1),
+            ("2026-01-01 00:00:02", "a", 15, 2),
+            ("2026-01-01 00:00:03", "a", 10, 3),
+            ("2026-01-01 00:00:04", "a", None, 4),
+        ],
+    )
+    r = ops.etsd_ks(df, 10.0, "2026-01-01 00:00:00", "2026-01-01 00:00:05").collect()[0]
+    assert (r.intv_cnt, r.err_cnt) == (4, 1)
+    assert (r.n_over, r.n_under, r.n_equal) == (1, 1, 1)
+    assert r.avg_when_over == 15.0 and r.avg_when_under == 5.0
+    assert (r.min_value, r.max_value) == (5.0, 15.0)
+    assert float(r.total_value) == 30.0

@@ -1,0 +1,70 @@
+"""Property tests (SURVEY.md §5 layer 3): randomized-but-seeded series
+through the encode/reconstruct round trip and the rollover correction.
+
+Each example builds one small DataFrame; example counts are kept low
+because a Spark job per example is expensive — hypothesis still
+explores boundary structures (empty-ish, constant, adversarial drops).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import importlib
+
+ops = importlib.import_module("etsd_time_series_database_spark.operators.range_stats")
+
+_few = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, values):
+    rows = [
+        (f"2026-01-01 00:{i // 60:02d}:{i % 60:02d}", "ch", float(v), i)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "ts string, event_type string, value double, event_id bigint"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+@_few
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=40))
+def test_delta_reconstruct_is_lossless(spark, values):
+    """delta-encode -> cumsum-reconstruct == identity for any series
+    (reference encode code/etsdSave.c:396-398 / decode code/etsdRead.c:274)."""
+    out = ops.reconstruct_from_deltas(_df(spark, values)).collect()[0]
+    assert out.n_mismatch == 0 and out.n_rows == len(values)
+
+
+@_few
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=2, max_size=40))
+def test_rollover_correction_is_monotone_and_congruent(spark, values):
+    """After correction: (a) the series never decreases, (b) every
+    corrected value is congruent to the raw value mod 2^32 (the bump
+    only ever adds whole spans, code/etsdQuery.c:332-336)."""
+    rows = ops.rollover_corrected(_df(spark, values)).orderBy("event_id").collect()
+    corrected = [r.corrected_value for r in rows]
+    assert all(b >= a for a, b in zip(corrected, corrected[1:]))
+    for raw, corr in zip(values, corrected):
+        assert (int(corr) - raw) % 2**32 == 0
+
+
+@_few
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=40
+    )
+)
+def test_range_stats_matches_python_fold(spark, values):
+    """min/max/count agree with a plain Python fold over the same data."""
+    r = ops.range_stats(
+        _df(spark, values), "2026-01-01 00:00:00", "2026-01-01 01:00:00"
+    ).collect()[0]
+    assert r.n == len(values)
+    assert r.min_value == min(values) and r.max_value == max(values)
