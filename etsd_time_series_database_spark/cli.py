@@ -1,0 +1,168 @@
+"""Command-line interface — the ``etsdCmd`` analog.
+
+Verbs mirror the reference CLI (reference code/etsdCmd.c:618-663
+dispatch):
+
+  create   — write an events-shaped parquet table from a source file
+             (createETSD, code/etsdCmd.c:91-344; here DDL == directory
+             layout + footer schema, no 512-byte geometry)
+  query    — range statistics for channels over a time range with the
+             reference's time grammar (queryETSD code/etsdCmd.c:347-463
+             + etsdAMT code/etsdQuery.c:218-401)
+  examine  — schema + geometry introspection (examinETSD,
+             code/etsdCmd.c:549-613)
+  dump     — raw rows in a range (dumpETSD, code/etsdCmd.c:465-547,
+             minus the interactive hex walk)
+
+The CLI is a thin shell over the library: every verb builds a
+DataFrame plan and shows/collects at the edge only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.session import get_spark
+from etsd_time_series_database_spark.timeparse import resolve_range
+
+_ops = importlib.import_module(
+    "etsd_time_series_database_spark.operators.range_stats"
+)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
+    if ts_field is not None and ts_field.dataType.simpleString() == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    return df
+
+
+def _bounds(df: DataFrame, ts: str = "ts") -> tuple[datetime, datetime]:
+    row = df.select(F.min(ts).alias("lo"), F.max(ts).alias("hi")).collect()[0]
+    lo = row.lo.replace(tzinfo=timezone.utc) if row.lo else None
+    hi = row.hi.replace(tzinfo=timezone.utc) if row.hi else None
+    return lo, hi
+
+
+def cmd_query(args, spark: SparkSession) -> int:
+    df = _load_events(spark, args.path)
+    begin, _ = _bounds(df)
+    start, end = resolve_range(args.start, args.end, begin=begin)
+    if args.channel:
+        df = df.filter(F.col(args.channel_col).isin(args.channel))
+    stats = _ops.range_stats(
+        df, start.replace(tzinfo=None), end.replace(tzinfo=None),
+        channel=args.channel_col, value=args.value_col,
+    )
+    want = {
+        "min": "min_value",
+        "max": "max_value",
+        "ave": "avg_value",
+        "tot": "total_value",
+        "cnt": "n",
+    }
+    if args.q != "all":
+        stats = stats.select(args.channel_col, want[args.q])
+    stats.show(n=args.limit, truncate=False)
+    return 0
+
+
+def cmd_examine(args, spark: SparkSession) -> int:
+    df = _load_events(spark, args.path)
+    print("schema:")
+    df.printSchema()
+    lo, hi = _bounds(df)
+    n = df.count()
+    print(f"rows: {n}")
+    print(f"time range: {lo} .. {hi}")
+    if args.channel_col in df.columns:
+        print("channels:")
+        df.groupBy(args.channel_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        ).orderBy(args.channel_col).show(n=200, truncate=False)
+    return 0
+
+
+def cmd_dump(args, spark: SparkSession) -> int:
+    df = _load_events(spark, args.path)
+    begin, _ = _bounds(df)
+    start, end = resolve_range(args.start, args.end, begin=begin)
+    out = df.filter(
+        (F.col("ts") >= F.lit(start.replace(tzinfo=None)))
+        & (F.col("ts") <= F.lit(end.replace(tzinfo=None)))
+    ).orderBy("ts")
+    out.show(n=args.limit, truncate=False)
+    return 0
+
+
+def cmd_create(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.sources.store import create_events_table
+
+    df = _load_events(spark, args.source)
+    create_events_table(df, args.path, mode=args.mode, partition_col="ts")
+    print(f"wrote {args.path} (mode={args.mode})")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="etsd-spark", description="PySpark-native ETSD-capability engine CLI"
+    )
+    p.add_argument("--cpus", default=None, help="local[N] parallelism")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    q = sub.add_parser("query", help="range statistics (etsdCmd query)")
+    q.add_argument("path", help="events parquet path/dir")
+    q.add_argument("-s", "--start", default=None, help="start time literal")
+    q.add_argument("-e", "--end", default=None, help="end time literal")
+    q.add_argument("-c", "--channel", action="append", help="channel filter (repeatable)")
+    q.add_argument(
+        "-q", default="all", choices=["min", "max", "ave", "tot", "cnt", "all"]
+    )
+    q.add_argument("--channel-col", default="event_type")
+    q.add_argument("--value-col", default="value")
+    q.add_argument("--limit", type=int, default=100)
+    q.set_defaults(fn=cmd_query)
+
+    x = sub.add_parser("examine", help="schema + geometry introspection")
+    x.add_argument("path")
+    x.add_argument("--channel-col", default="event_type")
+    x.set_defaults(fn=cmd_examine)
+
+    d = sub.add_parser("dump", help="raw rows in a time range")
+    d.add_argument("path")
+    d.add_argument("-s", "--start", default=None)
+    d.add_argument("-e", "--end", default=None)
+    d.add_argument("--limit", type=int, default=50)
+    d.set_defaults(fn=cmd_dump)
+
+    c = sub.add_parser("create", help="write a partitioned events table")
+    c.add_argument("source", help="source parquet file")
+    c.add_argument("path", help="destination table directory")
+    c.add_argument("--mode", default="error", choices=["error", "overwrite", "append"])
+    c.set_defaults(fn=cmd_create)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        import os
+
+        if args.cpus:
+            os.environ["SPARK_GRAFT_CPUS"] = args.cpus
+        spark = get_spark("etsd_spark_cli")
+    return args.fn(args, spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""CLI verb tests (the etsdCmd analog), run in-process against the
+session fixture so no extra JVM spins up."""
+
+from __future__ import annotations
+
+from etsd_time_series_database_spark import cli
+from tests.conftest import SF_SMOKE
+
+EVENTS = f"{SF_SMOKE}/events.parquet"
+
+
+def test_query_all_stats(spark, capsys):
+    rc = cli.main(["query", EVENTS, "-s", "2024-01-01", "-e", "2024-12-31"], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "min_value" in out and "total_value" in out
+
+
+def test_query_single_stat_and_channel_filter(spark, capsys):
+    rc = cli.main(
+        ["query", EVENTS, "-q", "ave", "-c", "reading", "--limit", "5"], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "avg_value" in out and "min_value" not in out
+
+
+def test_query_relative_time_grammar(spark, capsys):
+    # begin/+span resolve against the table's own min(ts)
+    rc = cli.main(["query", EVENTS, "-s", "begin", "-e", "begin+2d"], spark=spark)
+    assert rc == 0
+    assert "event_type" in capsys.readouterr().out
+
+
+def test_examine(spark, capsys):
+    rc = cli.main(["examine", EVENTS], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "schema:" in out and "time range:" in out and "rows:" in out
+
+
+def test_dump(spark, capsys):
+    rc = cli.main(
+        ["dump", EVENTS, "-s", "begin", "-e", "begin+1h", "--limit", "5"], spark=spark
+    )
+    assert rc == 0
+    assert "ts" in capsys.readouterr().out
+
+
+def test_create_roundtrip(spark, tmp_path, capsys):
+    dest = str(tmp_path / "events_tbl")
+    rc = cli.main(["create", EVENTS, dest, "--mode", "overwrite"], spark=spark)
+    assert rc == 0
+    from etsd_time_series_database_spark.sources.store import read_events_table
+
+    df = read_events_table(spark, dest)
+    src_n = cli._load_events(spark, EVENTS).count()
+    assert df.count() == src_n
+    # date-partitioned layout on disk
+    assert any(p.name.startswith("dt=") for p in (tmp_path / "events_tbl").iterdir())
