@@ -620,3 +620,54 @@ def q27(spark, sf_dir):
 )
 def q28(spark, sf_dir):
     return reconstruct_from_deltas(_events(spark, sf_dir))
+
+
+@register(
+    "q29_session_gaps",
+    "sessionization",
+    f"""
+    WITH g AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                       > {GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, ts,
+             SUM(new_session) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT event_type, CAST(session_id AS BIGINT) AS session_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY event_type, session_id
+    ORDER BY event_type, session_id
+    """,
+    doc="Batch sessionization: sessions split by > GAP_S of silence per "
+    "channel via lag+cumsum (the batch equivalent of the streaming "
+    "session_window in streaming/ingest.py; reference missed-update "
+    "tracking, code/etsdSave.c:450-458).",
+)
+def q29(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    new_s = F.when(
+        epoch_us("ts") - F.lag(epoch_us("ts")).over(w) > GAP_S * 1_000_000, 1
+    ).otherwise(0)
+    return (
+        e.withColumn("__new", new_s)
+        .withColumn("session_id", F.sum("__new").over(cum))
+        .groupBy("event_type", "session_id")
+        .agg(
+            F.min(epoch_us("ts")).alias("session_start_us"),
+            F.max(epoch_us("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "session_id")
+    )
