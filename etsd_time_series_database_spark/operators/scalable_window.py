@@ -1,0 +1,185 @@
+"""Skew-proof window operators for low-cardinality channel keys.
+
+The natural Spark formulation of the reference's per-channel sequential
+semantics (lag/rate/cumulative sums — reference delta encoding
+code/etsdSave.c:396-398, read-side accumulation code/etsdRead.c:274,
+rollover bump code/etsdQuery.c:332-336) is a window partitioned by
+channel. That is correct but caps parallelism at the number of
+channels: with 5 channels on a 1000-executor cluster, 995 executors
+idle and 5 sort the full 100 TB history each — the classic
+low-cardinality window skew.
+
+This module re-expresses those operators with **two-level
+parallelism**, preserving bit-identical results:
+
+1. bucket every row by ``(channel, time_bucket)`` — thousands of
+   independent groups, each small enough to sort in memory;
+2. run the window inside each bucket (parallel across the cluster);
+3. fix the bucket boundaries with a *tiny* per-bucket summary table
+   (one row per (channel, bucket): first/last ts+value, bucket total),
+   which is windowed per channel — cheap because it has
+   n_channels x n_buckets rows, not n_rows — and broadcast back.
+
+This is the distributed prefix-sum / chained-scan pattern; the summary
+table plays the role of the reference's per-block registers
+(code/etsdSave.c:149-151): an absolute anchor per block so a reader
+never has to scan from the beginning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.functions.exprs import epoch_us
+
+
+def _bucketed(df: DataFrame, ts: str, bucket_s: int) -> DataFrame:
+    return df.withColumn(
+        "__bkt", (epoch_us(ts) / F.lit(bucket_s * 1_000_000)).cast("bigint")
+    )
+
+
+def lag_stitched(
+    df: DataFrame,
+    cols: list[str],
+    channel: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Add ``__lag_<col>`` for each requested column == the value of the
+    per-channel previous row (ordered by ts, seq) — computed with
+    (channel, bucket) parallelism instead of channel parallelism.
+
+    In-bucket rows take the ordinary in-bucket lag; each bucket's FIRST
+    row takes the previous bucket's LAST row, delivered via the tiny
+    boundary table.
+    """
+    b = _bucketed(df, ts, bucket_s)
+    w_in = Window.partitionBy(channel, "__bkt").orderBy(F.col(ts), F.col(seq))
+
+    # per-bucket last row of each column (the "register"): one row per
+    # (channel, bucket) — thousands of rows, not billions.
+    lasts = b.groupBy(channel, "__bkt").agg(
+        *[
+            F.max_by(c, F.struct(F.col(ts), F.col(seq))).alias(f"__last_{c}")
+            for c in cols
+        ]
+    )
+    # previous bucket's last row, per channel: window over the tiny table.
+    w_bkt = Window.partitionBy(channel).orderBy("__bkt")
+    prev = lasts.select(
+        channel,
+        "__bkt",
+        *[
+            F.lag(f"__last_{c}").over(w_bkt).alias(f"__prev_{c}")
+            for c in cols
+        ],
+    )
+
+    out = b.join(F.broadcast(prev), [channel, "__bkt"], "left")
+    rn = F.row_number().over(w_in)
+    out = out.withColumn("__rn", rn)
+    for c in cols:
+        in_bucket = F.lag(c).over(w_in)
+        out = out.withColumn(
+            f"__lag_{c}",
+            F.when(F.col("__rn") == 1, F.col(f"__prev_{c}")).otherwise(in_bucket),
+        )
+    return out.drop("__rn", *[f"__prev_{c}" for c in cols])
+
+
+def rate_scalable(
+    df: DataFrame,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Counter -> rate with (channel, bucket) parallelism. Result is
+    identical to operators.range_stats.rate (tested)."""
+    df = df.withColumn("__ts_us", epoch_us(ts))
+    stitched = lag_stitched(
+        df, [value, "__ts_us"], channel=channel, ts=ts, seq=seq, bucket_s=bucket_s
+    )
+    dv = F.col(value) - F.col(f"__lag_{value}")
+    dt = F.col("__ts_us") - F.col("__lag___ts_us")
+    return stitched.select(
+        F.col(seq),
+        F.col(channel),
+        (dv * F.lit(1_000_000.0) / dt).alias("rate_per_s"),
+    ).orderBy(seq)
+
+
+def cumsum_scalable(
+    df: DataFrame,
+    col: Column,
+    out_name: str,
+    channel: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Per-channel running sum of ``col`` (ordered by ts, seq) as a
+    distributed prefix sum: in-bucket running sum + exclusive prefix of
+    per-bucket totals (computed on the tiny summary table, broadcast
+    back). Equivalent to SUM() OVER (PARTITION BY channel ORDER BY ...
+    ROWS UNBOUNDED PRECEDING) at any scale."""
+    b = _bucketed(df.withColumn("__x", col), ts, bucket_s)
+    w_in = Window.partitionBy(channel, "__bkt").orderBy(F.col(ts), F.col(seq)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = b.groupBy(channel, "__bkt").agg(F.sum("__x").alias("__tot"))
+    w_excl = (
+        Window.partitionBy(channel)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        channel,
+        "__bkt",
+        F.coalesce(F.sum("__tot").over(w_excl), F.lit(0)).alias("__offset"),
+    )
+    return (
+        b.withColumn("__run", F.sum("__x").over(w_in))
+        .join(F.broadcast(offsets), [channel, "__bkt"])
+        .withColumn(out_name, F.col("__run") + F.col("__offset"))
+        .drop("__x", "__run", "__offset", "__bkt")
+    )
+
+
+def rollover_corrected_scalable(
+    df: DataFrame,
+    rollover: int = 2**32,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Rollover correction (the reference 'bump',
+    code/etsdQuery.c:332-336) at full parallelism: stitched lag finds
+    the drops, the distributed prefix sum accumulates them."""
+    stitched = lag_stitched(
+        df, [value], channel=channel, ts=ts, seq=seq, bucket_s=bucket_s
+    )
+    bump = F.when(F.col(value) < F.col(f"__lag_{value}"), F.lit(1)).otherwise(F.lit(0))
+    withbump = stitched.withColumn("__bump", bump).drop(f"__lag_{value}", "__bkt")
+    out = cumsum_scalable(
+        withbump,
+        F.col("__bump"),
+        "__cum_bump",
+        channel=channel,
+        ts=ts,
+        seq=seq,
+        bucket_s=bucket_s,
+    )
+    return out.select(
+        F.col(seq),
+        F.col(channel),
+        (F.col(value) + F.col("__cum_bump") * F.lit(float(rollover))).alias(
+            "corrected_value"
+        ),
+    ).orderBy(seq)
