@@ -1,0 +1,114 @@
+"""Custom stateful streaming operators (SURVEY.md §2.2 streaming set,
+§7 M7): the reference's per-channel LastReading/MissedUpdate arrays
+(reference code/etsd.h:114-121, maintained code/etsdSave.c:396-458)
+as real Structured-Streaming state via ``applyInPandasWithState``.
+
+Per (source, channel) group the state is ``(last_ts_us, last_value,
+n_missed)``; each micro-batch's rows are sorted by event time, NULL
+readings are filled with the carried value (the reference's
+averaged-delta backfill degenerates to carry-forward when raw readings
+are stored, code/etsdSave.c:445-447), and the miss counter mirrors the
+reference's >=256-miss reset (code/etsdSave.c:451-454).
+
+State is keyed by (source, channel): Spark shards it across executors
+by key hash. For few huge channels, the carry chain is inherently
+sequential per channel — the state row is O(1) and the per-batch work
+is a vectorized pandas fill, so a single key's throughput is bounded
+by arrival rate, not history size.
+
+The deterministic, replayable alternative for batch-incremental jobs
+is streaming.ingest.carry_forward_batch (state in a table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MISS_RESET = 256  # reference: >=256 consecutive misses reset the counter
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("source", StringType()),
+        StructField("channel", StringType()),
+        StructField("value", DoubleType()),
+        StructField("value_filled", DoubleType()),
+        StructField("n_missed", IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("n_missed", IntegerType()),
+    ]
+)
+
+
+def _carry_forward_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    last_ts, last_value, n_missed = (
+        state.get if state.exists else (None, None, 0)
+    )
+    source, channel = key
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts_us")
+        filled = []
+        missed = []
+        for v in pdf["value"]:
+            if pd.isna(v):
+                n_missed += 1
+                if n_missed >= MISS_RESET:
+                    # reference reset path: drop the carried reading
+                    last_value, n_missed = None, 0
+                filled.append(last_value)
+            else:
+                last_value, n_missed = float(v), 0
+                filled.append(last_value)
+            missed.append(n_missed)
+        if len(pdf):
+            last_ts = int(pdf["ts_us"].iloc[-1])
+        yield pd.DataFrame(
+            {
+                "ts_us": pdf["ts_us"],
+                "source": source,
+                "channel": channel,
+                "value": pdf["value"],
+                "value_filled": pd.array(filled, dtype="float64"),
+                "n_missed": pd.array(missed, dtype="int32"),
+            }
+        )
+    state.update((last_ts, last_value, n_missed))
+
+
+def carry_forward_stream(stream: DataFrame) -> DataFrame:
+    """Streaming carry-forward over the canonical row schema
+    ``(ts, source, channel, value, status)``; emits each row with its
+    filled value and the running miss counter. Works on any streaming
+    DataFrame; grouping key is (source, channel)."""
+    from pyspark.sql import functions as F
+
+    rows = stream.select(
+        F.unix_micros("ts").alias("ts_us"), "source", "channel", "value"
+    )
+    return rows.groupBy("source", "channel").applyInPandasWithState(
+        _carry_forward_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
