@@ -109,6 +109,7 @@ def ingest_to_parquet(
     trigger_seconds: int = 10,
     downsample_to: str | None = None,
     downsample_width_s: int = 60,
+    available_now: bool = False,
 ):
     """Start the ingest sink: append raw rows date-partitioned (the
     block-commit path) and optionally maintain a downsampled second
@@ -151,12 +152,15 @@ def ingest_to_parquet(
                 .parquet(downsample_to)
             )
 
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
     )
+    if available_now:
+        # drain-everything mode: backfill jobs and tests
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def windowed_aggregate(

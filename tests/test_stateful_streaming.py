@@ -52,6 +52,9 @@ def test_carry_forward_state_survives_micro_batches(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    # the fill MUST have crossed a micro-batch boundary: if both files
+    # landed in one batch, in-batch carry would mask missing state
+    assert len(q.recentProgress) >= 2
     rows = {
         r.ts_us: (r.value, r.value_filled, r.n_missed)
         for r in spark.sql("select * from cf_state").collect()

@@ -1,0 +1,126 @@
+"""End-to-end streaming ingest tests: the edd-daemon analog — file
+stream -> foreachBatch -> date-partitioned parquet + downsampled second
+sink — and the watermark late-data drop (the reference's short-block
+accounting, SURVEY.md §2.1 O28)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.streaming import ingest
+
+SCHEMA = "ts timestamp, source string, channel string, value double, status int"
+
+
+def _write_batch(spark, path, rows, mtime):
+    df = spark.createDataFrame(
+        [(ts, "s", ch, float(v), 0) for ts, ch, v in rows],
+        "ts string, source string, channel string, value double, status int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    for root, _, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+@pytest.mark.slow
+def test_ingest_to_parquet_with_downsample_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_batch(
+        spark,
+        os.path.join(src, "b0"),
+        [
+            ("2026-01-01 00:00:05", "a", 1.0),
+            ("2026-01-01 00:00:55", "a", 3.0),
+            ("2026-01-02 00:00:05", "b", 7.0),  # second date partition
+        ],
+        now - 60,
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/*")
+    raw = str(tmp_path / "raw")
+    ds = str(tmp_path / "ds")
+    q = ingest.ingest_to_parquet(
+        stream,
+        raw,
+        checkpoint=str(tmp_path / "ckpt"),
+        downsample_to=ds,
+        downsample_width_s=60,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(raw)
+    assert stored.count() == 3
+    # date-partitioned on disk (the block-commit analog)
+    parts = {p.name for p in (tmp_path / "raw").iterdir() if p.name.startswith("dt=")}
+    assert parts == {"dt=2026-01-01", "dt=2026-01-02"}
+
+    down = spark.read.parquet(ds)
+    rows = {
+        (r.channel, str(r.bucket_ts)): (r.n, r.avg_value, r.min_value, r.max_value)
+        for r in down.collect()
+    }
+    assert rows[("a", "2026-01-01 00:00:00")] == (2, 2.0, 1.0, 3.0)
+    assert rows[("b", "2026-01-02 00:00:00")] == (1, 7.0, 7.0, 7.0)
+
+
+@pytest.mark.slow
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row arriving after its window was finalized and evicted is
+    dropped — the streaming analog of the reference's short-block /
+    valid-interval accounting. Spark semantics require the window's
+    state to have been EVICTED in an earlier batch: eviction + append
+    emission run at end-of-batch with that batch's watermark, so the
+    drop needs three micro-batches (establish -> finalize -> late)."""
+    src = str(tmp_path / "late_src")
+    now = time.time()
+    # batch 1: a row in the 10:00 window + one at 10:30 (advances watermark)
+    _write_batch(
+        spark,
+        os.path.join(src, "b1"),
+        [
+            ("2026-01-01 10:00:30", "a", 1.0),
+            ("2026-01-01 10:30:00", "a", 5.0),
+        ],
+        now - 150,
+    )
+    # batch 2 runs with watermark 10:30: evicts + emits the 10:00 window
+    _write_batch(
+        spark, os.path.join(src, "b2"), [("2026-01-01 10:40:00", "a", 6.0)], now - 100
+    )
+    # batch 3: a late row for the already-emitted 10:00 window -> dropped
+    _write_batch(
+        spark, os.path.join(src, "b3"), [("2026-01-01 10:00:45", "a", 100.0)], now - 50
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    agg = ingest.windowed_aggregate(stream, width_s=60, watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = {
+        str(r.bucket_ts): (r.n, r.max_value)
+        for r in spark.sql("select * from late_drop").collect()
+    }
+    assert dropped == 1
+    # the 10:00 window emitted exactly once, with only the on-time row
+    assert rows["2026-01-01 10:00:00"] == (1, 1.0)
+    assert not any(v[1] == 100.0 for v in rows.values())
