@@ -85,3 +85,54 @@ def extract_features(blobs: DataFrame, key: str = "doc_id") -> DataFrame:
             )
 
     return blobs.select(key, "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
+    """Resize an image blob. STUB: Pillow/cv2 are not in this container."""
+    raise NotImplementedError("image resize requires Pillow/cv2 (not installed)")
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes bigint, frame_fp bigint"
+FRAME_SIZE = 64  # stand-in 'frame' = 64-byte slice of the payload
+
+
+def sample_frames(
+    blobs: DataFrame, every_n: int = 2, key: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling over video-like blobs: emit every Nth frame as its
+    own row — the one-to-many mapInPandas shape (each input blob fans
+    out to multiple output rows, batches stay Arrow-bounded).
+
+    Real video decode (av/ffmpeg) is not in this container; the
+    deterministic stand-in treats the payload as FRAME_SIZE-byte
+    frames. The Spark-side contract — schema, fan-out, batch
+    iteration — is exactly what a real decoder plugs into.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_key, out_idx, out_len, out_fp = [], [], [], []
+            for k, payload in zip(pdf[key], pdf["payload"]):
+                raw = bytes(payload)
+                frames = [
+                    raw[i : i + FRAME_SIZE] for i in range(0, len(raw), FRAME_SIZE)
+                ]
+                for idx in range(0, len(frames), every_n):
+                    fr = frames[idx]
+                    h = 0
+                    for byte in fr:
+                        h = (h * 31 + byte) % FP_MOD
+                    out_key.append(k)
+                    out_idx.append(idx)
+                    out_len.append(len(fr))
+                    out_fp.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_key, dtype="int64"),
+                    "frame_idx": pd.array(out_idx, dtype="int32"),
+                    "frame_bytes": pd.array(out_len, dtype="int64"),
+                    "frame_fp": pd.array(out_fp, dtype="int64"),
+                }
+            )
+
+    return blobs.select(key, "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -385,3 +385,31 @@ def p11(spark, sf_dir):
 def p12(spark, sf_dir):
     blobs = to_blob_table(load_table(spark, sf_dir, "documents"))
     return extract_features(blobs).orderBy("doc_id")
+
+
+@register(
+    "p13_frame_sample",
+    "multimodal",
+    f"""
+    WITH fr AS (
+      SELECT doc_id,
+             unnest(list_filter(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)),
+                                i -> i % 2 = 0)) AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS frame_bytes,
+           {_DUCK_POLY_FP.format(col="substr(text, frame_idx * 64 + 1, 64)")} AS frame_fp
+    FROM fr ORDER BY doc_id, frame_idx
+    """,
+    doc="Video-style frame sampling plumbing: every-2nd 64-byte frame "
+    "per blob via one-to-many mapInPandas (real decoder is stubbed; "
+    "fan-out/batching/schema contract is real).",
+)
+def p13(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.multimodal import sample_frames
+
+    blobs = to_blob_table(load_table(spark, sf_dir, "documents"))
+    return sample_frames(blobs, every_n=2).orderBy("doc_id", "frame_idx")
