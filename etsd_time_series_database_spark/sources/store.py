@@ -132,3 +132,25 @@ def create_events_table(
 
 def read_events_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("dt")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed managed table (Hive-style bucketing).
+
+    Bucketing is the Spark answer to the co-located fact-fact join: two
+    tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — at 100 TB that removes the dominant exchange of
+    lineitem-x-orders-shaped joins. (The reference never joins — it has
+    one table — but a 100 TB deployment of this engine will.)
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

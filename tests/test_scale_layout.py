@@ -1,0 +1,122 @@
+"""Scale-layout tests: bucketed co-located joins (no shuffle) and
+salted skew mitigation (same results as the direct formulation)."""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.sources.store import (
+    load_table,
+    write_bucketed_table,
+)
+from tests.conftest import SF_SMOKE
+
+skew = importlib.import_module("etsd_time_series_database_spark.operators.skew")
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    l = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed_table(l, "li_b", "l_orderkey", n_buckets=8)
+    write_bucketed_table(o, "or_b", "o_orderkey", n_buckets=8)
+    yield "li_b", "or_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS or_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    """With broadcast off (the 100 TB fact-fact situation: neither side
+    fits), bucketed tables join with NO exchange on either side."""
+    li, orr = bucketed_tables
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(li).join(
+            spark.table(orr), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: neither side is exchanged before the join
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_correct(spark, bucketed_tables):
+    li, orr = bucketed_tables
+    got = (
+        spark.table(li)
+        .join(spark.table(orr), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders")
+    want = l.join(o, l.l_orderkey == o.o_orderkey).count()
+    assert got == want
+
+
+def test_salted_agg_matches_direct(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    got = {
+        r.event_type: (r.n, r.total, r.vmin, r.vmax, round(r.vavg, 9))
+        for r in skew.salted_agg(
+            e,
+            ["event_type"],
+            {
+                "n": ("count", "value"),
+                "total": ("sum", "value"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+            n_salts=16,
+            avg_pairs={"vavg": ("total", "n")},
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.total, r.vmin, r.vmax, round(r.vavg, 9))
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            (F.sum("value") / F.count("value")).alias("vavg"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][2] == want[k][2]
+        assert got[k][3] == want[k][3]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+        assert abs(got[k][4] - want[k][4]) < 1e-9
+
+
+def test_salted_join_matches_plain_join(spark):
+    e = load_table(spark, SF_SMOKE, "events").withColumnRenamed(
+        "event_type", "k"
+    )
+    dim = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.col("event_type").alias("k"))
+        .distinct()
+        .withColumn("tag", F.upper("k"))
+    )
+    got = (
+        skew.salted_join(e, dim, "k", n_salts=4)
+        .groupBy("k", "tag")
+        .count()
+    )
+    want = e.join(dim, "k").groupBy("k", "tag").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
