@@ -12,18 +12,34 @@ from etsd_time_series_database_spark.operators.range_stats import (
     time_of_extreme,
     value_at,
 )
+from etsd_time_series_database_spark.operators.reshape import to_long, to_wide
+from etsd_time_series_database_spark.operators.scalable_window import (
+    cumsum_scalable,
+    lag_stitched,
+    rate_scalable,
+    rollover_corrected_scalable,
+)
+from etsd_time_series_database_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
     "asof_join",
+    "cumsum_scalable",
     "downsample",
     "etsd_ks",
     "first_crossing",
     "gaps",
     "interpolated_total",
+    "lag_stitched",
     "range_stats",
     "rate",
+    "rate_scalable",
     "reconstruct_from_deltas",
     "rollover_corrected",
+    "rollover_corrected_scalable",
+    "salted_agg",
+    "salted_join",
     "time_of_extreme",
+    "to_long",
+    "to_wide",
     "value_at",
 ]
