@@ -1,0 +1,127 @@
+"""Integration round trips (SURVEY.md §5 layer 3):
+
+  * ingest -> query == query-over-raw: writing through the partitioned
+    store and querying back gives identical results to querying the
+    in-memory frame (the reference's ingest/read symmetry,
+    code/etsdSave.c vs code/etsdRead.c);
+  * as-of join against a brute-force per-row reference implementation
+    on seeded random series;
+  * dedup helper edge cases (short docs, empty-ish text).
+"""
+
+from __future__ import annotations
+
+import importlib
+import random
+
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.operators import asof_join
+from etsd_time_series_database_spark.sources.store import (
+    create_events_table,
+    read_events_table,
+)
+
+ops = importlib.import_module("etsd_time_series_database_spark.operators.range_stats")
+dd = importlib.import_module("etsd_time_series_database_spark.operators.dedup")
+
+
+def test_ingest_then_query_equals_query_over_raw(spark, tmp_path):
+    rnd = random.Random(7)
+    rows = [
+        (
+            f"2026-01-{1 + i // 1000:02d} {(i // 60) % 24:02d}:{i % 60:02d}:00",
+            rnd.choice(["a", "b", "c"]),
+            float(rnd.randint(0, 10_000)),
+            i,
+        )
+        for i in range(3000)
+    ]
+    raw = spark.createDataFrame(
+        rows, "ts string, event_type string, value double, event_id bigint"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    path = str(tmp_path / "tbl")
+    create_events_table(raw, path, mode="overwrite")
+    stored = read_events_table(spark, path)
+
+    def stats(df):
+        return sorted(
+            map(
+                tuple,
+                ops.range_stats(df, "2026-01-01", "2026-01-04").collect(),
+            )
+        )
+
+    assert stats(stored) == stats(raw)
+    # and the window/sequential path too (same ordering keys available)
+    assert sorted(map(tuple, ops.rate(stored).collect())) == sorted(
+        map(tuple, ops.rate(raw).collect())
+    )
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rnd = random.Random(13)
+    right_rows = [
+        (f"2026-01-01 00:{m:02d}:00", k, float(rnd.randint(0, 100)))
+        for k in ("x", "y")
+        for m in sorted(rnd.sample(range(60), 12))
+    ]
+    left_rows = [
+        (f"2026-01-01 00:{m:02d}:30", k, i)
+        for i, (k, m) in enumerate(
+            (rnd.choice(["x", "y"]), rnd.randrange(60)) for _ in range(40)
+        )
+    ]
+    right = spark.createDataFrame(
+        right_rows, "ts string, k string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    left = spark.createDataFrame(
+        left_rows, "ts string, k string, lid bigint"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+
+    rmap: dict[str, list] = {}
+    for ts, k, v in right_rows:
+        rmap.setdefault(k, []).append((ts, v))
+    want = {}
+    for ts, k, lid in left_rows:
+        prior = [(t, v) for t, v in rmap.get(k, []) if t <= ts]
+        want[lid] = max(prior)[1] if prior else None
+    assert got == want
+
+
+def test_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c"), (3, "")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.shingle for r in dd.doc_shingles(df).collect()
+    }
+    # doc 1 (<3 tokens) and doc 3 (empty) produce no shingles
+    assert set(got) == {2} and got[2] == "a b c"
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "other")], "doc_id bigint, text string"
+    )
+    rows = {r.canonical_id: r.n_copies for r in dd.exact_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5")], "doc_id bigint, text string"
+    )
+    sig = dd.minhash_signatures(df, hash_mode="hash64").collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in sig:
+        by_doc.setdefault(r.doc_id, {})[r.j] = r.h
+    # 8 hash functions per doc; identical docs -> identical signatures
+    assert len(by_doc[1]) == len(dd.MINHASH_PARAMS)
+    assert by_doc[1] == by_doc[2]
