@@ -113,6 +113,14 @@ def cmd_create(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_recover(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.streaming.ingest import replay
+
+    replay(spark, args.raw, args.sink, width_s=args.width)
+    print(f"recovered {args.sink} from {args.raw} (width={args.width}s)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="etsd-spark", description="PySpark-native ETSD-capability engine CLI"
@@ -150,6 +158,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("path", help="destination table directory")
     c.add_argument("--mode", default="error", choices=["error", "overwrite", "append"])
     c.set_defaults(fn=cmd_create)
+
+    r = sub.add_parser(
+        "recover", help="rebuild a downsampled sink from raw history (recoverRRD analog)"
+    )
+    r.add_argument("raw", help="raw events table path")
+    r.add_argument("sink", help="downsample sink destination")
+    r.add_argument("--width", type=int, default=60, help="bucket width seconds")
+    r.set_defaults(fn=cmd_recover)
     return p
 
 

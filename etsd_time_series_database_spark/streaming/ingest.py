@@ -221,6 +221,43 @@ def session_gaps(
     )
 
 
+def replay(
+    spark: SparkSession,
+    raw_path: str,
+    sink_path: str,
+    width_s: int = 60,
+) -> None:
+    """Recover/replay: re-drive stored history through the downsample
+    sink (the reference's recoverRRD path, call site
+    code/etsdCmd.c:648-656 — re-deriving the external DB from the
+    authoritative store). Same consolidation as the live foreachBatch
+    sink, so a recovered sink is bit-identical to one maintained live.
+    """
+    raw = spark.read.parquet(raw_path)
+    (
+        raw.groupBy(
+            "source", "channel", F.window("ts", f"{width_s} seconds").alias("w")
+        )
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "source",
+            "channel",
+            F.col("w.start").alias("bucket_ts"),
+            "n",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+        .write.mode("overwrite")
+        .parquet(sink_path)
+    )
+
+
 def carry_forward_batch(batch: DataFrame, state: DataFrame | None) -> tuple[DataFrame, DataFrame]:
     """Carry-forward / LastReading state as an incremental batch fold:
     given this batch and the previous per-channel state

@@ -95,6 +95,71 @@ def _carry_forward_fn(
     state.update((last_ts, last_value, n_missed))
 
 
+RATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("source", StringType()),
+        StructField("channel", StringType()),
+        StructField("value", DoubleType()),
+        StructField("rate_per_s", DoubleType()),
+    ]
+)
+
+RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def _rate_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    last_ts, last_value = state.get if state.exists else (None, None)
+    source, channel = key
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts_us")
+        rates = []
+        for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
+            if pd.isna(v) or last_value is None or last_ts is None:
+                rates.append(None)
+            else:
+                dt = (int(ts_us) - last_ts) / 1_000_000.0
+                rates.append((float(v) - last_value) / dt if dt > 0 else None)
+            if not pd.isna(v):
+                last_ts, last_value = int(ts_us), float(v)
+        yield pd.DataFrame(
+            {
+                "ts_us": pdf["ts_us"],
+                "source": source,
+                "channel": channel,
+                "value": pdf["value"],
+                "rate_per_s": pd.array(rates, dtype="float64"),
+            }
+        )
+    state.update((last_ts, last_value))
+
+
+def counter_rate_stream(stream: DataFrame) -> DataFrame:
+    """Streaming counter -> rate: the ingest-side delta computation of
+    the reference (code/etsdSave.c:396-398) as stateful streaming —
+    each reading emits (value - last)/(dt) against the per-channel
+    persisted last reading; the batch equivalent is operators.rate."""
+    from pyspark.sql import functions as F
+
+    rows = stream.select(
+        F.unix_micros("ts").alias("ts_us"), "source", "channel", "value"
+    )
+    return rows.groupBy("source", "channel").applyInPandasWithState(
+        _rate_fn,
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def carry_forward_stream(stream: DataFrame) -> DataFrame:
     """Streaming carry-forward over the canonical row schema
     ``(ts, source, channel, value, status)``; emits each row with its
