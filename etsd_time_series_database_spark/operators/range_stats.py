@@ -362,6 +362,61 @@ def reconstruct_from_deltas(
     )
 
 
+def counter_total(
+    df: DataFrame,
+    start,
+    end,
+    rollover: int = 2**32,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Counter-mode range total and rate (SURVEY §2.1 semantic detail
+    #1; reference code/etsdQuery.c:374-396): over [start, end] the
+    counter's consumption is ``last − first + rollover·n_wraps`` and
+    its 'ave' is that total divided by wall seconds — a rate — unlike
+    gauge channels whose ave divides by the sample count
+    (code/etsdQuery.c:388-394).
+
+    first/last are picked by (ts, seq) struct extremes — deterministic
+    under ts ties; wraps counted by a lag window inside the range.
+    """
+    ranged = df.filter(_in_range(ts, start, end))
+    w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+    wraps = F.when(F.col(value) < F.lag(value).over(w), 1).otherwise(0)
+    span_s = (
+        F.lit(end).cast("timestamp").cast("double")
+        - F.lit(start).cast("timestamp").cast("double")
+    )
+    return (
+        ranged.withColumn("__wrap", wraps)
+        .groupBy(channel)
+        .agg(
+            F.min_by(value, F.struct(F.col(ts), F.col(seq))).alias("__first"),
+            F.max_by(value, F.struct(F.col(ts), F.col(seq))).alias("__last"),
+            F.sum("__wrap").alias("__wraps"),
+        )
+        .select(
+            channel,
+            (
+                F.col("__last")
+                - F.col("__first")
+                + F.col("__wraps") * F.lit(float(rollover))
+            ).alias("counter_total"),
+            (
+                (
+                    F.col("__last")
+                    - F.col("__first")
+                    + F.col("__wraps") * F.lit(float(rollover))
+                )
+                / span_s
+            ).alias("rate_per_s"),
+        )
+        .orderBy(channel)
+    )
+
+
 def etsd_ks(
     df: DataFrame,
     threshold: float,

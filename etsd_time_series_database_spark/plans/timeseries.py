@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etsd_time_series_database_spark.functions.exprs import DEC, bucket_epoch, davg, epoch_us
+from etsd_time_series_database_spark.operators.range_stats import counter_total
 from etsd_time_series_database_spark.operators import (
     asof_join,
     downsample,
@@ -724,3 +725,45 @@ def q31(spark, sf_dir):
     )
 
     return rollover_corrected_scalable(_events(spark, sf_dir), bucket_s=86400)
+
+
+@register(
+    "q32_counter_total_rate",
+    "aggregate",
+    f"""
+    WITH r AS (
+      SELECT event_type, value, ts, event_id,
+             CASE WHEN value < lag(value)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS wrap
+      FROM events
+      WHERE ts >= TIMESTAMP '{T0}' AND ts <= TIMESTAMP '{T1}'
+    ),
+    fl AS (
+      SELECT event_type, wrap,
+             first_value(value) OVER w AS firstv,
+             last_value(value) OVER w AS lastv
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    g AS (
+      SELECT event_type,
+             any_value(firstv) AS firstv,
+             any_value(lastv) AS lastv,
+             SUM(wrap) AS wraps
+      FROM fl GROUP BY event_type
+    )
+    SELECT event_type,
+           lastv - firstv + wraps * 4294967296.0 AS counter_total,
+           (lastv - firstv + wraps * 4294967296.0)
+             / ((epoch_us(TIMESTAMP '{T1}') - epoch_us(TIMESTAMP '{T0}')) / 1000000.0)
+             AS rate_per_s
+    FROM g ORDER BY event_type
+    """,
+    doc="Counter-mode range total and rate (SURVEY §2.1 detail #1; "
+    "reference code/etsdQuery.c:374-396): last - first + 2^32*wraps, "
+    "'ave' divides by wall seconds, not sample count.",
+)
+def q32(spark, sf_dir):
+    return counter_total(_events(spark, sf_dir, (T0, T1)), T0, T1)
