@@ -134,6 +134,29 @@ def read_events_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("dt")
 
 
+def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
+    """Retention: delete date partitions older than ``cutoff_date``
+    (YYYY-MM-DD) from a ``dt=``-partitioned table — the reference's
+    file rotation (etsdRotate, code/etsdSave.c:80-99; SIGUSR1 hook
+    code/etsd.c:31-37) expressed as partition lifecycle. Returns the
+    dropped partition names.
+
+    Immutable date partitions make retention an O(#partitions) metadata
+    operation — no rewrite of surviving data, same as the reference's
+    rename-and-restart rotation but per-day instead of per-file.
+    """
+    import shutil
+
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("dt="):
+            continue
+        if entry.split("=", 1)[1] < cutoff_date:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

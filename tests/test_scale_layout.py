@@ -120,3 +120,27 @@ def test_salted_join_matches_plain_join(spark):
     )
     want = e.join(dim, "k").groupBy("k", "tag").count()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_retention_drops_old_partitions(spark, tmp_path):
+    from etsd_time_series_database_spark.sources.store import (
+        create_events_table,
+        drop_partitions_before,
+        read_events_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("2026-01-01 10:00:00", "a", 1.0, 1),
+            ("2026-01-02 10:00:00", "a", 2.0, 2),
+            ("2026-01-03 10:00:00", "a", 3.0, 3),
+        ],
+        "ts string, event_type string, value double, event_id bigint",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "tbl")
+    create_events_table(df, path, mode="overwrite")
+
+    dropped = drop_partitions_before(path, "2026-01-03")
+    assert dropped == ["dt=2026-01-01", "dt=2026-01-02"]
+    left = read_events_table(spark, path)
+    assert [r.event_id for r in left.collect()] == [3]
