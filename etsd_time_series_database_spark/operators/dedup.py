@@ -197,6 +197,69 @@ def minhash_lsh_candidates(
     )
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate near-dup pairs: every doc in
+    a pair gets the min doc id reachable through the pair graph as its
+    ``component`` (the canonical representative).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and takes the per-vertex min — O(diameter) rounds, each one
+    join + one aggregate, converging in <= log2(n) rounds on typical
+    near-dup graphs (small dense clusters). Lineage is cut with
+    localCheckpoint each round so plans stay flat at scale; the loop
+    stops early when a round changes nothing.
+
+    This is the canonical Spark shape for iterative graph algorithms
+    (label propagation / alternating join), used instead of an external
+    graph library.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
 def simhash(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """SimHash over whitespace tokens: per-token portable polynomial
     hash, bit-majority vote across tokens, 30-bit signature. One

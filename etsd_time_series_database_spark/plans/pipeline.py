@@ -413,3 +413,33 @@ def p13(spark, sf_dir):
 
     blobs = to_blob_table(load_table(spark, sf_dir, "documents"))
     return sample_frames(blobs, every_n=2).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "p14_near_dup_clusters",
+    "dedup",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    e(src, dst) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    doc="Near-duplicate clustering: connected components over the "
+    "MinHash-LSH candidate pairs via iterative min-label propagation "
+    "(the Spark shape for iterative graph algorithms); oracle = "
+    "recursive-CTE transitive closure.",
+)
+def p14(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import cluster_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="dict")
+    return cluster_pairs(pairs)

@@ -125,3 +125,12 @@ def test_minhash_signature_shape_and_determinism(spark):
     # 8 hash functions per doc; identical docs -> identical signatures
     assert len(by_doc[1]) == len(dd.MINHASH_PARAMS)
     assert by_doc[1] == by_doc[2]
+
+
+def test_cluster_pairs_connected_components(spark):
+    # components: {1,2,3} (chain), {10,11}, singletons never appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.component for r in dd.cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
