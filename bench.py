@@ -5,9 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up pass (JVM/JIT/code-cache) is
-NOT counted, the timed pass is. The timed action is a full collect()
-of the query result — scan + compute + result materialization.
+Each query runs once as warm-up (JVM/JIT/code-cache, not counted),
+then N timed passes (default 3, $SPARK_GRAFT_BENCH_RUNS) of which the
+MINIMUM is reported — the steady-state cost, insulated from one-off
+scheduler/GC noise. The timed action is a full collect() of the query
+result — scan + compute + result materialization.
 """
 
 from __future__ import annotations
@@ -33,14 +35,18 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     spark = get_spark("etsd_spark_bench")
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     names = sorted(n for n, q in catalog().items() if q.headline)
     timings: dict[str, float] = {}
     for name in names:
         q = catalog()[name]
         q.build(spark, sf_dir).collect()  # warm-up (not counted)
-        t0 = time.perf_counter()
-        q.build(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
