@@ -113,6 +113,17 @@ def cmd_create(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_catalog(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.plans import catalog
+
+    for name, q in sorted(catalog().items()):
+        if args.category and q.category != args.category:
+            continue
+        oracle = "oracle" if q.oracle else "rows-only"
+        print(f"{name:30s} {q.category:15s} [{oracle}] {q.doc.strip()[:80]}")
+    return 0
+
+
 def cmd_recover(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.streaming.ingest import replay
 
@@ -166,6 +177,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("sink", help="downsample sink destination")
     r.add_argument("--width", type=int, default=60, help="bucket width seconds")
     r.set_defaults(fn=cmd_recover)
+
+    cat = sub.add_parser("catalog", help="list every catalog query")
+    cat.add_argument("--category", default=None)
+    cat.set_defaults(fn=cmd_catalog)
     return p
 
 

@@ -58,3 +58,13 @@ def test_create_roundtrip(spark, tmp_path, capsys):
     assert df.count() == src_n
     # date-partitioned layout on disk
     assert any(p.name.startswith("dt=") for p in (tmp_path / "events_tbl").iterdir())
+
+
+def test_catalog_listing(spark, capsys):
+    rc = cli.main(["catalog"], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "q01_scan_project" in out and "p14_near_dup_clusters" in out
+    rc = cli.main(["catalog", "--category", "dedup"], spark=spark)
+    out = capsys.readouterr().out
+    assert "p01_dedup_exact" in out and "q01_scan_project" not in out

@@ -124,3 +124,22 @@ def test_sim_source_micro_batch_smoke(spark):
         q.stop()
         q.awaitTermination()
     assert n > 0
+
+
+def test_sliding_window_batch_semantics(spark):
+    df = _events(
+        spark,
+        [
+            ("2026-01-01 00:00:10", "a", 2, 0),
+            ("2026-01-01 00:00:50", "a", 4, 0),
+        ],
+    )
+    out = {
+        str(r.bucket_ts): r.n
+        for r in ingest.windowed_aggregate(df, width_s=60, slide_s=30).collect()
+    }
+    # 60s windows sliding by 30s: :10 falls in [23:59:30, 00:00:30) and
+    # [00:00:00, 00:01:00); :50 in [00:00:00,...) and [00:00:30,...)
+    assert out["2025-12-31 23:59:30"] == 1
+    assert out["2026-01-01 00:00:00"] == 2
+    assert out["2026-01-01 00:00:30"] == 1
