@@ -91,3 +91,49 @@ def fingerprint(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
     Portable across engines (unlike builtin hash()): h = fold over
     ascii codes of (h*31 + c) mod 1e9+7."""
     return df.select(key, poly_fingerprint(text).alias("fp")).orderBy(key)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    step of a training/RAG corpus pipeline: chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk - overlap.
+
+    Pure JVM: tokenize once, generate chunk starts with sequence(),
+    slice() each window, posexplode to one row per chunk. No shuffle —
+    a 100 TB corpus chunks at scan speed. Empty documents emit no
+    chunks; a final short chunk is kept only when it adds tokens beyond
+    the previous chunk's end (standard stride semantics).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(key, _tokens(text).alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    # chunk starts: 0, stride, ... while start < n (at least one chunk
+    # for non-empty docs); suppress trailing chunks fully covered by
+    # the previous window.
+    starts = F.when(F.col("__n") <= 0, F.array()).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)),
+            lambda s: (s == 0) | (s + F.lit(chunk_tokens) - F.lit(stride) < F.col("__n")),
+        )
+    )
+    chunked = toks.select(
+        key,
+        "__toks",
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return chunked.select(
+        key,
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy(key, "chunk_idx")

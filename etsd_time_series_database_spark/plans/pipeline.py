@@ -443,3 +443,75 @@ def p14(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="dict")
     return cluster_pairs(pairs)
+
+
+@register(
+    "p15_chunk_documents",
+    "text",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(list_filter(range(0, len(toks), 24),
+                                s -> s = 0 OR s + 8 < len(toks))) AS start
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+    FROM st ORDER BY doc_id, chunk_idx
+    """,
+    doc="Corpus chunking: overlapping 32-token windows with stride 24 "
+    "(overlap 8) via tokenize -> sequence -> slice -> posexplode; pure "
+    "JVM, zero shuffle — chunks at scan speed.",
+)
+def p15(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
+    "p16_clean_corpus",
+    "text",
+    f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    t AS (
+      SELECT d.doc_id, d.text, {_TOKS.replace('text', 'd.text')} AS toks
+      FROM documents d JOIN canon USING (doc_id)
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x)))
+               / len(toks) AS stop_ratio,
+             0.5 * (len(list_distinct(toks)) / len(toks))
+               + 0.5 * least(1.0, len(toks) / 100.0) AS quality
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM feats
+    WHERE stop_ratio >= 0.05 AND quality >= 0.5
+    ORDER BY doc_id
+    """,
+    doc="Clean-corpus composite: exact-dup canonical selection + "
+    "language gate (stopword ratio) + quality gate in one pipeline — "
+    "the standard pre-training corpus filter chain.",
+)
+def p16(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    canon = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    kept = docs.join(canon, "doc_id", "left_semi")
+    lang = language_id(kept).select("doc_id", "stopword_ratio")
+    qual = quality_score(kept).select("doc_id", "n_tokens", "quality")
+    return (
+        qual.join(lang, "doc_id")
+        .filter((F.col("stopword_ratio") >= 0.05) & (F.col("quality") >= 0.5))
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )

@@ -134,3 +134,33 @@ def test_cluster_pairs_connected_components(spark):
     )
     got = {r.doc_id: r.component for r in dd.cluster_pairs(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chunk_documents_edges(spark):
+    import importlib
+
+    ts = importlib.import_module(
+        "etsd_time_series_database_spark.operators.textstats"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 2 chunks (stride 6)
+            (2, "a b"),  # single short chunk
+            (3, ""),  # no chunks
+            (4, " ".join(f"t{i}" for i in range(12))),  # exactly 2 strides: no trailing overlap-only chunk
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = ts.chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens, r.chunk_text))
+    assert [c[:2] for c in by_doc[1]] == [(0, 8), (1, 4)]
+    assert by_doc[1][1][2] == "t6 t7 t8 t9"  # overlap of 2 with chunk 0
+    assert by_doc[2] == [(0, 2, "a b")]
+    assert 3 not in by_doc
+    assert [c[:2] for c in by_doc[4]] == [(0, 8), (1, 6)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ts.chunk_documents(docs, chunk_tokens=4, overlap=4)
