@@ -19,6 +19,8 @@ whole-stage codegen — measured at 64 dims the built-in fold wins.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,4 +120,45 @@ def cosine_pairs(
         .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    query_id: int | None = None,
+    k: int = 10,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k via an Arrow-batched Pandas UDF doing
+    numpy matrix math — the wide-vector alternative to the JVM fold of
+    :func:`cosine_topk`.
+
+    At 64 dims the codegen fold wins (no JVM<->Python hop); past a few
+    hundred dims the O(dims) per-row lambda chain loses to one
+    vectorized (batch x dims) @ (dims,) matmul per Arrow batch. The
+    query vector ships inside the UDF closure (broadcast by task
+    serialization), so the big side still never shuffles and the limit
+    is still TakeOrderedAndProject.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.to_numpy()).astype(np.float64)  # (rows, dims)
+        dots = m @ q
+        norms = np.linalg.norm(m, axis=1) * qn
+        return pd.Series(dots / norms)
+
+    out = embeddings
+    if query_id is not None:
+        out = out.filter(F.col(key) != query_id)
+    return (
+        out.select(key, cos(F.col(vec)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
     )

@@ -164,3 +164,22 @@ def test_chunk_documents_edges(spark):
 
     with _pytest.raises(ValueError):
         ts.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_cosine_topk_arrow_matches_jvm_fold(spark):
+    import importlib
+
+    sim = importlib.import_module(
+        "etsd_time_series_database_spark.operators.similarity"
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    jvm = sim.cosine_topk(emb, query_id=0, k=10).collect()
+    arrow = sim.cosine_topk_arrow(emb, qv, query_id=0, k=10).collect()
+    assert [r.vec_id for r in jvm] == [r.vec_id for r in arrow]
+    for a, b in zip(jvm, arrow):
+        # numpy matmul vs sequential fold: equal to accumulation round-off
+        assert abs(a.cosine - b.cosine) < 1e-12
