@@ -162,3 +162,66 @@ def cosine_topk_arrow(
         .orderBy(F.col("cosine").desc(), F.col(key))
         .limit(k)
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    n_iter: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the IVF centroids, pure DataFrame ops:
+    assign every vector to its nearest centroid (broadcast, max-cosine),
+    recompute each cell's mean vector, repeat.
+
+    The mean of array columns is computed relationally: posexplode to
+    (cell, dim_pos, component) -> groupBy(cell, dim_pos).avg -> re-
+    assemble with array_agg sorted by position. Two shuffles per
+    iteration, both keyed by (cell[, dim]) — fine at any corpus size
+    since rows after the first groupBy are n_cells x dims.
+
+    Returns (cent_id, cent_vec) — feed to ivf_topk via assign_cells
+    with these refined centroids materialized as a broadcastable dim.
+    """
+    cents = embeddings.filter(F.col(key).isin(centroid_ids)).select(
+        F.col(key).alias("cent_id"), F.col(vec).alias("cent_vec")
+    )
+    for _ in range(n_iter):
+        scored = embeddings.crossJoin(F.broadcast(cents)).select(
+            key,
+            vec,
+            "cent_id",
+            cosine_similarity(vec, "cent_vec").alias("__cos"),
+        )
+        best = scored.groupBy(key).agg(
+            F.max(F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid"))).alias(
+                "__best"
+            )
+        )
+        assigned = scored.join(best, key).filter(
+            (F.col("__cos") == F.col("__best.__cos"))
+            & (F.col("cent_id") == -F.col("__best.__nid"))
+        )
+        comps = assigned.select(
+            "cent_id", F.posexplode(F.col(vec)).alias("__pos", "__x")
+        )
+        means = comps.groupBy("cent_id", "__pos").agg(
+            F.avg(F.col("__x").cast("double")).alias("__m")
+        )
+        cents = (
+            means.groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pm")
+            )
+            .select(
+                "cent_id",
+                F.transform(F.col("__pm"), lambda s: s["__m"].cast("float")).alias(
+                    "cent_vec"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return cents

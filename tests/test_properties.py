@@ -68,3 +68,23 @@ def test_range_stats_matches_python_fold(spark, values):
     ).collect()[0]
     assert r.n == len(values)
     assert r.min_value == min(values) and r.max_value == max(values)
+
+
+sw = importlib.import_module(
+    "etsd_time_series_database_spark.operators.scalable_window"
+)
+
+
+@_few
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=2, max_size=40),
+    st.sampled_from([1, 7, 60, 3600]),
+)
+def test_rate_scalable_equals_rate_for_any_bucket(spark, values, bucket_s):
+    """The stitched (channel, bucket) lag must equal the global window
+    lag for ANY bucket width — boundaries land arbitrarily relative to
+    the 1-second sample grid."""
+    df = _df(spark, values)
+    got = sorted(map(tuple, sw.rate_scalable(df, bucket_s=bucket_s).collect()))
+    want = sorted(map(tuple, ops.rate(df).collect()))
+    assert got == want

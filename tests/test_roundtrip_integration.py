@@ -183,3 +183,27 @@ def test_cosine_topk_arrow_matches_jvm_fold(spark):
     for a, b in zip(jvm, arrow):
         # numpy matmul vs sequential fold: equal to accumulation round-off
         assert abs(a.cosine - b.cosine) < 1e-12
+
+
+def test_kmeans_refine_converges_on_separable_data(spark):
+    import importlib
+
+    sim = importlib.import_module(
+        "etsd_time_series_database_spark.operators.similarity"
+    )
+    # two obvious clusters around e1 and e2 axes
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3), 1.0, 0.0]))
+        rows.append((100 + i, [1.0, 10.0 + (i % 3), 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = sim.kmeans_refine(emb, centroid_ids=[0, 100], n_iter=3)
+    got = {r.cent_id: list(r.cent_vec) for r in cents.collect()}
+    assert set(got) == {0, 100}
+    # centroid 0 stays x-dominant, centroid 100 y-dominant
+    assert got[0][0] > got[0][1] and got[100][1] > got[100][0]
+    # every vector assigns to its own cluster's centroid
+    assigned = sim.assign_cells(emb, [0, 100])
+    cells = {r.vec_id: r.cent_id for r in assigned.collect()}
+    assert all(cells[i] == 0 for i in range(10))
+    assert all(cells[100 + i] == 100 for i in range(10))
