@@ -24,6 +24,12 @@ This is the distributed prefix-sum / chained-scan pattern; the summary
 table plays the role of the reference's per-block registers
 (code/etsdSave.c:149-151): an absolute anchor per block so a reader
 never has to scan from the beginning.
+
+Measured (local[32], 10M rows, 3 channels, forced evaluation):
+global-window rate 6.55 s (3 sort tasks carry everything) vs
+rate_scalable 3.06 s (32-way) — 2.1x on one box; the ratio grows with
+cluster size because the global form is hard-capped at n_channels
+tasks while this form scales with (channels x buckets).
 """
 
 from __future__ import annotations
