@@ -362,6 +362,66 @@ def reconstruct_from_deltas(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    channel: str = "event_type",
+    value: str = "value",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per channel, computed with
+    explicit rank arithmetic (pos = p*(n-1); lerp between the two
+    straddling order statistics) rather than an engine-builtin — the
+    identical expression shape runs on any SQL engine, so results are
+    bit-exact cross-engine where builtin percentile implementations
+    drift by ulps.
+
+    Plan: one rank window per channel + a tiny broadcast of the
+    percentile spec + two self-joins on (channel, rank) — the joined
+    side carries only the straddling rows, not the full series.
+    """
+    w = Window.partitionBy(channel).orderBy(F.col(value), F.col(seq))
+    ranked = (
+        df.filter(F.col(value).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .select(channel, value, "__rn")
+    )
+    counts = ranked.groupBy(channel).agg(F.max("__rn").alias("__n"))
+    spec = F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+    pos = F.col("p") * (F.col("__n") - 1)
+    targets = counts.select(channel, "__n", spec).select(
+        channel,
+        "p",
+        F.floor(pos).cast("int").alias("__lo"),
+        (pos - F.floor(pos)).alias("__frac"),
+        F.least(F.floor(pos).cast("int") + 1, F.col("__n") - 1).alias("__hi"),
+    )
+    lo = ranked.select(
+        F.col(channel).alias("__c1"), F.col("__rn").alias("__r1"), F.col(value).alias("__vlo")
+    )
+    hi = ranked.select(
+        F.col(channel).alias("__c2"), F.col("__rn").alias("__r2"), F.col(value).alias("__vhi")
+    )
+    return (
+        targets.join(
+            lo,
+            (F.col(channel) == F.col("__c1")) & (F.col("__lo") + 1 == F.col("__r1")),
+        )
+        .join(
+            hi,
+            (F.col(channel) == F.col("__c2")) & (F.col("__hi") + 1 == F.col("__r2")),
+        )
+        .select(
+            channel,
+            "p",
+            (
+                F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) * F.col("__frac")
+            ).alias("pct_value"),
+        )
+        .orderBy(channel, "p")
+    )
+
+
 def counter_total(
     df: DataFrame,
     start,

@@ -767,3 +767,39 @@ def q31(spark, sf_dir):
 )
 def q32(spark, sf_dir):
     return counter_total(_events(spark, sf_dir, (T0, T1)), T0, T1)
+
+
+@register(
+    "q33_exact_percentiles",
+    "aggregate",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT event_type, max(rn) AS n FROM ranked GROUP BY event_type),
+    targets AS (
+      SELECT event_type, p,
+             CAST(floor(p * (n - 1)) AS INTEGER) AS lo,
+             p * (n - 1) - floor(p * (n - 1)) AS frac,
+             least(CAST(floor(p * (n - 1)) AS INTEGER) + 1, n - 1) AS hi
+      FROM counts, (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p)
+    )
+    SELECT t.event_type, t.p,
+           l.value + (h.value - l.value) * t.frac AS pct_value
+    FROM targets t
+    JOIN ranked l ON l.event_type = t.event_type AND l.rn = t.lo + 1
+    JOIN ranked h ON h.event_type = t.event_type AND h.rn = t.hi + 1
+    ORDER BY t.event_type, t.p
+    """,
+    doc="Exact interpolated p50/p90/p99 per channel via explicit rank "
+    "arithmetic — same expression shape both engines, bit-exact "
+    "(builtin percentile impls drift by ulps).",
+)
+def q33(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        exact_percentiles,
+    )
+
+    return exact_percentiles(_events(spark, sf_dir))
