@@ -1,7 +1,9 @@
 from etsd_time_series_database_spark.operators.asof import asof_join
 from etsd_time_series_database_spark.operators.range_stats import (
+    counter_total,
     downsample,
     etsd_ks,
+    exact_percentiles,
     first_crossing,
     gaps,
     interpolated_total,
@@ -11,6 +13,10 @@ from etsd_time_series_database_spark.operators.range_stats import (
     rollover_corrected,
     time_of_extreme,
     value_at,
+)
+from etsd_time_series_database_spark.operators.sketches import (
+    approx_distinct,
+    approx_percentiles,
 )
 from etsd_time_series_database_spark.operators.reshape import to_long, to_wide
 from etsd_time_series_database_spark.operators.scalable_window import (
@@ -22,9 +28,13 @@ from etsd_time_series_database_spark.operators.scalable_window import (
 from etsd_time_series_database_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
+    "approx_distinct",
+    "approx_percentiles",
     "asof_join",
+    "counter_total",
     "cumsum_scalable",
     "downsample",
+    "exact_percentiles",
     "etsd_ks",
     "first_crossing",
     "gaps",

@@ -221,6 +221,26 @@ def session_gaps(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-by-key ingestion: drop duplicate readings (source
+    retries, at-least-once upstreams) within the watermark horizon.
+    State is bounded by the horizon — the streaming analog of the
+    reference's write-once block guarantee (a re-sent interval can't
+    overwrite a committed block, code/etsd.c:153-160).
+
+    On a batch DataFrame this degrades to plain dropDuplicates.
+    """
+    keys = keys or ["source", "channel", "ts"]
+    marked = stream.withWatermark("ts", watermark)
+    if stream.isStreaming:
+        return marked.dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
 def replay(
     spark: SparkSession,
     raw_path: str,

@@ -124,3 +124,39 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window emitted exactly once, with only the on-time row
     assert rows["2026-01-01 10:00:00"] == (1, 1.0)
     assert not any(v[1] == 100.0 for v in rows.values())
+
+
+@pytest.mark.slow
+def test_dedup_stream_drops_retried_rows(spark, tmp_path):
+    """A reading re-sent in a later micro-batch (at-least-once source
+    retry) is dropped within the watermark horizon."""
+    src = str(tmp_path / "dup_src")
+    now = time.time()
+    _write_batch(spark, os.path.join(src, "b1"), [("2026-01-01 10:00:00", "a", 1.0)], now - 100)
+    # same (source, channel, ts) re-delivered + one genuinely new row
+    _write_batch(
+        spark,
+        os.path.join(src, "b2"),
+        [("2026-01-01 10:00:00", "a", 1.0), ("2026-01-01 10:00:05", "a", 2.0)],
+        now - 50,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = ingest.dedup_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+    rows = spark.sql("select ts, value from dedup_s order by ts").collect()
+    assert [(str(r.ts), r.value) for r in rows] == [
+        ("2026-01-01 10:00:00", 1.0),
+        ("2026-01-01 10:00:05", 2.0),
+    ]
