@@ -51,12 +51,33 @@ def _bounds(df: DataFrame, ts: str = "ts") -> tuple[datetime, datetime]:
     return lo, hi
 
 
+def resolve_channels(
+    df: DataFrame, patterns: list[str], channel_col: str = "event_type"
+) -> list[str]:
+    """Case-insensitive substring channel-name resolution — the
+    reference's etsdChanNum (code/etsdQuery.c:193-203), which matches
+    the first channel whose name contains the argument. Returns every
+    matching channel name; unknown patterns raise."""
+    names = [r[0] for r in df.select(channel_col).distinct().collect()]
+    out: list[str] = []
+    for pat in patterns:
+        hits = [n for n in names if pat.lower() in str(n).lower()]
+        if not hits:
+            raise ValueError(f"no channel matches {pat!r} (have: {sorted(names)})")
+        out.extend(h for h in hits if h not in out)
+    return out
+
+
 def cmd_query(args, spark: SparkSession) -> int:
     df = _load_events(spark, args.path)
     begin, _ = _bounds(df)
     start, end = resolve_range(args.start, args.end, begin=begin)
     if args.channel:
-        df = df.filter(F.col(args.channel_col).isin(args.channel))
+        df = df.filter(
+            F.col(args.channel_col).isin(
+                resolve_channels(df, args.channel, args.channel_col)
+            )
+        )
     stats = _ops.range_stats(
         df, start.replace(tzinfo=None), end.replace(tzinfo=None),
         channel=args.channel_col, value=args.value_col,

@@ -18,7 +18,7 @@ def test_query_all_stats(spark, capsys):
 
 def test_query_single_stat_and_channel_filter(spark, capsys):
     rc = cli.main(
-        ["query", EVENTS, "-q", "ave", "-c", "reading", "--limit", "5"], spark=spark
+        ["query", EVENTS, "-q", "ave", "-c", "click", "--limit", "5"], spark=spark
     )
     out = capsys.readouterr().out
     assert rc == 0
@@ -68,3 +68,18 @@ def test_catalog_listing(spark, capsys):
     rc = cli.main(["catalog", "--category", "dedup"], spark=spark)
     out = capsys.readouterr().out
     assert "p01_dedup_exact" in out and "q01_scan_project" not in out
+
+
+def test_channel_name_resolution(spark, capsys):
+    # substring, case-insensitive (reference etsdChanNum semantics)
+    rc = cli.main(["query", EVENTS, "-c", "PUR", "-q", "cnt"], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "purchase" in out and "click" not in out
+
+
+def test_channel_name_resolution_unknown_errors(spark):
+    import pytest as _p
+
+    with _p.raises(ValueError, match="no channel matches"):
+        cli.main(["query", EVENTS, "-c", "zzz"], spark=spark)
