@@ -465,6 +465,7 @@ def p14(spark, sf_dir):
     doc="Corpus chunking: overlapping 32-token windows with stride 24 "
     "(overlap 8) via tokenize -> sequence -> slice -> posexplode; pure "
     "JVM, zero shuffle — chunks at scan speed.",
+    headline=True,
 )
 def p15(spark, sf_dir):
     from etsd_time_series_database_spark.operators.textstats import chunk_documents

@@ -796,6 +796,7 @@ def q32(spark, sf_dir):
     doc="Exact interpolated p50/p90/p99 per channel via explicit rank "
     "arithmetic — same expression shape both engines, bit-exact "
     "(builtin percentile impls drift by ulps).",
+    headline=True,
 )
 def q33(spark, sf_dir):
     from etsd_time_series_database_spark.operators.range_stats import (
