@@ -115,14 +115,21 @@ def ngram_jaccard_pairs(
 def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
     """Attach an integer id per shingle.
 
-    'hash64': xxhash64 (scale path — stateless, no shuffle).
-    'dict'  : dense rank by sorted shingle text (portable across
-              engines for oracle comparison; needs a global sort of
-              the distinct-shingle dictionary, fine up to ~1e9
-              shingles with a range-partitioned sort).
+    'hash64': xxhash64 (scale path — stateless, no shuffle, but
+              engine-specific so not oracle-comparable).
+    'poly'  : portable polynomial rolling hash (also stateless and
+              shuffle-free, reproducible in ANSI SQL — the
+              oracle-parity mode).
+    'dict'  : dense rank by sorted shingle text (kept for reference;
+              needs a single-partition global sort of the dictionary —
+              avoid beyond ~1e6 distinct shingles).
     """
     if hash_mode == "hash64":
         return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)))
+    if hash_mode == "poly":
+        from etsd_time_series_database_spark.functions.exprs import poly_fingerprint
+
+        return sh.withColumn("sid", poly_fingerprint(F.col("shingle")))
     dict_df = (
         sh.select("shingle")
         .distinct()

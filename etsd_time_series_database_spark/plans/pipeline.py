@@ -134,20 +134,17 @@ def p02(spark, sf_dir):
 
 def _minhash_oracle() -> str:
     hp_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS))
+    sid = _DUCK_POLY_FP.format(col="sh.shingle")
     return f"""
     WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, shingle
       FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok)
     ),
-    dict AS (
-      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      FROM (SELECT DISTINCT shingle FROM sh)
-    ),
     hp(j, a, b) AS (VALUES {hp_rows}),
     mh AS (
-      SELECT sh.doc_id, hp.j, MIN((hp.a * d.sid + hp.b) % {MINHASH_P}) AS h
-      FROM sh JOIN dict d ON sh.shingle = d.shingle CROSS JOIN hp
+      SELECT sh.doc_id, hp.j, MIN((hp.a * ({sid}) + hp.b) % {MINHASH_P}) AS h
+      FROM sh CROSS JOIN hp
       GROUP BY sh.doc_id, hp.j
     ),
     bands AS (
@@ -174,7 +171,7 @@ def _minhash_oracle() -> str:
 )
 def p03(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="dict")
+    return minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="poly")
 
 
 def _simhash_oracle() -> str:
@@ -441,7 +438,7 @@ def p14(spark, sf_dir):
     from etsd_time_series_database_spark.operators.dedup import cluster_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="dict")
+    pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="poly")
     return cluster_pairs(pairs)
 
 
