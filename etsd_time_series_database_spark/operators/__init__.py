@@ -1,4 +1,4 @@
-from etsd_time_series_database_spark.operators.asof import asof_join
+from etsd_time_series_database_spark.operators.asof import asof_join, asof_join_scalable
 from etsd_time_series_database_spark.operators.range_stats import (
     counter_total,
     downsample,
@@ -31,6 +31,7 @@ __all__ = [
     "approx_distinct",
     "approx_percentiles",
     "asof_join",
+    "asof_join_scalable",
     "counter_total",
     "cumsum_scalable",
     "downsample",

@@ -82,3 +82,106 @@ def asof_join(
         f"{right_ts}{suffix}",
         *[f"{c}{suffix}" for c in value_cols],
     )
+
+
+def asof_join_scalable(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Skew-proof :func:`asof_join`: identical semantics, but the
+    carry-forward window partitions by ``(key, time-bucket)`` instead of
+    key alone — the same boundary-stitch trick as
+    operators.scalable_window, applied to the union-tag as-of.
+
+    Each bucket's probes see (a) the in-bucket right rows at-or-before
+    them, or — when none precede them in the bucket — (b) the latest
+    right row of ANY earlier bucket, delivered by a tiny per-(key,
+    bucket) summary joined back broadcast. Parallelism is bounded by
+    (keys x buckets), so one hot key no longer serializes the sort.
+    """
+    from etsd_time_series_database_spark.functions.exprs import epoch_us
+
+    value_cols = value_cols or []
+    lcols = left.columns
+    bkt = lambda ts: (epoch_us(ts) / F.lit(bucket_s * 1_000_000)).cast("bigint")  # noqa: E731
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast("timestamp").alias("__rts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    ).withColumn("__bkt", bkt("__t"))
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(left.select(*lcols).schema).alias("__l"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).withColumn("__bkt", bkt("__t"))
+
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # per-(key, bucket) last right row -> previous-bucket seed. The
+    # summary must cover EVERY (key, bucket) either side touches: a
+    # probe bucket with no right rows still needs the carry from
+    # earlier buckets.
+    fields = ["__rts", *[f"__r_{c}" for c in value_cols]]
+    lasts = r_tagged.groupBy("__k", "__bkt").agg(
+        F.max_by(F.struct(*fields), "__t").alias("__lastrow")
+    )
+    buckets = unioned.select("__k", "__bkt").distinct()
+    summary = buckets.join(lasts, ["__k", "__bkt"], "left")
+    w_bkt = Window.partitionBy("__k").orderBy("__bkt")
+    # latest right row of ANY earlier bucket = running last (nulls
+    # skipped, so empty buckets inherit), shifted by one bucket
+    running = summary.select(
+        "__k",
+        "__bkt",
+        F.last("__lastrow", ignorenulls=True)
+        .over(w_bkt.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__run"),
+    )
+    prev = running.select(
+        "__k", "__bkt", F.lag("__run").over(w_bkt).alias("__prevrow")
+    )
+    w_in = (
+        Window.partitionBy("__k", "__bkt")
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        unioned.join(F.broadcast(prev), ["__k", "__bkt"], "left")
+        .select(
+            "__side",
+            "__l",
+            F.coalesce(
+                F.last("__rts", ignorenulls=True).over(w_in),
+                F.col("__prevrow.__rts"),
+            ).alias(f"{right_ts}{suffix}"),
+            *[
+                F.coalesce(
+                    F.last(f"__r_{c}", ignorenulls=True).over(w_in),
+                    F.col(f"__prevrow.__r_{c}"),
+                ).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+        .filter(F.col("__side") == 1)
+    )
+    return carried.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        f"{right_ts}{suffix}",
+        *[f"{c}{suffix}" for c in value_cols],
+    )

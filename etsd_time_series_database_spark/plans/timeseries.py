@@ -804,3 +804,36 @@ def q33(spark, sf_dir):
     )
 
     return exact_percentiles(_events(spark, sf_dir))
+
+
+@register(
+    "q34_asof_join_scalable",
+    "join",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+           (SELECT CAST(epoch_us(max(c.ts)) AS BIGINT) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts) AS click_ts_us
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    doc="q23's as-of join computed with the skew-proof (key, bucket) "
+    "boundary-stitch variant (operators/asof.py asof_join_scalable): "
+    "identical results, parallelism bounded by buckets not keys.",
+)
+def q34(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.asof import asof_join_scalable
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join_scalable(purchases, clicks, on="user_id", bucket_s=86400)
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("p_ts_us"),
+        epoch_us("ts_asof").alias("click_ts_us"),
+    ).orderBy("event_id")

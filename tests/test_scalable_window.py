@@ -73,3 +73,48 @@ def test_parallelism_actually_increases(spark):
         .toString()
     )
     assert "__bkt" in plan  # bucket key participates in the hash partitioning
+
+
+def test_asof_scalable_equals_asof(spark):
+    """asof_join_scalable == asof_join on the q23 shape (orders probed
+    against events), for both coarse and fine buckets — fine buckets
+    force many empty probe buckets, exercising the cross-bucket carry."""
+    import importlib
+
+    asof_mod = importlib.import_module(
+        "etsd_time_series_database_spark.operators.asof"
+    )
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "k", F.col("event_type")
+    )
+    # probes: one per hour over a span wider than the data on both ends
+    probes = spark.range(24 * 40).select(
+        (F.col("id") % 5).cast("string").alias("pid"),
+        F.timestamp_seconds(
+            F.lit(1703980800) + F.col("id") * 3600  # starts 2023-12-31
+        ).alias("ts"),
+        F.col("id").alias("probe_id"),
+    )
+    probes = probes.withColumn(
+        "k",
+        F.element_at(
+            F.array(*[F.lit(c) for c in ["click", "error", "purchase", "signup", "view"]]),
+            (F.col("pid").cast("int") + 1),
+        ),
+    ).drop("pid")
+    want = sorted(
+        map(
+            tuple,
+            asof_mod.asof_join(probes, e, on="k", value_cols=["value"]).collect(),
+        )
+    )
+    for bucket_s in (86400, 3600):
+        got = sorted(
+            map(
+                tuple,
+                asof_mod.asof_join_scalable(
+                    probes, e, on="k", value_cols=["value"], bucket_s=bucket_s
+                ).collect(),
+            )
+        )
+        assert got == want, f"bucket_s={bucket_s}"
