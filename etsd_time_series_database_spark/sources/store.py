@@ -134,6 +134,44 @@ def read_events_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("dt")
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition: str,
+    target_files: int = 1,
+    sort_cols: tuple[str, str] = ("event_type", "ts"),
+) -> int:
+    """Compact one date partition: rewrite its many small files (the
+    residue of frequent streaming micro-batch commits) into
+    ``target_files`` sorted files, atomically via rename.
+
+    The streaming analog of a maintenance OPTIMIZE: micro-batches land
+    one file per trigger per partition; row-group stats only skip well
+    when files are few and sorted. Returns the number of files before
+    compaction. Only safe on partitions no longer receiving appends
+    (i.e. past the ingest watermark) — same contract as the reference's
+    rotation touching only the closed file (code/etsdSave.c:80-99).
+    """
+    import shutil
+    import uuid
+
+    part_dir = os.path.join(path, partition)
+    files_before = [
+        f for f in os.listdir(part_dir) if f.endswith(".parquet")
+    ]
+    df = spark.read.parquet(part_dir)
+    tmp = os.path.join(path, f"__compact_{uuid.uuid4().hex}")
+    (
+        df.repartition(target_files)
+        .sortWithinPartitions(*[c for c in sort_cols if c in df.columns])
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return len(files_before)
+
+
 def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
     """Retention: delete date partitions older than ``cutoff_date``
     (YYYY-MM-DD) from a ``dt=``-partitioned table — the reference's

@@ -144,3 +144,32 @@ def test_retention_drops_old_partitions(spark, tmp_path):
     assert dropped == ["dt=2026-01-01", "dt=2026-01-02"]
     left = read_events_table(spark, path)
     assert [r.event_id for r in left.collect()] == [3]
+
+
+def test_compact_partition_merges_files_preserves_rows(spark, tmp_path):
+    from etsd_time_series_database_spark.sources.store import (
+        compact_partition,
+        create_events_table,
+        read_events_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # three appends -> three files in the same date partition
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(f"2026-01-01 00:00:{i:02d}", "a", float(i), i)],
+            "ts string, event_type string, value double, event_id bigint",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        create_events_table(df, path, mode="append")
+
+    import os
+
+    part = os.path.join(path, "dt=2026-01-01")
+    before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert before >= 3
+    n = compact_partition(spark, path, "dt=2026-01-01", target_files=1)
+    assert n == before
+    after = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert after == 1
+    rows = read_events_table(spark, path).orderBy("event_id").collect()
+    assert [r.value for r in rows] == [0.0, 1.0, 2.0]
