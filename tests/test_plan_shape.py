@@ -83,3 +83,39 @@ def test_asof_join_uses_broadcast_not_cartesian(spark):
 
     plan = _plan(catalog()["q23_asof_join"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_summarize_extracts_plan_facts(spark):
+    from etsd_time_series_database_spark.plans import catalog
+    from etsd_time_series_database_spark.plans.inspect import lint, summarize
+
+    df = catalog()["q20_broadcast_join"].build(spark, SF_SMOKE)
+    s = summarize(df)
+    assert "BroadcastHashJoin" in s.joins
+    assert s.scans == 2 and s.broadcast_exchanges >= 1
+    assert lint(df) == []
+
+    # a deliberately bad plan lints dirty: cartesian product
+    a = spark.range(3)
+    b = spark.range(3)
+    bad = a.crossJoin(b)
+    assert any("Cartesian" in w or "NestedLoop" in w for w in lint(bad))
+
+
+def test_lint_clean_for_all_headline_queries(spark):
+    from etsd_time_series_database_spark.plans import catalog
+    from etsd_time_series_database_spark.plans.inspect import lint
+
+    for name, q in sorted(catalog().items()):
+        if not q.headline:
+            continue
+        warnings = [
+            w
+            for w in lint(q.build(spark, SF_SMOKE))
+            # documented exceptions: the multimodal/text pipeline ops use
+            # Arrow-batched Python; p05 probes against a ONE-ROW broadcast
+            # query vector, for which nested-loop is the right plan
+            if not (name.startswith("p1") and "Python eval" in w)
+            and not (name == "p05_ann_cosine_topk" and "NestedLoop" in w)
+        ]
+        assert warnings == [], f"{name}: {warnings}"
