@@ -27,6 +27,7 @@ class PlanSummary:
     python_evals: int = 0
     codegen_stages: int = 0
     scans: int = 0
+    post_scan_filters: int = 0
 
 
 def summarize(df: DataFrame, execute: bool = False) -> PlanSummary:
@@ -55,6 +56,7 @@ def summarize(df: DataFrame, execute: bool = False) -> PlanSummary:
     s.python_evals = len(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", plan))
     s.codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
     s.scans = plan.count("FileScan")
+    s.post_scan_filters = len(re.findall(r"\bFilter \(?", plan))
     return s
 
 
@@ -66,10 +68,16 @@ def lint(df: DataFrame, execute: bool = False) -> list[str]:
         warnings.append("CartesianProduct join: O(n*m), will not scale")
     if "BroadcastNestedLoopJoin" in s.joins:
         warnings.append("BroadcastNestedLoopJoin: non-equi join, row-at-a-time probe")
-    if s.scans and not s.pushed_filters and not s.partition_filters:
+    if (
+        s.scans
+        and s.post_scan_filters
+        and not s.pushed_filters
+        and not s.partition_filters
+    ):
         warnings.append(
-            "no PushedFilters/PartitionFilters on any scan: full-table read "
-            "(fine for full aggregations, wrong for range queries)"
+            "plan filters after the scan but nothing reached the reader "
+            "(PushedFilters empty): predicate not pushed — check for "
+            "function-wrapped filter columns"
         )
     for rs in s.read_schemas:
         if rs.count(",") >= 7:
