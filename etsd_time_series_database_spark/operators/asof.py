@@ -42,6 +42,12 @@ def asof_join(
 
     Returns all left columns plus ``<right_ts><suffix>`` and each
     requested right value column as ``<col><suffix>``.
+
+    Determinism contract: the matched TIMESTAMP is always
+    deterministic. The carried VALUE columns are deterministic provided
+    the right side has at most one row per (key, ts) — with duplicate
+    right timestamps inside one key, which of the tied rows wins is
+    engine order. De-dup the right side first if that matters.
     """
     value_cols = value_cols or []
     lcols = left.columns
