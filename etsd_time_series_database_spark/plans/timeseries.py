@@ -1,4 +1,4 @@
-"""Time-series catalog queries Q01–Q19, Q23, Q27, Q28 (SURVEY.md §2.2).
+"""Time-series catalog queries Q01–Q19, Q23, Q27–Q34 (SURVEY.md §2.2 + §2.4).
 
 These exercise the reference's query surface — scans, time-range
 filters, as-of lookups, range aggregation (etsdAMT, reference

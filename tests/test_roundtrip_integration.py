@@ -207,3 +207,29 @@ def test_kmeans_refine_converges_on_separable_data(spark):
     cells = {r.vec_id: r.cent_id for r in assigned.collect()}
     assert all(cells[i] == 0 for i in range(10))
     assert all(cells[100 + i] == 100 for i in range(10))
+
+
+def test_deployed_layout_serves_queries_with_pruning(spark, tmp_path):
+    """Deploy-shape e2e: write real events through the engine's own
+    partitioned store, then (a) range stats over the copy equal those
+    over the original and (b) a date-restricted scan prunes partitions."""
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "deployed")
+    create_events_table(src, path, mode="overwrite")
+    stored = read_events_table(spark, path)
+
+    a, b = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+    want = sorted(map(tuple, ops.range_stats(src, a, b).collect()))
+    got = sorted(map(tuple, ops.range_stats(stored, a, b).collect()))
+    assert got == want
+
+    pruned = spark.read.parquet(path).filter(
+        F.col("dt").between("2024-01-05", "2024-01-06")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    n_days = pruned.select("dt").distinct().count()
+    assert n_days == 2
