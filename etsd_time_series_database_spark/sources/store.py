@@ -70,6 +70,11 @@ def load_table(
     code/etsdRead.c:300-353). Callers keep their exact filter on the
     converted column; this prefilter is a superset.
     """
+    # Harness portability: events.parquet carries TIMESTAMP(NANOS), which
+    # Spark 4.x rejects unless this (runtime-settable) conf is on. Callers
+    # hand us arbitrary SparkSessions — the repo's own get_spark() is NOT
+    # the only entry point — so the loader must not assume session setup.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     raw_ns = any(
         f.name == "ts" and f.dataType.simpleString() == "bigint"

@@ -1,0 +1,57 @@
+"""Harness-parity regression: the driver's correctness gate passes a
+VANILLA SparkSession (no repo get_spark(), none of session.py's confs)
+into ``__spark_entry__.queries()``. Round 1 lost 30/50 rows because the
+events loader silently depended on a conf only get_spark() set
+(spark.sql.legacy.parquet.nanosAsLong). This test rebuilds that exact
+foreign-session environment in a subprocess and must stay green forever.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+# Deliberately NOT etsd_time_series_database_spark.get_spark(): this is
+# the driver's session — default confs only.
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("harness-parity")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+qs = e.queries()
+for name in ["q01_scan_project", "q04_range_aggregate", "q23_asof_join"]:
+    n = qs[name](spark, {sf!r}).count()
+    assert n > 0, f"{{name}} returned 0 rows"
+    print(f"OK {{name}} rows={{n}}")
+spark.stop()
+print("PARITY_PASS")
+"""
+
+
+def test_vanilla_session_runs_events_queries():
+    """A foreign SparkSession with default confs must be able to run
+    every events-touching catalog query (fails on round-1 code with
+    PARQUET_TYPE_ILLEGAL; passes once load_table is self-sufficient)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.format(repo=str(REPO), sf=SF)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    assert "PARITY_PASS" in proc.stdout
