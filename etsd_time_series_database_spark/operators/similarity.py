@@ -123,6 +123,65 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float,
+    centroid_ids: list[int],
+    probes: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via IVF-bucketed candidate
+    generation — the scale path that replaces :func:`cosine_pairs`'
+    all-pairs cross join.
+
+    Each vector is scored against the broadcast centroids and assigned
+    to its ``probes`` nearest cells (multi-probe: a pair straddling one
+    cell boundary is still co-bucketed in the neighbour cell). Candidate
+    pairs are the within-cell self-equi-join on ``cent_id`` — a hash
+    join, never a CartesianProduct — deduped across probes, then the
+    exact cosine filter runs per candidate only.
+
+    Scale notes: work is O(sum over cells of |cell|^2) instead of
+    O(n^2); parallelism equals the number of cells, so size the
+    centroid list with the corpus (IVF practice: nlist ~ sqrt(n),
+    recall tuned by ``probes``). The centroid scoring side is a
+    broadcast — the corpus never shuffles until the (high-cardinality
+    ``key``) rank window and the bucket join.
+    """
+    from pyspark.sql.window import Window
+
+    cents = embeddings.filter(F.col(key).isin(centroid_ids)).select(
+        F.col(key).alias("cent_id"), F.col(vec).alias("cent_vec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        key,
+        vec,
+        "cent_id",
+        cosine_similarity(vec, "cent_vec").alias("__cos"),
+    )
+    w = Window.partitionBy(key).orderBy(F.col("__cos").desc(), F.col("cent_id"))
+    cells = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probes)
+        .select(key, vec, "cent_id")
+    )
+    a = cells.select(
+        F.col(key).alias("id_a"), F.col(vec).alias("va"), "cent_id"
+    )
+    b = cells.select(
+        F.col(key).alias("id_b"), F.col(vec).alias("vb"), "cent_id"
+    )
+    return (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
 def cosine_topk_arrow(
     embeddings: DataFrame,
     query_vec: list[float],

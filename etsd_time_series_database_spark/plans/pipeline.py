@@ -31,7 +31,7 @@ from etsd_time_series_database_spark.operators.multimodal import (
     to_blob_table,
 )
 from etsd_time_series_database_spark.operators.similarity import (
-    cosine_pairs,
+    cosine_pairs_bucketed,
     cosine_topk,
     ivf_topk,
 )
@@ -275,19 +275,46 @@ def p06(spark, sf_dir):
     "p07_embedding_near_dup",
     "dedup",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {_duck_cos("e.embedding", "c.cv")} AS cos
+      FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 150
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cent_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cent_id) AS rn
+            FROM scored)
+      WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
            {_duck_cos("a.embedding", "b.embedding")} AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.vec_id < 150 AND b.vec_id < 150
-      AND {_duck_cos("a.embedding", "b.embedding")} >= 0.35
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {_duck_cos("a.embedding", "b.embedding")} >= 0.35
     ORDER BY id_a, id_b
     """,
-    doc="Embedding near-duplicate pairs (cosine >= 0.35) on a bounded "
-    "subset; at scale the same expression runs per LSH/IVF bucket.",
+    doc="IVF-bucketed embedding near-dup (cosine >= 0.35): multi-probe "
+    "cell assignment (2 nearest of 8 centroids, broadcast) -> within-"
+    "cell equi-join candidates -> exact cosine filter. O(sum |cell|^2) "
+    "work, no CartesianProduct; recall tuned by probes, cells sized "
+    "with the corpus at scale.",
 )
 def p07(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    return cosine_pairs(emb, threshold=0.35)
+    return cosine_pairs_bucketed(
+        emb, threshold=0.35, centroid_ids=list(range(1, 9)), probes=2
+    )
 
 # ------------------------------------------------------ text analysis
 

@@ -85,6 +85,16 @@ def test_asof_join_uses_broadcast_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_near_dup_has_no_cartesian_product(spark):
+    """p07 must stay bucketed: candidate pairs come from a within-cell
+    equi-join, never an all-pairs CartesianProduct. The only nested-loop
+    allowed is the bounded 8-row centroid broadcast (same as p06)."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["p07_embedding_near_dup"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
 def test_summarize_extracts_plan_facts(spark):
     from etsd_time_series_database_spark.plans import catalog
     from etsd_time_series_database_spark.plans.inspect import lint, summarize
