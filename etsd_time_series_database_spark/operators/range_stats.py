@@ -154,11 +154,27 @@ def rate(
     value: str = "value",
     ts: str = "ts",
     seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
 ) -> DataFrame:
     """Counter -> rate: (v - lag(v)) / Δt per channel — the query-time
     equivalent of the reference's ingest-side delta encoding
     (code/etsdSave.c:396-398) re-derived from raw stored readings.
+
+    Default path is the stitched (channel, time-bucket) form: channel
+    cardinality is typically tiny (the reference tops out at 16
+    channels), so a window partitioned by channel alone caps cluster
+    parallelism at n_channels. ``scalable=False`` selects the plain
+    global window (useful as the equivalence oracle in tests).
     """
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            rate_scalable,
+        )
+
+        return rate_scalable(
+            df, channel=channel, value=value, ts=ts, seq=seq, bucket_s=bucket_s
+        )
     w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
     dv = F.col(value) - F.lag(value).over(w)
     dt_us = epoch_us(ts) - F.lag(epoch_us(ts)).over(w)
@@ -179,12 +195,32 @@ def rollover_corrected(
     value: str = "value",
     ts: str = "ts",
     seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
 ) -> DataFrame:
     """Rollover-corrected monotone counter: whenever a reading drops
     below its predecessor, add one rollover span — the reference's
     'bump' logic (code/etsdQuery.c:332-336,383) generalized to a
     cumulative correction column.
+
+    Default path is the stitched lag + distributed prefix sum (see
+    operators.scalable_window): parallelism (channels x buckets), not
+    n_channels. ``scalable=False`` keeps the plain global window.
     """
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            rollover_corrected_scalable,
+        )
+
+        return rollover_corrected_scalable(
+            df,
+            rollover=rollover,
+            channel=channel,
+            value=value,
+            ts=ts,
+            seq=seq,
+            bucket_s=bucket_s,
+        )
     w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
     cum = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq)).rowsBetween(
         Window.unboundedPreceding, 0

@@ -216,8 +216,10 @@ def q06(spark, sf_dir):
     SELECT event_id, event_type, dv * 1000000.0 / dt_us AS rate_per_s
     FROM d ORDER BY event_id
     """,
-    doc="Counter->rate via lag (reference delta encoding O10, "
-    "code/etsdSave.c:396-398, re-derived at query time).",
+    doc="Counter->rate via stitched (channel, day-bucket) lag "
+    "(reference delta encoding O10, code/etsdSave.c:396-398, re-derived "
+    "at query time) — skew-proof default: parallelism channels x "
+    "buckets, not n_channels.",
     headline=True,
 )
 def q07(spark, sf_dir):
@@ -241,7 +243,8 @@ def q07(spark, sf_dir):
     FROM b ORDER BY event_id
     """,
     doc="Cumulative 2^32 rollover correction — the reference's 'bump' "
-    "(code/etsdQuery.c:332-336,383).",
+    "(code/etsdQuery.c:332-336,383) — via stitched lag + distributed "
+    "prefix sum (skew-proof default).",
 )
 def q08(spark, sf_dir):
     return rollover_corrected(_events(spark, sf_dir))

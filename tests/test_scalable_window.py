@@ -27,19 +27,19 @@ def _rows(df):
 
 def test_rate_scalable_equals_global_window(spark):
     e = _events(spark)
-    assert _rows(sw.rate_scalable(e, bucket_s=86400)) == _rows(ops.rate(e))
+    assert _rows(sw.rate_scalable(e, bucket_s=86400)) == _rows(ops.rate(e, scalable=False))
 
 
 def test_rate_scalable_small_buckets_still_exact(spark):
     # 1-hour buckets: many more boundaries to stitch, same result.
     e = _events(spark)
-    assert _rows(sw.rate_scalable(e, bucket_s=3600)) == _rows(ops.rate(e))
+    assert _rows(sw.rate_scalable(e, bucket_s=3600)) == _rows(ops.rate(e, scalable=False))
 
 
 def test_rollover_scalable_equals_global_window(spark):
     e = _events(spark)
     assert _rows(sw.rollover_corrected_scalable(e, bucket_s=86400)) == _rows(
-        ops.rollover_corrected(e)
+        ops.rollover_corrected(e, scalable=False)
     )
 
 
