@@ -6,7 +6,7 @@ row at-or-before each left timestamp.
 
 Implementation: the union-tag / last-value-carry-forward formulation —
 tag both sides, union, and per key take
-``last(right_value, ignorenulls) over (key order by ts, side)``.
+``last(right_row, ignorenulls) over (key order by ts, side)``.
 This is pure DataFrame/window (no UDF, no per-row Python):
 
   * ONE shuffle on (key) — same cost as the sort-merge join Spark
@@ -14,7 +14,12 @@ This is pure DataFrame/window (no UDF, no per-row Python):
     ``l.ts >= r.ts`` theta join (which is O(n·m) at scale);
   * deterministic inclusive semantics: at equal timestamps the right
     row sorts before the left probe, so ``right.ts <= left.ts``
-    matches inclusively.
+    matches inclusively;
+  * the matched timestamp and every carried value column travel as ONE
+    struct through a single ``last(ignorenulls)``, so the output is
+    always a consistent snapshot of one right row — a NULL value in
+    the newest right row is carried as that row's NULL, never silently
+    substituted by an older row's value.
 
 For grossly skewed keys, pre-bucket by (key, day) and carry the last
 value of the previous bucket — not needed at current scale; noted for
@@ -26,6 +31,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _right_row_struct_type(
+    right: DataFrame, right_ts: str, value_cols: list[str]
+) -> StructType:
+    return StructType(
+        [StructField("__rts", right.schema[right_ts].dataType)]
+        + [StructField(f"__r_{c}", right.schema[c].dataType) for c in value_cols]
+    )
+
+
+def _right_row_struct(right_ts: str, value_cols: list[str]) -> F.Column:
+    return F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+
+
+def _project(
+    carried: DataFrame,
+    lcols: list[str],
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str,
+) -> DataFrame:
+    return carried.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        F.col("__m.__rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__m.__r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def asof_join(
@@ -43,11 +79,11 @@ def asof_join(
     Returns all left columns plus ``<right_ts><suffix>`` and each
     requested right value column as ``<col><suffix>``.
 
-    Determinism contract: the matched TIMESTAMP is always
-    deterministic. The carried VALUE columns are deterministic provided
-    the right side has at most one row per (key, ts) — with duplicate
-    right timestamps inside one key, which of the tied rows wins is
-    engine order. De-dup the right side first if that matters.
+    Determinism contract: the matched timestamp and values always come
+    from the SAME right row (single-struct carry). With duplicate right
+    timestamps inside one key, which of the tied rows wins is engine
+    order — but it is one whole row, never a column-wise mixture.
+    De-dup the right side first if tie identity matters.
     """
     value_cols = value_cols or []
     lcols = left.columns
@@ -56,16 +92,16 @@ def asof_join(
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        F.lit(None).cast("timestamp").alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(_right_row_struct_type(right, right_ts, value_cols))
+        .alias("__rrow"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(left.select(*lcols).schema).alias("__l"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        _right_row_struct(right_ts, value_cols).alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows (side=0) sort before left probes (side=1) at equal ts
@@ -77,17 +113,9 @@ def asof_join(
     carried = unioned.select(
         "__side",
         "__l",
-        F.last("__rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__side") == 1)
-    return carried.select(
-        *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        f"{right_ts}{suffix}",
-        *[f"{c}{suffix}" for c in value_cols],
-    )
+    return _project(carried, lcols, right_ts, value_cols, suffix)
 
 
 def asof_join_scalable(
@@ -110,6 +138,9 @@ def asof_join_scalable(
     right row of ANY earlier bucket, delivered by a tiny per-(key,
     bucket) summary joined back broadcast. Parallelism is bounded by
     (keys x buckets), so one hot key no longer serializes the sort.
+    The cross-bucket seed is the same whole-row struct as the in-bucket
+    carry, so a bucket boundary can never mix columns from different
+    right rows.
     """
     from etsd_time_series_database_spark.functions.exprs import epoch_us
 
@@ -122,19 +153,16 @@ def asof_join_scalable(
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        F.lit(None).cast("timestamp").alias("__rts"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None)
+        .cast(_right_row_struct_type(right, right_ts, value_cols))
+        .alias("__rrow"),
     ).withColumn("__bkt", bkt("__t"))
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(left.select(*lcols).schema).alias("__l"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        _right_row_struct(right_ts, value_cols).alias("__rrow"),
     ).withColumn("__bkt", bkt("__t"))
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -143,9 +171,8 @@ def asof_join_scalable(
     # summary must cover EVERY (key, bucket) either side touches: a
     # probe bucket with no right rows still needs the carry from
     # earlier buckets.
-    fields = ["__rts", *[f"__r_{c}" for c in value_cols]]
     lasts = r_tagged.groupBy("__k", "__bkt").agg(
-        F.max_by(F.struct(*fields), "__t").alias("__lastrow")
+        F.max_by("__rrow", "__t").alias("__lastrow")
     )
     buckets = unioned.select("__k", "__bkt").distinct()
     summary = buckets.join(lasts, ["__k", "__bkt"], "left")
@@ -173,21 +200,10 @@ def asof_join_scalable(
             "__side",
             "__l",
             F.coalesce(
-                F.last("__rts", ignorenulls=True).over(w_in),
-                F.col("__prevrow.__rts"),
-            ).alias(f"{right_ts}{suffix}"),
-            *[
-                F.coalesce(
-                    F.last(f"__r_{c}", ignorenulls=True).over(w_in),
-                    F.col(f"__prevrow.__r_{c}"),
-                ).alias(f"{c}{suffix}")
-                for c in value_cols
-            ],
+                F.last("__rrow", ignorenulls=True).over(w_in),
+                F.col("__prevrow"),
+            ).alias("__m"),
         )
         .filter(F.col("__side") == 1)
     )
-    return carried.select(
-        *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        f"{right_ts}{suffix}",
-        *[f"{c}{suffix}" for c in value_cols],
-    )
+    return _project(carried, lcols, right_ts, value_cols, suffix)
