@@ -139,6 +139,19 @@ def read_events_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("dt")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Resolve (FileSystem, Path-class) for ``path`` via the JVM Hadoop
+    FileSystem API — works uniformly for file:, hdfs:, s3a:, abfs:
+    URIs, unlike os.listdir/shutil which only see the driver's local
+    disk. At 100 TB the table lives on an object store; every
+    maintenance op below goes through this handle.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
 def compact_partition(
     spark: SparkSession,
     path: str,
@@ -148,36 +161,55 @@ def compact_partition(
 ) -> int:
     """Compact one date partition: rewrite its many small files (the
     residue of frequent streaming micro-batch commits) into
-    ``target_files`` sorted files, atomically via rename.
+    ``target_files`` sorted files. Returns the number of files before
+    compaction.
 
-    The streaming analog of a maintenance OPTIMIZE: micro-batches land
-    one file per trigger per partition; row-group stats only skip well
-    when files are few and sorted. Returns the number of files before
-    compaction. Only safe on partitions no longer receiving appends
-    (i.e. past the ingest watermark) — same contract as the reference's
-    rotation touching only the closed file (code/etsdSave.c:80-99).
+    Swap protocol (Hadoop FS, object-store aware): write the compacted
+    data to a temp dir, rename the live partition ASIDE, rename the
+    temp dir into place, then delete the old data — at no point is the
+    partition simply absent, and a crash mid-swap leaves either the old
+    dir (recoverable by re-running) or both dirs (old one under
+    ``__old_*``), never neither. Note rename is atomic on HDFS but
+    copy-based on S3; for serious object-store deployments layer a
+    table format (Delta/Iceberg OPTIMIZE) on top — this implements the
+    same maintenance contract without that dependency.
+
+    Only safe on partitions no longer receiving appends (i.e. past the
+    ingest watermark) — same contract as the reference's rotation
+    touching only the closed file (code/etsdSave.c:80-99).
     """
-    import shutil
     import uuid
 
-    part_dir = os.path.join(path, partition)
+    fs, Path = _hadoop_fs(spark, path)
+    part_dir = f"{path}/{partition}"
     files_before = [
-        f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        st.getPath().getName()
+        for st in fs.listStatus(Path(part_dir))
+        if st.getPath().getName().endswith(".parquet")
     ]
     df = spark.read.parquet(part_dir)
-    tmp = os.path.join(path, f"__compact_{uuid.uuid4().hex}")
+    token = uuid.uuid4().hex
+    tmp = f"{path}/__compact_{token}"
     (
         df.repartition(target_files)
         .sortWithinPartitions(*[c for c in sort_cols if c in df.columns])
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    shutil.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    old = f"{path}/__old_{token}"
+    if not fs.rename(Path(part_dir), Path(old)):
+        raise IOError(f"compact: failed to move {part_dir} aside")
+    if not fs.rename(Path(tmp), Path(part_dir)):
+        # roll back so the table is never left without the partition
+        fs.rename(Path(old), Path(part_dir))
+        raise IOError(f"compact: failed to install compacted {part_dir}")
+    fs.delete(Path(old), True)
     return len(files_before)
 
 
-def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
+def drop_partitions_before(
+    path: str, cutoff_date: str, spark: SparkSession | None = None
+) -> list[str]:
     """Retention: delete date partitions older than ``cutoff_date``
     (YYYY-MM-DD) from a ``dt=``-partitioned table — the reference's
     file rotation (etsdRotate, code/etsdSave.c:80-99; SIGUSR1 hook
@@ -186,16 +218,20 @@ def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
 
     Immutable date partitions make retention an O(#partitions) metadata
     operation — no rewrite of surviving data, same as the reference's
-    rename-and-restart rotation but per-day instead of per-file.
+    rename-and-restart rotation but per-day instead of per-file. Goes
+    through the Hadoop FS API so the same call works on file:, hdfs:,
+    and s3a: tables.
     """
-    import shutil
-
+    if spark is None:
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    fs, Path = _hadoop_fs(spark, path)
     dropped = []
-    for entry in sorted(os.listdir(path)):
+    for st in sorted(fs.listStatus(Path(path)), key=lambda s: s.getPath().getName()):
+        entry = st.getPath().getName()
         if not entry.startswith("dt="):
             continue
         if entry.split("=", 1)[1] < cutoff_date:
-            shutil.rmtree(os.path.join(path, entry))
+            fs.delete(st.getPath(), True)
             dropped.append(entry)
     return dropped
 

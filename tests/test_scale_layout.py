@@ -137,10 +137,12 @@ def test_retention_drops_old_partitions(spark, tmp_path):
         ],
         "ts string, event_type string, value double, event_id bigint",
     ).withColumn("ts", F.to_timestamp("ts"))
-    path = str(tmp_path / "tbl")
+    # file: URI on purpose — the maintenance ops must go through the
+    # Hadoop FS API (object-store portable), not os.listdir/shutil
+    path = "file:" + str(tmp_path / "tbl")
     create_events_table(df, path, mode="overwrite")
 
-    dropped = drop_partitions_before(path, "2026-01-03")
+    dropped = drop_partitions_before(path, "2026-01-03", spark=spark)
     assert dropped == ["dt=2026-01-01", "dt=2026-01-02"]
     left = read_events_table(spark, path)
     assert [r.event_id for r in left.collect()] == [3]
@@ -153,7 +155,8 @@ def test_compact_partition_merges_files_preserves_rows(spark, tmp_path):
         read_events_table,
     )
 
-    path = str(tmp_path / "tbl")
+    local = str(tmp_path / "tbl")
+    path = "file:" + local  # Hadoop FS path, not a driver-local one
     # three appends -> three files in the same date partition
     for i in range(3):
         df = spark.createDataFrame(
@@ -164,7 +167,7 @@ def test_compact_partition_merges_files_preserves_rows(spark, tmp_path):
 
     import os
 
-    part = os.path.join(path, "dt=2026-01-01")
+    part = os.path.join(local, "dt=2026-01-01")
     before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
     assert before >= 3
     n = compact_partition(spark, path, "dt=2026-01-01", target_files=1)
