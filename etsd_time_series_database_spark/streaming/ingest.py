@@ -102,6 +102,75 @@ def union_sources(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+def write_ingest_epoch(
+    batch: DataFrame,
+    epoch_id: int,
+    path: str,
+    downsample_to: str | None = None,
+    downsample_width_s: int = 60,
+) -> None:
+    """Write one micro-batch IDEMPOTENTLY: every output row lands in an
+    ``__epoch=<id>`` partition and the write uses dynamic partition
+    overwrite, so a failed-and-restarted micro-batch (foreachBatch is
+    at-least-once) REPLACES its own previous partial output instead of
+    appending duplicates. Combined with the checkpoint's exactly-once
+    epoch numbering this makes the sink effectively exactly-once — the
+    same write-once guarantee the reference gets from its committed
+    512-byte blocks (code/etsd.c:153-160).
+
+    ``__epoch`` is an internal lifecycle column (readers drop it via
+    :func:`read_ingest_table`); partition layout is dt=*/__epoch=* so
+    date pruning still works and a replayed epoch touches only its own
+    subdirectories. The per-write option (not a session conf) keeps the
+    behavior independent of the caller's session setup.
+    """
+    (
+        batch.withColumn("dt", F.to_date("ts"))
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .repartition("dt")
+        .sortWithinPartitions("channel", "ts")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt", "__epoch")
+        .parquet(path)
+    )
+    if downsample_to is not None:
+        (
+            batch.groupBy(
+                "source",
+                "channel",
+                F.window("ts", f"{downsample_width_s} seconds").alias("w"),
+            )
+            .agg(
+                F.count("value").alias("n"),
+                F.avg("value").alias("avg_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                "source",
+                "channel",
+                F.col("w.start").alias("bucket_ts"),
+                "n",
+                "avg_value",
+                "min_value",
+                "max_value",
+            )
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(downsample_to)
+        )
+
+
+def read_ingest_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ingest sink, hiding the internal lifecycle columns
+    (``dt`` date partition, ``__epoch`` idempotency key)."""
+    df = spark.read.parquet(path)
+    return df.drop(*[c for c in ("dt", "__epoch") if c in df.columns])
+
+
 def ingest_to_parquet(
     stream: DataFrame,
     path: str,
@@ -111,46 +180,22 @@ def ingest_to_parquet(
     downsample_width_s: int = 60,
     available_now: bool = False,
 ):
-    """Start the ingest sink: append raw rows date-partitioned (the
-    block-commit path) and optionally maintain a downsampled second
-    sink in the same foreachBatch (the edo external-output path,
-    code/edd.c:333-346) — both updated transactionally per micro-batch.
+    """Start the ingest sink: raw rows land date-partitioned (the
+    block-commit path) and optionally a downsampled second sink is
+    maintained in the same foreachBatch (the edo external-output path,
+    code/edd.c:333-346). Both writes are epoch-keyed dynamic partition
+    overwrites (see :func:`write_ingest_epoch`), so micro-batch retries
+    are idempotent and the sinks are effectively exactly-once.
     """
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        (
-            batch.withColumn("dt", F.to_date("ts"))
-            .repartition("dt")
-            .sortWithinPartitions("channel", "ts")
-            .write.mode("append")
-            .partitionBy("dt")
-            .parquet(path)
+        write_ingest_epoch(
+            batch,
+            epoch_id,
+            path,
+            downsample_to=downsample_to,
+            downsample_width_s=downsample_width_s,
         )
-        if downsample_to is not None:
-            (
-                batch.groupBy(
-                    "source",
-                    "channel",
-                    F.window("ts", f"{downsample_width_s} seconds").alias("w"),
-                )
-                .agg(
-                    F.count("value").alias("n"),
-                    F.avg("value").alias("avg_value"),
-                    F.min("value").alias("min_value"),
-                    F.max("value").alias("max_value"),
-                )
-                .select(
-                    "source",
-                    "channel",
-                    F.col("w.start").alias("bucket_ts"),
-                    "n",
-                    "avg_value",
-                    "min_value",
-                    "max_value",
-                )
-                .write.mode("append")
-                .parquet(downsample_to)
-            )
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

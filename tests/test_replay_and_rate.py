@@ -52,7 +52,7 @@ def test_replay_equals_live_downsample_sink(spark, tmp_path):
     ingest.replay(spark, raw, recovered, width_s=60)
 
     def canon(path):
-        return sorted(map(tuple, spark.read.parquet(path).collect()))
+        return sorted(map(tuple, ingest.read_ingest_table(spark, path).collect()))
 
     assert canon(recovered) == canon(live_ds)
 
