@@ -340,8 +340,8 @@ def interpolated_total(
     tiny after the first combine, so this scales to arbitrary range
     lengths.
     """
-    s_us = F.lit(start).cast("timestamp")
-    e_us = F.lit(end).cast("timestamp")
+    s_ts = F.lit(start).cast("timestamp")
+    e_ts = F.lit(end).cast("timestamp")
     b = (
         df.filter(
             (F.col(ts) >= F.lit(start).cast("timestamp") - F.expr(f"INTERVAL {interval_s} SECOND"))
@@ -351,19 +351,31 @@ def interpolated_total(
         .groupBy(channel, "bucket_s")
         .agg(F.sum(F.col(value).cast(DEC)).alias("__tot"))
     )
-    a_s = F.unix_micros(s_us) / 1_000_000
-    b_s = F.unix_micros(e_us) / 1_000_000
-    overlap = F.least(F.col("bucket_s") + interval_s, b_s) - F.greatest(
-        F.col("bucket_s"), a_s
-    )
+    # Overlap weight at MICROSECOND resolution, exact decimal all the
+    # way: a sub-second-aligned boundary keeps its fractional pro-rata
+    # contribution (the reference divides data*head by intervalTime in
+    # integer micro-units too, code/etsdQuery.c:254,279). The narrow
+    # decimal(18,6) x decimal(13,0) product stays within decimal(38,_)
+    # so no precision-loss rounding kicks in, and one single
+    # decimal->double cast at the end keeps DuckDB bit-parity.
+    a_us = F.unix_micros(s_ts)
+    b_us = F.unix_micros(e_ts)
+    lo_us = F.col("bucket_s") * F.lit(1_000_000)
+    hi_us = (F.col("bucket_s") + interval_s) * F.lit(1_000_000)
+    overlap_us = F.least(hi_us, b_us) - F.greatest(lo_us, a_us)
     return (
-        b.filter((F.col("bucket_s") + interval_s > a_s) & (F.col("bucket_s") < b_s))
-        .withColumn("__contrib", F.col("__tot") * overlap.cast("bigint"))
+        b.filter((hi_us > a_us) & (lo_us < b_us))
+        .withColumn(
+            "__contrib",
+            F.col("__tot").cast("decimal(18,6)")
+            * overlap_us.cast("decimal(13,0)"),
+        )
         .groupBy(channel)
         .agg(
-            (F.sum("__contrib").cast("double") / F.lit(float(interval_s))).alias(
-                "interp_total"
-            )
+            (
+                F.sum("__contrib").cast("double")
+                / F.lit(float(interval_s) * 1_000_000.0)
+            ).alias("interp_total")
         )
         .orderBy(channel)
     )

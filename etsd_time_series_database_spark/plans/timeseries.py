@@ -421,11 +421,14 @@ def q14(spark, sf_dir):
       FROM events GROUP BY event_type, bucket_s
     )
     SELECT event_type,
-           CAST(SUM(tot * (LEAST(bucket_s + 3600, {B_EPOCH})
-                           - GREATEST(bucket_s, {A_EPOCH}))) AS DOUBLE)
-             / 3600.0 AS interp_total
+           CAST(SUM(CAST(tot AS DECIMAL(25,6))
+                    * CAST(LEAST((bucket_s + 3600) * 1000000, {B_EPOCH * 1_000_000})
+                           - GREATEST(bucket_s * 1000000, {A_EPOCH * 1_000_000})
+                      AS DECIMAL(13,0))) AS DOUBLE)
+             / 3600000000.0 AS interp_total
     FROM h
-    WHERE bucket_s + 3600 > {A_EPOCH} AND bucket_s < {B_EPOCH}
+    WHERE (bucket_s + 3600) * 1000000 > {A_EPOCH * 1_000_000}
+      AND bucket_s * 1000000 < {B_EPOCH * 1_000_000}
     GROUP BY event_type ORDER BY event_type
     """,
     doc="Pro-rata partial-interval total (reference head/tail interpolation, "

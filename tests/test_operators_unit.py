@@ -169,6 +169,26 @@ def test_interpolated_total_pro_rata_boundaries(spark):
     assert r.interp_total == 90.0
 
 
+def test_interpolated_total_subsecond_boundaries(spark):
+    # Boundaries not aligned to whole seconds keep their fractional
+    # pro-rata weight (regression: overlap was truncated to bigint
+    # seconds, dropping the sub-second head/tail contribution).
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:10", "a", 60, 1),  # bucket 00:00, tot 60
+        ],
+    )
+    r = ops.interpolated_total(
+        df,
+        "2026-01-01 00:00:30.500000",
+        "2026-01-01 00:01:00",
+        interval_s=60,
+    ).collect()[0]
+    # overlap = 29.5 s of the 60 s bucket -> 60 * 29.5/60 = 29.5
+    assert r.interp_total == 29.5
+
+
 def test_downsample_last_deterministic_on_ts_ties(spark):
     df = _series(
         spark,
