@@ -171,6 +171,50 @@ def read_ingest_table(spark: SparkSession, path: str) -> DataFrame:
     return df.drop(*[c for c in ("dt", "__epoch") if c in df.columns])
 
 
+XDATA_SCHEMA = "batch_ts timestamp, source string, payload binary"
+
+
+def write_xdata_epoch(xdata: DataFrame, epoch_id: int, path: str) -> None:
+    """Write one micro-batch's opaque side blobs — the xData analog
+    (reference per-block extended data, code/etsd.h:102-103, written at
+    block commit code/etsdSave.c:138-140, surfaced to readers
+    code/etsdRead.h:29). Rows are ``(batch_ts, source, payload
+    BINARY)``; the payload is engine-opaque, exactly like the
+    reference's plugin-provided ≤255-byte blob, but without the size
+    cap. Same epoch-keyed dynamic-overwrite idempotency as the main
+    sink, so blob and readings commit under the same retry contract."""
+    (
+        xdata.select("batch_ts", "source", "payload")
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+def read_xdata(spark: SparkSession, path: str) -> DataFrame:
+    """Read the xData side table with its epoch key (kept: it is the
+    join key back to the readings of the same committed block)."""
+    return spark.read.parquet(path).select(
+        "batch_ts", "source", F.col("payload"), F.col("__epoch").alias("epoch")
+    )
+
+
+def events_with_xdata(
+    spark: SparkSession, raw_path: str, xdata_path: str
+) -> DataFrame:
+    """Readings joined to their commit-batch blob — the read-side pairing
+    the reference gets implicitly because xData lives inside the same
+    512-byte block as the intervals (code/etsdRead.h:29). Here the pair
+    key is (source, epoch); the side table is tiny (one row per source
+    per micro-batch) so the join broadcasts — the events side never
+    shuffles."""
+    raw = spark.read.parquet(raw_path).withColumnRenamed("__epoch", "epoch")
+    xd = read_xdata(spark, xdata_path).select("source", "epoch", "payload")
+    return raw.join(F.broadcast(xd), ["source", "epoch"], "left").drop("dt")
+
+
 def ingest_to_parquet(
     stream: DataFrame,
     path: str,
@@ -179,6 +223,8 @@ def ingest_to_parquet(
     downsample_to: str | None = None,
     downsample_width_s: int = 60,
     available_now: bool = False,
+    xdata_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    xdata_to: str | None = None,
 ):
     """Start the ingest sink: raw rows land date-partitioned (the
     block-commit path) and optionally a downsampled second sink is
@@ -186,6 +232,12 @@ def ingest_to_parquet(
     code/edd.c:333-346). Both writes are epoch-keyed dynamic partition
     overwrites (see :func:`write_ingest_epoch`), so micro-batch retries
     are idempotent and the sinks are effectively exactly-once.
+
+    ``xdata_fn(batch, epoch_id) -> (batch_ts, source, payload BINARY)``
+    is the xData plugin hook (reference xdRead at block commit,
+    code/edd.c:354-368): whatever opaque blob it derives for the batch
+    is committed to ``xdata_to`` under the same epoch, recoverable
+    alongside the readings via :func:`events_with_xdata`.
     """
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -196,6 +248,8 @@ def ingest_to_parquet(
             downsample_to=downsample_to,
             downsample_width_s=downsample_width_s,
         )
+        if xdata_fn is not None and xdata_to is not None:
+            write_xdata_epoch(xdata_fn(batch, epoch_id), epoch_id, xdata_to)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
