@@ -1,0 +1,162 @@
+"""Per-query metrics + error accounting (reference O29).
+
+The reference keeps a bitmask-coded error log and per-channel validity
+words (code/errorlog.c:51-183); its operational questions are "what did
+this query touch, did it spill, did it fail". Spark already measures
+all of that in SQLMetrics on every physical operator — this module
+walks the executed plan (through AQE and query-stage wrappers), folds
+the operator metrics into one flat row per query, and appends it to a
+small log table. Failures are recorded too (error class + message),
+so the log doubles as the error subsystem.
+
+Driver-side by design: the walk happens once per query over the plan
+tree (tens of nodes), not over data — zero cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryMetrics:
+    query: str
+    status: str  # ok | error
+    wall_ms: float
+    output_rows: int = 0
+    scan_rows: int = 0
+    scan_files: int = 0
+    scan_bytes: int = 0
+    shuffle_bytes: int = 0
+    shuffle_records: int = 0
+    spill_bytes: int = 0
+    peak_memory: int = 0
+    error: str | None = None
+    logged_at_us: int = field(default_factory=lambda: int(time.time() * 1_000_000))
+
+
+def _walk(jvm, node, visit) -> None:
+    visit(node)
+    cls = node.getClass().getName()
+    # AQE wrappers hide the materialized plan behind accessors
+    if "AdaptiveSparkPlanExec" in cls:
+        _walk(jvm, node.executedPlan(), visit)
+        return
+    if "QueryStageExec" in cls:
+        _walk(jvm, node.plan(), visit)
+        return
+    for child in jvm.scala.collection.JavaConverters.seqAsJavaList(node.children()):
+        _walk(jvm, child, visit)
+
+
+def collect_plan_metrics(df: DataFrame) -> dict[str, int]:
+    """Fold the executed plan's SQLMetrics into flat totals. Call AFTER
+    an action has run (metrics are task-populated)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().executedPlan()
+    totals = {
+        "output_rows": 0,
+        "scan_rows": 0,
+        "scan_files": 0,
+        "scan_bytes": 0,
+        "shuffle_bytes": 0,
+        "shuffle_records": 0,
+        "spill_bytes": 0,
+        "peak_memory": 0,
+    }
+    seen_top_rows = [False]
+
+    def visit(node):
+        name = str(node.nodeName())
+        jmap = jvm.scala.collection.JavaConverters.mapAsJavaMap(node.metrics())
+        mets = {}
+        for k in jmap.keySet().toArray():
+            try:
+                mets[str(k)] = int(jmap.get(k).value())
+            except Exception:
+                pass
+        if not seen_top_rows[0] and "numOutputRows" in mets:
+            totals["output_rows"] = mets["numOutputRows"]
+            seen_top_rows[0] = True
+        if name.startswith("Scan"):
+            totals["scan_rows"] += mets.get("numOutputRows", 0)
+            totals["scan_files"] += mets.get("numFiles", 0)
+            totals["scan_bytes"] += mets.get("filesSize", 0)
+        totals["shuffle_bytes"] += mets.get("shuffleBytesWritten", 0)
+        totals["shuffle_records"] += mets.get("shuffleRecordsWritten", 0)
+        totals["spill_bytes"] += mets.get("spillSize", 0)
+        totals["peak_memory"] = max(totals["peak_memory"], mets.get("peakMemory", 0))
+
+    _walk(jvm, plan, visit)
+    return totals
+
+
+LOG_SCHEMA = (
+    "query string, status string, wall_ms double, output_rows bigint, "
+    "scan_rows bigint, scan_files bigint, scan_bytes bigint, "
+    "shuffle_bytes bigint, shuffle_records bigint, spill_bytes bigint, "
+    "peak_memory bigint, error string, logged_at_us bigint"
+)
+
+
+class MetricsLog:
+    """Accumulates one QueryMetrics row per recorded query; materialize
+    with :meth:`to_df`, persist with :meth:`flush` (appends parquet —
+    at scale this is the tiny ops table, one row per query, that the
+    reference's error log file plays)."""
+
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.rows: list[QueryMetrics] = []
+
+    def record(self, name: str, df: DataFrame) -> QueryMetrics:
+        """Run ``df`` and fold its plan metrics into one log row. A
+        failing query logs status='error' with the exception class +
+        message (the error-bitmask analog) and re-raises.
+
+        The action is ``df.collect()`` on df's OWN QueryExecution —
+        a derived action like ``df.count()`` builds a different plan
+        whose metrics would not attach here. Record aggregate/limited
+        queries (the catalog shape); don't point this at an unbounded
+        raw scan.
+        """
+        t0 = time.monotonic()
+        try:
+            df.collect()
+        except Exception as exc:  # noqa: BLE001 — log-and-rethrow
+            row = QueryMetrics(
+                query=name,
+                status="error",
+                wall_ms=(time.monotonic() - t0) * 1000.0,
+                error=f"{type(exc).__name__}: {str(exc)[:500]}",
+            )
+            self.rows.append(row)
+            raise
+        totals = collect_plan_metrics(df)
+        row = QueryMetrics(
+            query=name,
+            status="ok",
+            wall_ms=(time.monotonic() - t0) * 1000.0,
+            **totals,
+        )
+        self.rows.append(row)
+        return row
+
+    def to_df(self) -> DataFrame:
+        if not self.rows:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        return self.spark.createDataFrame(
+            [tuple(asdict(r).values()) for r in self.rows], schema=LOG_SCHEMA
+        )
+
+    def flush(self) -> None:
+        if self.path is None:
+            raise ValueError("MetricsLog created without a path")
+        if self.rows:
+            self.to_df().write.mode("append").parquet(self.path)
+            self.rows = []
