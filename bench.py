@@ -57,9 +57,56 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "skew_compare": _skew_compare(spark),
             }
         )
     )
+
+
+def _skew_compare(spark) -> dict:
+    """Measured (not prose) low-cardinality window-skew comparison:
+    counter rate over N synthetic rows with only 3 channels — the
+    global per-channel window form (parallelism hard-capped at 3 sort
+    tasks) vs the stitched (channel, day-bucket) rate_scalable form.
+    Warm-up pass each, then one timed pass to a noop sink (full JVM
+    evaluation, no driver materialization).
+    $SPARK_GRAFT_BENCH_SKEW_ROWS overrides N (0 skips)."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.range_stats import rate
+    from etsd_time_series_database_spark.operators.scalable_window import (
+        rate_scalable,
+    )
+
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_ROWS", "10000000"))
+    if n <= 0:
+        return {}
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            # 1-second cadence → N seconds ≈ N/86400 daily buckets, so the
+            # stitched form actually has buckets to parallelize over
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+            F.concat(F.lit("chan_"), (F.col("id") % 3).cast("string")).alias(
+                "event_type"
+            ),
+            (F.col("id") % 100000).cast("double").alias("value"),
+        )
+        .localCheckpoint()  # freeze the input so both forms time only the op
+    )
+
+    forms = {
+        "rate_global_s": lambda: rate(df, scalable=False),
+        "rate_scalable_s": lambda: rate_scalable(df),
+    }
+    out = {"rows": n}
+    for key, build in forms.items():
+        build().write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        out[key] = round(time.perf_counter() - t0, 4)
+    return out
 
 
 if __name__ == "__main__":

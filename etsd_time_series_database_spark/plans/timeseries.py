@@ -245,6 +245,7 @@ def q07(spark, sf_dir):
     doc="Cumulative 2^32 rollover correction — the reference's 'bump' "
     "(code/etsdQuery.c:332-336,383) — via stitched lag + distributed "
     "prefix sum (skew-proof default).",
+    headline=True,
 )
 def q08(spark, sf_dir):
     return rollover_corrected(_events(spark, sf_dir))
@@ -697,6 +698,7 @@ def q29(spark, sf_dir):
     doc="Same semantics as q07 but computed with the skew-proof "
     "(channel, bucket) two-level window (operators/scalable_window.py): "
     "identical results, parallelism bounded by buckets not channels.",
+    headline=True,
 )
 def q30(spark, sf_dir):
     from etsd_time_series_database_spark.operators.scalable_window import (
@@ -724,6 +726,7 @@ def q30(spark, sf_dir):
     """,
     doc="q08's rollover correction via stitched lag + distributed prefix "
     "sum — the 100 TB formulation (operators/scalable_window.py).",
+    headline=True,
 )
 def q31(spark, sf_dir):
     from etsd_time_series_database_spark.operators.scalable_window import (
@@ -827,6 +830,7 @@ def q33(spark, sf_dir):
     doc="q23's as-of join computed with the skew-proof (key, bucket) "
     "boundary-stitch variant (operators/asof.py asof_join_scalable): "
     "identical results, parallelism bounded by buckets not keys.",
+    headline=True,
 )
 def q34(spark, sf_dir):
     from etsd_time_series_database_spark.operators.asof import asof_join_scalable
