@@ -1,0 +1,351 @@
+"""Time-series analytics beyond the reference's query verbs: OHLC
+consolidation bars, value histograms, z-score anomaly detection,
+time-weighted averages, truncated EWMA smoothing, and regular-grid
+resampling with linear interpolation.
+
+These extend the reference's consolidation surface (RRA-style
+downsampling, reference code/plugins/edoRRD.c:44-74, and the boundary
+interpolation of code/etsdQuery.c:254,279) with the derived series a
+monitoring/ML feature pipeline computes from the same store.
+
+Scale notes
+-----------
+* ``ohlc`` and ``value_histogram`` are pure hash aggregations —
+  map-side combinable, one shuffle, no window sort; they scale with
+  (channel × bucket) cardinality, not row count.
+* ``zscore_anomalies`` is two passes over the data with a broadcast
+  stats join — no window, no skew.
+* ``time_weighted_avg``, ``ewma_truncated`` and
+  ``resample_interpolate`` use per-channel ordered windows, so
+  parallelism is capped at channel cardinality — the same trade-off as
+  ``rate``/``rollover_corrected``, and the same stitched-bucket remedy
+  (operators/scalable_window.py) applies when channels are few and
+  rows are many.
+
+Determinism (engine vs oracle) follows functions/exprs.py: cross-row
+sums go through DECIMAL (associative, order-independent), per-row
+double math keeps an identical expression shape on both engines, and
+EWMA weights are exact powers of two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.functions.exprs import (
+    DEC,
+    bucket_epoch,
+    epoch_us,
+)
+
+# Wide-enough decimals for value*duration products (|value| < 1e9,
+# duration < 1e14 us) and for squared values.
+DEC_SQ = "decimal(28,6)"
+DEC_W = "decimal(14,0)"
+
+EWMA_K = 16  # truncation depth; weights 2^(K-1-lag) are exact in binary
+
+
+def _ts_us(t: str) -> Column:
+    return F.unix_micros(F.lit(t).cast("timestamp"))
+
+
+def ohlc(
+    df: DataFrame,
+    width_s: int = 3600,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Open/high/low/close consolidation bars per (channel, bucket).
+
+    Open/close are the values at the earliest/latest (ts, tie) in the
+    bucket.  A ``min(struct)``/``max(struct)`` formulation would be
+    the obvious one, but struct aggregation buffers force Spark into
+    SortAggregate — a full per-partition sort of the fact table.
+    Instead (ts, tie) is packed into one order-preserving
+    DECIMAL(38,0) key (``us * 10^19 + tie``; exact, since |us·10^19| <
+    10^38 and 0 ≤ tie < 10^19 for any non-negative BIGINT id) and
+    open/close become ``min_by``/``max_by`` with a primitive ordering
+    — verified to plan as partial-agg HashAggregate: map-side
+    combinable, one shuffle, no sort.  This is the reference's RRA
+    consolidation (code/plugins/edoRRD.c:44-74) widened from avg-only
+    to the four classic consolidation functions.
+
+    Requires ``tie`` to be a non-negative integer id (the packing is
+    then collision-free, so ties on ts are broken deterministically).
+    """
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    packed = (
+        epoch_us(ts).cast("decimal(19,0)") * shift
+        + F.col(tie).cast("decimal(19,0)")
+    )
+    return (
+        df.select(
+            F.col(channel),
+            bucket_epoch(ts, width_s).alias("bucket_s"),
+            packed.alias("ord"),
+            F.col(value),
+        )
+        .groupBy(channel, "bucket_s")
+        .agg(
+            F.min_by(value, "ord").alias("open_value"),
+            F.max(value).alias("high_value"),
+            F.min(value).alias("low_value"),
+            F.max_by(value, "ord").alias("close_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .orderBy(channel, "bucket_s")
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    bin_width: float = 25.0,
+    channel: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Fixed-width value histogram per channel (one hash-agg shuffle).
+
+    The bin index is ``floor(value / width)`` computed in double then
+    materialized as BIGINT so Spark (whose floor(double) is LONG) and
+    ANSI oracles (whose floor(double) is DOUBLE) agree bit-for-bit.
+    """
+    bin_idx = F.floor(F.col(value) / F.lit(bin_width)).cast("bigint")
+    return (
+        df.select(F.col(channel), bin_idx.alias("bin_idx"))
+        .groupBy(channel, "bin_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            channel,
+            "bin_idx",
+            (F.col("bin_idx") * F.lit(bin_width)).alias("bin_lo"),
+            "n",
+        )
+        .orderBy(channel, "bin_idx")
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    z: float = 3.0,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Events whose value deviates more than ``z`` standard deviations
+    from their channel's mean.
+
+    Two passes, no window: a per-channel moment aggregation (decimal
+    sums → order-independent), broadcast back onto the stream side.
+    mean/std are derived from exact sums so every engine computes the
+    identical doubles; the z expression shape matches the oracle's.
+    """
+    v = F.col(value)
+    stats = df.groupBy(channel).agg(
+        F.sum(v.cast(DEC)).cast("double").alias("s"),
+        F.sum((v * v).cast(DEC_SQ)).cast("double").alias("ss"),
+        F.count(v).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    stats = stats.select(
+        channel, mean.alias("mean"), F.sqrt(var).alias("std")
+    )
+    zcol = (v - F.col("mean")) / F.col("std")
+    return (
+        df.join(F.broadcast(stats), channel)
+        .withColumn("z", zcol)
+        .filter(F.abs(F.col("z")) > F.lit(z))
+        .select(
+            tie,
+            channel,
+            epoch_us(ts).alias("ts_us"),
+            value,
+            "mean",
+            "std",
+            "z",
+        )
+        .orderBy(tie)
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    start: str,
+    end: str,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Carry-forward time-weighted average per channel over [start, end).
+
+    Each sample holds its value until the next sample; segments are
+    clipped to the query range, so a sample before ``start`` whose
+    successor lies inside the range contributes its pro-rata tail —
+    the reference's interval interpolation generalized from totals
+    (code/etsdQuery.c:254,279) to averages.
+
+    Weights are integer microsecond durations; value×duration products
+    stay in exact DECIMAL, so the aggregation is order-independent.
+    Window parallelism is channel-bounded (see module doc).
+    """
+    t0, t1 = _ts_us(start), _ts_us(end)
+    w = Window.partitionBy(channel).orderBy("us", tie)
+    seg = (
+        df.select(
+            F.col(channel),
+            epoch_us(ts).alias("us"),
+            F.col(value),
+            F.col(tie),
+        )
+        .filter(F.col("us") < t1)
+        .withColumn("nxt", F.coalesce(F.lead("us").over(w), t1))
+        .withColumn("seg_start", F.greatest(F.col("us"), t0))
+        .withColumn("seg_end", F.least(F.col("nxt"), t1))
+        .withColumn("dur_us", F.col("seg_end") - F.col("seg_start"))
+        .filter(F.col("dur_us") > 0)
+    )
+    contrib = F.col(value).cast(DEC) * F.col("dur_us").cast(DEC_W)
+    return (
+        seg.groupBy(channel)
+        .agg(
+            (
+                F.sum(contrib).cast("double")
+                / F.sum("dur_us").cast("double")
+            ).alias("twa"),
+            F.sum("dur_us").cast("bigint").alias("covered_us"),
+        )
+        .orderBy(channel)
+    )
+
+
+def ewma_truncated(
+    df: DataFrame,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+    k: int = EWMA_K,
+) -> DataFrame:
+    """Per-channel EWMA with alpha=1/2 truncated to the last ``k``
+    samples: ewma_t = Σ_{j=0..k-1} 2^(k-1-j)·x_{t-j} / Σ 2^(k-1-j).
+
+    alpha=1/2 makes every weight an exact power of two and the
+    truncation error 2^-k; numerator terms are DECIMAL×integer-weight
+    products (exact, associative), so any summation order — Spark's
+    partial aggregation or a sequential oracle — yields the identical
+    double.  One window with ``k`` lag expressions, evaluated in a
+    single pass; channel-bounded parallelism (see module doc).
+    """
+    w = Window.partitionBy(channel).orderBy("us", tie)
+    rows = df.select(
+        F.col(tie), F.col(channel), epoch_us(ts).alias("us"), F.col(value)
+    )
+    num = F.lit(0).cast(DEC)
+    den = F.lit(0).cast("bigint")
+    for lag in range(k):
+        weight = 1 << (k - 1 - lag)
+        x = F.lag(value, lag).over(w) if lag else F.col(value)
+        num = num + F.coalesce(
+            x.cast(DEC) * F.lit(weight).cast(DEC_W), F.lit(0).cast(DEC)
+        )
+        den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return (
+        rows.withColumn(
+            "ewma", num.cast("double") / den.cast("double")
+        )
+        .select(tie, channel, "us", value, "ewma")
+        .orderBy(tie)
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    start: str,
+    end: str,
+    width_s: int = 3600,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Resample each channel onto a regular [start, end] grid with
+    linear interpolation between the nearest samples (nearest-value at
+    the edges) — gap-fill for ML feature matrices and dashboards.
+
+    Union-tag design (same as operators/asof.py): grid points and data
+    rows are unioned, then one ascending and one descending
+    carry-forward window pick the surrounding samples — no range join,
+    no per-grid-point scan.  The carried prev/next are single STRUCT
+    columns so the timestamp and value always come from the same
+    sample row.  Parallelism is channel-bounded (see module doc).
+    """
+    t0, t1 = _ts_us(start), _ts_us(end)
+    step_us = width_s * 1_000_000
+    grid = (
+        df.select(channel)
+        .distinct()
+        .select(
+            F.col(channel),
+            F.explode(
+                F.sequence(t0, t1, F.lit(step_us).cast("bigint"))
+            ).alias("us"),
+            F.lit(None).cast("double").alias(value),
+            F.lit(1).alias("is_grid"),
+            F.lit(0).cast("bigint").alias("t"),
+        )
+    )
+    data = df.select(
+        F.col(channel),
+        epoch_us(ts).alias("us"),
+        F.col(value),
+        F.lit(0).alias("is_grid"),
+        F.col(tie).cast("bigint").alias("t"),
+    )
+    u = data.unionByName(grid)
+    sample = F.when(
+        F.col("is_grid") == 0,
+        F.struct(F.col("us").alias("u"), F.col(value).alias("v")),
+    )
+    # Tie order: among data rows sharing a timestamp, "prev" is the
+    # largest tie ≤ grid and "next" the smallest tie ≥ grid — both
+    # deterministic.  is_grid separates grid rows, so the tie column
+    # never compares NULL-vs-value across engines.
+    w_asc = (
+        Window.partitionBy(channel)
+        .orderBy("us", "is_grid", "t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_desc = (
+        Window.partitionBy(channel)
+        .orderBy(F.col("us").desc(), F.col("is_grid"), F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("prev", F.last(sample, ignorenulls=True).over(w_asc))
+    u = u.withColumn("nxt", F.last(sample, ignorenulls=True).over(w_desc))
+    p_u, p_v = F.col("prev.u"), F.col("prev.v")
+    n_u, n_v = F.col("nxt.u"), F.col("nxt.v")
+    interp = (
+        F.when(F.col("prev").isNull(), n_v)
+        .when(F.col("nxt").isNull(), p_v)
+        .when(n_u == p_u, p_v)
+        .otherwise(
+            p_v
+            + (n_v - p_v)
+            * ((F.col("us") - p_u).cast("double") / (n_u - p_u).cast("double"))
+        )
+    )
+    return (
+        u.filter(F.col("is_grid") == 1)
+        .select(
+            F.col(channel),
+            F.col("us").alias("grid_us"),
+            interp.alias("value_interp"),
+        )
+        .orderBy(channel, "grid_us")
+    )

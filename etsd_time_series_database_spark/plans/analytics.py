@@ -1,0 +1,262 @@
+"""Derived-series analytics catalog queries Q35–Q40: OHLC bars,
+histograms, anomaly detection, time-weighted averages, EWMA smoothing
+and grid resampling over the ``events`` store.
+
+These extend the reference's consolidation verbs (RRA downsampling,
+reference code/plugins/edoRRD.c:44-74; interval interpolation,
+code/etsdQuery.c:254,279) with the derived time-series a
+monitoring/feature pipeline materializes from the same data.
+"""
+
+from __future__ import annotations
+
+from etsd_time_series_database_spark.operators.trends import (
+    EWMA_K,
+    ewma_truncated,
+    ohlc,
+    resample_interpolate,
+    time_weighted_avg,
+    value_histogram,
+    zscore_anomalies,
+)
+from etsd_time_series_database_spark.plans.registry import register
+from etsd_time_series_database_spark.sources.store import load_table
+
+T0 = "2024-01-05 00:00:00"
+T1 = "2024-01-20 00:00:00"
+OHLC_W = 3600
+HIST_BIN = 25.0
+Z_THRESH = 2.5
+GRID_W = 3600
+# Interpolation context: samples this far outside [T0, T1] can still be
+# the nearest neighbor of an edge grid point.  Bounding the context lets
+# the ts predicate push into the Parquet scan (block skip) instead of
+# reading the whole store; with samples seconds-to-minutes apart, days
+# of margin are far more than enough.
+GRID_MARGIN_LO = "2024-01-03 00:00:00"
+GRID_MARGIN_HI = "2024-01-22 00:00:00"
+
+_US = "epoch_us(ts)"
+
+
+def _events(spark, sf_dir, ts_range=None):
+    return load_table(spark, sf_dir, "events", ts_range=ts_range)
+
+
+@register(
+    "q35_ohlc_bars",
+    "consolidation",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {OHLC_W * 1_000_000}) * {OHLC_W} AS bucket_s,
+             epoch_us(ts) AS us, event_id, value
+      FROM events
+      WHERE ts >= TIMESTAMP '{T0}' AND ts <= TIMESTAMP '{T1}'
+    ),
+    w AS (
+      SELECT event_type, bucket_s, value,
+             first_value(value) OVER (PARTITION BY event_type, bucket_s
+                                      ORDER BY us, event_id) AS ov,
+             first_value(value) OVER (PARTITION BY event_type, bucket_s
+                                      ORDER BY us DESC, event_id DESC) AS cv
+      FROM b
+    )
+    SELECT event_type, bucket_s,
+           min(ov) AS open_value, max(value) AS high_value,
+           min(value) AS low_value, min(cv) AS close_value,
+           CAST(count(*) AS BIGINT) AS n_samples
+    FROM w GROUP BY event_type, bucket_s
+    ORDER BY event_type, bucket_s
+    """,
+    doc="OHLC consolidation bars per (channel, hour) — min/max(struct) "
+    "hash-agg, no window sort (reference RRA consolidation widened to "
+    "four functions, code/plugins/edoRRD.c:44-74).",
+    headline=True,
+)
+def q35(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir, (T0, T1)).filter(
+        (F.col("ts") >= F.lit(T0).cast("timestamp"))
+        & (F.col("ts") <= F.lit(T1).cast("timestamp"))
+    )
+    return ohlc(e, OHLC_W)
+
+
+@register(
+    "q36_value_histogram",
+    "consolidation",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value / {HIST_BIN}) AS BIGINT) AS bin_idx
+      FROM events
+    )
+    SELECT event_type, bin_idx, bin_idx * CAST({HIST_BIN} AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bin_idx
+    ORDER BY event_type, bin_idx
+    """,
+    doc="Fixed-width per-channel value histogram; single hash-agg "
+    "shuffle keyed by (channel, bin).",
+)
+def q36(spark, sf_dir):
+    return value_histogram(_events(spark, sf_dir), HIST_BIN)
+
+
+@register(
+    "q37_zscore_anomalies",
+    "anomaly",
+    f"""
+    WITH st AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS ss,
+             count(value) AS n
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, s / n AS mean,
+             sqrt(ss / n - (s / n) * (s / n)) AS std
+      FROM st
+    )
+    SELECT e.event_id, e.event_type, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           e.value, m.mean, m.std, (e.value - m.mean) / m.std AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs((e.value - m.mean) / m.std) > {Z_THRESH}
+    ORDER BY e.event_id LIMIT 10000
+    """,
+    doc="Per-channel z-score outliers: moment agg (exact decimal sums) "
+    "broadcast back over the stream side — two scans, zero windows.",
+)
+def q37(spark, sf_dir):
+    return zscore_anomalies(_events(spark, sf_dir), Z_THRESH).limit(10000)
+
+
+@register(
+    "q38_time_weighted_avg",
+    "aggregate",
+    f"""
+    WITH seg AS (
+      SELECT event_type, epoch_us(ts) AS us, value, event_id,
+             coalesce(lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                               ORDER BY epoch_us(ts), event_id),
+                      epoch_us(TIMESTAMP '{T1}')) AS nxt
+      FROM events
+      WHERE epoch_us(ts) < epoch_us(TIMESTAMP '{T1}')
+    ),
+    c AS (
+      SELECT event_type, value,
+             least(nxt, epoch_us(TIMESTAMP '{T1}'))
+               - greatest(us, epoch_us(TIMESTAMP '{T0}')) AS dur_us
+      FROM seg
+      WHERE least(nxt, epoch_us(TIMESTAMP '{T1}'))
+              - greatest(us, epoch_us(TIMESTAMP '{T0}')) > 0
+    )
+    SELECT event_type,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(24,6))
+                    * CAST(dur_us AS DECIMAL(14,0)))
+                AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE) AS twa,
+           CAST(sum(dur_us) AS BIGINT) AS covered_us
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Carry-forward time-weighted average over [T0, T1): boundary "
+    "pro-rata like the reference's interval interpolation "
+    "(code/etsdQuery.c:254,279) generalized to averages; exact "
+    "decimal value x duration products.",
+)
+def q38(spark, sf_dir):
+    return time_weighted_avg(_events(spark, sf_dir), T0, T1)
+
+
+def _ewma_sql(k: int = EWMA_K) -> str:
+    num, den = [], []
+    for lag in range(k):
+        w = 1 << (k - 1 - lag)
+        x = "value" if lag == 0 else f"lag(value, {lag}) OVER w"
+        num.append(
+            f"coalesce(CAST({x} AS DECIMAL(18,6)) * CAST({w} AS DECIMAL(14,0)),"
+            f" CAST(0 AS DECIMAL(18,6)))"
+        )
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0 END")
+    return f"""
+    SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, value,
+           CAST({" + ".join(num)} AS DOUBLE)
+             / CAST({" + ".join(den)} AS DOUBLE) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+    ORDER BY event_id LIMIT 10000
+    """
+
+
+@register(
+    "q39_ewma_smooth",
+    "smoothing",
+    _ewma_sql(),
+    doc="Truncated EWMA (alpha=1/2, last 16 samples): power-of-two "
+    "integer weights keep every term exact decimal, so partial "
+    "aggregation order cannot change the result.",
+)
+def q39(spark, sf_dir):
+    return ewma_truncated(_events(spark, sf_dir)).limit(10000)
+
+
+@register(
+    "q40_resample_interpolate",
+    "resample",
+    f"""
+    WITH chans AS (SELECT DISTINCT event_type FROM events
+                   WHERE ts >= TIMESTAMP '{GRID_MARGIN_LO}'
+                     AND ts <= TIMESTAMP '{GRID_MARGIN_HI}'),
+    grid AS (
+      SELECT c.event_type, g.g AS us, CAST(NULL AS DOUBLE) AS value,
+             1 AS is_grid, CAST(0 AS BIGINT) AS t
+      FROM chans c,
+           generate_series(epoch_us(TIMESTAMP '{T0}'),
+                           epoch_us(TIMESTAMP '{T1}'),
+                           {GRID_W * 1_000_000}) AS g(g)
+    ),
+    data AS (
+      SELECT event_type, epoch_us(ts) AS us, value, 0 AS is_grid,
+             CAST(event_id AS BIGINT) AS t
+      FROM events
+      WHERE ts >= TIMESTAMP '{GRID_MARGIN_LO}'
+        AND ts <= TIMESTAMP '{GRID_MARGIN_HI}'
+    ),
+    u AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
+    c AS (
+      SELECT *,
+        last_value(CASE WHEN is_grid = 0 THEN {{'u': us, 'v': value}} END
+                   IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY us, is_grid, t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        last_value(CASE WHEN is_grid = 0 THEN {{'u': us, 'v': value}} END
+                   IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY us DESC, is_grid, t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+      FROM u
+    )
+    SELECT event_type, us AS grid_us,
+           CASE WHEN prev IS NULL THEN nxt.v
+                WHEN nxt IS NULL THEN prev.v
+                WHEN nxt.u = prev.u THEN prev.v
+                ELSE prev.v + (nxt.v - prev.v)
+                     * (CAST(us - prev.u AS DOUBLE)
+                        / CAST(nxt.u - prev.u AS DOUBLE))
+           END AS value_interp
+    FROM c WHERE is_grid = 1 ORDER BY event_type, grid_us
+    """,
+    doc="Regular-grid resample with linear interpolation (gap-fill): "
+    "union-tag + two carry windows (operators/asof.py design) — no "
+    "range join, one shuffle per direction.",
+    headline=True,
+)
+def q40(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir, (GRID_MARGIN_LO, GRID_MARGIN_HI)).filter(
+        (F.col("ts") >= F.lit(GRID_MARGIN_LO).cast("timestamp"))
+        & (F.col("ts") <= F.lit(GRID_MARGIN_HI).cast("timestamp"))
+    )
+    return resample_interpolate(e, T0, T1, GRID_W)

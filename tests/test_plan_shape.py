@@ -129,3 +129,32 @@ def test_lint_clean_for_all_headline_queries(spark):
             and not (name == "p05_ann_cosine_topk" and "NestedLoop" in w)
         ]
         assert warnings == [], f"{name}: {warnings}"
+
+
+def test_ohlc_is_hash_agg_no_sort_aggregate(spark):
+    """OHLC must stay a map-side-combinable HashAggregate: the packed
+    min_by/max_by ordering exists precisely to avoid the SortAggregate
+    fallback a min(struct) formulation triggers."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    df = catalog()["q35_ohlc_bars"].build(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "HashAggregate" in plan and "partial_" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+
+
+def test_zscore_broadcasts_stats(spark):
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q37_zscore_anomalies"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_resample_has_no_cartesian_or_range_join(spark):
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q40_resample_interpolate"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,126 @@
+"""Hand-computed semantics tests for operators/trends.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from etsd_time_series_database_spark.operators.trends import (
+    ewma_truncated,
+    ohlc,
+    resample_interpolate,
+    time_weighted_avg,
+    value_histogram,
+    zscore_anomalies,
+)
+
+UTC = dt.timezone.utc
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, event_type=c, ts=t, value=float(v)) for i, c, t, v in rows]
+    )
+
+
+def test_ohlc_open_close_ties(spark):
+    df = _events(
+        spark,
+        [
+            (1, "a", _t(0), 10.0),
+            (2, "a", _t(5), 99.0),
+            (3, "a", _t(59), 7.0),
+            # same ts as event 3: higher event_id wins "close"
+            (4, "a", _t(59), 8.0),
+            (5, "b", dt.datetime(2024, 1, 1, 1, 1), 1.0),
+        ],
+    )
+    out = {r["event_type"]: r for r in ohlc(df, 3600).collect()}
+    a = out["a"]
+    assert (a["open_value"], a["high_value"], a["low_value"], a["close_value"]) == (
+        10.0,
+        99.0,
+        7.0,
+        8.0,
+    )
+    assert a["n_samples"] == 4
+    assert out["b"]["open_value"] == out["b"]["close_value"] == 1.0
+
+
+def test_value_histogram_bins_negative(spark):
+    df = _events(
+        spark,
+        [(1, "a", _t(0), -0.5), (2, "a", _t(1), 0.0), (3, "a", _t(2), 24.9),
+         (4, "a", _t(3), 25.0)],
+    )
+    out = {r["bin_idx"]: r for r in value_histogram(df, 25.0).collect()}
+    assert out[-1]["n"] == 1 and out[-1]["bin_lo"] == -25.0
+    assert out[0]["n"] == 2
+    assert out[1]["n"] == 1 and out[1]["bin_lo"] == 25.0
+
+
+def test_zscore_flags_only_outlier(spark):
+    rows = [(i, "a", _t(i), 10.0 + (i % 2)) for i in range(20)]
+    rows.append((99, "a", _t(30), 1000.0))
+    out = zscore_anomalies(_events(spark, rows), 3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 3
+
+
+def test_time_weighted_avg_carry_and_clip(spark):
+    # channel a: v=10 for first 30 min, v=20 for the next 30.
+    df = _events(spark, [(1, "a", _t(0), 10.0), (2, "a", _t(30), 20.0)])
+    out = time_weighted_avg(
+        df, "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["twa"] == pytest.approx(15.0)
+    assert out[0]["covered_us"] == 3600 * 1_000_000
+    # clip: sample before the range carries into it pro-rata
+    out2 = time_weighted_avg(
+        df, "2024-01-01 00:15:00", "2024-01-01 00:45:00"
+    ).collect()
+    # 15 min of 10 + 15 min of 20
+    assert out2[0]["twa"] == pytest.approx(15.0)
+    assert out2[0]["covered_us"] == 1800 * 1_000_000
+
+
+def test_ewma_truncated_weights(spark):
+    df = _events(spark, [(1, "a", _t(0), 3.0), (2, "a", _t(1), 9.0)])
+    out = {r["event_id"]: r["ewma"] for r in ewma_truncated(df).collect()}
+    assert out[1] == pytest.approx(3.0)
+    # (9*2^15 + 3*2^14) / (2^15 + 2^14) = (2*9 + 3) / 3 = 7
+    assert out[2] == pytest.approx(7.0)
+
+
+def test_resample_interpolate_midpoint_and_edges(spark):
+    df = _events(spark, [(1, "a", _t(0, 30), 10.0), (2, "a", _t(3, 30), 40.0)])
+    out = resample_interpolate(
+        df, "2024-01-01 00:00:00", "2024-01-01 00:04:00", 60
+    ).collect()
+    vals = {r["grid_us"]: r["value_interp"] for r in out}
+    base = int(dt.datetime(2024, 1, 1, tzinfo=UTC).timestamp() * 1e6)
+    m = 60 * 1_000_000
+    assert vals[base] == 10.0  # before first sample -> nearest
+    assert vals[base + m] == pytest.approx(15.0)  # 00:01 between 00:00:30/00:03:30
+    assert vals[base + 2 * m] == pytest.approx(25.0)
+    assert vals[base + 3 * m] == pytest.approx(35.0)
+    assert vals[base + 4 * m] == pytest.approx(40.0)  # after last -> nearest
+
+
+def test_resample_exact_grid_hit(spark):
+    df = _events(
+        spark,
+        [(1, "a", _t(1), 5.0), (2, "a", _t(1), 6.0), (3, "a", _t(2), 7.0)],
+    )
+    out = resample_interpolate(
+        df, "2024-01-01 00:01:00", "2024-01-01 00:01:00", 60
+    ).collect()
+    # grid point coincides with two samples: deterministic tie -> max event_id
+    assert len(out) == 1 and out[0]["value_interp"] == 6.0
