@@ -297,3 +297,45 @@ def simhash(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame
         )
         sig = term if sig is None else (sig + term)
     return votes.select(key, sig.alias("simhash")).orderBy(key)
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    hash_mode: str = "hash64",
+    text: str = "text",
+    key: str = "doc_id",
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Train/test contamination detection: (train doc, test doc) pairs
+    sharing at least ``min_overlap`` distinct word n-gram shingles —
+    the decontamination pass an eval-aware training pipeline runs
+    before every training job.
+
+    Shape: shingle both corpora, equi-join on the shingle id, count
+    shared shingles per pair.  The eval/test side is tiny relative to
+    a 100 TB train corpus, so with ``broadcast_test`` its shingles
+    broadcast and the train side never shuffles — the whole pass is
+    one scan over train.  hash_mode 'hash64' (xxhash64) is the scale
+    path; 'raw' joins on the shingle string itself for cross-engine
+    oracle parity.
+    """
+    tr = doc_shingles(train, text, key, n).withColumnRenamed(key, "train_id")
+    te = doc_shingles(test, text, key, n).withColumnRenamed(key, "test_id")
+    if hash_mode != "raw":
+        tr = _shingle_ids(tr, hash_mode).drop("shingle")
+        te = _shingle_ids(te, hash_mode).drop("shingle")
+        join_col = "sid"
+    else:
+        join_col = "shingle"
+    if broadcast_test:
+        te = F.broadcast(te)
+    return (
+        tr.join(te, join_col)
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+        .orderBy("train_id", "test_id")
+    )

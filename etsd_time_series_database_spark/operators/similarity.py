@@ -24,7 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etsd_time_series_database_spark.functions.exprs import cosine_similarity
+from etsd_time_series_database_spark.functions.exprs import (
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def cosine_topk(
@@ -284,3 +287,38 @@ def kmeans_refine(
             .localCheckpoint()
         )
     return cents
+
+
+def normalize_quantize(
+    df: DataFrame, vec: str = "embedding", key: str = "vec_id"
+) -> DataFrame:
+    """L2-normalize embeddings and scalar-quantize to int8 range:
+    q_i = floor(x_i / ||x|| * 127 + 0.5) ∈ [-127, 127] — the
+    preprocessing ANN indexes (IVF-SQ8 style) apply before storage,
+    cutting vector bytes 4x vs float32.
+
+    Pure per-row JVM lambdas (transform/aggregate): zero shuffle,
+    scan-speed.  floor(x + 0.5) is used instead of round() because
+    round's half-way rule differs across engines while floor does not;
+    the norm folds sequentially (F.aggregate == DuckDB list_reduce) so
+    every engine quantizes identically.
+    """
+    v = F.col(vec)
+    norm = l2_norm(v)
+    q = F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") / F.col("__norm") * 127.0 + 0.5).cast(
+            "int"
+        ),
+    )
+    return (
+        df.withColumn("__norm", norm)
+        .select(
+            key,
+            F.col("__norm").alias("norm"),
+            F.when(F.col("__norm") > 0, q).otherwise(
+                F.transform(v, lambda x: F.lit(0).cast("int"))
+            ).alias("q8"),
+        )
+        .orderBy(key)
+    )

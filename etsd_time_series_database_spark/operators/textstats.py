@@ -137,3 +137,58 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     ).orderBy(key, "chunk_idx")
+
+
+# PII patterns restricted to the syntax subset Java regex (Spark) and
+# RE2 (DuckDB/Go) interpret identically: explicit classes, {m,n}
+# repetition, \b word boundaries — no lookarounds, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^ ]+"
+PII_ID_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_scrub(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Redact emails, URLs and SSN-style ids from a corpus, reporting
+    per-document redaction counts and a fingerprint of the scrubbed
+    text (the dedup key AFTER scrubbing, so near-identical documents
+    differing only in contact details collapse).
+
+    Pure JVM regexp expressions — zero shuffle, scan-speed at 100 TB.
+    Replacement order (email, URL, id) is fixed so every engine
+    produces the identical scrubbed string.
+    """
+    t = F.col(text)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_URL_RE, "<URL>"
+        ),
+        PII_ID_RE,
+        "<ID>",
+    )
+    return df.select(
+        key,
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_ID_RE)).alias("n_ids"),
+        poly_fingerprint(scrubbed).alias("clean_fp"),
+    ).orderBy(key)
+
+
+def corpus_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-source corpus profile: document count, distinct languages,
+    token and character totals — the summary a pipeline operator reads
+    before choosing sampling weights.  One hash-agg shuffle keyed by
+    source; exact integer/decimal sums (order-independent)."""
+    from etsd_time_series_database_spark.functions.exprs import davg
+
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.size(_tokens(text))).cast("bigint").alias("total_tokens"),
+            davg(F.length(F.col(text)).cast("double"), "avg_chars"),
+            F.max(F.length(text)).cast("bigint").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

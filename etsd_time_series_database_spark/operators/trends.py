@@ -214,9 +214,13 @@ def time_weighted_avg(
     return (
         seg.groupBy(channel)
         .agg(
-            (
+            # The decimal sum is exact but ~20 significant digits; its
+            # decimal->double conversion differs by 1 ulp across engines,
+            # so the quotient is pinned at 6 decimals (round6 convention).
+            F.round(
                 F.sum(contrib).cast("double")
-                / F.sum("dur_us").cast("double")
+                / F.sum("dur_us").cast("double"),
+                6,
             ).alias("twa"),
             F.sum("dur_us").cast("bigint").alias("covered_us"),
         )

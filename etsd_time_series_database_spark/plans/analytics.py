@@ -155,9 +155,9 @@ def q37(spark, sf_dir):
               - greatest(us, epoch_us(TIMESTAMP '{T0}')) > 0
     )
     SELECT event_type,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(24,6))
+           round(CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(24,6))
                     * CAST(dur_us AS DECIMAL(14,0)))
-                AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE) AS twa,
+                AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE), 6) AS twa,
            CAST(sum(dur_us) AS BIGINT) AS covered_us
     FROM c GROUP BY event_type ORDER BY event_type
     """,

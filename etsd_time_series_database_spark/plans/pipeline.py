@@ -21,6 +21,7 @@ from etsd_time_series_database_spark.operators.dedup import (
     MINHASH_P,
     MINHASH_PARAMS,
     SIMHASH_BITS,
+    decontaminate,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -34,12 +35,18 @@ from etsd_time_series_database_spark.operators.similarity import (
     cosine_pairs_bucketed,
     cosine_topk,
     ivf_topk,
+    normalize_quantize,
 )
 from etsd_time_series_database_spark.operators.textstats import (
+    PII_EMAIL_RE,
+    PII_ID_RE,
+    PII_URL_RE,
     STOPWORDS,
     TOKEN_RE,
+    corpus_stats,
     fingerprint,
     language_id,
+    pii_scrub,
     quality_score,
     token_counts,
 )
@@ -540,3 +547,125 @@ def p16(spark, sf_dir):
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------- contamination / scrub / SQ8
+
+TEST_SOURCES = ("src0", "src1")
+DECON_N = 5
+
+
+def _duck_shingles(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+@register(
+    "p17_decontaminate",
+    "contamination",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source, shingle
+      FROM (SELECT doc_id, source, unnest({_duck_shingles(DECON_N)}) AS shingle
+            FROM tok)
+    ),
+    te AS (SELECT doc_id AS test_id, shingle FROM sh
+           WHERE source IN {TEST_SOURCES}),
+    tr AS (SELECT doc_id AS train_id, shingle FROM sh
+           WHERE source NOT IN {TEST_SOURCES})
+    SELECT train_id, test_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN te USING (shingle)
+    GROUP BY train_id, test_id
+    HAVING count(*) >= 1
+    ORDER BY train_id, test_id
+    """,
+    doc="Train/test contamination: shared 5-gram shingles between the "
+    "held-out sources and the training corpus; the test side "
+    "broadcasts, so the train corpus never shuffles.",
+)
+def p17(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source").isin(*TEST_SOURCES))
+    train = docs.filter(~F.col("source").isin(*TEST_SOURCES))
+    return decontaminate(train, test, n=DECON_N, min_overlap=1, hash_mode="raw")
+
+
+_DUCK_SCRUB = (
+    f"regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{PII_URL_RE}', '<URL>', 'g'), "
+    f"'{PII_ID_RE}', '<ID>', 'g')"
+)
+
+
+@register(
+    "p18_pii_scrub",
+    "scrub",
+    f"""
+    WITH s AS (SELECT doc_id, text, {_DUCK_SCRUB} AS sc FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_URL_RE}')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{PII_ID_RE}')) AS INT) AS n_ids,
+           {_DUCK_POLY_FP.format(col="sc")} AS clean_fp
+    FROM s ORDER BY doc_id
+    """,
+    doc="PII redaction (emails/URLs/SSN-style ids) with per-doc counts "
+    "and a post-scrub dedup fingerprint; pure JVM regexp — zero "
+    "shuffle.",
+)
+def p18(spark, sf_dir):
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p19_normalize_quantize",
+    "similarity",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS norm
+      FROM embeddings
+    )
+    SELECT vec_id, norm,
+           CASE WHEN norm > 0 THEN
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127.0 + 0.5) AS INT))
+           ELSE list_transform(embedding, x -> 0) END AS q8
+    FROM n ORDER BY vec_id
+    """,
+    doc="SQ8 vector preprocessing: L2-normalize + int8 scalar "
+    "quantization (IVF-SQ8 style, 4x byte reduction); floor(x+0.5) "
+    "rounding is engine-portable where round() is not.",
+)
+def p19(spark, sf_dir):
+    return normalize_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "p20_corpus_stats",
+    "profile",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(CAST(length(text) AS DOUBLE) AS DECIMAL(18,6)))
+                AS DOUBLE) / count(length(text)) AS avg_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Per-source corpus profile (doc/lang/token/char totals) — the "
+    "summary read before choosing sampling weights; one hash-agg.",
+)
+def p20(spark, sf_dir):
+    return corpus_stats(load_table(spark, sf_dir, "documents"))
