@@ -1,0 +1,135 @@
+"""Deterministic sampling and sharding for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines subsample,
+stratify per source, and split into balanced shards for data-parallel
+loaders. All three operators here are *deterministic* — membership is
+a pure function of the row key, so re-running the pipeline (or
+resuming a failed job) selects the identical subset. That property is
+what `df.sample()` (seeded per-partition RNG, partition-layout
+dependent) cannot give you, and why real pipelines sample by hash.
+
+Scale shapes:
+  * `hash_sample` is a pure scan-side filter — zero shuffle, and the
+    predicate is cheap integer arithmetic inside whole-stage codegen;
+  * `stratified_sample` shuffles once on the stratum key; per-stratum
+    caps use rank-by-hash, so the kept subset is again layout-free;
+  * `shard_assign` is zero-shuffle for assignment, one hash-agg for
+    the balance report.
+
+Portability: the row hash is a splitmix-style LCG step in exact
+BIGINT modular arithmetic (no 64-bit overflow for keys < 2^43), so
+Spark and any ANSI oracle compute identical membership. The engine
+builtin (xxhash64) is the preferred mixer at scale when cross-engine
+verification isn't needed; both are exposed via ``hash_mode``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# LCG multiplier/increment (glibc rand constants) over modulus 2^31;
+# exact in BIGINT for any key < 2^43, and expressible in ANSI SQL.
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2_147_483_648
+
+
+def key_hash(key: Column | str, hash_mode: str = "lcg") -> Column:
+    """Deterministic per-row hash of an integer key column.
+
+    'lcg' (portable, oracle-checkable): (a*key + c) mod 2^31.
+    'xxhash64' (scale path): engine-native avalanche mixer, strictly
+    better dispersion but engine-specific.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    if hash_mode == "xxhash64":
+        return F.xxhash64(c)
+    return (c.cast("bigint") * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(LCG_M)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate_permille: int,
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Keep rows whose key-hash falls in the lowest ``rate_permille``
+    thousandths of hash space — a deterministic ~rate_permille/1000
+    sample, stable across runs, partitionings, and engines.
+
+    Zero shuffle: the membership predicate evaluates inside the scan
+    stage, so at 100 TB this costs one pass and prunes everything
+    downstream (the reference has no sampling; this is part of the
+    pipeline extension surface).
+    """
+    h = key_hash(key, hash_mode)
+    return df.filter((h % F.lit(1000)) < F.lit(rate_permille))
+
+
+def stratified_sample(
+    df: DataFrame,
+    cap_per_stratum: int,
+    stratum: str = "source",
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Per-stratum cap: keep the ``cap_per_stratum`` rows with the
+    smallest key-hash in each stratum (rendezvous/priority sampling).
+    Deterministic and engine-portable; ties broken by the key itself.
+
+    One shuffle keyed by the stratum column. Stratum counts are
+    typically modest (sources, languages); if one stratum dominates,
+    AQE's skew handling splits it, and the rank window only ever
+    materializes ``cap`` rows per task after the partial top-k.
+    """
+    h = key_hash(key, hash_mode)
+    w = Window.partitionBy(stratum).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.lit(cap_per_stratum))
+        .drop("__rk")
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Assign each row a shard id = key_hash mod ``n_shards`` — the
+    deterministic split a data-parallel training loader consumes.
+    Pure projection (zero shuffle); writers then
+    ``partitionBy("shard")`` to lay the corpus out shard-per-directory.
+    """
+    return df.withColumn(
+        "shard", (key_hash(key, hash_mode) % F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_balance(
+    df: DataFrame,
+    n_shards: int,
+    key: str = "doc_id",
+    text: str = "text",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Shard-level balance report: per shard, row count and total
+    text bytes — the check a pipeline runs before declaring a split
+    usable (loader throughput is gated by the largest shard).
+    One map-side-combinable hash-agg on the shard id.
+    """
+    toks = F.filter(F.split(F.col(text), " "), lambda x: x != "")
+    return (
+        shard_assign(df, n_shards, key, hash_mode)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text)).cast("bigint").alias("total_chars"),
+            F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+        )
+        .orderBy("shard")
+    )

@@ -192,3 +192,82 @@ def corpus_stats(df: DataFrame, text: str = "text") -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_topk(
+    df: DataFrame, k: int = 50, text: str = "text", min_len: int = 1
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent tokens with
+    document frequency alongside term frequency — the vocabulary /
+    stopword induction step of a tokenizer-training pipeline.
+
+    Shape at 100 TB: explode -> hash-agg. The aggregation is map-side
+    combinable (token cardinality << row count after combine), and the
+    final top-k is a TakeOrderedAndProject — no global sort ever
+    materializes. Ties break lexicographically so the result is total.
+    """
+    # (token, doc) pairs via per-document distinct tokens: array_distinct
+    # before explode keeps doc-frequency exact without a second shuffle.
+    per_doc = df.select(F.array_distinct(_tokens(text)).alias("__toks"))
+    dfreq = (
+        per_doc.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    tfreq = (
+        df.select(F.explode(_tokens(text)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    return (
+        tfreq.join(dfreq, "token")
+        .filter(F.length("token") >= F.lit(min_len))
+        .orderBy(F.col("term_freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df: int = 2,
+    max_df: int = 50,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """Postings lists for mid-frequency terms: term -> sorted array
+    of containing doc ids, restricted to terms whose document
+    frequency lies in [min_df, max_df] (high-df terms are stopwords,
+    df=1 terms retrieve nothing). ``n`` > 1 indexes word n-gram
+    phrases instead of single tokens — the phrase-index form a
+    retrieval pipeline actually queries.
+
+    This is the retrieval-index build a RAG-style pipeline runs over a
+    corpus. One shuffle keyed by term; posting arrays are bounded by
+    max_df so no single group can blow an executor, which is the
+    property that makes the plan safe at 100 TB (unbounded postings
+    for stopwords are exactly what the df ceiling removes).
+    """
+    if n > 1:
+        from etsd_time_series_database_spark.operators.dedup import shingle_expr
+
+        toks = df.select(F.col(key), _tokens(text).alias("__toks"))
+        pairs = toks.select(
+            F.col(key),
+            F.explode(F.array_distinct(shingle_expr("__toks", n))).alias("token"),
+        )
+    else:
+        pairs = df.select(
+            F.col(key), F.explode(F.array_distinct(_tokens(text))).alias("token")
+        )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list(key)).alias("postings"),
+        )
+        .filter(
+            (F.col("doc_freq") >= F.lit(min_df)) & (F.col("doc_freq") <= F.lit(max_df))
+        )
+        .orderBy("token")
+    )

@@ -353,3 +353,67 @@ def resample_interpolate(
         )
         .orderBy(channel, "grid_us")
     )
+
+
+def channel_correlation(
+    df: DataFrame,
+    width_s: int = 3600,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Pairwise Pearson correlation between channels, computed over
+    their per-bucket mean series aligned on a common time grid — the
+    cross-series dependence matrix a monitoring pipeline reads to find
+    sensors that move together (no reference analog; the reference
+    queries one channel at a time, code/etsdQuery.c:218-401).
+
+    Shape: (1) hash-agg to (channel, bucket) means — one shuffle, scales
+    with bucket-grid size, not row count; (2) equi self-join on bucket
+    restricted to a < b pairs — with C channels this is C(C-1)/2 rows
+    per bucket, and C is small (it is a *channel* axis, not a row axis);
+    (3) hash-agg per pair to the five Pearson sums. No window, no sort,
+    no cartesian: the join is keyed on bucket so AQE shards the grid.
+
+    Determinism: bucket means use exact decimal sums; the cross/square
+    sums cast each per-row double product to DECIMAL before summing
+    (order-independent); the final covariance/stddev arithmetic is
+    scalar double math with identical shape on both engines, rounded
+    to 6 places.
+    """
+    b = (
+        df.groupBy(
+            F.col(channel).alias("ch"),
+            bucket_epoch(ts, width_s).alias("bucket"),
+        )
+        .agg(
+            (F.sum(F.col(value).cast(DEC)).cast("double") / F.count(value)).alias("m")
+        )
+    )
+    lhs = b.select(
+        F.col("ch").alias("ch_a"), "bucket", F.col("m").alias("x")
+    )
+    rhs = b.select(
+        F.col("ch").alias("ch_b"), "bucket", F.col("m").alias("y")
+    )
+    pairs = lhs.join(rhs, "bucket").filter(F.col("ch_a") < F.col("ch_b"))
+    agg = pairs.groupBy("ch_a", "ch_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC_SQ)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC_SQ)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC_SQ)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return agg.select(
+        "ch_a",
+        "ch_b",
+        F.col("n").alias("n_buckets"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson"),
+    ).orderBy("ch_a", "ch_b")

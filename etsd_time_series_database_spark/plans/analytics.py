@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from etsd_time_series_database_spark.operators.trends import (
     EWMA_K,
+    channel_correlation,
     ewma_truncated,
     ohlc,
     resample_interpolate,
@@ -260,3 +261,49 @@ def q40(spark, sf_dir):
         & (F.col("ts") <= F.lit(GRID_MARGIN_HI).cast("timestamp"))
     )
     return resample_interpolate(e, T0, T1, GRID_W)
+
+
+CORR_W = 3600
+
+
+@register(
+    "q41_channel_correlation",
+    "analytics",
+    f"""
+    WITH b AS (
+      SELECT event_type AS ch,
+             (epoch_us(ts) // {CORR_W * 1_000_000}) * {CORR_W} AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT l.ch AS ch_a, r.ch AS ch_b, l.m AS x, r.m AS y
+      FROM b l JOIN b r USING (bucket)
+      WHERE l.ch < r.ch
+    ),
+    s AS (
+      SELECT ch_a, ch_b, CAST(count(*) AS BIGINT) AS n_buckets,
+             sum(CAST(x AS DECIMAL(18,6))) AS sx,
+             sum(CAST(y AS DECIMAL(18,6))) AS sy,
+             sum(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(28,6))) AS syy
+      FROM p GROUP BY ch_a, ch_b
+    )
+    SELECT ch_a, ch_b, n_buckets,
+           round((CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS pearson
+    FROM s ORDER BY ch_a, ch_b
+    """,
+    doc="Pairwise Pearson correlation between channels over aligned "
+    "hourly-mean series: hash-agg to the bucket grid, bucket-keyed "
+    "self-join (C^2 per bucket with tiny C), exact decimal Pearson "
+    "sums — no window, no cartesian.",
+)
+def q41(spark, sf_dir):
+    return channel_correlation(_events(spark, sf_dir), CORR_W)

@@ -37,6 +37,11 @@ from etsd_time_series_database_spark.operators.similarity import (
     ivf_topk,
     normalize_quantize,
 )
+from etsd_time_series_database_spark.operators.sampling import (
+    hash_sample,
+    shard_balance,
+    stratified_sample,
+)
 from etsd_time_series_database_spark.operators.textstats import (
     PII_EMAIL_RE,
     PII_ID_RE,
@@ -45,10 +50,12 @@ from etsd_time_series_database_spark.operators.textstats import (
     TOKEN_RE,
     corpus_stats,
     fingerprint,
+    inverted_index,
     language_id,
     pii_scrub,
     quality_score,
     token_counts,
+    token_topk,
 )
 from etsd_time_series_database_spark.plans.registry import register
 from etsd_time_series_database_spark.sources.store import load_table
@@ -669,3 +676,141 @@ def p19(spark, sf_dir):
 )
 def p20(spark, sf_dir):
     return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------- sampling / sharding / indexing
+
+# Portable LCG row hash shared by the sampling oracles (see
+# operators/sampling.py key_hash): exact BIGINT modular arithmetic.
+_DUCK_H = "((doc_id * 1103515245 + 12345) % 2147483648)"
+SAMPLE_PERMILLE = 200
+STRATA_CAP = 10
+N_SHARDS = 16
+
+
+@register(
+    "p21_hash_sample",
+    "sampling",
+    f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE {_DUCK_H} % 1000 < {SAMPLE_PERMILLE}
+    ORDER BY doc_id
+    """,
+    doc="Deterministic ~20% corpus sample by key hash: membership is a "
+    "pure function of doc_id, so re-runs and resumes pick the same "
+    "subset; zero shuffle (scan-side filter).",
+)
+def p21(spark, sf_dir):
+    return (
+        hash_sample(load_table(spark, sf_dir, "documents"), SAMPLE_PERMILLE)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "p22_stratified_sample",
+    "sampling",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_DUCK_H}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= {STRATA_CAP} ORDER BY doc_id
+    """,
+    doc="Per-source cap via rank-by-hash (rendezvous sampling): keeps "
+    "the N smallest-hash docs per stratum, deterministic across runs "
+    "and engines; one shuffle keyed by the stratum.",
+)
+def p22(spark, sf_dir):
+    return (
+        stratified_sample(load_table(spark, sf_dir, "documents"), STRATA_CAP)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "p23_shard_balance",
+    "sampling",
+    f"""
+    WITH s AS (
+      SELECT CAST({_DUCK_H} % {N_SHARDS} AS INT) AS shard, doc_id, text
+      FROM documents
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_key, max(doc_id) AS max_key
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    doc="Balanced shard split for data-parallel loaders: shard = "
+    "key-hash mod N (zero-shuffle assignment) plus the per-shard "
+    "balance report (one map-side-combinable hash-agg).",
+)
+def p23(spark, sf_dir):
+    return shard_balance(load_table(spark, sf_dir, "documents"), N_SHARDS)
+
+
+@register(
+    "p24_token_topk",
+    "vocab",
+    f"""
+    WITH tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS term_freq
+      FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+      GROUP BY token
+    ),
+    dfq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents))
+      GROUP BY token
+    )
+    SELECT token, term_freq, doc_freq
+    FROM tf JOIN dfq USING (token)
+    ORDER BY term_freq DESC, token LIMIT 50
+    """,
+    doc="Corpus heavy hitters (vocabulary induction): top-50 tokens by "
+    "term frequency with document frequency; map-side-combinable "
+    "hash-aggs + TakeOrderedAndProject — no global sort.",
+)
+def p24(spark, sf_dir):
+    return token_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+IDX_N = 2
+IDX_MIN_DF = 2
+IDX_MAX_DF = 150
+
+
+@register(
+    "p25_inverted_index",
+    "retrieval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT doc_id, token FROM
+        (SELECT doc_id, unnest({_duck_shingles(IDX_N)}) AS token FROM tok)
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+           list_sort(list(doc_id)) AS postings
+    FROM pairs GROUP BY token
+    HAVING count(*) BETWEEN {IDX_MIN_DF} AND {IDX_MAX_DF}
+    ORDER BY token
+    """,
+    doc="Bigram-phrase inverted index for retrieval: term -> sorted "
+    "posting list, df-bounded [2,150] so no posting array can blow an "
+    "executor; one shuffle keyed by term.",
+)
+def p25(spark, sf_dir):
+    return inverted_index(
+        load_table(spark, sf_dir, "documents"),
+        min_df=IDX_MIN_DF,
+        max_df=IDX_MAX_DF,
+        n=IDX_N,
+    )

@@ -217,3 +217,55 @@ def test_etsd_ks_composite_members(spark):
     assert r.avg_when_over == 15.0 and r.avg_when_under == 5.0
     assert (r.min_value, r.max_value) == (5.0, 15.0)
     assert float(r.total_value) == 30.0
+
+
+# ------------------------------------------------- sampling/sharding
+
+
+def test_hash_sample_invariant_under_repartition(spark):
+    """Membership is a pure function of the key: the selected set must
+    be identical regardless of physical layout (the property that
+    distinguishes hash sampling from seeded df.sample())."""
+    from etsd_time_series_database_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in hash_sample(df, 250, key="doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(df.repartition(13), 250, key="doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < 2000
+
+
+def test_stratified_sample_caps_each_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    )
+    out = stratified_sample(df, 7, stratum="source", key="doc_id")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    # deterministic: same subset on re-run
+    again = stratified_sample(df, 7, stratum="source", key="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_shard_assign_partitions_completely(spark):
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.sampling import shard_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = shard_assign(df, 8, key="doc_id")
+    assert out.count() == 1000
+    shards = [r.shard for r in out.select("shard").distinct().collect()]
+    assert sorted(shards) == list(range(8))

@@ -158,3 +158,33 @@ def test_resample_has_no_cartesian_or_range_join(spark):
     plan = _plan(catalog()["q40_resample_interpolate"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_sample_is_scan_side_filter(spark):
+    """p21 membership must evaluate in the scan stage: no shuffle
+    (Exchange) anywhere before the output sort, no Python eval."""
+    from etsd_time_series_database_spark.operators.sampling import hash_sample
+
+    df = hash_sample(load_table(spark, SF_SMOKE, "documents"), 200)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_topk_uses_take_ordered_not_global_sort(spark):
+    """p24's final top-k must be TakeOrderedAndProject — a global Sort
+    of the full token histogram is the plan that dies at scale."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["p24_token_topk"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_channel_correlation_no_cartesian(spark):
+    """q41's pair generation must be a bucket-keyed equi-join, never a
+    channel cross join."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q41_channel_correlation"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
