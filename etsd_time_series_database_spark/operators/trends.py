@@ -381,15 +381,7 @@ def channel_correlation(
     scalar double math with identical shape on both engines, rounded
     to 6 places.
     """
-    b = (
-        df.groupBy(
-            F.col(channel).alias("ch"),
-            bucket_epoch(ts, width_s).alias("bucket"),
-        )
-        .agg(
-            (F.sum(F.col(value).cast(DEC)).cast("double") / F.count(value)).alias("m")
-        )
-    )
+    b = _bucket_means(df, width_s, channel, value, ts)
     lhs = b.select(
         F.col("ch").alias("ch_a"), "bucket", F.col("m").alias("x")
     )
@@ -397,7 +389,28 @@ def channel_correlation(
         F.col("ch").alias("ch_b"), "bucket", F.col("m").alias("y")
     )
     pairs = lhs.join(rhs, "bucket").filter(F.col("ch_a") < F.col("ch_b"))
-    agg = pairs.groupBy("ch_a", "ch_b").agg(
+    return (
+        _pearson(pairs, ["ch_a", "ch_b"])
+        .orderBy("ch_a", "ch_b")
+    )
+
+
+def _bucket_means(
+    df: DataFrame, width_s: int, channel: str, value: str, ts: str
+) -> DataFrame:
+    """(ch, bucket, m): per-channel bucket-mean series on a common time
+    grid — one map-side-combinable hash-agg; mean via exact decimal sum
+    so the grid is engine-deterministic."""
+    return df.groupBy(
+        F.col(channel).alias("ch"),
+        bucket_epoch(ts, width_s).alias("bucket"),
+    ).agg((F.sum(F.col(value).cast(DEC)).cast("double") / F.count(value)).alias("m"))
+
+
+def _pearson(pairs: DataFrame, keys: list[str]) -> DataFrame:
+    """Grouped Pearson r over (x, y) pair rows via the five decimal
+    sums — order-independent, portable, one hash-agg."""
+    agg = pairs.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast(DEC)).alias("sx"),
         F.sum(F.col("y").cast(DEC)).alias("sy"),
@@ -412,8 +425,43 @@ def channel_correlation(
     vx = n * F.col("sxx").cast("double") - sx * sx
     vy = n * F.col("syy").cast("double") - sy * sy
     return agg.select(
-        "ch_a",
-        "ch_b",
+        *keys,
         F.col("n").alias("n_buckets"),
         F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson"),
-    ).orderBy("ch_a", "ch_b")
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    width_s: int = 3600,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Autocorrelation function per channel: Pearson r between each
+    channel's bucket-mean series and itself shifted by k buckets, for
+    each lag k — the periodicity probe (daily/weekly cycles) a
+    capacity-planning pipeline runs over every sensor.
+
+    Shape: bucket-mean hash-agg (one shuffle), explode the lag list on
+    the left side, equi-join on (ch, bucket+k·W = bucket) — a keyed
+    join, NOT a window: no per-channel sort, so parallelism scales
+    with the bucket grid rather than channel cardinality (contrast the
+    lag() formulation, which caps at #channels like q07's headline
+    form). Determinism matches channel_correlation (decimal Pearson
+    sums, round-6 finish).
+    """
+    b = _bucket_means(df, width_s, channel, value, ts)
+    lhs = (
+        b.withColumn("lag", F.explode(F.array(*[F.lit(k) for k in lags])))
+        .select(
+            "ch",
+            "lag",
+            (F.col("bucket") + F.col("lag") * F.lit(width_s)).alias("bucket"),
+            F.col("m").alias("x"),
+        )
+    )
+    rhs = b.select("ch", "bucket", F.col("m").alias("y"))
+    pairs = lhs.join(rhs, ["ch", "bucket"])
+    return _pearson(pairs, ["ch", "lag"]).orderBy("ch", "lag")
