@@ -644,18 +644,25 @@ def p18(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id, norm,
-           CASE WHEN norm > 0 THEN
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127.0 + 0.5) AS INT))
-           ELSE list_transform(embedding, x -> 0) END AS q8
+           array_to_string(
+             CASE WHEN norm > 0 THEN
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127.0 + 0.5) AS INT))
+             ELSE list_transform(embedding, x -> 0) END, ',') AS q8
     FROM n ORDER BY vec_id
     """,
     doc="SQ8 vector preprocessing: L2-normalize + int8 scalar "
     "quantization (IVF-SQ8 style, 4x byte reduction); floor(x+0.5) "
-    "rounding is engine-portable where round() is not.",
+    "rounding is engine-portable where round() is not. The catalog "
+    "entry exports q8 as a comma-joined string (scalar columns only "
+    "in catalog outputs — see tests/test_catalog_schema.py).",
 )
 def p19(spark, sf_dir):
-    return normalize_quantize(load_table(spark, sf_dir, "embeddings"))
+    out = normalize_quantize(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn(
+        "q8",
+        F.array_join(F.transform("q8", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(
@@ -798,19 +805,25 @@ IDX_MAX_DF = 150
         (SELECT doc_id, unnest({_duck_shingles(IDX_N)}) AS token FROM tok)
     )
     SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM pairs GROUP BY token
     HAVING count(*) BETWEEN {IDX_MIN_DF} AND {IDX_MAX_DF}
     ORDER BY token
     """,
     doc="Bigram-phrase inverted index for retrieval: term -> sorted "
     "posting list, df-bounded [2,150] so no posting array can blow an "
-    "executor; one shuffle keyed by term.",
+    "executor; one shuffle keyed by term. The catalog entry exports "
+    "postings as a comma-joined string (scalar columns only in "
+    "catalog outputs — see tests/test_catalog_schema.py).",
 )
 def p25(spark, sf_dir):
-    return inverted_index(
+    out = inverted_index(
         load_table(spark, sf_dir, "documents"),
         min_df=IDX_MIN_DF,
         max_df=IDX_MAX_DF,
         n=IDX_N,
+    )
+    return out.withColumn(
+        "postings",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ","),
     )
