@@ -17,10 +17,15 @@ Scale shapes:
     the balance report.
 
 Portability: the row hash is a splitmix-style LCG step in exact
-BIGINT modular arithmetic (no 64-bit overflow for keys < 2^43), so
-Spark and any ANSI oracle compute identical membership. The engine
-builtin (xxhash64) is the preferred mixer at scale when cross-engine
-verification isn't needed; both are exposed via ``hash_mode``.
+BIGINT modular arithmetic — the key is reduced mod 2^31 *before* the
+multiply, so the widest intermediate is (2^31-1)*1103515245 < 2^62 and
+the expression is overflow-free for ANY BIGINT key (an unreduced
+key*1103515245 would wrap silently in Spark and raise in ANSI engines
+at keys >= ~2^33). Spark and any ANSI oracle therefore compute
+identical membership. The engine builtin (xxhash64) is the preferred
+mixer at scale when cross-engine verification isn't needed; both are
+exposed via ``hash_mode``, and all modulo arithmetic goes through
+``pmod`` so xxhash64's signed outputs can't produce negative residues.
 """
 
 from __future__ import annotations
@@ -29,7 +34,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # LCG multiplier/increment (glibc rand constants) over modulus 2^31;
-# exact in BIGINT for any key < 2^43, and expressible in ANSI SQL.
+# the key is pre-reduced mod 2^31 so the product stays < 2^62 — exact
+# in BIGINT for ANY key, and expressible in ANSI SQL.
 LCG_A = 1103515245
 LCG_C = 12345
 LCG_M = 2_147_483_648
@@ -38,14 +44,17 @@ LCG_M = 2_147_483_648
 def key_hash(key: Column | str, hash_mode: str = "lcg") -> Column:
     """Deterministic per-row hash of an integer key column.
 
-    'lcg' (portable, oracle-checkable): (a*key + c) mod 2^31.
+    'lcg' (portable, oracle-checkable):
+    ((key mod 2^31) * a + c) mod 2^31, every mod non-negative (pmod).
     'xxhash64' (scale path): engine-native avalanche mixer, strictly
-    better dispersion but engine-specific.
+    better dispersion but engine-specific and SIGNED — consumers must
+    take residues with pmod, never %.
     """
     c = F.col(key) if isinstance(key, str) else key
     if hash_mode == "xxhash64":
         return F.xxhash64(c)
-    return (c.cast("bigint") * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(LCG_M)
+    reduced = F.pmod(c.cast("bigint"), F.lit(LCG_M))
+    return F.pmod(reduced * F.lit(LCG_A) + F.lit(LCG_C), F.lit(LCG_M))
 
 
 def hash_sample(
@@ -64,7 +73,9 @@ def hash_sample(
     pipeline extension surface).
     """
     h = key_hash(key, hash_mode)
-    return df.filter((h % F.lit(1000)) < F.lit(rate_permille))
+    # pmod, not %: xxhash64 is signed and Spark's % keeps the dividend
+    # sign, which would admit ~half of all rows regardless of rate.
+    return df.filter(F.pmod(h, F.lit(1000)) < F.lit(rate_permille))
 
 
 def stratified_sample(
@@ -104,7 +115,7 @@ def shard_assign(
     ``partitionBy("shard")`` to lay the corpus out shard-per-directory.
     """
     return df.withColumn(
-        "shard", (key_hash(key, hash_mode) % F.lit(n_shards)).cast("int")
+        "shard", F.pmod(key_hash(key, hash_mode), F.lit(n_shards)).cast("int")
     )
 
 

@@ -151,11 +151,21 @@ def zscore_anomalies(
         F.count(v).alias("n"),
     )
     mean = F.col("s") / F.col("n")
-    var = F.col("ss") / F.col("n") - mean * mean
+    # ss/n - mean^2 can round to a tiny negative on (near-)constant
+    # channels; clamp before sqrt (Spark would emit NaN, ANSI oracles
+    # raise — both wrong answers for "variance is zero").
+    var = F.greatest(
+        F.col("ss") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    # std = 0 (constant channel) has no outliers by definition; drop
+    # those channels up front — under ANSI semantics (Spark 4 default)
+    # the z division would otherwise raise DIVIDE_BY_ZERO.
     stats = stats.select(
         channel, mean.alias("mean"), F.sqrt(var).alias("std")
-    )
+    ).filter(F.col("std") > 0)
     zcol = (v - F.col("mean")) / F.col("std")
+    # Filter on the raw z; export doubles at the round-6 convention
+    # (decimal->double conversions can differ by 1 ulp across engines).
     return (
         df.join(F.broadcast(stats), channel)
         .withColumn("z", zcol)
@@ -165,9 +175,9 @@ def zscore_anomalies(
             channel,
             epoch_us(ts).alias("ts_us"),
             value,
-            "mean",
-            "std",
-            "z",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            F.round("z", 6).alias("z"),
         )
         .orderBy(tie)
     )
@@ -261,7 +271,11 @@ def ewma_truncated(
         den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
     return (
         rows.withColumn(
-            "ewma", num.cast("double") / den.cast("double")
+            # The decimal numerator is exact but ~18+ significant
+            # digits; its decimal->double conversion is the 1-ulp
+            # cross-engine hazard, so the quotient is pinned at the
+            # round-6 convention (same as time_weighted_avg).
+            "ewma", F.round(num.cast("double") / den.cast("double"), 6)
         )
         .select(tie, channel, "us", value, "ewma")
         .orderBy(tie)
@@ -422,12 +436,18 @@ def _pearson(pairs: DataFrame, keys: list[str]) -> DataFrame:
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
     cov = n * F.col("sxy").cast("double") - sx * sy
-    vx = n * F.col("sxx").cast("double") - sx * sx
-    vy = n * F.col("syy").cast("double") - sy * sy
+    # n*sxx - sx^2 can round to a tiny negative for (near-)constant
+    # series; clamp before sqrt (NaN on Spark, an exception on ANSI
+    # oracles — either aborts or corrupts the whole result set).
+    vx = F.greatest(n * F.col("sxx").cast("double") - sx * sx, F.lit(0.0))
+    vy = F.greatest(n * F.col("syy").cast("double") - sy * sy, F.lit(0.0))
+    den = F.sqrt(vx) * F.sqrt(vy)
+    # r is undefined when either series is constant: NULL, not a
+    # DIVIDE_BY_ZERO error (ANSI Spark) or NaN (engine-dependent).
     return agg.select(
         *keys,
         F.col("n").alias("n_buckets"),
-        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson"),
+        F.when(den > 0, F.round(cov / den, 6)).alias("pearson"),
     )
 
 

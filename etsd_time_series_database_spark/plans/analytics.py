@@ -119,13 +119,14 @@ def q36(spark, sf_dir):
     ),
     m AS (
       SELECT event_type, s / n AS mean,
-             sqrt(ss / n - (s / n) * (s / n)) AS std
+             sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS std
       FROM st
     )
     SELECT e.event_id, e.event_type, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
-           e.value, m.mean, m.std, (e.value - m.mean) / m.std AS z
+           e.value, round(m.mean, 6) AS mean, round(m.std, 6) AS std,
+           round((e.value - m.mean) / m.std, 6) AS z
     FROM events e JOIN m ON e.event_type = m.event_type
-    WHERE abs((e.value - m.mean) / m.std) > {Z_THRESH}
+    WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) > {Z_THRESH}
     ORDER BY e.event_id LIMIT 10000
     """,
     doc="Per-channel z-score outliers: moment agg (exact decimal sums) "
@@ -183,8 +184,8 @@ def _ewma_sql(k: int = EWMA_K) -> str:
         den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0 END")
     return f"""
     SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, value,
-           CAST({" + ".join(num)} AS DOUBLE)
-             / CAST({" + ".join(den)} AS DOUBLE) AS ewma
+           round(CAST({" + ".join(num)} AS DOUBLE)
+             / CAST({" + ".join(den)} AS DOUBLE), 6) AS ewma
     FROM events
     WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
     ORDER BY event_id LIMIT 10000
@@ -289,16 +290,20 @@ CORR_W = 3600
              sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
              sum(CAST(y * y AS DECIMAL(28,6))) AS syy
       FROM p GROUP BY ch_a, ch_b
+    ),
+    d AS (
+      SELECT ch_a, ch_b, n_buckets,
+             CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             sqrt(greatest(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+               * sqrt(greatest(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)) AS den
+      FROM s
     )
     SELECT ch_a, ch_b, n_buckets,
-           round((CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-             AS pearson
-    FROM s ORDER BY ch_a, ch_b
+           CASE WHEN den > 0 THEN round(cov / den, 6) END AS pearson
+    FROM d ORDER BY ch_a, ch_b
     """,
     doc="Pairwise Pearson correlation between channels over aligned "
     "hourly-mean series: hash-agg to the bucket grid, bucket-keyed "

@@ -689,7 +689,9 @@ def p20(spark, sf_dir):
 
 # Portable LCG row hash shared by the sampling oracles (see
 # operators/sampling.py key_hash): exact BIGINT modular arithmetic.
-_DUCK_H = "((doc_id * 1103515245 + 12345) % 2147483648)"
+# The key is reduced mod 2^31 before the multiply so the intermediate
+# never overflows INT64 for any BIGINT doc_id (same form as key_hash).
+_DUCK_H = "(((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)"
 SAMPLE_PERMILLE = 200
 STRATA_CAP = 10
 N_SHARDS = 16

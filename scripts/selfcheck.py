@@ -64,6 +64,10 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
+        # Pin the session zone: queries cast timestamp string literals,
+        # which Spark otherwise parses in the JVM-local zone while
+        # DuckDB's TIMESTAMP literal + epoch_us is zone-naive (== UTC).
+        .config("spark.sql.session.timeZone", "UTC")
         .appName("selfcheck")
         .getOrCreate()
     )

@@ -269,3 +269,50 @@ def test_shard_assign_partitions_completely(spark):
     assert out.count() == 1000
     shards = [r.shard for r in out.select("shard").distinct().collect()]
     assert sorted(shards) == list(range(8))
+
+
+def test_xxhash64_mode_respects_rate_and_shard_range(spark):
+    """xxhash64 returns signed hashes; residues must go through pmod or
+    ~half of all rows get negative h%1000 (always kept) and negative
+    shard ids. Regression for the signed-% bug."""
+    from etsd_time_series_database_spark.operators.sampling import (
+        hash_sample,
+        shard_assign,
+    )
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    kept = hash_sample(df, 100, key="doc_id", hash_mode="xxhash64").count()
+    # a correct 10% sample of 20k keys; the signed-% bug yields ~55%
+    assert 1600 < kept < 2400, kept
+    shards = [
+        r.shard
+        for r in shard_assign(df, 8, key="doc_id", hash_mode="xxhash64")
+        .select("shard")
+        .distinct()
+        .collect()
+    ]
+    assert sorted(shards) == list(range(8))
+
+
+def test_lcg_hash_safe_for_huge_keys(spark):
+    """The LCG reduces the key mod 2^31 before multiplying, so keys far
+    above 2^33 (where key*1103515245 would overflow INT64) still hash
+    without wrap-around; membership matches the reduced key's."""
+    import duckdb
+
+    from etsd_time_series_database_spark.operators.sampling import hash_sample
+
+    big = [2**62 + 7, 2**63 - 1, 2**40, 123, 0]
+    df = spark.createDataFrame([(k,) for k in big], "doc_id long")
+    got = sorted(r.doc_id for r in hash_sample(df, 500, key="doc_id").collect())
+    con = duckdb.connect()
+    keys = ", ".join(f"({k})" for k in big)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM (VALUES {keys}) t(doc_id) "
+            "WHERE (((doc_id % 2147483648) * 1103515245 + 12345) "
+            "% 2147483648) % 1000 < 500"
+        ).fetchall()
+    )
+    assert got == want

@@ -73,6 +73,38 @@ def test_zscore_flags_only_outlier(spark):
     assert out[0]["z"] > 3
 
 
+def test_zscore_constant_channel_no_nan_sqrt(spark):
+    """ss/n - mean^2 can round to a tiny negative on a constant
+    channel; the clamped sqrt must yield std=0 (not NaN on Spark /
+    an exception on the ANSI oracle) and flag no rows."""
+    rows = [(i, "const", _t(i), 42.000001) for i in range(10)]
+    rows += [(100 + i, "a", _t(i), float(i)) for i in range(10)]
+    out = zscore_anomalies(_events(spark, rows), 3.0).collect()
+    assert [r["event_id"] for r in out if r["event_type"] == "const"] == []
+
+
+def test_channel_correlation_constant_channel_no_nan_sqrt(spark):
+    """A constant channel has zero variance; the clamp keeps sqrt at 0
+    and the guarded division emits NULL pearson instead of
+    DIVIDE_BY_ZERO (ANSI Spark) or sqrt(-epsilon) aborting an ANSI
+    oracle. Correlated channels must still come out exact."""
+    from etsd_time_series_database_spark.operators.trends import (
+        channel_correlation,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((i * 3 + 1, "a", _t(0, i * 10), float(i)))
+        rows.append((i * 3 + 2, "b", _t(0, i * 10), 2.0 * i + 1))
+        rows.append((i * 3 + 3, "c", _t(0, i * 10), 5.0))
+    out = {
+        (r["ch_a"], r["ch_b"]): r["pearson"]
+        for r in channel_correlation(_events(spark, rows), 10).collect()
+    }
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] is None
+
+
 def test_time_weighted_avg_carry_and_clip(spark):
     # channel a: v=10 for first 30 min, v=20 for the next 30.
     df = _events(spark, [(1, "a", _t(0), 10.0), (2, "a", _t(30), 20.0)])
