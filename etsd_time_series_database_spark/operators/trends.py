@@ -16,11 +16,19 @@ Scale notes
 * ``zscore_anomalies`` is two passes over the data with a broadcast
   stats join — no window, no skew.
 * ``time_weighted_avg``, ``ewma_truncated`` and
-  ``resample_interpolate`` use per-channel ordered windows, so
-  parallelism is capped at channel cardinality — the same trade-off as
-  ``rate``/``rollover_corrected``, and the same stitched-bucket remedy
-  (operators/scalable_window.py) applies when channels are few and
-  rows are many.
+  ``resample_interpolate`` need per-channel ordered state, but all
+  three window on **(channel, time-bucket)** with a stitched boundary
+  carry (the operators/scalable_window.py pattern), so parallelism
+  scales with channels x buckets, not channel cardinality:
+  - TWA carries a 1-row *lead* margin: the last row of each bucket
+    takes the next non-empty bucket's first timestamp from a tiny
+    per-bucket boundary table (exact, no density assumption);
+  - EWMA carries the last k-1 rows before each bucket as explicit
+    margin rows, rebuilt exactly from the previous k-1 non-empty
+    buckets' tails (every non-empty bucket contributes >= 1 row, so
+    k-1 buckets always cover k-1 rows — exact for any data layout);
+  - resample carries the nearest data sample across bucket edges in
+    both directions via the same boundary-table trick.
 
 Determinism (engine vs oracle) follows functions/exprs.py: cross-row
 sums go through DECIMAL (associative, order-independent), per-row
@@ -183,6 +191,10 @@ def zscore_anomalies(
     )
 
 
+def _bucket(us_col: Column, bucket_s: int) -> Column:
+    return (us_col / F.lit(bucket_s * 1_000_000)).cast("bigint")
+
+
 def time_weighted_avg(
     df: DataFrame,
     start: str,
@@ -191,6 +203,7 @@ def time_weighted_avg(
     ts: str = "ts",
     value: str = "value",
     tie: str = "event_id",
+    bucket_s: int = 86400,
 ) -> DataFrame:
     """Carry-forward time-weighted average per channel over [start, end).
 
@@ -202,11 +215,18 @@ def time_weighted_avg(
 
     Weights are integer microsecond durations; value×duration products
     stay in exact DECIMAL, so the aggregation is order-independent.
-    Window parallelism is channel-bounded (see module doc).
+
+    The only sequential dependency is ``lead(us)``; it is computed at
+    (channel, bucket) parallelism with a 1-row lead margin: a tiny
+    per-(channel, bucket) boundary table (first us per bucket) is
+    windowed per channel — n_channels x n_buckets rows, not n_rows —
+    and each bucket's last row takes the next non-empty bucket's first
+    us from it. Bit-identical to the global per-channel window at any
+    bucket size (the boundary table skips empty buckets by
+    construction), but parallelism scales with channels x buckets.
     """
     t0, t1 = _ts_us(start), _ts_us(end)
-    w = Window.partitionBy(channel).orderBy("us", tie)
-    seg = (
+    rows = (
         df.select(
             F.col(channel),
             epoch_us(ts).alias("us"),
@@ -214,7 +234,29 @@ def time_weighted_avg(
             F.col(tie),
         )
         .filter(F.col("us") < t1)
-        .withColumn("nxt", F.coalesce(F.lead("us").over(w), t1))
+        .withColumn("__bkt", _bucket(F.col("us"), bucket_s))
+    )
+    w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
+    # tiny boundary table: first us of each non-empty (channel, bucket),
+    # shifted to give every bucket its successor bucket's first us
+    w_bkt = Window.partitionBy(channel).orderBy("__bkt")
+    nxt_first = (
+        rows.groupBy(channel, "__bkt")
+        .agg(F.min("us").alias("__first_us"))
+        .select(
+            channel,
+            "__bkt",
+            F.lead("__first_us").over(w_bkt).alias("__nxt_first_us"),
+        )
+    )
+    seg = (
+        rows.join(F.broadcast(nxt_first), [channel, "__bkt"])
+        .withColumn(
+            "nxt",
+            F.coalesce(
+                F.lead("us").over(w_in), F.col("__nxt_first_us"), t1
+            ),
+        )
         .withColumn("seg_start", F.greatest(F.col("us"), t0))
         .withColumn("seg_end", F.least(F.col("nxt"), t1))
         .withColumn("dur_us", F.col("seg_end") - F.col("seg_start"))
@@ -245,6 +287,7 @@ def ewma_truncated(
     value: str = "value",
     tie: str = "event_id",
     k: int = EWMA_K,
+    bucket_s: int = 86400,
 ) -> DataFrame:
     """Per-channel EWMA with alpha=1/2 truncated to the last ``k``
     samples: ewma_t = Σ_{j=0..k-1} 2^(k-1-j)·x_{t-j} / Σ 2^(k-1-j).
@@ -253,30 +296,85 @@ def ewma_truncated(
     truncation error 2^-k; numerator terms are DECIMAL×integer-weight
     products (exact, associative), so any summation order — Spark's
     partial aggregation or a sequential oracle — yields the identical
-    double.  One window with ``k`` lag expressions, evaluated in a
-    single pass; channel-bounded parallelism (see module doc).
+    double.
+
+    The k-lag window runs at (channel, bucket) parallelism with a
+    (k-1)-row carry margin: each bucket's last k-1 rows form a tiny
+    per-bucket "tail" array; the last k-1 rows *before* any bucket are
+    then rebuilt from the previous k-1 non-empty buckets' tails (every
+    non-empty bucket contributes >= 1 row, so k-1 of them always cover
+    k-1 rows, and a row in the global last-k-1 before a bucket is
+    necessarily in its own bucket's last k-1 — exact for any layout,
+    dense or sparse) and injected as margin rows that are dropped
+    after the window. Results are bit-identical to the global
+    per-channel window; parallelism scales with channels x buckets.
     """
-    w = Window.partitionBy(channel).orderBy("us", tie)
     rows = df.select(
         F.col(tie), F.col(channel), epoch_us(ts).alias("us"), F.col(value)
+    ).withColumn("__bkt", _bucket(F.col("us"), bucket_s))
+    w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
+
+    # tails: per (channel, bucket), the last min(k-1, n) rows as a
+    # sorted struct array — bounded at k-1 elements, so the table has
+    # n_channels x n_buckets rows of <= k-1 structs.
+    w_desc = Window.partitionBy(channel, "__bkt").orderBy(
+        F.col("us").desc(), F.col(tie).desc()
     )
+    tails = (
+        rows.withColumn("__rnd", F.row_number().over(w_desc))
+        .filter(F.col("__rnd") <= k - 1)
+        .groupBy(channel, "__bkt")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", tie, value))
+            ).alias("__tail")
+        )
+    )
+    # carry: concat the previous k-1 buckets' tails (frame order =
+    # ascending bucket), keep the last k-1 entries.
+    w_carry = (
+        Window.partitionBy(channel)
+        .orderBy("__bkt")
+        .rowsBetween(-(k - 1), -1)
+    )
+    allprev = F.flatten(F.collect_list("__tail").over(w_carry))
+    carry = tails.select(
+        channel,
+        "__bkt",
+        F.when(F.size(allprev) <= k - 1, allprev)
+        .otherwise(F.slice(allprev, -(k - 1), k - 1))
+        .alias("__carry"),
+    )
+    margin = carry.select(
+        channel, "__bkt", F.explode("__carry").alias("__s")
+    ).select(
+        F.col("__s")[tie].alias(tie),
+        F.col(channel),
+        F.col("__s")["us"].alias("us"),
+        F.col("__s")[value].alias(value),
+        "__bkt",
+        F.lit(1).alias("__margin"),
+    )
+    u = rows.withColumn("__margin", F.lit(0)).unionByName(margin)
+
     num = F.lit(0).cast(DEC)
     den = F.lit(0).cast("bigint")
     for lag in range(k):
         weight = 1 << (k - 1 - lag)
-        x = F.lag(value, lag).over(w) if lag else F.col(value)
+        x = F.lag(value, lag).over(w_in) if lag else F.col(value)
         num = num + F.coalesce(
             x.cast(DEC) * F.lit(weight).cast(DEC_W), F.lit(0).cast(DEC)
         )
         den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
     return (
-        rows.withColumn(
+        u.withColumn(
             # The decimal numerator is exact but ~18+ significant
             # digits; its decimal->double conversion is the 1-ulp
             # cross-engine hazard, so the quotient is pinned at the
             # round-6 convention (same as time_weighted_avg).
             "ewma", F.round(num.cast("double") / den.cast("double"), 6)
         )
+        .filter(F.col("__margin") == 0)
         .select(tie, channel, "us", value, "ewma")
         .orderBy(tie)
     )
@@ -291,6 +389,7 @@ def resample_interpolate(
     ts: str = "ts",
     value: str = "value",
     tie: str = "event_id",
+    bucket_s: int = 86400,
 ) -> DataFrame:
     """Resample each channel onto a regular [start, end] grid with
     linear interpolation between the nearest samples (nearest-value at
@@ -301,7 +400,14 @@ def resample_interpolate(
     carry-forward window pick the surrounding samples — no range join,
     no per-grid-point scan.  The carried prev/next are single STRUCT
     columns so the timestamp and value always come from the same
-    sample row.  Parallelism is channel-bounded (see module doc).
+    sample row.
+
+    Both carry windows run at (channel, bucket) parallelism: a tiny
+    per-(channel, bucket) boundary table holds each bucket's first and
+    last data sample; carrying *those* forward/backward per channel
+    (n_channels x n_buckets rows) gives every bucket the nearest
+    sample beyond its own edge, and in-bucket carries handle the rest.
+    Bit-identical to the channel-global windows at any bucket size.
     """
     t0, t1 = _ts_us(start), _ts_us(end)
     step_us = width_s * 1_000_000
@@ -325,7 +431,9 @@ def resample_interpolate(
         F.lit(0).alias("is_grid"),
         F.col(tie).cast("bigint").alias("t"),
     )
-    u = data.unionByName(grid)
+    u = data.unionByName(grid).withColumn(
+        "__bkt", _bucket(F.col("us"), bucket_s)
+    )
     sample = F.when(
         F.col("is_grid") == 0,
         F.struct(F.col("us").alias("u"), F.col(value).alias("v")),
@@ -335,17 +443,82 @@ def resample_interpolate(
     # deterministic.  is_grid separates grid rows, so the tie column
     # never compares NULL-vs-value across engines.
     w_asc = (
-        Window.partitionBy(channel)
+        Window.partitionBy(channel, "__bkt")
         .orderBy("us", "is_grid", "t")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_desc = (
-        Window.partitionBy(channel)
+        Window.partitionBy(channel, "__bkt")
         .orderBy(F.col("us").desc(), F.col("is_grid"), F.col("t").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = u.withColumn("prev", F.last(sample, ignorenulls=True).over(w_asc))
-    u = u.withColumn("nxt", F.last(sample, ignorenulls=True).over(w_desc))
+    # Boundary table: per (channel, bucket) the first/last data sample
+    # (grid rows carry nothing), then per-channel carries over the
+    # tiny table give each bucket the nearest sample beyond its edges.
+    # (us, t) is packed into one order-preserving DECIMAL so min_by/
+    # max_by keep a primitive agg buffer (HashAggregate, no sort —
+    # the ohlc trick); the struct is reassembled after the agg.
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    ordd = F.when(
+        F.col("is_grid") == 0,
+        F.col("us").cast("decimal(19,0)") * shift
+        + F.col("t").cast("decimal(19,0)"),
+    )
+    data_us = F.when(F.col("is_grid") == 0, F.col("us"))
+    bounds = (
+        u.groupBy(channel, "__bkt")
+        .agg(
+            F.min(data_us).alias("__first_u"),
+            F.min_by(value, ordd).alias("__first_v"),
+            F.max(data_us).alias("__last_u"),
+            F.max_by(value, ordd).alias("__last_v"),
+        )
+        .select(
+            channel,
+            "__bkt",
+            F.when(
+                F.col("__first_u").isNotNull(),
+                F.struct(
+                    F.col("__first_u").alias("u"), F.col("__first_v").alias("v")
+                ),
+            ).alias("__first_s"),
+            F.when(
+                F.col("__last_u").isNotNull(),
+                F.struct(
+                    F.col("__last_u").alias("u"), F.col("__last_v").alias("v")
+                ),
+            ).alias("__last_s"),
+        )
+    )
+    w_b_asc = (
+        Window.partitionBy(channel)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_b_desc = (
+        Window.partitionBy(channel)
+        .orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = bounds.select(
+        channel,
+        "__bkt",
+        F.last("__last_s", ignorenulls=True).over(w_b_asc).alias("__carry_prev"),
+        F.last("__first_s", ignorenulls=True).over(w_b_desc).alias("__carry_nxt"),
+    )
+    u = u.join(F.broadcast(carries), [channel, "__bkt"])
+    u = u.withColumn(
+        "prev",
+        F.coalesce(
+            F.last(sample, ignorenulls=True).over(w_asc), F.col("__carry_prev")
+        ),
+    )
+    u = u.withColumn(
+        "nxt",
+        F.coalesce(
+            F.last(sample, ignorenulls=True).over(w_desc), F.col("__carry_nxt")
+        ),
+    )
     p_u, p_v = F.col("prev.u"), F.col("prev.v")
     n_u, n_v = F.col("nxt.u"), F.col("nxt.v")
     interp = (

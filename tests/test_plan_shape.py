@@ -180,6 +180,33 @@ def test_token_topk_uses_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_twa_ewma_resample_windows_are_bucket_stitched(spark):
+    """q38/q39/q40 must run their big-table windows at (channel,
+    bucket) parallelism: no window over the full fact table may
+    partition by channel alone (that caps parallelism at channel
+    cardinality — the q07/q08 skew). Channel-only windows are legal
+    only on the tiny per-bucket boundary tables, which order by __bkt,
+    never by us."""
+    import re
+
+    from etsd_time_series_database_spark.plans import catalog
+
+    for name in (
+        "q38_time_weighted_avg",
+        "q39_ewma_smooth",
+        "q40_resample_interpolate",
+    ):
+        plan = _plan(catalog()[name].build(spark, SF_SMOKE))
+        # big-table window partitioned by (event_type, __bkt) exists
+        assert re.search(
+            r"windowspecdefinition\(event_type#\d+, __bkt#\d+L, us#", plan
+        ), f"{name}: no (channel, bucket) window over the fact table"
+        # and no fact-table window partitioned by event_type alone
+        assert not re.search(
+            r"windowspecdefinition\(event_type#\d+, us#", plan
+        ), f"{name}: found a channel-global window over the fact table"
+
+
 def test_channel_correlation_no_cartesian(spark):
     """q41's pair generation must be a bucket-keyed equi-join, never a
     channel cross join."""

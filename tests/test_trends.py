@@ -146,6 +146,85 @@ def test_resample_interpolate_midpoint_and_edges(spark):
     assert vals[base + 4 * m] == pytest.approx(40.0)  # after last -> nearest
 
 
+def test_stitched_windows_match_global_forms(spark):
+    """TWA/EWMA/resample window on (channel, bucket) with boundary
+    carries; with bucket_s small enough that every bucket holds 0-2
+    rows (sparse buckets, margins spanning many buckets) the stitched
+    results must still be bit-identical to the channel-global window
+    formulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # irregular cadence across ~40 minutes; two channels
+    rows = []
+    i = 0
+    for c, base in (("a", 0), ("b", 7)):
+        t_s = base
+        for j in range(40):
+            t_s += (j * 37) % 113 + 3  # irregular gaps, 3..115 s
+            i += 1
+            rows.append(
+                (i, c, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(seconds=t_s),
+                 float((j * 13) % 29))
+            )
+    df = _events(spark, rows)
+
+    # --- EWMA: stitched (60 s buckets => most buckets hold 0-1 rows)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_truncated(df, bucket_s=60).collect()
+    }
+    # global-window reference, computed inline with the same weights
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    from etsd_time_series_database_spark.functions.exprs import epoch_us
+    from etsd_time_series_database_spark.operators.trends import DEC, DEC_W
+
+    base_df = df.select(
+        "event_id", "event_type", epoch_us("ts").alias("us"), "value"
+    )
+    num = F.lit(0).cast(DEC)
+    den = F.lit(0).cast("bigint")
+    for lag in range(16):
+        weight = 1 << (15 - lag)
+        x = F.lag("value", lag).over(w) if lag else F.col("value")
+        num = num + F.coalesce(
+            x.cast(DEC) * F.lit(weight).cast(DEC_W), F.lit(0).cast(DEC)
+        )
+        den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in base_df.withColumn(
+            "ewma", F.round(num.cast("double") / den.cast("double"), 6)
+        ).collect()
+    }
+    assert got == want
+
+    # --- TWA: stitched lead margin vs 1-bucket run (global window)
+    t0, t1 = "2024-01-01 00:00:00", "2024-01-01 02:00:00"
+    a = sorted(map(tuple, time_weighted_avg(df, t0, t1, bucket_s=60).collect()))
+    b = sorted(
+        map(tuple, time_weighted_avg(df, t0, t1, bucket_s=86400 * 365).collect())
+    )
+    assert a == b
+
+    # --- resample: stitched carries vs 1-bucket run; grid step 90 s
+    ra = sorted(
+        map(
+            tuple,
+            resample_interpolate(df, t0, "2024-01-01 01:00:00", 90,
+                                 bucket_s=60).collect(),
+        )
+    )
+    rb = sorted(
+        map(
+            tuple,
+            resample_interpolate(df, t0, "2024-01-01 01:00:00", 90,
+                                 bucket_s=86400 * 365).collect(),
+        )
+    )
+    assert ra == rb
+
+
 def test_resample_exact_grid_hit(spark):
     df = _events(
         spark,
