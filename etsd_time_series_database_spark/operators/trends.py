@@ -647,14 +647,14 @@ def autocorrelation(
     """
     b = _bucket_means(df, width_s, channel, value, ts)
     lhs = (
-        b.withColumn("lag", F.explode(F.array(*[F.lit(k) for k in lags])))
+        b.withColumn("lag_k", F.explode(F.array(*[F.lit(k) for k in lags])))
         .select(
             "ch",
-            "lag",
-            (F.col("bucket") + F.col("lag") * F.lit(width_s)).alias("bucket"),
+            "lag_k",
+            (F.col("bucket") + F.col("lag_k") * F.lit(width_s)).alias("bucket"),
             F.col("m").alias("x"),
         )
     )
     rhs = b.select("ch", "bucket", F.col("m").alias("y"))
     pairs = lhs.join(rhs, ["ch", "bucket"])
-    return _pearson(pairs, ["ch", "lag"]).orderBy("ch", "lag")
+    return _pearson(pairs, ["ch", "lag_k"]).orderBy("ch", "lag_k")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from etsd_time_series_database_spark.operators.trends import (
     EWMA_K,
+    autocorrelation,
     channel_correlation,
     ewma_truncated,
     ohlc,
@@ -312,3 +313,59 @@ CORR_W = 3600
 )
 def q41(spark, sf_dir):
     return channel_correlation(_events(spark, sf_dir), CORR_W)
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+@register(
+    "q42_autocorrelation",
+    "analytics",
+    f"""
+    WITH b AS (
+      SELECT event_type AS ch,
+             (epoch_us(ts) // {CORR_W * 1_000_000}) * {CORR_W} AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT b.ch, k.lag_k, b.bucket + k.lag_k * {CORR_W} AS bucket2, b.m AS x
+      FROM b CROSS JOIN (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}) k(lag_k)
+    ),
+    p AS (
+      SELECT l.ch, l.lag_k, l.x, r.m AS y
+      FROM l JOIN b r ON l.ch = r.ch AND l.bucket2 = r.bucket
+    ),
+    s AS (
+      SELECT ch, lag_k, CAST(count(*) AS BIGINT) AS n_buckets,
+             sum(CAST(x AS DECIMAL(18,6))) AS sx,
+             sum(CAST(y AS DECIMAL(18,6))) AS sy,
+             sum(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(28,6))) AS syy
+      FROM p GROUP BY ch, lag_k
+    ),
+    d AS (
+      SELECT ch, lag_k, n_buckets,
+             CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             sqrt(greatest(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+               * sqrt(greatest(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)) AS den
+      FROM s
+    )
+    SELECT ch, lag_k, n_buckets,
+           CASE WHEN den > 0 THEN round(cov / den, 6) END AS pearson
+    FROM d ORDER BY ch, lag_k
+    """,
+    doc="Per-channel autocorrelation at lags 1-3 hours: Pearson r "
+    "between each channel's hourly-mean series and its k-bucket shift "
+    "— a keyed equi-join on (channel, shifted bucket), NOT a lag() "
+    "window, so parallelism scales with the bucket grid rather than "
+    "channel cardinality (the periodicity probe a capacity-planning "
+    "pipeline runs over every sensor; no reference analog, the "
+    "reference queries one channel at a time, code/etsdQuery.c:218).",
+)
+def q42(spark, sf_dir):
+    return autocorrelation(_events(spark, sf_dir), ACF_LAGS, CORR_W)

@@ -225,6 +225,28 @@ def test_stitched_windows_match_global_forms(spark):
     assert ra == rb
 
 
+def test_autocorrelation_detects_period(spark):
+    """A series that repeats every 2 buckets has ACF(2) = 1 and
+    ACF(1) strongly negative; a keyed-join formulation must produce
+    one row per (channel, lag)."""
+    from etsd_time_series_database_spark.operators.trends import (
+        autocorrelation,
+    )
+
+    # bucket width 60 s, one sample per bucket, values alternate 1, 9
+    rows = [
+        (i + 1, "a", _t(i), 1.0 if i % 2 == 0 else 9.0) for i in range(12)
+    ]
+    out = {
+        r["lag_k"]: r["pearson"]
+        for r in autocorrelation(
+            _events(spark, rows), lags=(1, 2), width_s=60
+        ).collect()
+    }
+    assert out[2] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(-1.0)
+
+
 def test_resample_exact_grid_hit(spark):
     df = _events(
         spark,
