@@ -99,7 +99,7 @@ _DUCK_POLY_FP = (
 
 
 @register(
-    "p01_dedup_exact",
+    "x11_dedup_exact",
     "dedup",
     """
     SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -113,7 +113,7 @@ def p01(spark, sf_dir):
 
 
 @register(
-    "p02_ngram_jaccard",
+    "x12_ngram_jaccard",
     "dedup",
     f"""
     WITH tok AS (
@@ -175,7 +175,7 @@ def _minhash_oracle() -> str:
 
 
 @register(
-    "p03_minhash_lsh",
+    "x06_minhash_lsh",
     "dedup",
     _minhash_oracle(),
     doc="MinHash (8 universal hashes over 3-gram shingles) + LSH banding "
@@ -214,7 +214,7 @@ def _simhash_oracle() -> str:
 
 
 @register(
-    "p04_simhash",
+    "x13_simhash",
     "dedup",
     _simhash_oracle(),
     doc="30-bit SimHash signature per document (bit-majority over "
@@ -228,7 +228,7 @@ def p04(spark, sf_dir):
 
 
 @register(
-    "p05_ann_cosine_topk",
+    "x14_ann_cosine_topk",
     "similarity",
     f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -245,7 +245,7 @@ def p05(spark, sf_dir):
 
 
 @register(
-    "p06_ivf_topk",
+    "x15_ivf_topk",
     "similarity",
     f"""
     WITH cents AS (
@@ -286,7 +286,7 @@ def p06(spark, sf_dir):
 
 
 @register(
-    "p07_embedding_near_dup",
+    "x07_embedding_near_dup",
     "dedup",
     f"""
     WITH cents AS (
@@ -334,7 +334,7 @@ def p07(spark, sf_dir):
 
 
 @register(
-    "p08_language_id",
+    "x16_language_id",
     "text",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
@@ -356,7 +356,7 @@ def p08(spark, sf_dir):
 
 
 @register(
-    "p09_quality_score",
+    "x17_quality_score",
     "text",
     f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
@@ -377,7 +377,7 @@ def p09(spark, sf_dir):
 
 
 @register(
-    "p10_token_count",
+    "x18_token_count",
     "text",
     f"""
     SELECT doc_id,
@@ -392,7 +392,7 @@ def p10(spark, sf_dir):
 
 
 @register(
-    "p11_fingerprint",
+    "x19_fingerprint",
     "text",
     f"""
     SELECT doc_id, {_DUCK_POLY_FP.format(col="text")} AS fp
@@ -408,7 +408,7 @@ def p11(spark, sf_dir):
 
 
 @register(
-    "p12_multimodal_features",
+    "x20_multimodal_features",
     "multimodal",
     f"""
     SELECT doc_id,
@@ -426,7 +426,7 @@ def p12(spark, sf_dir):
 
 
 @register(
-    "p13_frame_sample",
+    "x21_frame_sample",
     "multimodal",
     f"""
     WITH fr AS (
@@ -454,7 +454,7 @@ def p13(spark, sf_dir):
 
 
 @register(
-    "p14_near_dup_clusters",
+    "x09_near_dup_clusters",
     "dedup",
     f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),
@@ -484,7 +484,7 @@ def p14(spark, sf_dir):
 
 
 @register(
-    "p15_chunk_documents",
+    "x22_chunk_documents",
     "text",
     f"""
     WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -514,7 +514,7 @@ def p15(spark, sf_dir):
 
 
 @register(
-    "p16_clean_corpus",
+    "x10_clean_corpus",
     "text",
     f"""
     WITH canon AS (
@@ -572,7 +572,7 @@ def _duck_shingles(n: int) -> str:
 
 
 @register(
-    "p17_decontaminate",
+    "x08_decontaminate",
     "contamination",
     f"""
     WITH tok AS (
@@ -613,7 +613,7 @@ _DUCK_SCRUB = (
 
 
 @register(
-    "p18_pii_scrub",
+    "x23_pii_scrub",
     "scrub",
     f"""
     WITH s AS (SELECT doc_id, text, {_DUCK_SCRUB} AS sc FROM documents)
@@ -633,7 +633,7 @@ def p18(spark, sf_dir):
 
 
 @register(
-    "p19_normalize_quantize",
+    "x01_normalize_quantize",
     "similarity",
     """
     WITH n AS (
@@ -666,7 +666,7 @@ def p19(spark, sf_dir):
 
 
 @register(
-    "p20_corpus_stats",
+    "x24_corpus_stats",
     "profile",
     f"""
     SELECT source,
@@ -698,7 +698,7 @@ N_SHARDS = 16
 
 
 @register(
-    "p21_hash_sample",
+    "x03_hash_sample",
     "sampling",
     f"""
     SELECT doc_id, source, lang FROM documents
@@ -718,7 +718,7 @@ def p21(spark, sf_dir):
 
 
 @register(
-    "p22_stratified_sample",
+    "x04_stratified_sample",
     "sampling",
     f"""
     WITH r AS (
@@ -742,7 +742,7 @@ def p22(spark, sf_dir):
 
 
 @register(
-    "p23_shard_balance",
+    "x05_shard_balance",
     "sampling",
     f"""
     WITH s AS (
@@ -764,7 +764,7 @@ def p23(spark, sf_dir):
 
 
 @register(
-    "p24_token_topk",
+    "x25_token_topk",
     "vocab",
     f"""
     WITH tf AS (
@@ -796,7 +796,7 @@ IDX_MAX_DF = 150
 
 
 @register(
-    "p25_inverted_index",
+    "x02_inverted_index",
     "retrieval",
     f"""
     WITH tok AS (

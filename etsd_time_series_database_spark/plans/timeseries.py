@@ -681,59 +681,13 @@ def q29(spark, sf_dir):
     )
 
 
-@register(
-    "q30_rate_scalable",
-    "window",
-    """
-    WITH d AS (
-      SELECT event_id, event_type,
-             value - lag(value) OVER w AS dv,
-             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
-      FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-    )
-    SELECT event_id, event_type, dv * 1000000.0 / dt_us AS rate_per_s
-    FROM d ORDER BY event_id
-    """,
-    doc="Same semantics as q07 but computed with the skew-proof "
-    "(channel, bucket) two-level window (operators/scalable_window.py): "
-    "identical results, parallelism bounded by buckets not channels.",
-    headline=True,
-)
-def q30(spark, sf_dir):
-    from etsd_time_series_database_spark.operators.scalable_window import (
-        rate_scalable,
-    )
-
-    return rate_scalable(_events(spark, sf_dir), bucket_s=86400)
-
-
-@register(
-    "q31_rollover_scalable",
-    "window",
-    """
-    WITH b AS (
-      SELECT event_id, event_type, value, ts,
-             CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS bump
-      FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-    )
-    SELECT event_id, event_type,
-           value + CAST(SUM(bump) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                   * 4294967296.0 AS corrected_value
-    FROM b ORDER BY event_id
-    """,
-    doc="q08's rollover correction via stitched lag + distributed prefix "
-    "sum — the 100 TB formulation (operators/scalable_window.py).",
-    headline=True,
-)
-def q31(spark, sf_dir):
-    from etsd_time_series_database_spark.operators.scalable_window import (
-        rollover_corrected_scalable,
-    )
-
-    return rollover_corrected_scalable(_events(spark, sf_dir), bucket_s=86400)
+# q30_rate_scalable / q31_rollover_scalable were dropped from the
+# catalog in round 3: since the round-2 default swap, q07/q08 route to
+# the SAME stitched plans (operators/range_stats.py rate/rollover ->
+# operators/scalable_window.py), so the pair were exact plan-identical
+# duplicates whose only effect was pushing later q-entries out of the
+# driver's ~50-entry verification window. The scalable operators stay
+# covered by q07/q08's oracles and tests/test_scalable_window.py.
 
 
 @register(

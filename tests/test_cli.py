@@ -64,10 +64,10 @@ def test_catalog_listing(spark, capsys):
     rc = cli.main(["catalog"], spark=spark)
     out = capsys.readouterr().out
     assert rc == 0
-    assert "q01_scan_project" in out and "p14_near_dup_clusters" in out
+    assert "q01_scan_project" in out and "x09_near_dup_clusters" in out
     rc = cli.main(["catalog", "--category", "dedup"], spark=spark)
     out = capsys.readouterr().out
-    assert "p01_dedup_exact" in out and "q01_scan_project" not in out
+    assert "x11_dedup_exact" in out and "q01_scan_project" not in out
 
 
 def test_channel_name_resolution(spark, capsys):

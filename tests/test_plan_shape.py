@@ -91,7 +91,7 @@ def test_embedding_near_dup_has_no_cartesian_product(spark):
     allowed is the bounded 8-row centroid broadcast (same as p06)."""
     from etsd_time_series_database_spark.plans import catalog
 
-    plan = _plan(catalog()["p07_embedding_near_dup"].build(spark, SF_SMOKE))
+    plan = _plan(catalog()["x07_embedding_near_dup"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
 
 
@@ -122,11 +122,15 @@ def test_lint_clean_for_all_headline_queries(spark):
         warnings = [
             w
             for w in lint(q.build(spark, SF_SMOKE))
-            # documented exceptions: the multimodal/text pipeline ops use
-            # Arrow-batched Python; p05 probes against a ONE-ROW broadcast
+            # documented exceptions: the multimodal pipeline ops use
+            # Arrow-batched Python; x14 probes against a ONE-ROW broadcast
             # query vector, for which nested-loop is the right plan
-            if not (name.startswith("p1") and "Python eval" in w)
-            and not (name == "p05_ann_cosine_topk" and "NestedLoop" in w)
+            if not (
+                name in ("x20_multimodal_features", "x21_frame_sample",
+                         "x22_chunk_documents")
+                and "Python eval" in w
+            )
+            and not (name == "x14_ann_cosine_topk" and "NestedLoop" in w)
         ]
         assert warnings == [], f"{name}: {warnings}"
 
@@ -176,7 +180,7 @@ def test_token_topk_uses_take_ordered_not_global_sort(spark):
     of the full token histogram is the plan that dies at scale."""
     from etsd_time_series_database_spark.plans import catalog
 
-    plan = _plan(catalog()["p24_token_topk"].build(spark, SF_SMOKE))
+    plan = _plan(catalog()["x25_token_topk"].build(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
 
 
