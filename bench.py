@@ -10,12 +10,19 @@ then N timed passes (default 3, $SPARK_GRAFT_BENCH_RUNS) of which the
 MINIMUM is reported — the steady-state cost, insulated from one-off
 scheduler/GC noise. The timed action is a full collect() of the query
 result — scan + compute + result materialization.
+
+The 10M-row window-skew comparison runs in a SEPARATE subprocess with
+its own JVM: generating and checkpointing 10M rows in the same session
+as the headline timings inflated every unchanged query ~20-30% in
+round 2 (heap/code-cache pressure), which read as a phantom
+regression. Isolation keeps the headline numbers clean.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -57,10 +64,26 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "skew_compare": _skew_compare(spark),
+                "skew_compare": _skew_compare_isolated(),
             }
         )
     )
+
+
+def _skew_compare_isolated() -> dict:
+    """Run the skew comparison in a fresh subprocess/JVM so its 10M-row
+    generation cannot pressure the headline-timing session."""
+    if int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_ROWS", "10000000")) <= 0:
+        return {}
+    proc = subprocess.run(
+        [sys.executable, __file__, "--skew-only"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    if proc.returncode != 0:
+        return {"error": proc.stderr[-500:]}
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def _skew_compare(spark) -> dict:
@@ -110,4 +133,8 @@ def _skew_compare(spark) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if "--skew-only" in sys.argv:
+        spark = get_spark("etsd_spark_bench_skew")
+        print(json.dumps(_skew_compare(spark)))
+    else:
+        main()
