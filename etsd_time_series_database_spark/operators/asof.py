@@ -136,7 +136,10 @@ def asof_join_scalable(
     Each bucket's probes see (a) the in-bucket right rows at-or-before
     them, or — when none precede them in the bucket — (b) the latest
     right row of ANY earlier bucket, delivered by a tiny per-(key,
-    bucket) summary joined back broadcast. Parallelism is bounded by
+    bucket) summary joined back (unhinted — AQE broadcasts it at
+    runtime while keys x buckets is actually small, and degrades to a
+    shuffle join instead of OOMing when it is not). Parallelism is
+    bounded by
     (keys x buckets), so one hot key no longer serializes the sort.
     The cross-bucket seed is the same whole-row struct as the in-bucket
     carry, so a bucket boundary can never mix columns from different
@@ -195,7 +198,7 @@ def asof_join_scalable(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (
-        unioned.join(F.broadcast(prev), ["__k", "__bkt"], "left")
+        unioned.join(prev, ["__k", "__bkt"], "left")
         .select(
             "__side",
             "__l",

@@ -18,7 +18,9 @@ parallelism**, preserving bit-identical results:
 3. fix the bucket boundaries with a *tiny* per-bucket summary table
    (one row per (channel, bucket): first/last ts+value, bucket total),
    which is windowed per channel — cheap because it has
-   n_channels x n_buckets rows, not n_rows — and broadcast back.
+   n_channels x n_buckets rows, not n_rows — and joined back (AQE
+   broadcasts it at runtime while it is actually tiny; no hard hint,
+   so extreme channel x bucket cardinality degrades instead of OOMs).
 
 This is the distributed prefix-sum / chained-scan pattern; the summary
 table plays the role of the reference's per-block registers
@@ -84,7 +86,10 @@ def lag_stitched(
         ],
     )
 
-    out = b.join(F.broadcast(prev), [channel, "__bkt"], "left")
+    # Unhinted: prev is n_channels x n_buckets rows — tiny in practice,
+    # but a hard broadcast hint OOMs instead of degrading at extreme
+    # cardinality. AQE (session.py) broadcasts at runtime when small.
+    out = b.join(prev, [channel, "__bkt"], "left")
     rn = F.row_number().over(w_in)
     out = out.withColumn("__rn", rn)
     for c in cols:
@@ -150,7 +155,8 @@ def cumsum_scalable(
     )
     return (
         b.withColumn("__run", F.sum("__x").over(w_in))
-        .join(F.broadcast(offsets), [channel, "__bkt"])
+        # unhinted like lag_stitched's boundary join: AQE decides
+        .join(offsets, [channel, "__bkt"])
         .withColumn(out_name, F.col("__run") + F.col("__offset"))
         .drop("__x", "__run", "__offset", "__bkt")
     )

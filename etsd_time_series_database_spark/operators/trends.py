@@ -249,8 +249,13 @@ def time_weighted_avg(
             F.lead("__first_us").over(w_bkt).alias("__nxt_first_us"),
         )
     )
+    # No broadcast hint: the boundary table is n_channels x n_buckets
+    # rows — usually tiny, but a hard hint would OOM instead of degrade
+    # at extreme cardinality (1e5 channels x a decade of daily buckets).
+    # AQE (enabled in session.py) sees the actual post-shuffle size and
+    # broadcasts at runtime exactly when it is genuinely small.
     seg = (
-        rows.join(F.broadcast(nxt_first), [channel, "__bkt"])
+        rows.join(nxt_first, [channel, "__bkt"])
         .withColumn(
             "nxt",
             F.coalesce(
@@ -506,7 +511,10 @@ def resample_interpolate(
         F.last("__last_s", ignorenulls=True).over(w_b_asc).alias("__carry_prev"),
         F.last("__first_s", ignorenulls=True).over(w_b_desc).alias("__carry_nxt"),
     )
-    u = u.join(F.broadcast(carries), [channel, "__bkt"])
+    # Unhinted for the same reason as twa's boundary join: the carries
+    # table scales with channels x buckets, so let AQE broadcast it at
+    # runtime when small rather than forcing it at any size.
+    u = u.join(carries, [channel, "__bkt"])
     u = u.withColumn(
         "prev",
         F.coalesce(

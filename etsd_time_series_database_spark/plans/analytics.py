@@ -168,6 +168,7 @@ def q37(spark, sf_dir):
     "pro-rata like the reference's interval interpolation "
     "(code/etsdQuery.c:254,279) generalized to averages; exact "
     "decimal value x duration products.",
+    headline=True,
 )
 def q38(spark, sf_dir):
     return time_weighted_avg(_events(spark, sf_dir), T0, T1)
@@ -200,6 +201,7 @@ def _ewma_sql(k: int = EWMA_K) -> str:
     doc="Truncated EWMA (alpha=1/2, last 16 samples): power-of-two "
     "integer weights keep every term exact decimal, so partial "
     "aggregation order cannot change the result.",
+    headline=True,
 )
 def q39(spark, sf_dir):
     return ewma_truncated(_events(spark, sf_dir)).limit(10000)
