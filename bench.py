@@ -35,25 +35,75 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
 from etsd_time_series_database_spark import get_spark  # noqa: E402
 from etsd_time_series_database_spark.plans import catalog  # noqa: E402
+from etsd_time_series_database_spark.plans.metrics import (  # noqa: E402
+    collect_plan_metrics,
+)
+
+
+def _executor_totals(spark) -> dict[str, int] | None:
+    """Sum executor run/CPU/GC time over all completed stages via the
+    Spark UI REST API. Snapshot-and-diff around a query's timed passes
+    gives its cluster-side task time — the number that separates real
+    plan cost from driver/env noise (same wall, more task time = plan
+    got heavier; same task time, more wall = environment). Returns
+    None when the UI is disabled; callers must treat that as 'no
+    task-time column', never an error."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.load(r)
+        out = {"task_time_ms": 0, "cpu_time_ms": 0, "gc_time_ms": 0}
+        for s in stages:
+            out["task_time_ms"] += int(s.get("executorRunTime", 0))
+            out["cpu_time_ms"] += int(s.get("executorCpuTime", 0)) // 1_000_000
+            out["gc_time_ms"] += int(s.get("jvmGcTime", 0))
+        return out
+    except Exception:
+        return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
-    spark = get_spark("etsd_spark_bench")
+    # UI on for this session only: _executor_totals reads task time from
+    # the status REST API (the repo default keeps the UI off for tests)
+    spark = get_spark("etsd_spark_bench", {"spark.ui.enabled": "true"})
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     names = sorted(n for n, q in catalog().items() if q.headline)
     timings: dict[str, float] = {}
+    query_metrics: dict[str, dict] = {}
     for name in names:
         q = catalog()[name]
         q.build(spark, sf_dir).collect()  # warm-up (not counted)
         best = float("inf")
+        before = _executor_totals(spark)
+        df = None
         for _ in range(n_runs):
+            df = q.build(spark, sf_dir)
             t0 = time.perf_counter()
-            q.build(spark, sf_dir).collect()
+            df.collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # plan-cost metrics for the LAST timed pass (SQLMetrics attach to
+        # that df's own QueryExecution) + task-time delta across all
+        # n_runs passes (divide by n_runs for a per-pass average)
+        try:
+            query_metrics[name] = collect_plan_metrics(df)
+        except Exception:
+            query_metrics[name] = {}
+        after = _executor_totals(spark)
+        if before is not None and after is not None:
+            for k, v in after.items():
+                query_metrics[name][k] = v - before[k]
+            query_metrics[name]["timed_passes"] = n_runs
 
     total = round(sum(timings.values()), 4)
     print(
@@ -63,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_metrics": query_metrics,
                 "sf": sf,
                 "skew_compare": _skew_compare_isolated(),
             }
@@ -83,7 +134,15 @@ def _skew_compare_isolated() -> dict:
     )
     if proc.returncode != 0:
         return {"error": proc.stderr[-500:]}
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    # the child prefixes its one JSON line with a sentinel so py4j/JVM
+    # noise on stdout (or an empty stdout) can't crash the whole bench
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_SKEW_SENTINEL):
+            try:
+                return json.loads(line[len(_SKEW_SENTINEL):])
+            except json.JSONDecodeError as exc:
+                return {"error": f"bad skew JSON: {exc}"}
+    return {"error": f"no skew JSON in stdout: {proc.stdout[-300:]!r}"}
 
 
 def _skew_compare(spark) -> dict:
@@ -132,9 +191,12 @@ def _skew_compare(spark) -> dict:
     return out
 
 
+_SKEW_SENTINEL = "SKEWJSON:"
+
+
 if __name__ == "__main__":
     if "--skew-only" in sys.argv:
         spark = get_spark("etsd_spark_bench_skew")
-        print(json.dumps(_skew_compare(spark)))
+        print(_SKEW_SENTINEL + json.dumps(_skew_compare(spark)))
     else:
         main()
