@@ -691,7 +691,14 @@ def p20(spark, sf_dir):
 # operators/sampling.py key_hash): exact BIGINT modular arithmetic.
 # The key is reduced mod 2^31 before the multiply so the intermediate
 # never overflows INT64 for any BIGINT doc_id (same form as key_hash).
-_DUCK_H = "(((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)"
+# The inner residue mirrors Spark's pmod — ((x % m) + m) % m — so a
+# NEGATIVE doc_id hashes identically in both engines (DuckDB's % keeps
+# the dividend sign); every later residue then sees a non-negative
+# operand and plain % is safe.
+_DUCK_H = (
+    "(((((doc_id % 2147483648) + 2147483648) % 2147483648)"
+    " * 1103515245 + 12345) % 2147483648)"
+)
 SAMPLE_PERMILLE = 200
 STRATA_CAP = 10
 N_SHARDS = 16

@@ -302,6 +302,8 @@ def test_lcg_hash_safe_for_huge_keys(spark):
 
     from etsd_time_series_database_spark.operators.sampling import hash_sample
 
+    from etsd_time_series_database_spark.plans.pipeline import _DUCK_H
+
     big = [2**62 + 7, 2**63 - 1, 2**40, 123, 0]
     df = spark.createDataFrame([(k,) for k in big], "doc_id long")
     got = sorted(r.doc_id for r in hash_sample(df, 500, key="doc_id").collect())
@@ -311,8 +313,45 @@ def test_lcg_hash_safe_for_huge_keys(spark):
         r[0]
         for r in con.execute(
             f"SELECT doc_id FROM (VALUES {keys}) t(doc_id) "
-            "WHERE (((doc_id % 2147483648) * 1103515245 + 12345) "
-            "% 2147483648) % 1000 < 500"
+            f"WHERE {_DUCK_H} % 1000 < 500"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_lcg_hash_matches_oracle_for_negative_keys(spark):
+    """Spark key_hash uses pmod throughout; the DuckDB oracle _DUCK_H
+    must mirror it (((x % m) + m) % m) so NEGATIVE keys — where
+    DuckDB's sign-preserving % would diverge — hash identically and
+    cross-engine sample membership agrees."""
+    import duckdb
+
+    from etsd_time_series_database_spark.operators.sampling import (
+        hash_sample,
+        key_hash,
+    )
+    from etsd_time_series_database_spark.plans.pipeline import _DUCK_H
+
+    keys = [-1, -123, -(2**31), -(2**62 + 7), -(2**63), 42, 0]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    vals = ", ".join(f"({k})" for k in keys)
+    con = duckdb.connect()
+    want_h = dict(
+        con.execute(
+            f"SELECT doc_id, {_DUCK_H} FROM (VALUES {vals}) t(doc_id)"
+        ).fetchall()
+    )
+    got_h = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", key_hash("doc_id").alias("h")).collect()
+    }
+    assert got_h == want_h
+    got = sorted(r.doc_id for r in hash_sample(df, 500, key="doc_id").collect())
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM (VALUES {vals}) t(doc_id) "
+            f"WHERE {_DUCK_H} % 1000 < 500"
         ).fetchall()
     )
     assert got == want
