@@ -114,7 +114,19 @@ def cmd_examine(args, spark: SparkSession) -> int:
 
 
 def cmd_dump(args, spark: SparkSession) -> int:
-    df = _load_events(spark, args.path)
+    if args.with_xdata:
+        # pair each reading with its commit-batch blob (the reference
+        # reads xData from the same 512-byte block as the intervals,
+        # code/etsd.h:102-103; here the pair key is (source, epoch))
+        from etsd_time_series_database_spark.streaming.ingest import (
+            events_with_xdata,
+        )
+
+        df = events_with_xdata(spark, args.path, args.with_xdata).withColumn(
+            "xdata_hex", F.hex(F.col("payload"))
+        ).drop("payload", "batch_ts")
+    else:
+        df = _load_events(spark, args.path)
     begin, _ = _bounds(df)
     start, end = resolve_range(args.start, args.end, begin=begin)
     out = df.filter(
@@ -183,6 +195,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-s", "--start", default=None)
     d.add_argument("-e", "--end", default=None)
     d.add_argument("--limit", type=int, default=50)
+    d.add_argument(
+        "--with-xdata",
+        default=None,
+        metavar="XDATA_PATH",
+        help="join each row to its ingest batch's xData blob (shown as "
+        "xdata_hex) from this side-table path — the reference's "
+        "per-block opaque payload (code/etsd.h:102-103)",
+    )
     d.set_defaults(fn=cmd_dump)
 
     c = sub.add_parser("create", help="write a partitioned events table")

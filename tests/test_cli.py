@@ -83,3 +83,35 @@ def test_channel_name_resolution_unknown_errors(spark):
 
     with _p.raises(ValueError, match="no channel matches"):
         cli.main(["query", EVENTS, "-c", "zzz"], spark=spark)
+
+
+def test_dump_with_xdata(spark, tmp_path, capsys):
+    """dump --with-xdata pairs every reading with its commit batch's
+    blob (hex-rendered) — the CLI path to the reference's per-block
+    xData payload (code/etsd.h:102-103)."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.streaming import ingest
+    from tests.test_xdata import _rows_df, _xdata_fn
+
+    raw, xd = str(tmp_path / "raw"), str(tmp_path / "xd")
+    b0 = _rows_df(spark, [("2026-01-01 00:00:05", "a", 1.0)])
+    b1 = _rows_df(spark, [("2026-01-01 00:00:06", "a", 9.0)])
+    for i, b in enumerate([b0, b1]):
+        ingest.write_ingest_epoch(b, i, raw)
+        ingest.write_xdata_epoch(_xdata_fn(b, i), i, xd)
+
+    rc = cli.main(
+        ["dump", raw, "-s", "begin", "-e", "begin+1d", "--with-xdata", xd],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "xdata_hex" in out and "payload" not in out
+    want_hex = (
+        _xdata_fn(b0, 0)
+        .select(F.hex("payload").alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert want_hex in out
