@@ -88,3 +88,43 @@ def test_rate_scalable_equals_rate_for_any_bucket(spark, values, bucket_s):
     got = sorted(map(tuple, sw.rate_scalable(df, bucket_s=bucket_s).collect()))
     want = sorted(map(tuple, ops.rate(df).collect()))
     assert got == want
+
+
+trends = importlib.import_module("etsd_time_series_database_spark.operators.trends")
+
+
+@_few
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # channel
+            st.integers(min_value=0, max_value=3000),  # t offset (s)
+            st.integers(min_value=-1000, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([3, 17, 200]),  # tiny buckets: most hold 0-1 rows
+)
+def test_ewma_carry_margin_any_bucket_layout(spark, samples, bucket_s):
+    """The (k-1)-row EWMA carry rebuild must be exact for ANY bucket
+    layout: channels with fewer than k rows total, duplicate
+    timestamps (tie-broken by event_id), and margins that span many
+    empty buckets. Oracle = the same operator with one giant bucket,
+    where the in-bucket window IS the channel-global window and the
+    carry machinery is inert."""
+    rows = [
+        (f"2026-01-01 {t // 3600:02d}:{t % 3600 // 60:02d}:{t % 60:02d}",
+         f"ch{c}", float(v), i)
+        for i, (c, t, v) in enumerate(samples)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, event_type string, value double, event_id bigint"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        map(tuple, trends.ewma_truncated(df, bucket_s=bucket_s).collect())
+    )
+    want = sorted(
+        map(tuple, trends.ewma_truncated(df, bucket_s=86400 * 365).collect())
+    )
+    assert got == want
