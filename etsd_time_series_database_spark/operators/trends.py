@@ -19,7 +19,11 @@ Scale notes
   ``resample_interpolate`` need per-channel ordered state, but all
   three window on **(channel, time-bucket)** with a stitched boundary
   carry (the operators/scalable_window.py pattern), so parallelism
-  scales with channels x buckets, not channel cardinality:
+  scales with channels x buckets, not channel cardinality. The
+  stitching costs a few fixed stages, so ``mode='auto'`` (default)
+  drops to the plain channel-global window when the Catalyst size
+  estimate says the input is small — both forms are bit-identical
+  (tested), the choice is purely physical:
   - TWA carries a 1-row *lead* margin: the last row of each bucket
     takes the next non-empty bucket's first timestamp from a tiny
     per-bucket boundary table (exact, no density assumption);
@@ -195,6 +199,40 @@ def _bucket(us_col: Column, bucket_s: int) -> Column:
     return (us_col / F.lit(bucket_s * 1_000_000)).cast("bigint")
 
 
+# The stitched (channel, bucket) windows pay ~3 extra stages of fixed
+# cost (boundary agg + boundary window + join). Below this estimated
+# input-row count a single-channel global window sorts faster than the
+# machinery costs; above it, stitching wins and keeps winning as the
+# gap grows with cluster size. Both forms are bit-identical (tested),
+# so the choice is purely physical.
+STITCH_AUTO_MIN_ROWS = 1_000_000
+_EST_ROW_BYTES = 24  # conservative bytes/row for the narrow ts+value shape
+
+
+def _est_rows(df: DataFrame) -> int:
+    """Driver-side input-size estimate from Catalyst statistics
+    (optimizedPlan.stats.sizeInBytes / a conservative row width) —
+    zero jobs, so it is free at any scale. Returns a huge number on
+    any failure: when in doubt, choose the scale-safe form."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return size // _EST_ROW_BYTES
+    except Exception:
+        return 1 << 62
+
+
+def _use_stitched(df: DataFrame, mode: str) -> bool:
+    if mode == "stitched":
+        return True
+    if mode == "global":
+        return False
+    if mode != "auto":
+        raise ValueError(f"mode must be stitched|global|auto, got {mode!r}")
+    return _est_rows(df) >= STITCH_AUTO_MIN_ROWS
+
+
 def time_weighted_avg(
     df: DataFrame,
     start: str,
@@ -204,6 +242,7 @@ def time_weighted_avg(
     value: str = "value",
     tie: str = "event_id",
     bucket_s: int = 86400,
+    mode: str = "auto",
 ) -> DataFrame:
     """Carry-forward time-weighted average per channel over [start, end).
 
@@ -216,53 +255,61 @@ def time_weighted_avg(
     Weights are integer microsecond durations; value×duration products
     stay in exact DECIMAL, so the aggregation is order-independent.
 
-    The only sequential dependency is ``lead(us)``; it is computed at
-    (channel, bucket) parallelism with a 1-row lead margin: a tiny
-    per-(channel, bucket) boundary table (first us per bucket) is
-    windowed per channel — n_channels x n_buckets rows, not n_rows —
-    and each bucket's last row takes the next non-empty bucket's first
-    us from it. Bit-identical to the global per-channel window at any
-    bucket size (the boundary table skips empty buckets by
-    construction), but parallelism scales with channels x buckets.
+    The only sequential dependency is ``lead(us)``. In stitched form it
+    is computed at (channel, bucket) parallelism with a 1-row lead
+    margin: a tiny per-(channel, bucket) boundary table (first us per
+    bucket) is windowed per channel — n_channels x n_buckets rows, not
+    n_rows — and each bucket's last row takes the next non-empty
+    bucket's first us from it. Bit-identical to the global per-channel
+    window at any bucket size (the boundary table skips empty buckets
+    by construction), but parallelism scales with channels x buckets.
+
+    ``mode='auto'`` (default) picks the plain channel-global window
+    when the Catalyst size estimate says the input is small (<
+    STITCH_AUTO_MIN_ROWS): same result, none of the boundary-machinery
+    stages. 'stitched'/'global' force a form.
     """
     t0, t1 = _ts_us(start), _ts_us(end)
-    rows = (
-        df.select(
-            F.col(channel),
-            epoch_us(ts).alias("us"),
-            F.col(value),
-            F.col(tie),
+    stitched = _use_stitched(df, mode)
+    rows = df.select(
+        F.col(channel),
+        epoch_us(ts).alias("us"),
+        F.col(value),
+        F.col(tie),
+    ).filter(F.col("us") < t1)
+    if stitched:
+        rows = rows.withColumn("__bkt", _bucket(F.col("us"), bucket_s))
+        w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
+        # tiny boundary table: first us of each non-empty (channel,
+        # bucket), shifted to give every bucket its successor bucket's
+        # first us
+        w_bkt = Window.partitionBy(channel).orderBy("__bkt")
+        nxt_first = (
+            rows.groupBy(channel, "__bkt")
+            .agg(F.min("us").alias("__first_us"))
+            .select(
+                channel,
+                "__bkt",
+                F.lead("__first_us").over(w_bkt).alias("__nxt_first_us"),
+            )
         )
-        .filter(F.col("us") < t1)
-        .withColumn("__bkt", _bucket(F.col("us"), bucket_s))
-    )
-    w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
-    # tiny boundary table: first us of each non-empty (channel, bucket),
-    # shifted to give every bucket its successor bucket's first us
-    w_bkt = Window.partitionBy(channel).orderBy("__bkt")
-    nxt_first = (
-        rows.groupBy(channel, "__bkt")
-        .agg(F.min("us").alias("__first_us"))
-        .select(
-            channel,
-            "__bkt",
-            F.lead("__first_us").over(w_bkt).alias("__nxt_first_us"),
-        )
-    )
-    # No broadcast hint: the boundary table is n_channels x n_buckets
-    # rows — usually tiny, but a hard hint would OOM instead of degrade
-    # at extreme cardinality (1e5 channels x a decade of daily buckets).
-    # AQE (enabled in session.py) sees the actual post-shuffle size and
-    # broadcasts at runtime exactly when it is genuinely small.
-    seg = (
-        rows.join(nxt_first, [channel, "__bkt"])
-        .withColumn(
+        # No broadcast hint: the boundary table is n_channels x
+        # n_buckets rows — usually tiny, but a hard hint would OOM
+        # instead of degrade at extreme cardinality (1e5 channels x a
+        # decade of daily buckets). AQE (enabled in session.py) sees
+        # the actual post-shuffle size and broadcasts at runtime
+        # exactly when it is genuinely small.
+        seg = rows.join(nxt_first, [channel, "__bkt"]).withColumn(
             "nxt",
-            F.coalesce(
-                F.lead("us").over(w_in), F.col("__nxt_first_us"), t1
-            ),
+            F.coalesce(F.lead("us").over(w_in), F.col("__nxt_first_us"), t1),
         )
-        .withColumn("seg_start", F.greatest(F.col("us"), t0))
+    else:
+        w = Window.partitionBy(channel).orderBy("us", tie)
+        seg = rows.withColumn(
+            "nxt", F.coalesce(F.lead("us").over(w), t1)
+        )
+    seg = (
+        seg.withColumn("seg_start", F.greatest(F.col("us"), t0))
         .withColumn("seg_end", F.least(F.col("nxt"), t1))
         .withColumn("dur_us", F.col("seg_end") - F.col("seg_start"))
         .filter(F.col("dur_us") > 0)
@@ -293,6 +340,7 @@ def ewma_truncated(
     tie: str = "event_id",
     k: int = EWMA_K,
     bucket_s: int = 86400,
+    mode: str = "auto",
 ) -> DataFrame:
     """Per-channel EWMA with alpha=1/2 truncated to the last ``k``
     samples: ewma_t = Σ_{j=0..k-1} 2^(k-1-j)·x_{t-j} / Σ 2^(k-1-j).
@@ -303,64 +351,75 @@ def ewma_truncated(
     partial aggregation or a sequential oracle — yields the identical
     double.
 
-    The k-lag window runs at (channel, bucket) parallelism with a
-    (k-1)-row carry margin: each bucket's last k-1 rows form a tiny
-    per-bucket "tail" array; the last k-1 rows *before* any bucket are
-    then rebuilt from the previous k-1 non-empty buckets' tails (every
-    non-empty bucket contributes >= 1 row, so k-1 of them always cover
-    k-1 rows, and a row in the global last-k-1 before a bucket is
-    necessarily in its own bucket's last k-1 — exact for any layout,
-    dense or sparse) and injected as margin rows that are dropped
-    after the window. Results are bit-identical to the global
-    per-channel window; parallelism scales with channels x buckets.
+    In stitched form the k-lag window runs at (channel, bucket)
+    parallelism with a (k-1)-row carry margin: each bucket's last k-1
+    rows form a tiny per-bucket "tail" array; the last k-1 rows
+    *before* any bucket are then rebuilt from the previous k-1
+    non-empty buckets' tails (every non-empty bucket contributes >= 1
+    row, so k-1 of them always cover k-1 rows, and a row in the global
+    last-k-1 before a bucket is necessarily in its own bucket's last
+    k-1 — exact for any layout, dense or sparse) and injected as
+    margin rows that are dropped after the window. Results are
+    bit-identical to the global per-channel window; parallelism scales
+    with channels x buckets.
+
+    ``mode='auto'`` (default) falls back to the plain channel-global
+    window below the STITCH_AUTO_MIN_ROWS size estimate — identical
+    results without the tail/carry stages.
     """
+    stitched = _use_stitched(df, mode)
     rows = df.select(
         F.col(tie), F.col(channel), epoch_us(ts).alias("us"), F.col(value)
-    ).withColumn("__bkt", _bucket(F.col("us"), bucket_s))
-    w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
+    )
+    if not stitched:
+        w_in = Window.partitionBy(channel).orderBy("us", tie)
+        u = rows.withColumn("__margin", F.lit(0))
+    else:
+        rows = rows.withColumn("__bkt", _bucket(F.col("us"), bucket_s))
+        w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
 
-    # tails: per (channel, bucket), the last min(k-1, n) rows as a
-    # sorted struct array — bounded at k-1 elements, so the table has
-    # n_channels x n_buckets rows of <= k-1 structs.
-    w_desc = Window.partitionBy(channel, "__bkt").orderBy(
-        F.col("us").desc(), F.col(tie).desc()
-    )
-    tails = (
-        rows.withColumn("__rnd", F.row_number().over(w_desc))
-        .filter(F.col("__rnd") <= k - 1)
-        .groupBy(channel, "__bkt")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("us", tie, value))
-            ).alias("__tail")
+        # tails: per (channel, bucket), the last min(k-1, n) rows as a
+        # sorted struct array — bounded at k-1 elements, so the table
+        # has n_channels x n_buckets rows of <= k-1 structs.
+        w_desc = Window.partitionBy(channel, "__bkt").orderBy(
+            F.col("us").desc(), F.col(tie).desc()
         )
-    )
-    # carry: concat the previous k-1 buckets' tails (frame order =
-    # ascending bucket), keep the last k-1 entries.
-    w_carry = (
-        Window.partitionBy(channel)
-        .orderBy("__bkt")
-        .rowsBetween(-(k - 1), -1)
-    )
-    allprev = F.flatten(F.collect_list("__tail").over(w_carry))
-    carry = tails.select(
-        channel,
-        "__bkt",
-        F.when(F.size(allprev) <= k - 1, allprev)
-        .otherwise(F.slice(allprev, -(k - 1), k - 1))
-        .alias("__carry"),
-    )
-    margin = carry.select(
-        channel, "__bkt", F.explode("__carry").alias("__s")
-    ).select(
-        F.col("__s")[tie].alias(tie),
-        F.col(channel),
-        F.col("__s")["us"].alias("us"),
-        F.col("__s")[value].alias(value),
-        "__bkt",
-        F.lit(1).alias("__margin"),
-    )
-    u = rows.withColumn("__margin", F.lit(0)).unionByName(margin)
+        tails = (
+            rows.withColumn("__rnd", F.row_number().over(w_desc))
+            .filter(F.col("__rnd") <= k - 1)
+            .groupBy(channel, "__bkt")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("us", tie, value))
+                ).alias("__tail")
+            )
+        )
+        # carry: concat the previous k-1 buckets' tails (frame order =
+        # ascending bucket), keep the last k-1 entries.
+        w_carry = (
+            Window.partitionBy(channel)
+            .orderBy("__bkt")
+            .rowsBetween(-(k - 1), -1)
+        )
+        allprev = F.flatten(F.collect_list("__tail").over(w_carry))
+        carry = tails.select(
+            channel,
+            "__bkt",
+            F.when(F.size(allprev) <= k - 1, allprev)
+            .otherwise(F.slice(allprev, -(k - 1), k - 1))
+            .alias("__carry"),
+        )
+        margin = carry.select(
+            channel, "__bkt", F.explode("__carry").alias("__s")
+        ).select(
+            F.col("__s")[tie].alias(tie),
+            F.col(channel),
+            F.col("__s")["us"].alias("us"),
+            F.col("__s")[value].alias(value),
+            "__bkt",
+            F.lit(1).alias("__margin"),
+        )
+        u = rows.withColumn("__margin", F.lit(0)).unionByName(margin)
 
     num = F.lit(0).cast(DEC)
     den = F.lit(0).cast("bigint")
@@ -395,6 +454,7 @@ def resample_interpolate(
     value: str = "value",
     tie: str = "event_id",
     bucket_s: int = 86400,
+    mode: str = "auto",
 ) -> DataFrame:
     """Resample each channel onto a regular [start, end] grid with
     linear interpolation between the nearest samples (nearest-value at
@@ -407,14 +467,20 @@ def resample_interpolate(
     columns so the timestamp and value always come from the same
     sample row.
 
-    Both carry windows run at (channel, bucket) parallelism: a tiny
-    per-(channel, bucket) boundary table holds each bucket's first and
-    last data sample; carrying *those* forward/backward per channel
-    (n_channels x n_buckets rows) gives every bucket the nearest
-    sample beyond its own edge, and in-bucket carries handle the rest.
-    Bit-identical to the channel-global windows at any bucket size.
+    In stitched form both carry windows run at (channel, bucket)
+    parallelism: a tiny per-(channel, bucket) boundary table holds
+    each bucket's first and last data sample; carrying *those*
+    forward/backward per channel (n_channels x n_buckets rows) gives
+    every bucket the nearest sample beyond its own edge, and in-bucket
+    carries handle the rest. Bit-identical to the channel-global
+    windows at any bucket size.
+
+    ``mode='auto'`` (default) uses the plain channel-global carry
+    windows below the STITCH_AUTO_MIN_ROWS size estimate — identical
+    results without the bounds/carries stages.
     """
     t0, t1 = _ts_us(start), _ts_us(end)
+    stitched = _use_stitched(df, mode)
     step_us = width_s * 1_000_000
     grid = (
         df.select(channel)
@@ -436,9 +502,7 @@ def resample_interpolate(
         F.lit(0).alias("is_grid"),
         F.col(tie).cast("bigint").alias("t"),
     )
-    u = data.unionByName(grid).withColumn(
-        "__bkt", _bucket(F.col("us"), bucket_s)
-    )
+    u = data.unionByName(grid)
     sample = F.when(
         F.col("is_grid") == 0,
         F.struct(F.col("us").alias("u"), F.col(value).alias("v")),
@@ -447,86 +511,112 @@ def resample_interpolate(
     # largest tie ≤ grid and "next" the smallest tie ≥ grid — both
     # deterministic.  is_grid separates grid rows, so the tie column
     # never compares NULL-vs-value across engines.
-    w_asc = (
-        Window.partitionBy(channel, "__bkt")
-        .orderBy("us", "is_grid", "t")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_desc = (
-        Window.partitionBy(channel, "__bkt")
-        .orderBy(F.col("us").desc(), F.col("is_grid"), F.col("t").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # Boundary table: per (channel, bucket) the first/last data sample
-    # (grid rows carry nothing), then per-channel carries over the
-    # tiny table give each bucket the nearest sample beyond its edges.
-    # (us, t) is packed into one order-preserving DECIMAL so min_by/
-    # max_by keep a primitive agg buffer (HashAggregate, no sort —
-    # the ohlc trick); the struct is reassembled after the agg.
-    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
-    ordd = F.when(
-        F.col("is_grid") == 0,
-        F.col("us").cast("decimal(19,0)") * shift
-        + F.col("t").cast("decimal(19,0)"),
-    )
-    data_us = F.when(F.col("is_grid") == 0, F.col("us"))
-    bounds = (
-        u.groupBy(channel, "__bkt")
-        .agg(
-            F.min(data_us).alias("__first_u"),
-            F.min_by(value, ordd).alias("__first_v"),
-            F.max(data_us).alias("__last_u"),
-            F.max_by(value, ordd).alias("__last_v"),
+    if not stitched:
+        w_asc = (
+            Window.partitionBy(channel)
+            .orderBy("us", "is_grid", "t")
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        .select(
+        w_desc = (
+            Window.partitionBy(channel)
+            .orderBy(F.col("us").desc(), F.col("is_grid"), F.col("t").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        u = u.withColumn(
+            "prev", F.last(sample, ignorenulls=True).over(w_asc)
+        ).withColumn("nxt", F.last(sample, ignorenulls=True).over(w_desc))
+    else:
+        u = u.withColumn("__bkt", _bucket(F.col("us"), bucket_s))
+        w_asc = (
+            Window.partitionBy(channel, "__bkt")
+            .orderBy("us", "is_grid", "t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_desc = (
+            Window.partitionBy(channel, "__bkt")
+            .orderBy(F.col("us").desc(), F.col("is_grid"), F.col("t").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # Boundary table: per (channel, bucket) the first/last data
+        # sample (grid rows carry nothing), then per-channel carries
+        # over the tiny table give each bucket the nearest sample
+        # beyond its edges. (us, t) is packed into one order-preserving
+        # DECIMAL so min_by/max_by keep a primitive agg buffer
+        # (HashAggregate, no sort — the ohlc trick); the struct is
+        # reassembled after the agg.
+        shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+        ordd = F.when(
+            F.col("is_grid") == 0,
+            F.col("us").cast("decimal(19,0)") * shift
+            + F.col("t").cast("decimal(19,0)"),
+        )
+        data_us = F.when(F.col("is_grid") == 0, F.col("us"))
+        bounds = (
+            u.groupBy(channel, "__bkt")
+            .agg(
+                F.min(data_us).alias("__first_u"),
+                F.min_by(value, ordd).alias("__first_v"),
+                F.max(data_us).alias("__last_u"),
+                F.max_by(value, ordd).alias("__last_v"),
+            )
+            .select(
+                channel,
+                "__bkt",
+                F.when(
+                    F.col("__first_u").isNotNull(),
+                    F.struct(
+                        F.col("__first_u").alias("u"),
+                        F.col("__first_v").alias("v"),
+                    ),
+                ).alias("__first_s"),
+                F.when(
+                    F.col("__last_u").isNotNull(),
+                    F.struct(
+                        F.col("__last_u").alias("u"),
+                        F.col("__last_v").alias("v"),
+                    ),
+                ).alias("__last_s"),
+            )
+        )
+        w_b_asc = (
+            Window.partitionBy(channel)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_b_desc = (
+            Window.partitionBy(channel)
+            .orderBy(F.col("__bkt").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = bounds.select(
             channel,
             "__bkt",
-            F.when(
-                F.col("__first_u").isNotNull(),
-                F.struct(
-                    F.col("__first_u").alias("u"), F.col("__first_v").alias("v")
-                ),
-            ).alias("__first_s"),
-            F.when(
-                F.col("__last_u").isNotNull(),
-                F.struct(
-                    F.col("__last_u").alias("u"), F.col("__last_v").alias("v")
-                ),
-            ).alias("__last_s"),
+            F.last("__last_s", ignorenulls=True)
+            .over(w_b_asc)
+            .alias("__carry_prev"),
+            F.last("__first_s", ignorenulls=True)
+            .over(w_b_desc)
+            .alias("__carry_nxt"),
         )
-    )
-    w_b_asc = (
-        Window.partitionBy(channel)
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_b_desc = (
-        Window.partitionBy(channel)
-        .orderBy(F.col("__bkt").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carries = bounds.select(
-        channel,
-        "__bkt",
-        F.last("__last_s", ignorenulls=True).over(w_b_asc).alias("__carry_prev"),
-        F.last("__first_s", ignorenulls=True).over(w_b_desc).alias("__carry_nxt"),
-    )
-    # Unhinted for the same reason as twa's boundary join: the carries
-    # table scales with channels x buckets, so let AQE broadcast it at
-    # runtime when small rather than forcing it at any size.
-    u = u.join(carries, [channel, "__bkt"])
-    u = u.withColumn(
-        "prev",
-        F.coalesce(
-            F.last(sample, ignorenulls=True).over(w_asc), F.col("__carry_prev")
-        ),
-    )
-    u = u.withColumn(
-        "nxt",
-        F.coalesce(
-            F.last(sample, ignorenulls=True).over(w_desc), F.col("__carry_nxt")
-        ),
-    )
+        # Unhinted for the same reason as twa's boundary join: the
+        # carries table scales with channels x buckets, so let AQE
+        # broadcast it at runtime when small rather than forcing it at
+        # any size.
+        u = u.join(carries, [channel, "__bkt"])
+        u = u.withColumn(
+            "prev",
+            F.coalesce(
+                F.last(sample, ignorenulls=True).over(w_asc),
+                F.col("__carry_prev"),
+            ),
+        )
+        u = u.withColumn(
+            "nxt",
+            F.coalesce(
+                F.last(sample, ignorenulls=True).over(w_desc),
+                F.col("__carry_nxt"),
+            ),
+        )
     p_u, p_v = F.col("prev.u"), F.col("prev.v")
     n_u, n_v = F.col("nxt.u"), F.col("nxt.v")
     interp = (

@@ -185,7 +185,7 @@ def test_token_topk_uses_take_ordered_not_global_sort(spark):
 
 
 def test_twa_ewma_resample_windows_are_bucket_stitched(spark):
-    """q38/q39/q40 must run their big-table windows at (channel,
+    """In stitched mode the big-table windows must run at (channel,
     bucket) parallelism: no window over the full fact table may
     partition by channel alone (that caps parallelism at channel
     cardinality — the q07/q08 skew). Channel-only windows are legal
@@ -193,14 +193,21 @@ def test_twa_ewma_resample_windows_are_bucket_stitched(spark):
     never by us."""
     import re
 
-    from etsd_time_series_database_spark.plans import catalog
+    from etsd_time_series_database_spark.operators.trends import (
+        ewma_truncated,
+        resample_interpolate,
+        time_weighted_avg,
+    )
 
-    for name in (
-        "q38_time_weighted_avg",
-        "q39_ewma_smooth",
-        "q40_resample_interpolate",
-    ):
-        plan = _plan(catalog()[name].build(spark, SF_SMOKE))
+    df = load_table(spark, SF_SMOKE, "events")
+    t0, t1 = "2024-01-01 00:00:00", "2024-03-01 00:00:00"
+    builds = {
+        "twa": time_weighted_avg(df, t0, t1, mode="stitched"),
+        "ewma": ewma_truncated(df, mode="stitched"),
+        "resample": resample_interpolate(df, t0, t1, 3600, mode="stitched"),
+    }
+    for name, out in builds.items():
+        plan = _plan(out)
         # big-table window partitioned by (event_type, __bkt) exists
         assert re.search(
             r"windowspecdefinition\(event_type#\d+, __bkt#\d+L, us#", plan
@@ -209,6 +216,43 @@ def test_twa_ewma_resample_windows_are_bucket_stitched(spark):
         assert not re.search(
             r"windowspecdefinition\(event_type#\d+, us#", plan
         ), f"{name}: found a channel-global window over the fact table"
+
+
+def test_stitch_auto_mode_picks_form_by_input_size(spark):
+    """mode='auto' must choose the global window on a small input (the
+    boundary machinery costs more than it saves) and the stitched one
+    once the Catalyst size estimate crosses STITCH_AUTO_MIN_ROWS —
+    zero jobs either way."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.trends import (
+        STITCH_AUTO_MIN_ROWS,
+        _use_stitched,
+        ewma_truncated,
+    )
+
+    small = load_table(spark, SF_SMOKE, "events")
+    assert not _use_stitched(small, "auto")
+    plan = _plan(ewma_truncated(small))  # mode defaults to auto
+    assert re.search(r"windowspecdefinition\(event_type#\d+, us#", plan)
+    assert "__bkt" not in plan
+
+    # a wide synthetic input whose size estimate exceeds the threshold
+    big = spark.range(4 * STITCH_AUTO_MIN_ROWS).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        F.col("id").cast("double").alias("value"),
+    )
+    assert _use_stitched(big, "auto")
+    plan = _plan(ewma_truncated(big))
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, __bkt#\d+L, us#", plan
+    )
 
 
 def test_channel_correlation_no_cartesian(spark):

@@ -110,9 +110,8 @@ def test_ewma_carry_margin_any_bucket_layout(spark, samples, bucket_s):
     """The (k-1)-row EWMA carry rebuild must be exact for ANY bucket
     layout: channels with fewer than k rows total, duplicate
     timestamps (tie-broken by event_id), and margins that span many
-    empty buckets. Oracle = the same operator with one giant bucket,
-    where the in-bucket window IS the channel-global window and the
-    carry machinery is inert."""
+    empty buckets. Oracle = the operator's own channel-global form
+    (mode='global'), where no carry machinery runs at all."""
     rows = [
         (f"2026-01-01 {t // 3600:02d}:{t % 3600 // 60:02d}:{t % 60:02d}",
          f"ch{c}", float(v), i)
@@ -122,9 +121,9 @@ def test_ewma_carry_margin_any_bucket_layout(spark, samples, bucket_s):
         rows, "ts string, event_type string, value double, event_id bigint"
     ).withColumn("ts", F.to_timestamp("ts"))
     got = sorted(
-        map(tuple, trends.ewma_truncated(df, bucket_s=bucket_s).collect())
+        map(tuple, trends.ewma_truncated(df, bucket_s=bucket_s, mode="stitched").collect())
     )
     want = sorted(
-        map(tuple, trends.ewma_truncated(df, bucket_s=86400 * 365).collect())
+        map(tuple, trends.ewma_truncated(df, mode="global").collect())
     )
     assert got == want

@@ -172,7 +172,7 @@ def test_stitched_windows_match_global_forms(spark):
     # --- EWMA: stitched (60 s buckets => most buckets hold 0-1 rows)
     got = {
         r["event_id"]: r["ewma"]
-        for r in ewma_truncated(df, bucket_s=60).collect()
+        for r in ewma_truncated(df, bucket_s=60, mode="stitched").collect()
     }
     # global-window reference, computed inline with the same weights
     w = Window.partitionBy("event_type").orderBy("us", "event_id")
@@ -201,9 +201,9 @@ def test_stitched_windows_match_global_forms(spark):
 
     # --- TWA: stitched lead margin vs 1-bucket run (global window)
     t0, t1 = "2024-01-01 00:00:00", "2024-01-01 02:00:00"
-    a = sorted(map(tuple, time_weighted_avg(df, t0, t1, bucket_s=60).collect()))
+    a = sorted(map(tuple, time_weighted_avg(df, t0, t1, bucket_s=60, mode="stitched").collect()))
     b = sorted(
-        map(tuple, time_weighted_avg(df, t0, t1, bucket_s=86400 * 365).collect())
+        map(tuple, time_weighted_avg(df, t0, t1, bucket_s=86400 * 365, mode="stitched").collect())
     )
     assert a == b
 
@@ -212,14 +212,14 @@ def test_stitched_windows_match_global_forms(spark):
         map(
             tuple,
             resample_interpolate(df, t0, "2024-01-01 01:00:00", 90,
-                                 bucket_s=60).collect(),
+                                 bucket_s=60, mode="stitched").collect(),
         )
     )
     rb = sorted(
         map(
             tuple,
             resample_interpolate(df, t0, "2024-01-01 01:00:00", 90,
-                                 bucket_s=86400 * 365).collect(),
+                                 bucket_s=86400 * 365, mode="stitched").collect(),
         )
     )
     assert ra == rb
