@@ -15,7 +15,7 @@ set).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etsd_time_series_database_spark.functions.exprs import poly_fingerprint
@@ -270,4 +270,120 @@ def inverted_index(
             (F.col("doc_freq") >= F.lit(min_df)) & (F.col("doc_freq") <= F.lit(max_df))
         )
         .orderBy("token")
+    )
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    k: int = 3,
+    min_df: int = 2,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by TF-IDF — the
+    term-weighting step of retrieval / keyword-extraction pipelines.
+
+    The weight is the log-free rational form score = tf * N / df
+    (monotone in the classic tf*log(N/df) for fixed tf): division of
+    exactly-representable BIGINTs is a single correctly-rounded IEEE
+    op, so scores are bit-identical across engines, where ln()
+    implementations drift by ulps (same policy as the rest of the
+    catalog — no transcendental functions in verified outputs).
+
+    Shape at 100 TB: two map-side-combinable hash-aggs (term frequency
+    keyed by (doc, token); document frequency keyed by token), a join
+    on token (vocabulary-sized right side — AQE broadcasts when it
+    fits), a one-row corpus-count broadcast, and a per-doc top-k window
+    (parallelism = doc cardinality). No global sort: the final ORDER BY
+    is presentation-only.
+    """
+    tf = (
+        df.select(F.col(key), F.explode(_tokens(text)).alias("token"))
+        .groupBy(key, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        df.select(F.explode(F.array_distinct(_tokens(text))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= F.lit(min_df))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("__n")).cast("double") / F.col("doc_freq"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(key, "rk", "token", "tf", "doc_freq", "score")
+        .orderBy(key, "rk")
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    max_dup_3gram: float = 0.15,
+    max_top_token: float = 0.20,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher-rule
+    family used to filter LLM training corpora): duplicate 2-gram and
+    3-gram fractions, the most-frequent-token dominance fraction, and a
+    keep flag applying the thresholds.
+
+    The n-gram fractions are pure array expressions (zero shuffle,
+    scan speed); the token-dominance mode needs per-(doc, token) counts
+    — a map-side-combinable hash-agg whose groups are bounded by
+    document vocabulary, re-aggregated per doc, then joined back on the
+    doc key (AQE-sized). All fractions are single IEEE divisions of
+    exact BIGINTs, so both engines agree bit-for-bit.
+    """
+    from etsd_time_series_database_spark.operators.dedup import shingle_expr
+
+    toks = df.select(F.col(key), _tokens(text).alias("__toks"))
+    g2 = shingle_expr("__toks", 2)
+    g3 = shingle_expr("__toks", 3)
+    base = toks.select(
+        key,
+        F.size("__toks").alias("n_tokens"),
+        F.try_divide(
+            F.size(g2) - F.size(F.array_distinct(g2)), F.size(g2)
+        ).alias("dup_2gram_frac"),
+        F.try_divide(
+            F.size(g3) - F.size(F.array_distinct(g3)), F.size(g3)
+        ).alias("dup_3gram_frac"),
+    )
+    top = (
+        df.select(F.col(key), F.explode(_tokens(text)).alias("token"))
+        .groupBy(key, "token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(key)
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__n"))
+        .select(
+            key, F.try_divide(F.col("__top"), F.col("__n")).alias("top_token_frac")
+        )
+    )
+    keep = (
+        F.coalesce(F.col("dup_3gram_frac"), F.lit(0.0)) <= F.lit(max_dup_3gram)
+    ) & (F.coalesce(F.col("top_token_frac"), F.lit(0.0)) <= F.lit(max_top_token))
+    return (
+        base.join(top, key, "left")
+        .select(
+            key,
+            "n_tokens",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            "top_token_frac",
+            keep.alias("keep"),
+        )
+        .orderBy(key)
     )

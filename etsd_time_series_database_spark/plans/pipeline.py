@@ -54,6 +54,8 @@ from etsd_time_series_database_spark.operators.textstats import (
     language_id,
     pii_scrub,
     quality_score,
+    repetition_profile,
+    tfidf_topterms,
     token_counts,
     token_topk,
 )
@@ -836,3 +838,109 @@ def p25(spark, sf_dir):
         "postings",
         F.array_join(F.transform("postings", lambda x: x.cast("string")), ","),
     )
+
+
+# ------------------------------------------- term weighting / quality
+
+TFIDF_K = 3
+TFIDF_MIN_DF = 2
+REP_MAX_DUP3 = 0.15
+REP_MAX_TOP = 0.20
+
+
+@register(
+    "x26_tfidf_topterms",
+    "retrieval",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    dfq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, token FROM tok)
+      GROUP BY token HAVING count(*) >= {TFIDF_MIN_DF}
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    s AS (
+      SELECT doc_id, token, tf, doc_freq,
+             CAST(tf * nd AS DOUBLE) / doc_freq AS score
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rk
+      FROM s
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, doc_freq, score
+    FROM r WHERE rk <= {TFIDF_K} ORDER BY doc_id, rk
+    """,
+    doc="Per-document top-3 characteristic terms by TF-IDF with the "
+    "log-free rational weight tf*N/df (single IEEE division of exact "
+    "BIGINTs — bit-portable where ln() drifts by ulps). Two "
+    "map-side-combinable hash-aggs + vocabulary join (AQE-broadcast) "
+    "+ per-doc top-k window; no global sort.",
+)
+def p26(spark, sf_dir):
+    return tfidf_topterms(
+        load_table(spark, sf_dir, "documents"), k=TFIDF_K, min_df=TFIDF_MIN_DF
+    )
+
+
+_G2 = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "x27_repetition_profile",
+    "quality",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             {_G2} AS g2, {_SHINGLES} AS g3
+      FROM tok
+    ),
+    base AS (
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             CASE WHEN len(g2) > 0 THEN
+               CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+             END AS dup_2gram_frac,
+             CASE WHEN len(g3) > 0 THEN
+               CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             END AS dup_3gram_frac
+      FROM g
+    ),
+    cnt AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+      GROUP BY doc_id, token
+    ),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+               AS top_token_frac
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+           top_token_frac,
+           CAST(coalesce(dup_3gram_frac, 0) <= {REP_MAX_DUP3}
+                AND coalesce(top_token_frac, 0) <= {REP_MAX_TOP} AS INT)
+             AS keep
+    FROM base b LEFT JOIN top USING (doc_id) ORDER BY b.doc_id
+    """,
+    doc="Gopher-style within-document repetition quality signals: "
+    "duplicate 2/3-gram fractions (pure array expressions, scan "
+    "speed), most-frequent-token dominance (bounded hash-agg), and "
+    "the keep flag applying the filter thresholds.",
+)
+def p27(spark, sf_dir):
+    out = repetition_profile(
+        load_table(spark, sf_dir, "documents"),
+        max_dup_3gram=REP_MAX_DUP3,
+        max_top_token=REP_MAX_TOP,
+    )
+    return out.withColumn("keep", F.col("keep").cast("int"))
