@@ -76,10 +76,18 @@ def load_table(
     # the only entry point — so the loader must not assume session setup.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    raw_ns = any(
-        f.name == "ts" and f.dataType.simpleString() == "bigint"
-        for f in df.schema.fields
+    ts_kind = next(
+        (f.dataType.simpleString() for f in df.schema.fields if f.name == "ts"),
+        None,
     )
+    raw_ns = ts_kind == "bigint"
+    # Naive parquet timestamps (isAdjustedToUTC=false) surface as
+    # TIMESTAMP_NTZ in Spark 4; DuckDB reads the same file as a naive
+    # TIMESTAMP whose epoch() treats the wall clock as UTC. Convert to
+    # an epoch-based TimestampType the same way — via timestampdiff
+    # against the NTZ epoch, which is session-timezone independent
+    # (a plain cast would re-interpret the wall clock in session tz).
+    raw_ntz = ts_kind == "timestamp_ntz"
     if ts_range is not None and "ts" in df.columns:
         lo, hi = ts_range
         if raw_ns:
@@ -87,6 +95,13 @@ def load_table(
                 df = df.filter(F.col("ts") >= F.lit(_epoch_us(lo) * 1000))
             if hi is not None:
                 df = df.filter(F.col("ts") < F.lit((_epoch_us(hi) + 1) * 1000))
+        elif raw_ntz:
+            # Filter on the raw NTZ column so the predicate still
+            # reaches the parquet row-group stats.
+            if lo is not None:
+                df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            if hi is not None:
+                df = df.filter(F.col("ts") <= F.lit(hi).cast("timestamp_ntz"))
         else:
             if lo is not None:
                 df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
@@ -95,6 +110,16 @@ def load_table(
     if raw_ns:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    elif raw_ntz:
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
         )
     return df
 
