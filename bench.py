@@ -106,6 +106,19 @@ def main() -> None:
             query_metrics[name]["timed_passes"] = n_runs
 
     total = round(sum(timings.values()), 4)
+    # Per-query SQLMetrics go to a SIDE FILE, never stdout: the driver
+    # retains only a ~2000-char tail of stdout and parses the last JSON
+    # line, so the final line must stay compact (round 4 shipped
+    # parsed:null because query_metrics pushed it to ~5.4 KB).
+    metrics_path = Path(
+        os.environ.get("SPARK_GRAFT_BENCH_METRICS", REPO / "bench_metrics.json")
+    )
+    metrics_path.write_text(
+        json.dumps(
+            {"sf": sf, "queries": timings, "query_metrics": query_metrics},
+            indent=1,
+        )
+    )
     print(
         json.dumps(
             {
@@ -113,7 +126,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "query_metrics": query_metrics,
                 "sf": sf,
                 "skew_compare": _skew_compare_isolated(),
             }
@@ -147,14 +159,21 @@ def _skew_compare_isolated() -> dict:
 
 def _skew_compare(spark) -> dict:
     """Measured (not prose) low-cardinality window-skew comparison:
-    counter rate over N synthetic rows with only 3 channels — the
+    (a) counter rate over N synthetic rows with only 3 channels — the
     global per-channel window form (parallelism hard-capped at 3 sort
-    tasks) vs the stitched (channel, day-bucket) rate_scalable form.
+    tasks) vs the stitched (channel, day-bucket) rate_scalable form;
+    (b) as-of join of the same N probes against N/10 right rows on the
+    same 3 keys — asof_join (per-key union-tag window) vs
+    asof_join_scalable ((key, day-bucket) stitched carry).
     Warm-up pass each, then one timed pass to a noop sink (full JVM
     evaluation, no driver materialization).
     $SPARK_GRAFT_BENCH_SKEW_ROWS overrides N (0 skips)."""
     import pyspark.sql.functions as F
 
+    from etsd_time_series_database_spark.operators.asof import (
+        asof_join,
+        asof_join_scalable,
+    )
     from etsd_time_series_database_spark.operators.range_stats import rate
     from etsd_time_series_database_spark.operators.scalable_window import (
         rate_scalable,
@@ -163,24 +182,35 @@ def _skew_compare(spark) -> dict:
     n = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_ROWS", "10000000"))
     if n <= 0:
         return {}
-    df = (
-        spark.range(n)
-        .select(
+
+    def synth(rows: int, step_s: int):
+        # 1-second cadence → N seconds ≈ N/86400 daily buckets, so the
+        # stitched forms actually have buckets to parallelize over
+        return spark.range(rows).select(
             F.col("id").alias("event_id"),
-            # 1-second cadence → N seconds ≈ N/86400 daily buckets, so the
-            # stitched form actually has buckets to parallelize over
-            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * step_s).alias(
+                "ts"
+            ),
             F.concat(F.lit("chan_"), (F.col("id") % 3).cast("string")).alias(
                 "event_type"
             ),
             (F.col("id") % 100000).cast("double").alias("value"),
         )
-        .localCheckpoint()  # freeze the input so both forms time only the op
-    )
+
+    # freeze the inputs so each form times only the operator
+    df = synth(n, 1).localCheckpoint()
+    # right side: 10x sparser rows over the same time span / 3 keys
+    right = synth(n // 10, 10).localCheckpoint()
 
     forms = {
         "rate_global_s": lambda: rate(df, scalable=False),
         "rate_scalable_s": lambda: rate_scalable(df),
+        "asof_global_s": lambda: asof_join(
+            df, right, on="event_type", value_cols=["value"]
+        ),
+        "asof_scalable_s": lambda: asof_join_scalable(
+            df, right, on="event_type", value_cols=["value"]
+        ),
     }
     out = {"rows": n}
     for key, build in forms.items():

@@ -13,8 +13,8 @@ Scale notes
 * ``ohlc`` and ``value_histogram`` are pure hash aggregations —
   map-side combinable, one shuffle, no window sort; they scale with
   (channel × bucket) cardinality, not row count.
-* ``zscore_anomalies`` is two passes over the data with a broadcast
-  stats join — no window, no skew.
+* ``zscore_anomalies`` is two passes over the data with a per-channel
+  stats join (AQE-broadcast at runtime) — no window, no skew.
 * ``time_weighted_avg``, ``ewma_truncated`` and
   ``resample_interpolate`` need per-channel ordered state, but all
   three window on **(channel, time-bucket)** with a stitched boundary
@@ -152,7 +152,10 @@ def zscore_anomalies(
     from their channel's mean.
 
     Two passes, no window: a per-channel moment aggregation (decimal
-    sums → order-independent), broadcast back onto the stream side.
+    sums → order-independent) joined back onto the stream side. The
+    stats table is one row per channel — no broadcast hint; AQE sizes
+    the post-shuffle side and picks broadcast at runtime (matching the
+    convention every other trends join follows since 66e1272).
     mean/std are derived from exact sums so every engine computes the
     identical doubles; the z expression shape matches the oracle's.
     """
@@ -179,7 +182,7 @@ def zscore_anomalies(
     # Filter on the raw z; export doubles at the round-6 convention
     # (decimal->double conversions can differ by 1 ulp across engines).
     return (
-        df.join(F.broadcast(stats), channel)
+        df.join(stats, channel)
         .withColumn("z", zcol)
         .filter(F.abs(F.col("z")) > F.lit(z))
         .select(

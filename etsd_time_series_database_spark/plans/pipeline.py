@@ -73,6 +73,14 @@ _SHINGLES = (
     "ELSE [] END"
 )
 
+# term-weighting / repetition-gate parameters, shared by x26/x27 and
+# the x10 clean-corpus composite (defined here because registrations
+# interpolate them at import time)
+TFIDF_K = 3
+TFIDF_MIN_DF = 2
+REP_MAX_DUP3 = 0.15
+REP_MAX_TOP = 0.20
+
 
 def _duck_cos(a: str, b: str) -> str:
     """Sequential-fold cosine in DuckDB — bit-identical to Spark's
@@ -534,15 +542,61 @@ def p15(spark, sf_dir):
              0.5 * (len(list_distinct(toks)) / len(toks))
                + 0.5 * least(1.0, len(toks) / 100.0) AS quality
       FROM t WHERE len(toks) > 0
+    ),
+    repfrac AS (
+      SELECT doc_id,
+             CASE WHEN len(g3) > 0 THEN
+               CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             END AS dup_3gram_frac
+      FROM (SELECT doc_id, {_SHINGLES} AS g3 FROM t)
+    ),
+    cnt AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY doc_id, token
+    ),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+               AS top_token_frac
+      FROM cnt GROUP BY doc_id
+    ),
+    repkeep AS (
+      SELECT r.doc_id
+      FROM repfrac r LEFT JOIN top USING (doc_id)
+      WHERE coalesce(dup_3gram_frac, 0) <= {REP_MAX_DUP3}
+        AND coalesce(top_token_frac, 0) <= {REP_MAX_TOP}
+    ),
+    dfq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, token FROM cnt)
+      GROUP BY token HAVING count(*) >= {TFIDF_MIN_DF}
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM t),
+    rk AS (
+      SELECT doc_id, token,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(c * nd AS DOUBLE) / doc_freq DESC, token
+             ) AS rk
+      FROM cnt JOIN dfq USING (token) CROSS JOIN nn
+    ),
+    terms AS (
+      SELECT doc_id, string_agg(token, ',' ORDER BY rk) AS top_terms
+      FROM rk WHERE rk <= {TFIDF_K} GROUP BY doc_id
     )
-    SELECT doc_id, n_tokens, quality
-    FROM feats
+    SELECT f.doc_id, n_tokens, quality,
+           coalesce(tm.top_terms, '') AS top_terms
+    FROM feats f
+    JOIN repkeep USING (doc_id)
+    LEFT JOIN terms tm USING (doc_id)
     WHERE stop_ratio >= 0.05 AND quality >= 0.5
-    ORDER BY doc_id
+    ORDER BY f.doc_id
     """,
-    doc="Clean-corpus composite: exact-dup canonical selection + "
-    "language gate (stopword ratio) + quality gate in one pipeline — "
-    "the standard pre-training corpus filter chain.",
+    doc="Clean-corpus composite (Gopher-style filter chain): exact-dup "
+    "canonical selection + language gate (stopword ratio) + quality "
+    "gate + within-document repetition keep-gate (x27 thresholds), "
+    "with per-doc TF-IDF top-terms (x26, over the deduped corpus) "
+    "attached as metadata.",
 )
 def p16(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -550,10 +604,35 @@ def p16(spark, sf_dir):
     kept = docs.join(canon, "doc_id", "left_semi")
     lang = language_id(kept).select("doc_id", "stopword_ratio")
     qual = quality_score(kept).select("doc_id", "n_tokens", "quality")
+    rep_keep = repetition_profile(
+        kept, max_dup_3gram=REP_MAX_DUP3, max_top_token=REP_MAX_TOP
+    ).filter(F.col("keep")).select("doc_id")
+    # TF-IDF over the DEDUPED corpus (doc_freq / N change once exact
+    # copies collapse), top-k tokens flattened to one metadata string
+    terms = (
+        tfidf_topterms(kept, k=TFIDF_K, min_df=TFIDF_MIN_DF)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "token"))),
+                    lambda s: s["token"],
+                ),
+                ",",
+            ).alias("top_terms")
+        )
+    )
     return (
         qual.join(lang, "doc_id")
+        .join(rep_keep, "doc_id", "left_semi")
+        .join(terms, "doc_id", "left")
         .filter((F.col("stopword_ratio") >= 0.05) & (F.col("quality") >= 0.5))
-        .select("doc_id", "n_tokens", "quality")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            F.coalesce("top_terms", F.lit("")).alias("top_terms"),
+        )
         .orderBy("doc_id")
     )
 
@@ -841,11 +920,8 @@ def p25(spark, sf_dir):
 
 
 # ------------------------------------------- term weighting / quality
-
-TFIDF_K = 3
-TFIDF_MIN_DF = 2
-REP_MAX_DUP3 = 0.15
-REP_MAX_TOP = 0.20
+# (TFIDF_K / TFIDF_MIN_DF / REP_MAX_DUP3 / REP_MAX_TOP live in the
+# shared-fragments section above — x10 interpolates them too)
 
 
 @register(

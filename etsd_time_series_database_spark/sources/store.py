@@ -75,6 +75,12 @@ def load_table(
     # hand us arbitrary SparkSessions — the repo's own get_spark() is NOT
     # the only entry point — so the loader must not assume session setup.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same contract for naive (isAdjustedToUTC=false) parquet timestamps:
+    # the NTZ branch below only fires when they surface as TIMESTAMP_NTZ.
+    # A caller session with inferTimestampNTZ disabled would surface them
+    # as plain TimestampType and fall into the session-timezone cast
+    # branch, silently breaking UTC/DuckDB epoch parity.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ts_kind = next(
         (f.dataType.simpleString() for f in df.schema.fields if f.name == "ts"),
@@ -95,18 +101,22 @@ def load_table(
                 df = df.filter(F.col("ts") >= F.lit(_epoch_us(lo) * 1000))
             if hi is not None:
                 df = df.filter(F.col("ts") < F.lit((_epoch_us(hi) + 1) * 1000))
-        elif raw_ntz:
-            # Filter on the raw NTZ column so the predicate still
-            # reaches the parquet row-group stats.
-            if lo is not None:
-                df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
-            if hi is not None:
-                df = df.filter(F.col("ts") <= F.lit(hi).cast("timestamp_ntz"))
         else:
+            # Validate bounds eagerly: under non-ANSI mode a malformed
+            # literal cast returns NULL, and a NULL predicate silently
+            # drops every row — an empty result instead of an error.
+            # The raw_ns branch already fails loudly via _epoch_us; give
+            # the cast branches the same contract.
+            for bound in (lo, hi):
+                if bound is not None:
+                    datetime.fromisoformat(bound)  # raises on malformed
+            # Filter on the raw column so the predicate still reaches
+            # the parquet row-group stats.
+            cast_t = "timestamp_ntz" if raw_ntz else "timestamp"
             if lo is not None:
-                df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+                df = df.filter(F.col("ts") >= F.lit(lo).cast(cast_t))
             if hi is not None:
-                df = df.filter(F.col("ts") <= F.lit(hi).cast("timestamp"))
+                df = df.filter(F.col("ts") <= F.lit(hi).cast(cast_t))
     if raw_ns:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
