@@ -1,0 +1,120 @@
+"""Training-batch assembly operators: sequence packing and domain
+mixture weighting.
+
+Both are corpus-preparation steps a pre-training pipeline runs after
+cleaning/dedup (operators.dedup, operators.textstats): packing turns
+variable-length documents into fixed-token-budget training sequences
+(the concat-then-split scheme GPT-style pipelines use), and domain
+mixture computes per-source token shares plus the resampling weight
+that would equalize them (the static form of domain-reweighting
+schemes).
+
+This extends the reference's scope: the reference is a numeric TSDB
+(SURVEY.md §2 extension set); no reference analog exists.
+
+Scale notes
+-----------
+* ``pack_sequences`` shards the corpus by ``pmod(doc_id, n_shards)``
+  and runs the running-token-count window per shard — parallelism is
+  ``n_shards`` (set it to ~cluster cores at 100 TB), one shuffle, and
+  each sort task holds one shard. Packing is deterministic given
+  (doc order, shard count): doc order is the stable doc_id, never
+  engine partitioning.
+* ``domain_mix`` is one map-side-combinable hash-agg over sources
+  (bounded cardinality) plus a one-row total broadcast — scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.operators.textstats import _tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_tokens: int = 128,
+    n_shards: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences ("packs")
+    by the concat-then-split rule: within a shard, documents are laid
+    end-to-end in ``key`` order and a document belongs to the pack
+    where its FIRST token lands (``floor(exclusive-cumulative-tokens /
+    ctx_tokens)``) — so packs hold whole documents and long documents
+    may overflow their pack, exactly like sequence packing before a
+    tokenizer-level split.
+
+    Returns one row per (shard, pack): document count, total tokens,
+    and the first/last doc ids for traceability.
+    """
+    toks = df.select(
+        F.col(key),
+        F.pmod(F.col(key), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(_tokens(text)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "pack_idx",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(ctx_tokens)
+        ),
+    )
+    return (
+        packed.groupBy("shard", "pack_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min(key).alias("first_doc"),
+            F.max(key).alias("last_doc"),
+        )
+        .orderBy("shard", "pack_idx")
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Per-source corpus share and the uniform-target resampling
+    weight: ``weight = (total_tokens / n_sources) / source_tokens`` —
+    multiply a source's sampling probability by it and every source
+    contributes equal tokens.
+
+    All shares/weights are sequential IEEE divisions of exact BIGINT
+    token counts, so both engines produce bit-identical doubles (the
+    catalog's no-transcendentals policy).
+    """
+    per = df.groupBy(source).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(text)).cast("bigint")).alias("src_tokens"),
+    )
+    totals = per.select(
+        F.sum("src_tokens").alias("__total"),
+        F.count(F.lit(1)).alias("__nsrc"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            source,
+            "n_docs",
+            "src_tokens",
+            (F.col("src_tokens").cast("double") / F.col("__total")).alias(
+                "token_share"
+            ),
+            (
+                F.col("__total").cast("double")
+                / F.col("__nsrc")
+                / F.col("src_tokens")
+            ).alias("weight"),
+        )
+        .orderBy(source)
+    )

@@ -29,6 +29,11 @@ from etsd_time_series_database_spark.functions.exprs import (
     l2_norm,
 )
 
+# Exact accumulator type for centroid means: embedding components are
+# float32 (<= 2^53 exactly representable as double), summed as decimal
+# so the mean is independent of partition/merge order.
+DEC_KM = "decimal(38,12)"
+
 
 def cosine_topk(
     embeddings: DataFrame,
@@ -56,13 +61,19 @@ def assign_cells(
     centroid_ids: list[int],
     key: str = "vec_id",
     vec: str = "embedding",
+    _centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF cell assignment: nearest (max-cosine) centroid per vector.
     Deterministic ties: lowest centroid id wins. Broadcast join — no
-    shuffle of the big side."""
-    cents = embeddings.filter(F.col(key).isin(centroid_ids)).select(
-        F.col(key).alias("cent_id"), F.col(vec).alias("cent_vec")
-    )
+    shuffle of the big side. Pass ``_centroids`` (a (cent_id, cent_vec)
+    frame, e.g. from :func:`kmeans_refine`) to assign against refined
+    centroids instead of seed vectors."""
+    if _centroids is not None:
+        cents = _centroids
+    else:
+        cents = embeddings.filter(F.col(key).isin(centroid_ids)).select(
+            F.col(key).alias("cent_id"), F.col(vec).alias("cent_vec")
+        )
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         key,
         vec,
@@ -238,10 +249,16 @@ def kmeans_refine(
     recompute each cell's mean vector, repeat.
 
     The mean of array columns is computed relationally: posexplode to
-    (cell, dim_pos, component) -> groupBy(cell, dim_pos).avg -> re-
-    assemble with array_agg sorted by position. Two shuffles per
-    iteration, both keyed by (cell[, dim]) — fine at any corpus size
-    since rows after the first groupBy are n_cells x dims.
+    (cell, dim_pos, component) -> groupBy(cell, dim_pos) exact-decimal
+    mean -> re-assemble with array_agg sorted by position. Two shuffles
+    per iteration, both keyed by (cell[, dim]) — fine at any corpus
+    size since rows after the first groupBy are n_cells x dims.
+
+    The per-dimension mean is an exact DECIMAL(38,12) sum divided by
+    the exact count (the registry's order-independence policy), so the
+    refined centroids are bit-identical regardless of partitioning —
+    Spark and a sequential oracle agree, and both engines round
+    double->decimal ties identically (half away from zero, verified).
 
     Returns (cent_id, cent_vec) — feed to ivf_topk via assign_cells
     with these refined centroids materialized as a broadcastable dim.
@@ -269,7 +286,10 @@ def kmeans_refine(
             "cent_id", F.posexplode(F.col(vec)).alias("__pos", "__x")
         )
         means = comps.groupBy("cent_id", "__pos").agg(
-            F.avg(F.col("__x").cast("double")).alias("__m")
+            (
+                F.sum(F.col("__x").cast("double").cast(DEC_KM)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
         )
         cents = (
             means.groupBy("cent_id")
@@ -287,6 +307,46 @@ def kmeans_refine(
             .localCheckpoint()
         )
     return cents
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    n_iter: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Catalog/oracle view of :func:`kmeans_refine`: run ``n_iter``
+    Lloyd iterations, then emit the refined centroids exploded to
+    scalar rows — (cent_id, dim, centroid, cluster_n), one row per
+    centroid component — plus each cell's final population from one
+    closing assignment pass.
+
+    Scalar rows (not array columns) so the driver's canonicalizer can
+    hash the result, and so a fixed-CTE SQL oracle can reproduce the
+    whole iteration exactly: every arithmetic step is either a
+    sequential per-row fold (cosine) or an exact decimal mean, both
+    bit-portable across engines.
+    """
+    cents = kmeans_refine(embeddings, centroid_ids, n_iter, key, vec)
+    sizes = (
+        assign_cells(embeddings, centroid_ids, key, vec, _centroids=cents)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("cluster_n"))
+    )
+    return (
+        cents.select(
+            "cent_id", F.posexplode("cent_vec").alias("dim", "centroid")
+        )
+        .join(sizes, "cent_id", "left")
+        .select(
+            "cent_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("centroid").cast("double").alias("centroid"),
+            F.coalesce("cluster_n", F.lit(0)).alias("cluster_n"),
+        )
+        .orderBy("cent_id", "dim")
+    )
 
 
 def normalize_quantize(

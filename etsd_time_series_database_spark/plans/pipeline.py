@@ -31,10 +31,15 @@ from etsd_time_series_database_spark.operators.multimodal import (
     extract_features,
     to_blob_table,
 )
+from etsd_time_series_database_spark.operators.packing import (
+    domain_mix,
+    pack_sequences,
+)
 from etsd_time_series_database_spark.operators.similarity import (
     cosine_pairs_bucketed,
     cosine_topk,
     ivf_topk,
+    kmeans_cells,
     normalize_quantize,
 )
 from etsd_time_series_database_spark.operators.sampling import (
@@ -1020,3 +1025,164 @@ def p27(spark, sf_dir):
         max_top_token=REP_MAX_TOP,
     )
     return out.withColumn("keep", F.col("keep").cast("int"))
+
+
+# --------------------------------------------- training-batch assembly
+
+PACK_CTX = 128
+PACK_SHARDS = 8
+
+
+@register(
+    "x28_pack_sequences",
+    "packing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {PACK_CTX}) AS BIGINT) AS pack_idx
+      FROM tok
+    )
+    SELECT shard, pack_idx, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY shard, pack_idx ORDER BY shard, pack_idx
+    """,
+    doc="Sequence packing for training batches: concat-then-split "
+    "assignment of whole documents to fixed-token-budget packs via a "
+    "per-shard running token count (pmod(doc_id) sharding keeps the "
+    "window sort parallel at corpus scale).",
+)
+def p28(spark, sf_dir):
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        ctx_tokens=PACK_CTX,
+        n_shards=PACK_SHARDS,
+    )
+
+
+@register(
+    "x29_domain_mix",
+    "packing",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nsrc
+      FROM per
+    )
+    SELECT source, n_docs, src_tokens,
+           CAST(src_tokens AS DOUBLE) / total AS token_share,
+           CAST(total AS DOUBLE) / nsrc / src_tokens AS weight
+    FROM per CROSS JOIN t ORDER BY source
+    """,
+    doc="Domain mixture accounting: per-source token share plus the "
+    "uniform-target resampling weight (static domain reweighting). "
+    "One bounded hash-agg + a one-row totals broadcast; weights are "
+    "sequential IEEE divisions of exact BIGINTs.",
+)
+def p29(spark, sf_dir):
+    return domain_mix(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- k-means refinement
+
+KM_SEEDS = [0, 100, 200, 300]
+KM_ITER = 2
+
+
+def _kmeans_oracle(seed_ids: list[int], n_iter: int) -> str:
+    """Unrolled-CTE Lloyd iteration: assignment = row_number over the
+    same sequential-fold cosine Spark computes; update = exact
+    DECIMAL(38,12) mean cast to REAL (matching kmeans_refine's
+    float32 centroid storage). One closing assignment yields cell
+    sizes."""
+    cos = _duck_cos("d.v", "c.cv")
+    ids = ", ".join(str(i) for i in seed_ids)
+    sql = f"""
+    WITH d AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings WHERE vec_id IN ({ids})
+    )"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    s{i} AS (
+      SELECT d.vec_id, d.v, c.cent_id, {cos} AS cos
+      FROM d CROSS JOIN c{i - 1} c
+    ),
+    a{i} AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM s{i}
+      ) WHERE rk = 1
+    ),
+    e{i} AS (
+      SELECT cent_id, unnest(v) AS val,
+             unnest(range(1, len(v) + 1)) AS pos
+      FROM a{i}
+    ),
+    u{i} AS (
+      SELECT cent_id, pos,
+             CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,12)))
+                  AS DOUBLE) / count(*) AS cval
+      FROM e{i} GROUP BY cent_id, pos
+    ),
+    c{i} AS (
+      SELECT cent_id, list(CAST(cval AS REAL) ORDER BY pos) AS cv
+      FROM u{i} GROUP BY cent_id
+    )"""
+    sql += f""",
+    sfin AS (
+      SELECT d.vec_id, c.cent_id, {cos} AS cos
+      FROM d CROSS JOIN c{n_iter} c
+    ),
+    afin AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM sfin
+      ) WHERE rk = 1
+    ),
+    sz AS (
+      SELECT cent_id, CAST(count(*) AS BIGINT) AS cluster_n
+      FROM afin GROUP BY cent_id
+    )
+    SELECT u.cent_id, CAST(u.pos - 1 AS INT) AS dim,
+           CAST(CAST(u.cval AS REAL) AS DOUBLE) AS centroid,
+           coalesce(sz.cluster_n, 0) AS cluster_n
+    FROM u{n_iter} u LEFT JOIN sz USING (cent_id)
+    ORDER BY cent_id, dim
+    """
+    return sql
+
+
+@register(
+    "x30_kmeans_cells",
+    "similarity",
+    _kmeans_oracle(KM_SEEDS, KM_ITER),
+    doc="Lloyd k-means refinement of the IVF centroids as an "
+    "oracle-gated iterative pipeline: per-iteration broadcast "
+    "assignment (max-cosine, sequential fold) + exact-decimal "
+    "centroid means, exploded to scalar (cent_id, dim, centroid, "
+    "cluster_n) rows; oracle = the same iteration unrolled as CTEs.",
+)
+def p30(spark, sf_dir):
+    from etsd_time_series_database_spark.sources.store import load_table as _lt
+
+    return kmeans_cells(
+        _lt(spark, sf_dir, "embeddings"), KM_SEEDS, n_iter=KM_ITER
+    )

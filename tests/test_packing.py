@@ -1,0 +1,96 @@
+"""Unit semantics for training-batch assembly operators
+(operators/packing.py) and the exploded k-means catalog view
+(operators/similarity.kmeans_cells), on hand-built inputs where the
+expected values are computable by eye."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etsd_time_series_database_spark.operators.packing import (
+    domain_mix,
+    pack_sequences,
+)
+from etsd_time_series_database_spark.operators.similarity import kmeans_cells
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # doc_id, text (token counts 3, 2, 4, 1), source
+    rows = [
+        (0, "a b c", "s0"),
+        (1, "d e", "s0"),
+        (2, "f g h i", "s1"),
+        (3, "j", "s1"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_pack_sequences_concat_then_split(spark, docs):
+    # one shard, ctx=4: cumulative-exclusive token counts are
+    # 0, 3, 5, 9 -> packs 0, 0, 1, 2 — doc 1 straddles the boundary
+    # but belongs to the pack where its first token lands
+    out = pack_sequences(docs, ctx_tokens=4, n_shards=1).collect()
+    got = [(r.pack_idx, r.n_docs, r.pack_tokens, r.first_doc, r.last_doc) for r in out]
+    assert got == [(0, 2, 5, 0, 1), (1, 1, 4, 2, 2), (2, 1, 1, 3, 3)]
+
+
+def test_pack_sequences_sharding_is_doc_id_pmod(spark, docs):
+    out = pack_sequences(docs, ctx_tokens=100, n_shards=2).collect()
+    # evens (0,2) -> shard 0 (3+4 tokens); odds (1,3) -> shard 1 (2+1)
+    got = {(r.shard, r.pack_idx): (r.n_docs, r.pack_tokens) for r in out}
+    assert got == {(0, 0): (2, 7), (1, 0): (2, 3)}
+
+
+def test_pack_sequences_pack_budget_holds_for_short_docs(spark):
+    # 96 docs of 10 tokens each over 4 shards = 24 docs/shard, ctx=40:
+    # every pack gets exactly 4 docs / 40 tokens — the budget is exact
+    # when docs don't straddle and the shard divides evenly
+    df = spark.range(96).select(
+        F.col("id").alias("doc_id"),
+        F.lit(" ".join("t" * 1 for _ in range(10))).alias("text"),
+    )
+    out = pack_sequences(df, ctx_tokens=40, n_shards=4).collect()
+    assert all(r.pack_tokens == 40 and r.n_docs == 4 for r in out)
+    assert len(out) == 24
+
+
+def test_domain_mix_weights_equalize(spark, docs):
+    out = {r.source: r for r in domain_mix(docs).collect()}
+    # s0: 5 tokens, s1: 5 tokens, total 10, nsrc 2 -> shares .5/.5,
+    # weights (10/2)/5 = 1.0
+    assert out["s0"].src_tokens == 5 and out["s1"].src_tokens == 5
+    assert out["s0"].token_share == pytest.approx(0.5)
+    assert out["s0"].weight == pytest.approx(1.0)
+    # weight * share is constant across sources (the equalization law)
+    ws = {s: r.weight * r.token_share for s, r in out.items()}
+    assert len(set(round(v, 12) for v in ws.values())) == 1
+
+
+def test_domain_mix_skewed_weights(spark):
+    rows = [(0, "a b c d e f g h", "big"), (1, "a b", "small")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in domain_mix(df).collect()}
+    assert out["big"].weight < 1.0 < out["small"].weight
+    assert out["big"].token_share == pytest.approx(0.8)
+
+
+def test_kmeans_cells_separable_clusters(spark):
+    # two tight groups around orthogonal axes; seeds one per group
+    rows = [(i, [1.0, 0.01 * i]) for i in range(5)] + [
+        (10 + i, [0.01 * i, 1.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = kmeans_cells(df, centroid_ids=[0, 10], n_iter=2).collect()
+    # 2 centroids x 2 dims, each cluster holds its 5 members
+    assert len(out) == 4
+    sizes = {r.cent_id: r.cluster_n for r in out}
+    assert sizes == {0: 5, 10: 5}
+    cents = {(r.cent_id, r.dim): r.centroid for r in out}
+    # cluster 0 is the x-axis group: mean dim0 ~1, dim1 = mean(.00..04)
+    assert cents[(0, 0)] == pytest.approx(1.0, abs=1e-6)
+    assert cents[(0, 1)] == pytest.approx(0.02, abs=1e-6)
+    assert cents[(10, 1)] == pytest.approx(1.0, abs=1e-6)
