@@ -263,3 +263,24 @@ def test_channel_correlation_no_cartesian(spark):
     plan = _plan(catalog()["q41_channel_correlation"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_window_is_shard_parallel(spark):
+    """x28's running token count must window on the shard key —
+    a hash exchange on shard, never a single-partition global sort —
+    and stay entirely JVM-side."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["x28_pack_sequences"].build(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_kmeans_cells_no_cartesian_product(spark):
+    """x30's per-iteration assignment scores against a broadcast
+    centroid table (bounded k rows); the corpus side must never enter
+    a CartesianProduct."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["x30_kmeans_cells"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
