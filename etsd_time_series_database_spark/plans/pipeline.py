@@ -1060,6 +1060,7 @@ PACK_SHARDS = 8
     "assignment of whole documents to fixed-token-budget packs via a "
     "per-shard running token count (pmod(doc_id) sharding keeps the "
     "window sort parallel at corpus scale).",
+    headline=True,
 )
 def p28(spark, sf_dir):
     return pack_sequences(

@@ -94,3 +94,64 @@ def test_kmeans_cells_separable_clusters(spark):
     assert cents[(0, 0)] == pytest.approx(1.0, abs=1e-6)
     assert cents[(0, 1)] == pytest.approx(0.02, abs=1e-6)
     assert cents[(10, 1)] == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------- property layer
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_few = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs_df(spark, token_counts):
+    rows = [
+        (i, " ".join("w" for _ in range(n)) if n else "", f"s{i % 3}")
+        for i, n in enumerate(token_counts)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+@_few
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_conserves_corpus(spark, token_counts, ctx, shards):
+    """Packing must lose nothing: pack_tokens sums to the corpus token
+    count, n_docs sums to the doc count, and within a shard the
+    (first_doc..last_doc) ranges are disjoint and increasing with
+    pack_idx (contiguity of concat-then-split)."""
+    out = pack_sequences(
+        _docs_df(spark, token_counts), ctx_tokens=ctx, n_shards=shards
+    ).collect()
+    assert sum(r.pack_tokens for r in out) == sum(token_counts)
+    assert sum(r.n_docs for r in out) == len(token_counts)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pack_idx)
+        for a, b in zip(rows, rows[1:]):
+            assert a.last_doc < b.first_doc
+            assert a.pack_idx < b.pack_idx
+
+
+@_few
+@given(
+    st.lists(st.integers(min_value=1, max_value=30), min_size=2, max_size=40),
+)
+def test_domain_mix_is_a_probability_rebalance(spark, token_counts):
+    """Shares sum to 1; weight*share is the same constant (1/n_sources)
+    for every source — the defining property of uniform-target
+    reweighting."""
+    out = domain_mix(_docs_df(spark, token_counts)).collect()
+    assert sum(r.token_share for r in out) == pytest.approx(1.0)
+    n = len(out)
+    for r in out:
+        assert r.weight * r.token_share == pytest.approx(1.0 / n)
