@@ -173,11 +173,25 @@ def asof_join_scalable(
     # per-(key, bucket) last right row -> previous-bucket seed. The
     # summary must cover EVERY (key, bucket) either side touches: a
     # probe bucket with no right rows still needs the carry from
-    # earlier buckets.
+    # earlier buckets. The grid is the DENSE per-key bucket span
+    # (map-side min/max agg + sequence explode) rather than
+    # ``unioned.select(k, bkt).distinct()``: the distinct re-shuffled
+    # the entire input a second time, while the span agg combines
+    # map-side to one row per key. The dense grid is a superset of the
+    # present buckets; absent buckets inherit the running carry and
+    # then join to nothing, so the output is bit-identical. Grid size
+    # is keys x (time-span / bucket_s) — pick bucket_s so that stays
+    # far below the row count (the default day bucket gives years of
+    # span per thousand rows).
     lasts = r_tagged.groupBy("__k", "__bkt").agg(
         F.max_by("__rrow", "__t").alias("__lastrow")
     )
-    buckets = unioned.select("__k", "__bkt").distinct()
+    span = unioned.groupBy("__k").agg(
+        F.min("__bkt").alias("__b0"), F.max("__bkt").alias("__b1")
+    )
+    buckets = span.select(
+        "__k", F.explode(F.sequence("__b0", "__b1")).alias("__bkt")
+    )
     summary = buckets.join(lasts, ["__k", "__bkt"], "left")
     w_bkt = Window.partitionBy("__k").orderBy("__bkt")
     # latest right row of ANY earlier bucket = running last (nulls

@@ -57,7 +57,7 @@ def test_bench_stdout_line_stays_compact():
         "queries": {n: 9999.9999 for n in headline},
         "sf": 0.1,
         "skew_compare": {
-            "rows": 10_000_000,
+            "rows": 20_000_000,
             "rate_global_s": 9999.9999,
             "rate_scalable_s": 9999.9999,
             "asof_global_s": 9999.9999,
