@@ -27,11 +27,12 @@ table plays the role of the reference's per-block registers
 (code/etsdSave.c:149-151): an absolute anchor per block so a reader
 never has to scan from the beginning.
 
-Measured (local[32], 10M rows, 3 channels, forced evaluation):
-global-window rate 6.55 s (3 sort tasks carry everything) vs
-rate_scalable 3.06 s (32-way) — 2.1x on one box; the ratio grows with
-cluster size because the global form is hard-capped at n_channels
-tasks while this form scales with (channels x buckets).
+Measured (local[32], 20M rows, 3 channels, 6g heap — bench.py's
+memory-bounded skew regime, min-of-2 with GC isolation): global-window
+rate 15.5-18.3 s (3 sort tasks carry everything, under task-memory
+pressure) vs rate_scalable 6.9-7.2 s (32-way) — ~2.4x on one box; the
+ratio grows with cluster size because the global form is hard-capped
+at n_channels tasks while this form scales with (channels x buckets).
 """
 
 from __future__ import annotations
