@@ -382,3 +382,54 @@ def normalize_quantize(
         )
         .orderBy(key)
     )
+
+
+def write_ivf_partitioned(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    path: str,
+    mode: str = "overwrite",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    _centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the corpus partitioned BY IVF CELL — the 100 TB
+    serving layout the probe-side operators assume: with ``cent_id``
+    as a directory partition column, a single-cell probe
+    (:func:`ivf_topk`'s search set) becomes Catalyst partition
+    pruning, so the scan touches one cell's files instead of the
+    whole corpus. Pass ``_centroids`` (e.g. :func:`kmeans_refine`
+    output) to lay out by refined centroids.
+
+    ``repartition(cent_id)`` before the write gives one task per cell
+    (each writes one file per cell directory, no small-file spray).
+    """
+    assign_cells(embeddings, centroid_ids, key, vec, _centroids).repartition(
+        F.col("cent_id")
+    ).write.mode(mode).partitionBy("cent_id").parquet(path)
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    cent_id: int,
+    k: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k within ONE cell of a :func:`write_ivf_partitioned` layout.
+
+    The ``cent_id`` equality predicate is a partition-directory filter
+    — Catalyst prunes every other cell before any I/O (the ANN analog
+    of the time-range block skip in sources/store.py). Exact cosine
+    runs only over the one cell's rows.
+    """
+    lit_q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cent_id") == cent_id)
+        .select(key, cosine_similarity(vec, lit_q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )

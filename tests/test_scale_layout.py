@@ -176,3 +176,44 @@ def test_compact_partition_merges_files_preserves_rows(spark, tmp_path):
     assert after == 1
     rows = read_events_table(spark, path).orderBy("event_id").collect()
     assert [r.value for r in rows] == [0.0, 1.0, 2.0]
+
+
+def test_ivf_partitioned_layout_prunes_to_one_cell(spark, tmp_path):
+    """write_ivf_partitioned + ivf_probe_partitioned: the cent_id
+    predicate must be satisfied by partition-directory pruning — the
+    probe's scan reads ONE cell's files, not the corpus (the ANN
+    analog of the ts block skip)."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        ivf_probe_partitioned,
+        write_ivf_partitioned,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb, centroid_ids=[0, 1, 2, 3], path=path)
+
+    # layout: one directory per cell
+    import os
+
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cent_id="))
+    assert len(cells) >= 2
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probe = ivf_probe_partitioned(spark, path, qv, cent_id=0, k=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # partition filter, pruned scan: only the cent_id=0 directory
+    assert "PartitionFilters" in plan
+    assert "cent_id#" in plan.split("PartitionFilters")[1][:200]
+    rows = probe.collect()
+    assert 0 < len(rows) <= 3
+    # the probe's answers really are from cell 0
+    cell0 = {
+        r["vec_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cent_id") == 0)
+        .collect()
+    }
+    assert all(r["vec_id"] in cell0 for r in rows)
