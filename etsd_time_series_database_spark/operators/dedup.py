@@ -339,3 +339,65 @@ def decontaminate(
         .filter(F.col("n_shared") >= min_overlap)
         .orderBy("train_id", "test_id")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    seg_tokens: int = 8,
+    max_docs: int = 1,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring (segment-level) dedup: split each document into
+    consecutive ``seg_tokens``-token segments and flag segments whose
+    text occurs in more than ``max_docs`` distinct documents — the
+    inline boilerplate-removal pass of C4/"Deduplicating Training Data
+    Makes LMs Better", complementary to pairwise near-dup detection
+    (MinHash finds similar DOCUMENTS; this removes repeated SPANS from
+    otherwise-unique documents).
+
+    Returns per-document accounting: segment count, segments removed,
+    and tokens kept after removal — the driver table for an actual
+    rewrite (join kept segments back and re-concatenate).
+
+    Scale: segment explode is a JVM transform (scan-speed); the only
+    shuffles are the segment-text count (hash agg; at 100 TB group on
+    a 64-bit fingerprint of the segment instead of the raw string —
+    same note as exact_dedup) and the per-doc rollup. The final
+    ORDER BY is presentation-only.
+    """
+    toks = df.select(key, _tokens(text).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n_segs = F.ceil(F.size("__toks") / F.lit(seg_tokens)).cast("int")
+    segs = toks.select(
+        key,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.slice(
+                    F.col("__toks"), i * seg_tokens + 1, seg_tokens
+                ),
+            )
+        ).alias("__seg"),
+    ).select(
+        key,
+        F.array_join("__seg", " ").alias("__seg_txt"),
+        F.size("__seg").alias("__seg_len"),
+    )
+    counts = segs.groupBy("__seg_txt").agg(
+        F.count_distinct(F.col(key)).alias("__n_docs")
+    )
+    dup = F.col("__n_docs") > max_docs
+    return (
+        segs.join(counts, "__seg_txt")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("removed_segments"),
+            F.sum(F.when(dup, 0).otherwise(F.col("__seg_len"))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy(key)
+    )

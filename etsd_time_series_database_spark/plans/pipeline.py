@@ -1187,3 +1187,58 @@ def p30(spark, sf_dir):
     return kmeans_cells(
         _lt(spark, sf_dir, "embeddings"), KM_SEEDS, n_iter=KM_ITER
     )
+
+
+# ------------------------------------------- segment-level dedup
+
+SEG_TOKENS = 8
+SEG_MAX_DOCS = 1
+
+
+@register(
+    "x31_segment_dedup",
+    "dedup",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)),
+               i -> array_to_string(
+                 list_slice(toks, i*{SEG_TOKENS}+1, i*{SEG_TOKENS}+{SEG_TOKENS}),
+                 ' '))) AS seg_txt,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)),
+               i -> len(list_slice(toks, i*{SEG_TOKENS}+1,
+                                   i*{SEG_TOKENS}+{SEG_TOKENS})))) AS seg_len
+      FROM tok WHERE len(toks) > 0
+    ),
+    cnt AS (
+      SELECT seg_txt, count(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY seg_txt
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN n_docs > {SEG_MAX_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed_segments,
+           CAST(sum(CASE WHEN n_docs > {SEG_MAX_DOCS} THEN 0 ELSE seg_len END)
+                AS BIGINT) AS kept_tokens
+    FROM seg JOIN cnt USING (seg_txt)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Exact-substring (8-token segment) dedup accounting: segments "
+    "repeated across documents are flagged for inline removal "
+    "(C4-style boilerplate pass; span-level complement to MinHash "
+    "document near-dup). Segment explode is scan-speed JVM transform; "
+    "shuffles are one segment-count hash agg + per-doc rollup.",
+)
+def p31(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(
+        load_table(spark, sf_dir, "documents"),
+        seg_tokens=SEG_TOKENS,
+        max_docs=SEG_MAX_DOCS,
+    )

@@ -355,3 +355,29 @@ def test_lcg_hash_matches_oracle_for_negative_keys(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_segment_dedup_flags_repeated_spans(spark):
+    """A span repeated across docs is removed; unique spans are kept;
+    the partial tail segment counts with its true length."""
+    from etsd_time_series_database_spark.operators.dedup import segment_dedup
+
+    boiler = "b1 b2 b3 b4"  # one 4-token segment, shared by docs 0 and 1
+    rows = [
+        (0, boiler + " u1 u2 u3 u4 tail"),   # 2 full segs + 1-token tail
+        (1, boiler + " v1 v2 v3 v4"),        # 2 full segs
+        (2, "w1 w2 w3 w4 w5"),               # unique: 1 full + 1-token tail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(df, seg_tokens=4, max_docs=1).collect()
+    }
+    # doc 0: segments [boiler, u1-4, tail]; boiler removed
+    assert out[0].n_segments == 3
+    assert out[0].removed_segments == 1
+    assert out[0].kept_tokens == 5  # u1-4 + tail
+    # doc 1: [boiler, v1-4]
+    assert out[1].removed_segments == 1 and out[1].kept_tokens == 4
+    # doc 2: nothing repeated
+    assert out[2].removed_segments == 0 and out[2].kept_tokens == 5
