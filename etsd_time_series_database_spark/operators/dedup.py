@@ -401,3 +401,73 @@ def segment_dedup(
         )
         .orderBy(key)
     )
+
+
+def segment_rewrite(
+    df: DataFrame,
+    seg_tokens: int = 8,
+    max_docs: int = 1,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """The actionable form of :func:`segment_dedup`: rebuild each
+    document with its over-shared segments REMOVED — surviving
+    segments re-concatenated in original order. Documents whose every
+    segment is boilerplate (and token-empty documents) come back with
+    empty ``clean_text``, so the output keys exactly mirror the input.
+
+    Same shuffle profile as segment_dedup plus one per-doc
+    re-aggregation; the rebuilt text is bounded by the original
+    document length, so collect_list per doc is safe at any corpus
+    size (documents, not corpora, bound the array).
+    """
+    toks = df.select(key, _tokens(text).alias("__toks"))
+    n_segs = F.ceil(F.size("__toks") / F.lit(seg_tokens)).cast("int")
+    segs = (
+        toks.filter(F.size("__toks") > 0)
+        .select(
+            key,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.slice(
+                        F.col("__toks"), i * seg_tokens + 1, seg_tokens
+                    ),
+                )
+            ).alias("__i", "__seg"),
+        )
+        .select(
+            key,
+            "__i",
+            F.array_join("__seg", " ").alias("__seg_txt"),
+            F.size("__seg").alias("__seg_len"),
+        )
+    )
+    counts = segs.groupBy("__seg_txt").agg(
+        F.count_distinct(F.col(key)).alias("__n_docs")
+    )
+    kept = segs.join(counts, "__seg_txt").filter(
+        F.col("__n_docs") <= max_docs
+    )
+    rebuilt = kept.groupBy(key).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__seg_txt"))),
+                lambda s: s["__seg_txt"],
+            ),
+        ).alias("clean_text"),
+        F.sum("__seg_len").alias("kept_tokens"),
+    )
+    return (
+        df.select(key)
+        .join(rebuilt, key, "left")
+        .select(
+            key,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy(key)
+    )

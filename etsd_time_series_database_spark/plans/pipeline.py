@@ -1242,3 +1242,61 @@ def p31(spark, sf_dir):
         seg_tokens=SEG_TOKENS,
         max_docs=SEG_MAX_DOCS,
     )
+
+
+@register(
+    "x32_segment_rewrite",
+    "dedup",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)))
+               AS i,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)),
+               i -> array_to_string(
+                 list_slice(toks, i*{SEG_TOKENS}+1, i*{SEG_TOKENS}+{SEG_TOKENS}),
+                 ' '))) AS seg_txt,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)),
+               i -> len(list_slice(toks, i*{SEG_TOKENS}+1,
+                                   i*{SEG_TOKENS}+{SEG_TOKENS})))) AS seg_len
+      FROM tok WHERE len(toks) > 0
+    ),
+    cnt AS (
+      SELECT seg_txt, count(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY seg_txt
+    ),
+    keep AS (
+      SELECT doc_id, i, seg_txt, seg_len
+      FROM seg JOIN cnt USING (seg_txt)
+      WHERE n_docs <= {SEG_MAX_DOCS}
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(seg_txt, ' ' ORDER BY i) AS clean_text,
+             CAST(sum(seg_len) AS BIGINT) AS kept_tokens
+      FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.kept_tokens, 0) AS kept_tokens
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Actionable segment dedup: documents rebuilt with over-shared "
+    "8-token segments removed, surviving segments re-concatenated in "
+    "original order (empty text when everything was boilerplate). "
+    "The rewrite side of x31's accounting.",
+)
+def p32(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import segment_rewrite
+
+    return segment_rewrite(
+        load_table(spark, sf_dir, "documents"),
+        seg_tokens=SEG_TOKENS,
+        max_docs=SEG_MAX_DOCS,
+    )

@@ -381,3 +381,27 @@ def test_segment_dedup_flags_repeated_spans(spark):
     assert out[1].removed_segments == 1 and out[1].kept_tokens == 4
     # doc 2: nothing repeated
     assert out[2].removed_segments == 0 and out[2].kept_tokens == 5
+
+
+def test_segment_rewrite_roundtrip_and_removal(spark):
+    from etsd_time_series_database_spark.operators.dedup import segment_rewrite
+
+    boiler = "b1 b2 b3 b4"
+    rows = [
+        (0, boiler + " u1 u2 u3 u4 tail"),
+        (1, boiler + " v1 v2 v3 v4"),
+        (2, "w1 w2 w3 w4 w5"),
+        (3, boiler),          # all boilerplate -> empty
+        (4, ""),              # token-empty -> empty, key preserved
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in segment_rewrite(df, seg_tokens=4, max_docs=1).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}          # keys mirror input
+    assert out[0].clean_text == "u1 u2 u3 u4 tail"
+    assert out[1].clean_text == "v1 v2 v3 v4"
+    assert out[2].clean_text == "w1 w2 w3 w4 w5"  # untouched roundtrip
+    assert out[3].clean_text == "" and out[3].kept_tokens == 0
+    assert out[4].clean_text == "" and out[4].kept_tokens == 0
