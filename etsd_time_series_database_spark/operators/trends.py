@@ -759,3 +759,43 @@ def autocorrelation(
     rhs = b.select("ch", "bucket", F.col("m").alias("y"))
     pairs = lhs.join(rhs, ["ch", "bucket"])
     return _pearson(pairs, ["ch", "lag_k"]).orderBy("ch", "lag_k")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    period_buckets: int = 24,
+    bucket_s: int = 3600,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Seasonal profile: fold the series onto a repeating phase grid —
+    hour-of-day by default (24 x 3600s phases) — and aggregate per
+    (channel, phase). The RRD/monitoring "daily shape" view: baseline
+    load per hour, min/max envelope, sample count.
+
+    Phase is pure integer arithmetic on epoch microseconds
+    ((epoch // bucket) mod period — UTC, engine-portable, no calendar
+    functions), the aggregate is one map-side-combinable hash agg with
+    a DECIMAL-exact mean; output cardinality is channels x period, so
+    the rollup is scan-bound at any history length and the shuffle
+    carries only partial aggregates.
+    """
+    phase = F.pmod(
+        (epoch_us(ts) / F.lit(bucket_s * 1_000_000)).cast("bigint"),
+        F.lit(period_buckets),
+    )
+    v = F.col(value)
+    return (
+        df.select(F.col(channel), phase.alias("phase"), v.alias("__v"))
+        .groupBy(channel, "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("__v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+            F.min("__v").alias("min_value"),
+            F.max("__v").alias("max_value"),
+        )
+        .orderBy(channel, "phase")
+    )

@@ -371,3 +371,29 @@ ACF_LAGS = (1, 2, 3)
 )
 def q42(spark, sf_dir):
     return autocorrelation(_events(spark, sf_dir), ACF_LAGS, CORR_W)
+
+
+@register(
+    "x33_seasonal_profile",
+    "consolidation",
+    f"""
+    SELECT event_type,
+           ((epoch_us(ts) // 3600000000) % 24) AS phase,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type, phase
+    ORDER BY event_type, phase
+    """,
+    doc="Seasonal hour-of-day profile per channel (RRD-style daily "
+    "shape): phase = (epoch//3600s) mod 24 in pure integer "
+    "arithmetic, one map-side-combinable hash agg with DECIMAL-exact "
+    "mean; output is channels x 24 rows regardless of history length.",
+)
+def x33(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import seasonal_profile
+
+    return seasonal_profile(load_table(spark, sf_dir, "events"))

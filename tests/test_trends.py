@@ -257,3 +257,32 @@ def test_resample_exact_grid_hit(spark):
     ).collect()
     # grid point coincides with two samples: deterministic tie -> max event_id
     assert len(out) == 1 and out[0]["value_interp"] == 6.0
+
+
+def test_seasonal_profile_folds_phases(spark):
+    """Rows 25h apart land in adjacent phases; the mean is the exact
+    per-phase average; output is bounded by channels x period."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.trends import seasonal_profile
+
+    rows = [
+        # ch A: two samples in hour-phase 0 (midnight + next midnight)
+        ("2024-01-01 00:10:00", "A", 10.0, 1),
+        ("2024-01-02 00:50:00", "A", 30.0, 2),
+        # ch A: one sample in phase 5
+        ("2024-01-01 05:00:00", "A", 7.0, 3),
+        # ch B: phase 23
+        ("2024-01-01 23:59:59", "B", 2.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, event_type string, value double, event_id bigint"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.event_type, r.phase): r for r in seasonal_profile(df).collect()
+    }
+    assert set(out) == {("A", 0), ("A", 5), ("B", 23)}
+    assert out[("A", 0)].n == 2
+    assert out[("A", 0)].avg_value == 20.0
+    assert out[("A", 0)].min_value == 10.0 and out[("A", 0)].max_value == 30.0
+    assert out[("B", 23)].n == 1
