@@ -3,10 +3,16 @@ grouping sets, scalar-function battery — the general relational surface
 a Spark-based engine provides beyond the reference's single-table
 queries, exercised over the TPC-H-ish driver tables.
 
-Scale notes: every dimension join uses an explicit ``F.broadcast`` hint
-(part/customer/nation are small even at 100 TB fact scale); fact-fact
-joins are plain equi-joins that AQE plans as sort-merge with skew
-splitting.
+Scale notes: dimension joins carry NO hard ``F.broadcast`` hint. Unlike
+nation/region (fixed 25/5 rows), part and customer grow linearly with
+scale factor — at a 100 TB lineitem they are billions of rows, and a
+hard broadcast hint on a side that large does not degrade, it OOMs the
+driver. Instead the plans stay declarative and AQE /
+``autoBroadcastJoinThreshold`` picks broadcast-hash when the dim side's
+runtime size fits (it does at every test SF — plan-asserted in
+``tests/test_plan_shape.py::test_dim_join_broadcasts``) and falls back
+to sort-merge with skew splitting when it doesn't. Fact-fact joins are
+plain equi-joins that AQE plans as sort-merge.
 """
 
 from __future__ import annotations
@@ -29,8 +35,8 @@ from etsd_time_series_database_spark.sources.store import load_table
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand ORDER BY p_brand
     """,
-    doc="Fact x small-dim equi join; broadcast hint keeps it shuffle-free "
-    "on the dimension side at any fact scale.",
+    doc="Fact x dim equi join; no hard hint — AQE broadcasts the dim side "
+    "while it fits and degrades to sort-merge when it grows past threshold.",
     headline=True,
 )
 def q20(spark, sf_dir):
@@ -38,7 +44,7 @@ def q20(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -72,7 +78,7 @@ def q21(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -116,7 +122,7 @@ def q22(spark, sf_dir):
     )
     return (
         semi.join(anti, "c_nationkey", "full_outer")
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
         .select(
             "n_name",
             F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),

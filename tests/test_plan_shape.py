@@ -42,12 +42,48 @@ def test_projection_prunes_columns(spark):
 
 
 def test_dim_join_broadcasts(spark):
+    """q20/q21/q22 carry NO hard broadcast hint (part/customer grow with
+    scale factor — a hard hint OOMs the driver at 100 TB); the optimizer
+    must still pick broadcast-hash on its own while the dim side fits."""
     from etsd_time_series_database_spark.plans import catalog
 
     df = catalog()["q20_broadcast_join"].build(spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dim_join_has_no_hard_broadcast_hint():
+    """The source of the relational plans must not hint-broadcast any
+    scale-growing dimension: broadcast selection is AQE's call."""
+    import pathlib
+
+    import etsd_time_series_database_spark.plans.relational as rel
+
+    src = pathlib.Path(rel.__file__).read_text()
+    assert "F.broadcast" not in src.split('"""', 2)[2], (
+        "plans/relational.py reintroduced a hard broadcast hint"
+    )
+
+
+def test_dim_join_broadcasts_at_sf01(spark):
+    """Without hints, AQE/autoBroadcastJoinThreshold must still choose
+    broadcast-hash for part (q20) and customer (q21) at sf0.1 — the
+    per-round bench scale factor."""
+    import os
+
+    from etsd_time_series_database_spark.plans import catalog
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    for name in ("q20_broadcast_join", "q21_multiway_join_agg"):
+        df = catalog()[name].build(spark, sf01)
+        df.collect()  # let AQE finalize
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, name
 
 
 def test_whole_stage_codegen_covers_aggregation(spark):
