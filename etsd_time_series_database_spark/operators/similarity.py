@@ -64,10 +64,11 @@ def assign_cells(
     _centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF cell assignment: nearest (max-cosine) centroid per vector.
-    Deterministic ties: lowest centroid id wins. Broadcast join — no
-    shuffle of the big side. Pass ``_centroids`` (a (cent_id, cent_vec)
-    frame, e.g. from :func:`kmeans_refine`) to assign against refined
-    centroids instead of seed vectors."""
+    Deterministic ties: lowest centroid id wins. Centroids broadcast;
+    the corpus shuffles exactly once (the max_by hash aggregation, with
+    map-side partial combine). Pass ``_centroids`` (a (cent_id,
+    cent_vec) frame, e.g. from :func:`kmeans_refine`) to assign against
+    refined centroids instead of seed vectors."""
     if _centroids is not None:
         cents = _centroids
     else:
@@ -80,19 +81,17 @@ def assign_cells(
         "cent_id",
         cosine_similarity(vec, "cent_vec").alias("__cos"),
     )
-    best = scored.groupBy(key).agg(
-        F.max(F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid"))).alias(
-            "__best"
-        )
-    )
-    return (
-        scored.join(best, key)
-        .filter(
-            (F.col("__cos") == F.col("__best.__cos"))
-            & (F.col("cent_id") == -F.col("__best.__nid"))
-        )
-        .select(key, vec, "cent_id")
-    )
+    # Single map-side-combinable aggregation: argmax by (cos, -cent_id)
+    # carries the winning cent_id; vec is functionally dependent on key,
+    # so any_value reads it without a second shuffle (the old
+    # scored->best->join-back form re-shuffled all n x k scored rows).
+    return scored.groupBy(key).agg(
+        F.max_by(
+            "cent_id",
+            F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid")),
+        ).alias("cent_id"),
+        F.any_value(vec).alias(vec),
+    ).select(key, vec, "cent_id")
 
 
 def ivf_topk(
@@ -248,11 +247,14 @@ def kmeans_refine(
     assign every vector to its nearest centroid (broadcast, max-cosine),
     recompute each cell's mean vector, repeat.
 
-    The mean of array columns is computed relationally: posexplode to
-    (cell, dim_pos, component) -> groupBy(cell, dim_pos) exact-decimal
-    mean -> re-assemble with array_agg sorted by position. Two shuffles
-    per iteration, both keyed by (cell[, dim]) — fine at any corpus
-    size since rows after the first groupBy are n_cells x dims.
+    The assignment is ONE shuffle of the corpus per iteration — a
+    max_by hash aggregation keyed on ``key`` that carries the vector
+    (functionally dependent on the key) alongside the winning cent_id.
+    The mean of array columns is then computed relationally: posexplode
+    to (cell, dim_pos, component) -> groupBy(cell, dim_pos)
+    exact-decimal mean -> re-assemble with array_agg sorted by
+    position; those two later shuffles are keyed by (cell[, dim]) and
+    bounded by n_cells x dims rows after the first groupBy.
 
     The per-dimension mean is an exact DECIMAL(38,12) sum divided by
     the exact count (the registry's order-independence policy), so the
@@ -273,14 +275,15 @@ def kmeans_refine(
             "cent_id",
             cosine_similarity(vec, "cent_vec").alias("__cos"),
         )
-        best = scored.groupBy(key).agg(
-            F.max(F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid"))).alias(
-                "__best"
-            )
-        )
-        assigned = scored.join(best, key).filter(
-            (F.col("__cos") == F.col("__best.__cos"))
-            & (F.col("cent_id") == -F.col("__best.__nid"))
+        # One shuffle per iteration: argmax assignment via max_by,
+        # carrying the (key-functionally-dependent) vector in the same
+        # aggregation instead of joining the n x k scored rows back.
+        assigned = scored.groupBy(key).agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid")),
+            ).alias("cent_id"),
+            F.any_value(vec).alias(vec),
         )
         comps = assigned.select(
             "cent_id", F.posexplode(F.col(vec)).alias("__pos", "__x")

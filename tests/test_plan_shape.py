@@ -320,3 +320,22 @@ def test_kmeans_cells_no_cartesian_product(spark):
 
     plan = _plan(catalog()["x30_kmeans_cells"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_cell_assignment_is_single_shuffle(spark):
+    """assign_cells (the Lloyd assignment step) must shuffle the corpus
+    exactly once — one max_by hash aggregation — not the old
+    scored->argmax->join-back shape, which re-shuffled the n x k scored
+    relation a second time per iteration."""
+    from etsd_time_series_database_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = assign_cells(emb, [0, 1, 2, 3])
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan
+    # map-side partial combine before that one exchange
+    assert "partial_max_by" in plan or "partial_" in plan, plan
