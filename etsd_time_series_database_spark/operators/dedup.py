@@ -341,12 +341,41 @@ def decontaminate(
     )
 
 
+def _with_seg_counts(
+    segs: DataFrame, key: str, fingerprint: bool, drop_text: bool = False
+) -> DataFrame:
+    """Join each segment row with the distinct-document count of its
+    segment text.
+
+    ``fingerprint=True`` (the scale default) groups and joins on
+    ``xxhash64(__seg_txt)`` — a fixed 8-byte shuffle key instead of the
+    raw (up to seg_tokens-word) string, halving-or-better the shuffle
+    bytes of both the count aggregation and the count join; with
+    ``drop_text`` the raw string never shuffles at all. A 64-bit
+    collision (~n^2/2^65 for n distinct segments) would merge two
+    unrelated segments' counts, so the exact raw-string form is
+    retained as the equivalence oracle — the same quarantine pattern as
+    ``cosine_pairs`` vs its bucketed twin — and a property test pins
+    fingerprint-form == raw-form on seeded corpora.
+    """
+    grp = "__seg_fp" if fingerprint else "__seg_txt"
+    if fingerprint:
+        segs = segs.withColumn("__seg_fp", F.xxhash64("__seg_txt"))
+        if drop_text:
+            segs = segs.drop("__seg_txt")
+    counts = segs.groupBy(grp).agg(
+        F.count_distinct(F.col(key)).alias("__n_docs")
+    )
+    return segs.join(counts, grp)
+
+
 def segment_dedup(
     df: DataFrame,
     seg_tokens: int = 8,
     max_docs: int = 1,
     text: str = "text",
     key: str = "doc_id",
+    fingerprint: bool = True,
 ) -> DataFrame:
     """Exact-substring (segment-level) dedup: split each document into
     consecutive ``seg_tokens``-token segments and flag segments whose
@@ -361,9 +390,10 @@ def segment_dedup(
     rewrite (join kept segments back and re-concatenate).
 
     Scale: segment explode is a JVM transform (scan-speed); the only
-    shuffles are the segment-text count (hash agg; at 100 TB group on
-    a 64-bit fingerprint of the segment instead of the raw string —
-    same note as exact_dedup) and the per-doc rollup. The final
+    shuffles are the segment count (by default a 64-bit xxhash64
+    fingerprint of the segment is the shuffle key and the raw string
+    never shuffles — pass ``fingerprint=False`` for the exact
+    raw-string oracle form) and the per-doc rollup. The final
     ORDER BY is presentation-only.
     """
     toks = df.select(key, _tokens(text).alias("__toks")).filter(
@@ -385,12 +415,9 @@ def segment_dedup(
         F.array_join("__seg", " ").alias("__seg_txt"),
         F.size("__seg").alias("__seg_len"),
     )
-    counts = segs.groupBy("__seg_txt").agg(
-        F.count_distinct(F.col(key)).alias("__n_docs")
-    )
     dup = F.col("__n_docs") > max_docs
     return (
-        segs.join(counts, "__seg_txt")
+        _with_seg_counts(segs, key, fingerprint, drop_text=True)
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
@@ -409,6 +436,7 @@ def segment_rewrite(
     max_docs: int = 1,
     text: str = "text",
     key: str = "doc_id",
+    fingerprint: bool = True,
 ) -> DataFrame:
     """The actionable form of :func:`segment_dedup`: rebuild each
     document with its over-shared segments REMOVED — surviving
@@ -416,7 +444,9 @@ def segment_rewrite(
     segment is boilerplate (and token-empty documents) come back with
     empty ``clean_text``, so the output keys exactly mirror the input.
 
-    Same shuffle profile as segment_dedup plus one per-doc
+    Same shuffle profile as segment_dedup (fingerprint-keyed count by
+    default; the segment text itself must still reach the rebuild, so
+    unlike segment_dedup it rides the count join) plus one per-doc
     re-aggregation; the rebuilt text is bounded by the original
     document length, so collect_list per doc is safe at any corpus
     size (documents, not corpora, bound the array).
@@ -443,10 +473,7 @@ def segment_rewrite(
             F.size("__seg").alias("__seg_len"),
         )
     )
-    counts = segs.groupBy("__seg_txt").agg(
-        F.count_distinct(F.col(key)).alias("__n_docs")
-    )
-    kept = segs.join(counts, "__seg_txt").filter(
+    kept = _with_seg_counts(segs, key, fingerprint).filter(
         F.col("__n_docs") <= max_docs
     )
     rebuilt = kept.groupBy(key).agg(

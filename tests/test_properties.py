@@ -127,3 +127,34 @@ def test_ewma_carry_margin_any_bucket_layout(spark, samples, bucket_s):
         map(tuple, trends.ewma_truncated(df, mode="global").collect())
     )
     assert got == want
+
+
+@_few
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([2, 4]),
+)
+def test_segment_dedup_fingerprint_equals_raw(spark, docs, seg_tokens):
+    """The xxhash64-keyed segment-count path (the scale default) must
+    be row-identical to the exact raw-string form for both the
+    accounting (segment_dedup) and the rewrite (segment_rewrite) —
+    seeded corpora with heavy cross-document span sharing."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        segment_dedup,
+        segment_rewrite,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for op in (segment_dedup, segment_rewrite):
+        fp = sorted(map(tuple, op(df, seg_tokens=seg_tokens, fingerprint=True).collect()))
+        raw = sorted(map(tuple, op(df, seg_tokens=seg_tokens, fingerprint=False).collect()))
+        assert fp == raw
