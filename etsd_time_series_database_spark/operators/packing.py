@@ -16,10 +16,13 @@ Scale notes
 -----------
 * ``pack_sequences`` shards the corpus by ``pmod(doc_id, n_shards)``
   and runs the running-token-count window per shard — parallelism is
-  ``n_shards`` (set it to ~cluster cores at 100 TB), one shuffle, and
-  each sort task holds one shard. Packing is deterministic given
-  (doc order, shard count): doc order is the stable doc_id, never
-  engine partitioning.
+  ``n_shards``, one shuffle, and each sort task holds one shard. The
+  default (``n_shards=None``) is the cluster's
+  ``defaultParallelism``, so a big run never silently caps at a small
+  fixed sort-task count; pass an explicit int for a reproducible
+  layout (shard count is part of the packing contract — the catalog
+  oracle pins it). Packing is deterministic given (doc order, shard
+  count): doc order is the stable doc_id, never engine partitioning.
 * ``domain_mix`` is one map-side-combinable hash-agg over sources
   (bounded cardinality) plus a one-row total broadcast — scan-bound.
 """
@@ -35,7 +38,7 @@ from etsd_time_series_database_spark.operators.textstats import _tokens
 def pack_sequences(
     df: DataFrame,
     ctx_tokens: int = 128,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     text: str = "text",
     key: str = "doc_id",
 ) -> DataFrame:
@@ -47,9 +50,18 @@ def pack_sequences(
     may overflow their pack, exactly like sequence packing before a
     tokenizer-level split.
 
+    ``n_shards=None`` (default) uses the session's
+    ``defaultParallelism`` so the packing window scales with the
+    cluster; the result is still deterministic FOR THAT SHARD COUNT
+    (and the shard count is visible in the output), but a reproducible
+    layout across clusters needs an explicit ``n_shards`` — the
+    catalog oracle pins one.
+
     Returns one row per (shard, pack): document count, total tokens,
     and the first/last doc ids for traceability.
     """
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism
     toks = df.select(
         F.col(key),
         F.pmod(F.col(key), F.lit(n_shards)).cast("int").alias("shard"),

@@ -155,3 +155,21 @@ def test_domain_mix_is_a_probability_rebalance(spark, token_counts):
     n = len(out)
     for r in out:
         assert r.weight * r.token_share == pytest.approx(1.0 / n)
+
+
+def test_pack_sequences_default_shards_is_cluster_parallelism(spark):
+    """n_shards=None must shard at sparkContext.defaultParallelism —
+    the packing window's parallelism scales with the cluster instead of
+    silently capping at a fixed constant — and match the explicit-int
+    form for that same count (the determinism contract is unchanged,
+    just parameterized by cluster size)."""
+    dp = spark.sparkContext.defaultParallelism
+    n = 6 * dp
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("t"), 3)).alias("text"),
+    )
+    default = pack_sequences(df, ctx_tokens=7).collect()
+    explicit = pack_sequences(df, ctx_tokens=7, n_shards=dp).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))
+    assert {r.shard for r in default} == set(range(dp))
