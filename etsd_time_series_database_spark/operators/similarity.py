@@ -412,26 +412,57 @@ def write_ivf_partitioned(
     ).write.mode(mode).partitionBy("cent_id").parquet(path)
 
 
+def nearest_cells(
+    centroids: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 2,
+) -> list[int]:
+    """Plan a multi-probe: the ``nprobe`` nearest centroid ids for a
+    query vector, by descending cosine (ties: lowest cent_id).
+
+    Driver-side over the BOUNDED centroid table (nlist rows — the IVF
+    index metadata, not data), exactly like an ANN library's query
+    planner; the corpus itself is never touched here. ``centroids`` is
+    a (cent_id, cent_vec) frame, e.g. :func:`kmeans_refine` output.
+    """
+    lit_q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rows = (
+        centroids.select(
+            "cent_id", cosine_similarity("cent_vec", lit_q).alias("__cos")
+        )
+        .orderBy(F.col("__cos").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    return [int(r["cent_id"]) for r in rows]
+
+
 def ivf_probe_partitioned(
     spark,
     path: str,
     query_vec: list[float],
-    cent_id: int,
+    cent_id: int | list[int],
     k: int = 5,
     key: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """Top-k within ONE cell of a :func:`write_ivf_partitioned` layout.
+    """Top-k within the probed cell(s) of a :func:`write_ivf_partitioned`
+    layout.
 
-    The ``cent_id`` equality predicate is a partition-directory filter
-    — Catalyst prunes every other cell before any I/O (the ANN analog
-    of the time-range block skip in sources/store.py). Exact cosine
-    runs only over the one cell's rows.
+    ``cent_id`` is one cell id or a list of them (a real ANN probe
+    visits ``nprobe > 1`` cells — pick them with :func:`nearest_cells`).
+    The membership predicate is a partition-directory filter — Catalyst
+    prunes every unprobed cell before any I/O (the ANN analog of the
+    time-range block skip in sources/store.py), so the scan reads
+    exactly ``nprobe`` directories. Exact cosine runs only over the
+    probed cells' rows; merged top-k is a TakeOrdered, not a global
+    sort.
     """
+    cells = [cent_id] if isinstance(cent_id, int) else sorted(set(cent_id))
     lit_q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         spark.read.parquet(path)
-        .filter(F.col("cent_id") == cent_id)
+        .filter(F.col("cent_id").isin(cells))
         .select(key, cosine_similarity(vec, lit_q).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(key))
         .limit(k)

@@ -217,3 +217,65 @@ def test_ivf_partitioned_layout_prunes_to_one_cell(spark, tmp_path):
         .collect()
     }
     assert all(r["vec_id"] in cell0 for r in rows)
+
+
+def test_ivf_multi_probe_prunes_to_nprobe_cells(spark, tmp_path):
+    """Multi-probe (nprobe > 1): nearest_cells plans the probe list
+    over the bounded centroid table, and the probe scan's file count
+    equals exactly nprobe — one file per probed cell directory, every
+    unprobed cell pruned before I/O."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        ivf_probe_partitioned,
+        nearest_cells,
+        write_ivf_partitioned,
+    )
+    from etsd_time_series_database_spark.plans.metrics import (
+        collect_plan_metrics,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cids = [0, 1, 2, 3]
+    path = str(tmp_path / "ivf_mp")
+    write_ivf_partitioned(emb, centroid_ids=cids, path=path)
+
+    import os
+
+    n_cells = len([d for d in os.listdir(path) if d.startswith("cent_id=")])
+    assert n_cells == len(cids)
+    # write shape: one file per cell directory (repartition by cent_id)
+    for d in sorted(os.listdir(path)):
+        if d.startswith("cent_id="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
+
+    cents = emb.filter(F.col("vec_id").isin(cids)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    qv = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    nprobe = 2
+    cells = nearest_cells(cents, qv, nprobe=nprobe)
+    assert len(cells) == nprobe and len(set(cells)) == nprobe
+
+    probe = ivf_probe_partitioned(spark, path, qv, cells, k=5)
+    probe.collect()
+    m = collect_plan_metrics(probe)
+    assert m["scan_files"] == nprobe, m
+    # answers only from the probed cells
+    probed = {
+        r["vec_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cent_id").isin(cells))
+        .collect()
+    }
+    assert all(r["vec_id"] in probed for r in probe.collect())
+    # single-cell probes keep working through the same entry point
+    one = ivf_probe_partitioned(spark, path, qv, cells[0], k=3)
+    one.collect()
+    assert collect_plan_metrics(one)["scan_files"] == 1
