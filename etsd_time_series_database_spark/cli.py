@@ -14,6 +14,13 @@ dispatch):
   dump     — raw rows in a range (dumpETSD, code/etsdCmd.c:465-547,
              minus the interactive hex walk)
 
+Beyond the reference's verbs, the ANN serving layout is reachable the
+same way (no reference analog — the LLM-pipeline extension set):
+
+  write-index / probe — materialize an embedding corpus partitioned
+             by IVF cell and run multi-probe top-k against it; the
+             probe reads exactly nprobe cell directories.
+
 The CLI is a thin shell over the library: every verb builds a
 DataFrame plan and shows/collects at the edge only.
 """
@@ -157,6 +164,53 @@ def cmd_catalog(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_write_index(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.similarity import (
+        write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet(args.source)
+    cids = [int(c) for c in args.centroids.split(",")]
+    write_ivf_partitioned(
+        emb, centroid_ids=cids, path=args.path, mode=args.mode,
+        key=args.key, vec=args.vec,
+    )
+    print(f"wrote IVF layout {args.path} (cells={len(cids)}, mode={args.mode})")
+    return 0
+
+
+def cmd_probe(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.similarity import (
+        ivf_probe_partitioned,
+        nearest_cells,
+        read_centroids,
+    )
+
+    if args.vector:
+        qv = [float(x) for x in args.vector.split(",")]
+    elif args.query_id is not None and args.source:
+        rows = (
+            spark.read.parquet(args.source)
+            .filter(F.col(args.key) == args.query_id)
+            .select(args.vec)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"query id {args.query_id} not in {args.source}")
+        qv = list(rows[0][0])
+    else:
+        raise ValueError("pass --vector, or --query-id with --source")
+    if args.cells:
+        cells = [int(c) for c in args.cells.split(",")]
+    else:
+        cells = nearest_cells(read_centroids(spark, args.path), qv, args.nprobe)
+    print(f"probing cells: {cells}")
+    ivf_probe_partitioned(
+        spark, args.path, qv, cells, k=args.k, key=args.key, vec=args.vec
+    ).show(n=args.k, truncate=False)
+    return 0
+
+
 def cmd_recover(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.streaming.ingest import replay
 
@@ -218,6 +272,44 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("sink", help="downsample sink destination")
     r.add_argument("--width", type=int, default=60, help="bucket width seconds")
     r.set_defaults(fn=cmd_recover)
+
+    wi = sub.add_parser(
+        "write-index",
+        help="materialize an embedding corpus partitioned by IVF cell "
+        "(the 100 TB ANN serving layout; probes prune to cell dirs)",
+    )
+    wi.add_argument("source", help="embeddings parquet (key + vector columns)")
+    wi.add_argument("path", help="destination index directory")
+    wi.add_argument(
+        "--centroids", required=True,
+        help="comma-separated seed vector ids used as centroids",
+    )
+    wi.add_argument("--mode", default="overwrite", choices=["overwrite", "error"])
+    wi.add_argument("--key", default="vec_id")
+    wi.add_argument("--vec", default="embedding")
+    wi.set_defaults(fn=cmd_write_index)
+
+    pr = sub.add_parser(
+        "probe",
+        help="ANN top-k against a write-index layout (multi-probe: "
+        "reads exactly nprobe cell directories)",
+    )
+    pr.add_argument("path", help="index directory from write-index")
+    pr.add_argument("--vector", default=None, help="comma-separated floats")
+    pr.add_argument(
+        "--query-id", type=int, default=None,
+        help="look the query vector up by id in --source instead",
+    )
+    pr.add_argument("--source", default=None, help="parquet with query vectors")
+    pr.add_argument("--nprobe", type=int, default=2)
+    pr.add_argument(
+        "--cells", default=None,
+        help="explicit comma-separated cell ids (skips nearest_cells planning)",
+    )
+    pr.add_argument("-k", type=int, default=5)
+    pr.add_argument("--key", default="vec_id")
+    pr.add_argument("--vec", default="embedding")
+    pr.set_defaults(fn=cmd_probe)
 
     cat = sub.add_parser("catalog", help="list every catalog query")
     cat.add_argument("--category", default=None)

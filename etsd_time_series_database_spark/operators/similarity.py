@@ -406,10 +406,30 @@ def write_ivf_partitioned(
 
     ``repartition(cent_id)`` before the write gives one task per cell
     (each writes one file per cell directory, no small-file spray).
+
+    The centroid table itself (cent_id, cent_vec — nlist rows of index
+    metadata) is persisted under ``{path}/_centroids``: underscore
+    paths are invisible to Spark's parquet listing, so corpus reads
+    are unaffected, and the layout is self-contained — a prober needs
+    only the index path to plan cells (:func:`read_centroids` +
+    :func:`nearest_cells`).
     """
-    assign_cells(embeddings, centroid_ids, key, vec, _centroids).repartition(
+    if _centroids is not None:
+        cents = _centroids
+    else:
+        cents = embeddings.filter(F.col(key).isin(centroid_ids)).select(
+            F.col(key).alias("cent_id"), F.col(vec).alias("cent_vec")
+        )
+    assign_cells(embeddings, centroid_ids, key, vec, cents).repartition(
         F.col("cent_id")
     ).write.mode(mode).partitionBy("cent_id").parquet(path)
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def read_centroids(spark, path: str) -> DataFrame:
+    """The (cent_id, cent_vec) table a :func:`write_ivf_partitioned`
+    layout carries under ``{path}/_centroids``."""
+    return spark.read.parquet(path + "/_centroids")
 
 
 def nearest_cells(

@@ -115,3 +115,42 @@ def test_dump_with_xdata(spark, tmp_path, capsys):
         .h
     )
     assert want_hex in out
+
+
+def test_write_index_and_probe(spark, tmp_path, capsys):
+    """write-index lays out the corpus by IVF cell (with the centroid
+    table stored inside the index dir); probe plans nprobe cells from
+    it and answers top-k — the CLI surface of the 100 TB ANN serving
+    path."""
+    emb_path = f"{SF_SMOKE}/embeddings.parquet"
+    idx = str(tmp_path / "ivf_idx")
+    rc = cli.main(
+        ["write-index", emb_path, idx, "--centroids", "0,1,2,3"], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "cells=4" in out
+
+    import os
+
+    assert any(d.startswith("cent_id=") for d in os.listdir(idx))
+    assert os.path.isdir(os.path.join(idx, "_centroids"))
+    # the _centroids side-table must be invisible to corpus reads
+    assert "cent_vec" not in spark.read.parquet(idx).columns
+
+    rc = cli.main(
+        ["probe", idx, "--query-id", "7", "--source", emb_path,
+         "--nprobe", "2", "-k", "3"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "probing cells: [" in out and "cosine" in out
+
+    # explicit cell list bypasses the planner
+    rc = cli.main(
+        ["probe", idx, "--query-id", "7", "--source", emb_path,
+         "--cells", "0", "-k", "2"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "probing cells: [0]" in out
