@@ -230,7 +230,7 @@ def _skew_compare(spark) -> dict:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_RUNS", "2"))
     out = {"rows": n}
     for key, build in forms.items():
-        # JVM GC between forms: the 10M-row checkpoints + prior forms'
+        # JVM GC between forms: the row-count-sized checkpoints + prior forms'
         # shuffle buffers otherwise make later forms pay earlier forms'
         # collection debt, which swamped single-pass timings with
         # 2-3x run-to-run noise. min-of-N for the same reason as the

@@ -129,6 +129,7 @@ def asof_join_scalable(
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
     bucket_s: int = 86400,
+    max_span_buckets: int = 1_000_000,
 ) -> DataFrame:
     """Skew-proof :func:`asof_join`: identical semantics, but the
     carry-forward window partitions by ``(key, time-bucket)`` instead of
@@ -146,6 +147,15 @@ def asof_join_scalable(
     The cross-bucket seed is the same whole-row struct as the in-bucket
     carry, so a bucket boundary can never mix columns from different
     right rows.
+
+    ``max_span_buckets`` guards the dense per-key bucket grid: one
+    corrupt outlier timestamp (an epoch-0 or year-9999 row) would
+    otherwise inflate a single key's ``sequence(b0, b1)`` to millions
+    of elements and eventually hit Spark's opaque sequence-length cap.
+    A key whose bucket span exceeds the guard raises a clear runtime
+    error naming the key and span — increase ``bucket_s`` (or clean
+    the outlier rows) to proceed. The default (1M buckets ≈ 2,700
+    years of day buckets) only trips on data-quality problems.
     """
     from etsd_time_series_database_spark.functions.exprs import epoch_us
 
@@ -191,8 +201,27 @@ def asof_join_scalable(
     span = unioned.groupBy("__k").agg(
         F.min("__bkt").alias("__b0"), F.max("__bkt").alias("__b1")
     )
+    # span guard: raise a clear error instead of letting an outlier
+    # timestamp blow up the sequence (when/otherwise keeps the check
+    # inside the sequence bound so column pruning can't drop it)
+    b1_guarded = F.when(
+        F.col("__b1") - F.col("__b0") < F.lit(max_span_buckets),
+        F.col("__b1"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "asof_join_scalable: key '%s' spans %s buckets of "
+                + str(int(bucket_s))
+                + "s (max_span_buckets=" + str(int(max_span_buckets))
+                + ") - likely an outlier timestamp; increase bucket_s "
+                "or clean the outlier rows",
+                F.col("__k").cast("string"),
+                (F.col("__b1") - F.col("__b0")).cast("string"),
+            )
+        ).cast("bigint")
+    )
     buckets = span.select(
-        "__k", F.explode(F.sequence("__b0", "__b1")).alias("__bkt")
+        "__k", F.explode(F.sequence("__b0", b1_guarded)).alias("__bkt")
     )
     summary = buckets.join(lasts, ["__k", "__bkt"], "left")
     w_bkt = Window.partitionBy("__k").orderBy("__bkt")

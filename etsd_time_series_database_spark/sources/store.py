@@ -35,13 +35,35 @@ TABLES = (
     "embeddings",
 )
 
-# Dimensions small enough to broadcast at any scale factor.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+def _parse_ts_literal(literal: str) -> datetime:
+    """Parse a ts_range bound. Grammar = ISO-8601 date/timestamp plus
+    the short forms Spark's string->timestamp cast accepts: a bare
+    year ('2024'), year-month ('2024-01'), and a trailing 'Z'
+    (stripped before parsing so Python < 3.11 agrees with 3.11+).
+    Raises ValueError on anything else — the eager-validation contract
+    that keeps a malformed bound from silently NULLing the predicate.
+    """
+    s = literal.strip()
+    if s and s[-1] in "Zz":
+        s = s[:-1]
+    try:
+        return datetime.fromisoformat(s)
+    except ValueError:
+        pass
+    for fmt in ("%Y", "%Y-%m"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(
+        f"malformed time literal {literal!r}: expected ISO-8601 "
+        "(e.g. 2024, 2024-01, 2024-01-02, 2024-01-02T03:04:05[.ffffff][Z])"
+    )
 
 
 def _epoch_us(literal: str) -> int:
     return int(
-        datetime.fromisoformat(literal)
+        _parse_ts_literal(literal)
         .replace(tzinfo=timezone.utc)
         .timestamp()
         * 1_000_000
@@ -63,7 +85,11 @@ def load_table(
     the same file, so both engines see identical instants.
 
     ``ts_range=(lo, hi)`` (inclusive, conservative) applies the time
-    predicate on the RAW int64 column *before* the conversion: a
+    predicate on the RAW int64 column *before* the conversion. Bound
+    grammar: ISO-8601 date/timestamp, plus the short forms the Spark
+    cast accepts — bare year, year-month, trailing 'Z' — anything
+    else raises eagerly (never a silent NULL predicate). The filter
+    runs on the raw column because a
     function-wrapped column defeats Parquet predicate pushdown, so
     this is what turns the query's time range into actual row-group
     skipping (the reference's block-skip search,
@@ -109,7 +135,7 @@ def load_table(
             # the cast branches the same contract.
             for bound in (lo, hi):
                 if bound is not None:
-                    datetime.fromisoformat(bound)  # raises on malformed
+                    _parse_ts_literal(bound)  # raises on malformed
             # Filter on the raw column so the predicate still reaches
             # the parquet row-group stats.
             cast_t = "timestamp_ntz" if raw_ntz else "timestamp"

@@ -61,10 +61,13 @@ def main() -> None:
         print("only in NEW:", ", ".join(only_new))
     wall_old = sum(old["queries"][q] for q in shared)
     wall_new = sum(new["queries"][q] for q in shared)
-    print(
-        f"shared-query wall total: {wall_old:.3f}s -> {wall_new:.3f}s "
-        f"({wall_new / wall_old:.2f}x)"
-    )
+    if shared and wall_old:
+        print(
+            f"shared-query wall total: {wall_old:.3f}s -> {wall_new:.3f}s "
+            f"({wall_new / wall_old:.2f}x)"
+        )
+    else:
+        print("no overlapping queries with nonzero wall time to compare")
 
 
 if __name__ == "__main__":

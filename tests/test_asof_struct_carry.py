@@ -88,3 +88,31 @@ def test_asof_matched_row_is_consistent_snapshot(spark):
         row = fn(left, right, on="k", value_cols=["a", "b"]).collect()[0]
         assert row.ts_asof == _ts("2024-01-01 00:00:02")
         assert row.a_asof is None and row.b_asof == 2.0
+
+
+def test_asof_scalable_span_guard_trips_on_outlier_timestamp(spark):
+    """One corrupt epoch-1970 row must not inflate the dense bucket
+    grid to millions of sequence elements: the span guard raises a
+    clear error naming the key instead of Spark's opaque
+    sequence-length failure."""
+    import pytest
+
+    left, right = _fixture(spark)
+    poisoned = right.unionByName(
+        spark.createDataFrame(
+            [("k", _ts("1970-01-01 00:00:00"), 0.0)],
+            "k string, ts timestamp, v double",
+        )
+    )
+    out = asof_join_scalable(
+        left, poisoned, on="k", value_cols=["v"],
+        bucket_s=60, max_span_buckets=10_000,
+    )
+    with pytest.raises(Exception, match="outlier timestamp|increase bucket_s"):
+        out.collect()
+    # same data passes when the guard budget accommodates the span
+    ok = asof_join_scalable(
+        left, poisoned, on="k", value_cols=["v"],
+        bucket_s=86400 * 365, max_span_buckets=10_000,
+    )
+    assert ok.count() == 1

@@ -143,3 +143,24 @@ def test_ntz_branch_survives_infer_conf_off(spark, duck, ntz_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_ts_bound_grammar_accepts_spark_cast_short_forms(spark, ntz_dir):
+    """The eager bound validation must accept everything the guarded
+    Spark cast accepts: bare year, year-month, and 'Z'-suffixed ISO
+    timestamps all filter instead of raising."""
+    assert (
+        load_table(
+            spark, ntz_dir, "events", ts_range=("2024", "2024-02")
+        ).count()
+        == 4
+    )
+    assert (
+        load_table(
+            spark,
+            ntz_dir,
+            "events",
+            ts_range=("2024-01-01T06:00:00Z", None),
+        ).count()
+        == 3
+    )
