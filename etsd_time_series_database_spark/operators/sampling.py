@@ -144,3 +144,29 @@ def shard_balance(
         )
         .orderBy("shard")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_permille: Column | str,
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff its key-hash
+    residue mod 1000 falls below the row's OWN weight in permille
+    (clamped to [0, 1000]) — quality- or length-proportional retention
+    with every property of :func:`hash_sample`: membership is a pure
+    function of (key, weight), stable across runs, partitionings, and
+    engines, and the expected kept fraction is mean(weight)/1000.
+
+    Zero shuffle — the predicate (integer hash compare against a
+    per-row column) evaluates inside the scan stage, so at 100 TB
+    this is one codegen'd pass like the uniform sampler.
+    """
+    w = (
+        F.col(weight_permille)
+        if isinstance(weight_permille, str)
+        else weight_permille
+    )
+    w = F.greatest(F.lit(0), F.least(F.lit(1000), w.cast("bigint")))
+    return df.filter(F.pmod(key_hash(key, hash_mode), F.lit(1000)) < w)

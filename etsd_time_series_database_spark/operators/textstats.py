@@ -227,6 +227,98 @@ def token_topk(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    key: str = "doc_id",
+    fingerprint: bool = True,
+) -> DataFrame:
+    """Per-document novelty: the share of a document's DISTINCT word
+    n-grams whose FIRST corpus occurrence (lowest ``key``) is this
+    document. The online view of corpus redundancy — a doc made of
+    spans already seen in earlier documents scores near 0, fresh text
+    scores near 1 — used to rank/filter scraped snapshots where later
+    crawls mostly re-collect earlier content. Complementary to
+    operators.dedup: segment_dedup counts how many docs share a span;
+    this attributes each span to its earliest document.
+
+    Scale: the per-doc distinct n-gram explode is a JVM transform
+    (scan-speed). First-occurrence attribution groups on
+    ``xxhash64(gram)`` by default — a fixed 8-byte shuffle key;
+    ``fingerprint=False`` is the exact raw-string oracle form (the
+    segment-dedup quarantine pattern). min() and the per-doc rollup
+    are both map-side combinable; no window, no global sort (the
+    ORDER BY is presentation-only).
+    """
+    from etsd_time_series_database_spark.operators.dedup import shingle_expr
+
+    toks = df.select(F.col(key), _tokens(text).alias("__toks"))
+    grams = toks.select(
+        F.col(key),
+        F.explode(F.array_distinct(shingle_expr("__toks", n))).alias("__g"),
+    )
+    gk = "__gfp" if fingerprint else "__g"
+    if fingerprint:
+        grams = grams.withColumn("__gfp", F.xxhash64("__g")).drop("__g")
+    firsts = grams.groupBy(gk).agg(F.min(key).alias("__first"))
+    per = (
+        grams.join(firsts, gk)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(key), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(key)
+        .join(per, key, "left")
+        .select(
+            key,
+            F.coalesce("n_ngrams", F.lit(0).cast("bigint")).alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+        )
+        .withColumn("novelty", F.try_divide("n_novel", "n_ngrams"))
+        .orderBy(key)
+    )
+
+
+def source_token_topk(
+    df: DataFrame,
+    k: int = 5,
+    text: str = "text",
+    source: str = "source",
+    min_len: int = 1,
+) -> DataFrame:
+    """Per-source heavy hitters: the ``k`` most frequent tokens WITHIN
+    each source — the source-conditional vocabulary report a mixture
+    designer reads next to :func:`corpus_stats` (a web source whose top
+    tokens are boilerplate chrome needs cleaning before upweighting).
+
+    Shape at 100 TB: one (source, token) hash-agg with map-side
+    combine, then a per-source row_number window over the AGGREGATED
+    histogram — vocabulary-sized, not corpus-sized, so the window's
+    per-partition sort is bounded. Ties break lexicographically.
+    """
+    tf = (
+        df.select(F.col(source), F.explode(_tokens(text)).alias("token"))
+        .filter(F.length("token") >= F.lit(min_len))
+        .groupBy(source, "token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    w = Window.partitionBy(source).orderBy(
+        F.col("term_freq").desc(), F.col("token").asc()
+    )
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.lit(k))
+        .select(source, "rnk", "token", "term_freq")
+        .orderBy(source, "rnk")
+    )
+
+
 def inverted_index(
     df: DataFrame,
     min_df: int = 2,

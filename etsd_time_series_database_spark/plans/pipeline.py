@@ -1300,3 +1300,132 @@ def p32(spark, sf_dir):
         seg_tokens=SEG_TOKENS,
         max_docs=SEG_MAX_DOCS,
     )
+
+
+# ------------------------------------------- novelty / importance ops
+
+NOVELTY_N = 3  # word n-gram width, shared with the x08 shingle width
+WSAMPLE_CHARS_PER_PERMILLE = 4  # weight = n_chars / 4, clamped to 1000
+SRC_TOPK_K = 5
+
+
+@register(
+    "x34_ngram_novelty",
+    "quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS gram FROM tok
+    ),
+    firsts AS (
+      SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    ),
+    per AS (
+      SELECT g.doc_id,
+             count(*) AS n_ngrams,
+             sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM g JOIN firsts f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                THEN (p.n_novel * 1.0) / p.n_ngrams END AS novelty
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Per-document novelty: share of the doc's distinct 3-gram spans "
+    "whose first corpus occurrence (lowest doc_id) is this document — "
+    "the online redundancy rank for crawl snapshots. Attribution "
+    "groups on an 8-byte xxhash64 fingerprint (raw-string twin is the "
+    "equivalence oracle); all aggs map-side combinable.",
+    headline=True,
+)
+def p34(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), n=NOVELTY_N)
+
+
+@register(
+    "x35_weighted_sample",
+    "sampling",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             least(1000, greatest(0, n_chars // {WSAMPLE_CHARS_PER_PERMILLE}))
+               AS weight_permille
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(weight_permille AS BIGINT) AS weight_permille
+    FROM w WHERE {_DUCK_H} % 1000 < weight_permille
+    ORDER BY doc_id
+    """,
+    doc="Deterministic importance sampling: keep probability is the "
+    "row's own length-derived weight (n_chars/4 permille, clamped), "
+    "membership a pure function of (doc_id, weight) — stable across "
+    "runs/partitionings/engines like x03, still a zero-shuffle "
+    "scan-side predicate.",
+)
+def p35(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "weight_permille",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(1000),
+                F.expr(f"n_chars div {WSAMPLE_CHARS_PER_PERMILLE}"),
+            ),
+        ).cast("bigint"),
+    )
+    return (
+        weighted_sample(docs, "weight_permille")
+        .select("doc_id", "source", "n_chars", "weight_permille")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x36_source_token_topk",
+    "vocab",
+    f"""
+    WITH ex AS (
+      SELECT source, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT source, token, count(*) AS term_freq
+      FROM ex GROUP BY source, token
+    ),
+    r AS (
+      SELECT source, token, term_freq,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY term_freq DESC, token) AS rnk
+      FROM tf
+    )
+    SELECT source, CAST(rnk AS INTEGER) AS rnk, token,
+           CAST(term_freq AS BIGINT) AS term_freq
+    FROM r WHERE rnk <= {SRC_TOPK_K} ORDER BY source, rnk
+    """,
+    doc="Per-source top-5 tokens (source-conditional vocabulary): one "
+    "map-side-combinable (source, token) hash-agg, then a per-source "
+    "rank window over the aggregated vocabulary-sized histogram — "
+    "never the corpus. Ties lexicographic.",
+)
+def p36(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        source_token_topk,
+    )
+
+    return source_token_topk(
+        load_table(spark, sf_dir, "documents"), k=SRC_TOPK_K
+    )

@@ -405,3 +405,70 @@ def test_segment_rewrite_roundtrip_and_removal(spark):
     assert out[2].clean_text == "w1 w2 w3 w4 w5"  # untouched roundtrip
     assert out[3].clean_text == "" and out[3].kept_tokens == 0
     assert out[4].clean_text == "" and out[4].kept_tokens == 0
+
+
+def test_ngram_novelty_first_occurrence_attribution(spark):
+    """doc0 owns both its 3-grams; doc1 shares 'a b c' with doc0 so only
+    'b c x' is novel; a 2-token doc has no grams (NULL novelty). The
+    fingerprint path must equal the raw-string oracle form."""
+    from etsd_time_series_database_spark.operators.textstats import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c x"), (2, "a b")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert (rows[0].n_ngrams, rows[0].n_novel, rows[0].novelty) == (2, 2, 1.0)
+    assert (rows[1].n_ngrams, rows[1].n_novel, rows[1].novelty) == (2, 1, 0.5)
+    assert (rows[2].n_ngrams, rows[2].n_novel, rows[2].novelty) == (0, 0, None)
+    raw = sorted(map(tuple, ngram_novelty(df, n=3, fingerprint=False).collect()))
+    assert sorted(map(tuple, ngram_novelty(df, n=3).collect())) == raw
+
+
+def test_weighted_sample_bounds_and_monotonicity(spark):
+    """weight 0 keeps nothing, weight 1000 keeps everything, and the
+    kept set grows monotonically with weight (nested thresholds on the
+    same hash); constant weight w == hash_sample(w)."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.sampling import (
+        hash_sample,
+        weighted_sample,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    assert weighted_sample(df, F.lit(0)).count() == 0
+    assert weighted_sample(df, F.lit(1000)).count() == 500
+    # clamps: out-of-range weights behave like the clamped bound
+    assert weighted_sample(df, F.lit(99999)).count() == 500
+    assert weighted_sample(df, F.lit(-5)).count() == 0
+    k300 = {r.doc_id for r in weighted_sample(df, F.lit(300)).collect()}
+    k700 = {r.doc_id for r in weighted_sample(df, F.lit(700)).collect()}
+    assert k300 <= k700
+    assert k300 == {r.doc_id for r in hash_sample(df, 300).collect()}
+
+
+def test_source_token_topk_ranks_within_source(spark):
+    from etsd_time_series_database_spark.operators.textstats import (
+        source_token_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "x x x y y z", "s0"),
+            (1, "y", "s0"),
+            (2, "q q p", "s1"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = [
+        (r.source, r.rnk, r.token, r.term_freq)
+        for r in source_token_topk(df, k=2).collect()
+    ]
+    # s0: x=3, y=3 -> tie broken lexicographically (x before y)
+    assert got == [
+        ("s0", 1, "x", 3),
+        ("s0", 2, "y", 3),
+        ("s1", 1, "q", 2),
+        ("s1", 2, "p", 1),
+    ]
