@@ -116,6 +116,39 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    query_id: int,
+    centroid_ids: list[int],
+    k: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF probe against the exact scan — the
+    accept/reject metric for an ANN index configuration (nlist /
+    nprobe tuning always reports this number). One row: (k, n_hits,
+    recall).
+
+    Composes :func:`cosine_topk` (ground truth) and :func:`ivf_topk`
+    (the approximate path under test); both sides are TakeOrdered
+    top-k's, so the comparison itself joins two k-row relations —
+    driver-scale work regardless of corpus size.
+    """
+    exact = cosine_topk(embeddings, query_id, k, key, vec).select(F.col(key))
+    approx = ivf_topk(embeddings, query_id, centroid_ids, k, key, vec).select(
+        F.col(key)
+    )
+    return (
+        exact.join(approx, key, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") * F.lit(1.0) / F.lit(k)).alias("recall"),
+        )
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,

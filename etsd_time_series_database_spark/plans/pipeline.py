@@ -1429,3 +1429,61 @@ def p36(spark, sf_dir):
     return source_token_topk(
         load_table(spark, sf_dir, "documents"), k=SRC_TOPK_K
     )
+
+
+@register(
+    "x37_ann_recall",
+    "similarity",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {_duck_cos("e.embedding", "c.cv")} AS cos
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cent_id) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    qcell AS (
+      SELECT cent_id AS qc, embedding AS qv FROM assigned WHERE vec_id = 0
+    ),
+    approx AS (
+      SELECT a.vec_id, {_duck_cos("a.embedding", "qcell.qv")} AS cosine
+      FROM assigned a, qcell
+      WHERE a.cent_id = qcell.qc AND a.vec_id != 0
+      ORDER BY cosine DESC, vec_id LIMIT 5
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT e.vec_id, {_duck_cos("e.embedding", "q.qv")} AS cosine
+      FROM embeddings e, q WHERE e.vec_id != 0
+      ORDER BY cosine DESC, vec_id LIMIT 5
+    ),
+    hits AS (
+      SELECT count(*) AS n_hits FROM exact e JOIN approx a USING (vec_id)
+    )
+    SELECT CAST(5 AS INTEGER) AS k, CAST(n_hits AS BIGINT) AS n_hits,
+           (n_hits * 1.0) / 5 AS recall
+    FROM hits
+    """,
+    doc="Recall@5 of the IVF single-cell probe vs the exact scan — the "
+    "ANN index-config acceptance metric. Both sides are TakeOrdered "
+    "top-k's; the comparison joins two k-row relations (driver-scale "
+    "regardless of corpus size).",
+)
+def p37(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import ann_recall
+
+    return ann_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        centroid_ids=list(range(1, 9)),
+        k=5,
+    )
