@@ -120,8 +120,9 @@ _DUCK_POLY_FP = (
     SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
     FROM documents GROUP BY text ORDER BY canonical_id
     """,
-    doc="Exact dedup by full-text equality (hash groupBy; at scale, "
-    "group by a 64-bit fingerprint instead of the raw text).",
+    doc="Exact dedup by full-text equality: the groupBy keys on "
+    "xxhash64(text) so document bodies never shuffle (raw-text form "
+    "retained as the equivalence oracle).",
 )
 def p01(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
