@@ -509,3 +509,46 @@ def segment_rewrite(
         )
         .orderBy(key)
     )
+
+
+def cluster_reduction(
+    df: DataFrame,
+    pairs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The actionable form of :func:`cluster_pairs`: per near-dup
+    component, the canonical (min-id) representative plus what keeping
+    ONLY it saves — the corpus-reduction report a dedup pass hands to
+    the pipeline owner before the destructive rewrite. Docs in no pair
+    are their own singleton component, so components partition the
+    corpus and the token columns sum to corpus totals.
+
+    Scale: the component labels come from the iterative min-label
+    propagation (bounded by paired docs — a small fraction of the
+    corpus, AQE broadcasts the label table); the token count is a
+    scan-side expression; the rollup is one map-side-combinable
+    hash-agg keyed by component.
+    """
+    comps = cluster_pairs(pairs, a, b, max_iter).withColumnRenamed("doc_id", key)
+    toks = df.select(F.col(key), F.size(_tokens(text)).alias("__nt"))
+    labeled = toks.join(comps, key, "left").withColumn(
+        "component", F.coalesce("component", F.col(key))
+    )
+    kept = F.when(F.col(key) == F.col("component"), F.col("__nt")).otherwise(0)
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col(key) != F.col("component"), 1).otherwise(0)
+            ).alias("n_dup_docs"),
+            F.sum("__nt").cast("bigint").alias("total_tokens"),
+            F.sum(kept).cast("bigint").alias("kept_tokens"),
+            (F.sum("__nt") - F.sum(kept)).cast("bigint").alias("saved_tokens"),
+        )
+        .orderBy("component")
+    )

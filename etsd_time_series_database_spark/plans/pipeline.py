@@ -1488,3 +1488,50 @@ def p37(spark, sf_dir):
         centroid_ids=list(range(1, 9)),
         k=5,
     )
+
+
+@register(
+    "x38_cluster_reduction",
+    "dedup",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    e(src, dst) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    tok AS (SELECT doc_id, len({_TOKS}) AS nt FROM documents),
+    lab AS (
+      SELECT t.doc_id, coalesce(c.component, t.doc_id) AS component, t.nt
+      FROM tok t LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id != component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN doc_id = component THEN nt ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(sum(nt) - sum(CASE WHEN doc_id = component THEN nt ELSE 0 END)
+                AS BIGINT) AS saved_tokens
+    FROM lab GROUP BY component ORDER BY component
+    """,
+    doc="Near-dup corpus-reduction report: per connected component "
+    "(singletons included, so components partition the corpus), the "
+    "canonical min-id representative and the docs/tokens dropping the "
+    "rest would save — the actionable rollup of x09's clustering, as "
+    "x32 is to x31.",
+)
+def p38(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        cluster_reduction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="poly")
+    return cluster_reduction(docs, pairs)

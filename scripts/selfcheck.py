@@ -134,7 +134,15 @@ def main() -> int:
                                     and r.get("rows_match") and not r["err"]))
     )
     print(f"\n{n_ok}/{len(results)} green; failing: {bad}")
-    out_path = os.path.join(REPO, "SELFCHECK.json")
+    # Route the snapshot by scale factor: sf0.1 evidence lives in
+    # SELFCHECK_SF01.json, everything else in SELFCHECK.json. Without
+    # this, an sf0.1 run silently overwrites the sf0.01 snapshot with
+    # sf0.1 row counts/hashes (which is exactly what happened mid
+    # round 6 before the split).
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_name = "SELFCHECK_SF01.json" if base == "sf0.1" else "SELFCHECK.json"
+    out_path = os.path.join(REPO, out_name)
+    print(f"snapshot -> {out_name}")
     if only and os.path.exists(out_path):
         # Filtered run: MERGE into the existing snapshot instead of
         # truncating it to the filter set — a partial refresh must

@@ -472,3 +472,31 @@ def test_source_token_topk_ranks_within_source(spark):
         ("s1", 1, "q", 2),
         ("s1", 2, "p", 1),
     ]
+
+
+def test_cluster_reduction_partitions_corpus(spark):
+    """Components partition the corpus: singletons are their own
+    component, token columns sum to corpus totals, canonical doc's
+    tokens are the kept side."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        cluster_reduction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a"),        # pairs with 1 -> component 0
+            (1, "a a a a"),
+            (2, "b"),            # singleton
+            (3, "c c"),          # singleton
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "doc_a bigint, doc_b bigint")
+    got = {r.component: r for r in cluster_reduction(docs, pairs).collect()}
+    assert set(got) == {0, 2, 3}
+    c0 = got[0]
+    assert (c0.n_docs, c0.n_dup_docs) == (2, 1)
+    assert (c0.total_tokens, c0.kept_tokens, c0.saved_tokens) == (7, 3, 4)
+    assert (got[2].n_docs, got[2].saved_tokens) == (1, 0)
+    total = sum(r.total_tokens for r in got.values())
+    assert total == 3 + 4 + 1 + 2

@@ -72,20 +72,36 @@ def test_bench_stdout_line_stays_compact():
 
 
 def test_selfcheck_matches_catalog():
-    selfcheck = json.loads((REPO / "SELFCHECK.json").read_text())
-    have = set(selfcheck)
-    want = set(catalog())
-    assert have == want, (
-        f"SELFCHECK.json is stale: missing={sorted(want - have)} "
-        f"extra={sorted(have - want)} — rerun scripts/selfcheck.py"
-    )
+    # both scale factors: a registration without refreshed evidence in
+    # EITHER snapshot is the round-4 staleness bug
+    for fname in ("SELFCHECK.json", "SELFCHECK_SF01.json"):
+        selfcheck = json.loads((REPO / fname).read_text())
+        have = set(selfcheck)
+        want = set(catalog())
+        assert have == want, (
+            f"{fname} is stale: missing={sorted(want - have)} "
+            f"extra={sorted(have - want)} — rerun scripts/selfcheck.py "
+            "(sf0.01 and sf0.1 route to their own snapshots)"
+        )
 
 
 def test_selfcheck_all_green():
-    selfcheck = json.loads((REPO / "SELFCHECK.json").read_text())
-    bad = sorted(
-        name
-        for name, row in selfcheck.items()
-        if not (row.get("rows_match") and row.get("hash_match", True))
-    )
-    assert not bad, f"SELFCHECK.json has non-green entries: {bad}"
+    for fname in ("SELFCHECK.json", "SELFCHECK_SF01.json"):
+        selfcheck = json.loads((REPO / fname).read_text())
+        bad = sorted(
+            name
+            for name, row in selfcheck.items()
+            if not (row.get("rows_match") and row.get("hash_match", True))
+        )
+        assert not bad, f"{fname} has non-green entries: {bad}"
+
+
+def test_selfcheck_snapshots_are_scale_distinct():
+    """The two snapshots must actually be from different scale factors:
+    x31's row count equals the documents row count (500 at sf0.01,
+    5000 at sf0.1), so identical values mean one file clobbered the
+    other (the mid-round-6 bug the output routing fixed)."""
+    a = json.loads((REPO / "SELFCHECK.json").read_text())
+    b = json.loads((REPO / "SELFCHECK_SF01.json").read_text())
+    assert a["x31_segment_dedup"]["spark_rows"] == 500
+    assert b["x31_segment_dedup"]["spark_rows"] == 5000
