@@ -339,3 +339,20 @@ def test_cell_assignment_is_single_shuffle(spark):
     assert n_hash_exchanges == 1, plan
     # map-side partial combine before that one exchange
     assert "partial_max_by" in plan or "partial_" in plan, plan
+
+
+def test_rank_filters_get_window_group_limit(spark):
+    """Every per-group top-k in the catalog (rank window + rk <= k
+    filter) must trigger Spark's WindowGroupLimit: a map-side partial
+    top-k runs BEFORE the shuffle, so a billion-row stratum/source
+    ships at most k rows per input partition instead of sorting the
+    whole group in one task."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    for name in (
+        "x04_stratified_sample",
+        "x26_tfidf_topterms",
+        "x36_source_token_topk",
+    ):
+        plan = _plan(catalog()[name].build(spark, SF_SMOKE))
+        assert "WindowGroupLimit" in plan, name
