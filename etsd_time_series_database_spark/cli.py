@@ -179,6 +179,17 @@ def cmd_write_index(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_append_index(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.similarity import (
+        ivf_append,
+    )
+
+    new = spark.read.parquet(args.source)
+    ivf_append(new, args.path, key=args.key, vec=args.vec)
+    print(f"appended {args.source} into IVF layout {args.path}")
+    return 0
+
+
 def cmd_probe(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.operators.similarity import (
         ivf_probe_partitioned,
@@ -288,6 +299,18 @@ def build_parser() -> argparse.ArgumentParser:
     wi.add_argument("--key", default="vec_id")
     wi.add_argument("--vec", default="embedding")
     wi.set_defaults(fn=cmd_write_index)
+
+    ai = sub.add_parser(
+        "append-index",
+        help="assign a new embedding batch against the layout's stored "
+        "centroids and append into the existing cell dirs (O(batch) "
+        "index maintenance)",
+    )
+    ai.add_argument("source", help="parquet with the new vectors")
+    ai.add_argument("path", help="existing index directory")
+    ai.add_argument("--key", default="vec_id")
+    ai.add_argument("--vec", default="embedding")
+    ai.set_defaults(fn=cmd_append_index)
 
     pr = sub.add_parser(
         "probe",

@@ -465,6 +465,30 @@ def read_centroids(spark, path: str) -> DataFrame:
     return spark.read.parquet(path + "/_centroids")
 
 
+def ivf_append(
+    new_embeddings: DataFrame,
+    path: str,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a NEW batch of vectors
+    against the layout's own stored centroids and append them into the
+    existing cell directories — the streaming/ingest side of the IVF
+    serving path (a fresh corpus-wide rebuild only happens when the
+    centroids themselves are retrained).
+
+    Only the new batch is scanned and shuffled; existing cell files
+    are untouched (dynamic partition append), so maintenance cost is
+    O(batch), not O(corpus). Probes see the union immediately —
+    partition pruning works per directory, not per file age.
+    """
+    spark = new_embeddings.sparkSession
+    cents = read_centroids(spark, path)
+    assign_cells(new_embeddings, [], key, vec, _centroids=cents).repartition(
+        F.col("cent_id")
+    ).write.mode("append").partitionBy("cent_id").parquet(path)
+
+
 def nearest_cells(
     centroids: DataFrame,
     query_vec: list[float],

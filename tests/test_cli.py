@@ -154,3 +154,18 @@ def test_write_index_and_probe(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "probing cells: [0]" in out
+
+
+def test_append_index_cli(spark, tmp_path, capsys):
+    emb_path = f"{SF_SMOKE}/embeddings.parquet"
+    idx = str(tmp_path / "ivf_idx2")
+    assert cli.main(
+        ["write-index", emb_path, idx, "--centroids", "0,1,2,3"], spark=spark
+    ) == 0
+    capsys.readouterr()
+    before = spark.read.parquet(idx).count()
+    # append the same file again: count doubles, layout still probes
+    assert cli.main(["append-index", emb_path, idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "appended" in out
+    assert spark.read.parquet(idx).count() == 2 * before

@@ -279,3 +279,57 @@ def test_ivf_multi_probe_prunes_to_nprobe_cells(spark, tmp_path):
     one = ivf_probe_partitioned(spark, path, qv, cells[0], k=3)
     one.collect()
     assert collect_plan_metrics(one)["scan_files"] == 1
+
+
+def test_ivf_append_maintains_layout_incrementally(spark, tmp_path):
+    """ivf_append assigns a new batch against the layout's stored
+    centroids and appends into the existing cell dirs: probes see the
+    union, assignments agree with a from-scratch rebuild, and the old
+    cell files are not rewritten."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        assign_cells,
+        ivf_append,
+        read_centroids,
+        write_ivf_partitioned,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    cids = [0, 1, 2, 3]
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_partitioned(base, centroid_ids=cids, path=path)
+
+    def files(p):
+        out = set()
+        for d in os.listdir(p):
+            if d.startswith("cent_id="):
+                for f in os.listdir(os.path.join(p, d)):
+                    if f.endswith(".parquet"):
+                        out.add(os.path.join(d, f))
+        return out
+
+    before = files(path)
+    ivf_append(new, path)
+    after = files(path)
+    assert before <= after and len(after) > len(before)
+
+    got = spark.read.parquet(path)
+    assert got.count() == 60
+    # appended assignments match assigning against the same centroids
+    want = {
+        (r["vec_id"], r["cent_id"])
+        for r in assign_cells(
+            new, [], _centroids=read_centroids(spark, path)
+        ).collect()
+    }
+    have = {
+        (r["vec_id"], r["cent_id"])
+        for r in got.filter(F.col("vec_id") >= 40).collect()
+    }
+    assert have == want
