@@ -153,12 +153,16 @@ def test_segment_dedup_fingerprint_equals_raw(spark, docs, seg_tokens):
     )
 
     from etsd_time_series_database_spark.operators.dedup import exact_dedup
+    from etsd_time_series_database_spark.operators.textstats import (
+        ngram_novelty,
+    )
 
     rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    fp = sorted(map(tuple, exact_dedup(df, fingerprint=True).collect()))
-    raw = sorted(map(tuple, exact_dedup(df, fingerprint=False).collect()))
-    assert fp == raw
+    for op in (exact_dedup, ngram_novelty):
+        fp = sorted(map(tuple, op(df, fingerprint=True).collect()))
+        raw = sorted(map(tuple, op(df, fingerprint=False).collect()))
+        assert fp == raw
     for op in (segment_dedup, segment_rewrite):
         fp = sorted(map(tuple, op(df, seg_tokens=seg_tokens, fingerprint=True).collect()))
         raw = sorted(map(tuple, op(df, seg_tokens=seg_tokens, fingerprint=False).collect()))
