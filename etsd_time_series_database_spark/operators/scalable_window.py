@@ -138,8 +138,16 @@ def cumsum_scalable(
     distributed prefix sum: in-bucket running sum + exclusive prefix of
     per-bucket totals (computed on the tiny summary table, broadcast
     back). Equivalent to SUM() OVER (PARTITION BY channel ORDER BY ...
-    ROWS UNBOUNDED PRECEDING) at any scale."""
-    b = _bucketed(df.withColumn("__x", col), ts, bucket_s)
+    ROWS UNBOUNDED PRECEDING) at any scale.
+
+    If ``df`` already carries a ``__bkt`` column (e.g. the output of
+    :func:`lag_stitched`), it is REUSED instead of recomputed: the
+    incoming (channel, __bkt) hash partitioning and (ts, seq) sort
+    order then satisfy this window's requirements, so Catalyst elides
+    a second full-table Exchange + Sort — recomputing an identical
+    bucket under a fresh attribute id defeats that reuse."""
+    src = df.withColumn("__x", col)
+    b = src if "__bkt" in df.columns else _bucketed(src, ts, bucket_s)
     w_in = Window.partitionBy(channel, "__bkt").orderBy(F.col(ts), F.col(seq)).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -179,7 +187,9 @@ def rollover_corrected_scalable(
         df, [value], channel=channel, ts=ts, seq=seq, bucket_s=bucket_s
     )
     bump = F.when(F.col(value) < F.col(f"__lag_{value}"), F.lit(1)).otherwise(F.lit(0))
-    withbump = stitched.withColumn("__bump", bump).drop(f"__lag_{value}", "__bkt")
+    # keep __bkt: cumsum_scalable reuses the existing (channel, __bkt)
+    # partitioning + (ts, seq) order, skipping a second full shuffle
+    withbump = stitched.withColumn("__bump", bump).drop(f"__lag_{value}")
     out = cumsum_scalable(
         withbump,
         F.col("__bump"),
