@@ -118,3 +118,19 @@ def test_asof_scalable_equals_asof(spark):
             )
         )
         assert got == want, f"bucket_s={bucket_s}"
+
+
+def test_rollover_plan_has_no_duplicate_bucket_shuffle(spark):
+    """The prefix-sum window must ride lag_stitched's (channel, bucket)
+    partitioning: recomputing __bkt under a fresh attribute id used to
+    add a second full-table Exchange + Sort chain (16 hash exchanges;
+    now 12). Pin the ceiling so a refactor that breaks partitioning
+    reuse fails loudly."""
+    from etsd_time_series_database_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    df = catalog()["q08_rollover_correction"].build(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 12, f"q08 regressed to {n} hash exchanges"
