@@ -170,3 +170,66 @@ def weighted_sample(
     )
     w = F.greatest(F.lit(0), F.least(F.lit(1000), w.cast("bigint")))
     return df.filter(F.pmod(key_hash(key, hash_mode), F.lit(1000)) < w)
+
+
+def split_assign(
+    df: DataFrame,
+    permille: tuple[int, ...] = (980, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key-hash residue
+    mod 1000 is cut at the cumulative ``permille`` boundaries (must sum
+    to 1000). Membership is a pure function of the key — re-runs,
+    resumes, and engines agree, and adding documents later never moves
+    an existing document between splits (the property random split
+    lacks that matters most for eval integrity).
+
+    Zero shuffle: a chained-when projection evaluated in the scan
+    stage.
+    """
+    if sum(permille) != 1000 or len(permille) != len(names):
+        raise ValueError("permille must sum to 1000 and pair with names")
+    h = F.pmod(key_hash(key, hash_mode), F.lit(1000))
+    # nested whens from the last boundary inward: split i owns
+    # [cum(permille[:i]), cum(permille[:i+1]))
+    expr = F.lit(names[-1])
+    cum = 1000 - permille[-1]
+    for i in range(len(names) - 2, -1, -1):
+        expr = F.when(h < F.lit(cum), F.lit(names[i])).otherwise(expr)
+        cum -= permille[i]
+    return df.withColumn("split", expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    permille: tuple[int, ...] = (980, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    text: str = "text",
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Split-by-canonical: every exact copy of a document shares the
+    canonical id (min key per distinct text), and the split is a
+    function of the CANONICAL key — so duplicates can never straddle
+    train and test, the eval-contamination hole a per-document split
+    leaves open. (Near-dup-safe splitting composes the same way with
+    cluster_pairs components in place of the canonical map.)
+
+    One fingerprint-keyed aggregation builds the canonical map (8-byte
+    shuffle key, document bodies never move) and one equi-join
+    attaches it (AQE broadcasts the map while it fits); the split
+    itself is the zero-shuffle chained-when of :func:`split_assign`.
+    Adds ``canonical_id`` and ``split`` columns.
+    """
+    fp = F.xxhash64(F.col(text))
+    canon = (
+        df.select(fp.alias("__fp"), F.col(key))
+        .groupBy("__fp")
+        .agg(F.min(key).alias("canonical_id"))
+    )
+    labeled = df.withColumn("__fp", fp).join(canon, "__fp").drop("__fp")
+    return split_assign(
+        labeled, permille, names, key="canonical_id", hash_mode=hash_mode
+    )

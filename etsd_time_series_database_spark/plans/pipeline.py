@@ -1535,3 +1535,89 @@ def p38(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="poly")
     return cluster_reduction(docs, pairs)
+
+
+SPLIT_PERMILLE = (980, 10, 10)
+_DUCK_SPLIT = (
+    f"CASE WHEN {{h}} % 1000 < 980 THEN 'train' "
+    f"WHEN {{h}} % 1000 < 990 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "x39_split_assign",
+    "sampling",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             {_DUCK_SPLIT.format(h=_DUCK_H)} AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic 98/1/1 train/val/test assignment by key hash "
+    "(zero-shuffle chained-when; membership stable across runs and "
+    "engines, and late-arriving docs never move existing ones between "
+    "splits), rolled up to a per-split balance report.",
+)
+def p39(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        split_assign,
+    )
+    from etsd_time_series_database_spark.operators.textstats import _tokens
+
+    return (
+        split_assign(load_table(spark, sf_dir, "documents"), SPLIT_PERMILLE)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tokens("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "x40_leakage_safe_split",
+    "sampling",
+    f"""
+    WITH canon AS (
+      SELECT text, min(doc_id) AS c FROM documents GROUP BY text
+    ),
+    s AS (
+      SELECT d.doc_id, {_TOKS} AS toks, canon.c,
+             {_DUCK_SPLIT.format(h=_DUCK_H.replace("doc_id", "c"))} AS split
+      FROM documents d JOIN canon USING (text)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_groups,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split ORDER BY split
+    """,
+    doc="Leakage-safe split: assignment hashes the exact-dedup CANONICAL "
+    "id, so copies of one document can never straddle train and test. "
+    "Canonical map is a fingerprint-keyed agg + equi-join (bodies never "
+    "shuffle); per-split balance report with distinct-group counts.",
+)
+def p40(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from etsd_time_series_database_spark.operators.textstats import _tokens
+
+    return (
+        leakage_safe_split(
+            load_table(spark, sf_dir, "documents"), SPLIT_PERMILLE
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("canonical_id")).alias("n_groups"),
+            F.sum(F.size(_tokens("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -500,3 +500,43 @@ def test_cluster_reduction_partitions_corpus(spark):
     assert (got[2].n_docs, got[2].saved_tokens) == (1, 0)
     total = sum(r.total_tokens for r in got.values())
     assert total == 3 + 4 + 1 + 2
+
+
+def test_split_assign_boundaries_and_stability(spark):
+    """Exact boundary semantics (h<980 train, h<990 val, else test),
+    custom shares, and the append-stability property: adding rows never
+    moves an existing row's split."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.sampling import (
+        key_hash,
+        split_assign,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    rows = split_assign(df).select(
+        "doc_id", F.pmod(key_hash("doc_id"), F.lit(1000)).alias("h"), "split"
+    ).collect()
+    for r in rows:
+        want = "train" if r.h < 980 else ("val" if r.h < 990 else "test")
+        assert r.split == want, (r.doc_id, r.h, r.split)
+    small = {r.doc_id: r.split for r in split_assign(df.limit(500)).collect()}
+    big = {r.doc_id: r.split for r in split_assign(df).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    from etsd_time_series_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(50)]
+        + [(100 + i, "the same document") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    out = leakage_safe_split(df, (500, 300, 200)).collect()
+    dup_splits = {r.split for r in out if r.text == "the same document"}
+    assert len(dup_splits) == 1
+    canon = {r.canonical_id for r in out if r.text == "the same document"}
+    assert canon == {100}
