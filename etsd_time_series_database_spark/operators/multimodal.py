@@ -136,3 +136,129 @@ def sample_frames(
             )
 
     return blobs.select(key, "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# RAW1: a real, dependency-free image container (magic + u16 height +
+# u16 width + u8 channels, then H*W*C uint8 pixels, row-major). The
+# media libraries (Pillow/cv2) stay stubbed above, but THIS path is a
+# genuine decode: bytes are parsed, shape-validated, resized with
+# real nearest-neighbor index math, and featurized — the full
+# encode -> decode -> transform -> feature lifecycle a production
+# pipeline runs, just on an uncompressed format numpy can handle.
+
+import struct
+
+import numpy as np
+
+RAW_MAGIC = b"RAW1"
+RAW_HEADER = struct.Struct(">4sHHB")
+
+
+def encode_raw_image(arr: "np.ndarray") -> bytes:
+    """Serialize an HxWxC uint8 array into the RAW1 container."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3:
+        raise ValueError(f"expected HxWxC array, got shape {a.shape}")
+    h, w, c = a.shape
+    return RAW_HEADER.pack(RAW_MAGIC, h, w, c) + a.tobytes()
+
+
+def decode_raw_image(payload: bytes) -> "np.ndarray":
+    """REAL decode of a RAW1 blob to an HxWxC uint8 array — parses the
+    header, validates magic and byte count, reshapes the pixel
+    buffer. Raises ValueError on corrupt input (truncated payloads,
+    wrong magic) exactly like a real decoder."""
+    raw = bytes(payload)
+    if len(raw) < RAW_HEADER.size:
+        raise ValueError("RAW1: truncated header")
+    magic, h, w, c = RAW_HEADER.unpack_from(raw)
+    if magic != RAW_MAGIC:
+        raise ValueError(f"RAW1: bad magic {magic!r}")
+    body = raw[RAW_HEADER.size:]
+    if len(body) != h * w * c:
+        raise ValueError(f"RAW1: expected {h*w*c} pixel bytes, got {len(body)}")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+
+
+def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resize with floor index math
+    (src = (dst * src_dim) // dst_dim) — deterministic, and exactly
+    reproducible in integer SQL for the oracle."""
+    h, w, _ = arr.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+THUMB_H = 4
+THUMB_W = 4
+IMG_FEATURE_SCHEMA = (
+    "doc_id bigint, height int, width int, "
+    "mean_r double, mean_g double, mean_b double, thumb_fp bigint"
+)
+
+
+def synth_raw_images(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic RAW1 ingestion stand-in: one gradient image per
+    key — size 8..16 px per side from the key, pixel(y, x, c) =
+    (key*7 + y*3 + x*5 + c*11) % 256 — ENCODED into real RAW1 bytes
+    via an Arrow-batched mapInPandas (the shape real media ingestion
+    uses)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for k in pdf[key]:
+                k = int(k)
+                h, w = 8 + k % 9, 8 + (k * 3) % 9
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                img = ((k * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                payloads.append(encode_raw_image(img))
+            yield pd.DataFrame({"doc_id": pdf[key], "payload": payloads})
+
+    return df.select(key).mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+def image_features(blobs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Real decode -> resize -> featurize over RAW1 blobs: per image,
+    the decoded dimensions, per-channel mean over the 4x4
+    nearest-neighbor thumbnail (exact integer sum / 16 — bit-portable)
+    and a polynomial fingerprint over the thumbnail bytes in (y, x, c)
+    order. Arrow-batched mapInPandas; blobs never leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "height", "width", "mean_r", "mean_g", "mean_b",
+                "thumb_fp")}
+            for k, payload in zip(pdf[key], pdf["payload"]):
+                img = decode_raw_image(payload)
+                h, w, _ = img.shape
+                thumb = resize_nearest(img, THUMB_H, THUMB_W)
+                sums = thumb.astype(np.int64).sum(axis=(0, 1))
+                fp = 0
+                for byte in thumb.reshape(-1):
+                    fp = (fp * 31 + int(byte)) % FP_MOD
+                rows["doc_id"].append(int(k))
+                rows["height"].append(h)
+                rows["width"].append(w)
+                rows["mean_r"].append(sums[0] / (THUMB_H * THUMB_W))
+                rows["mean_g"].append(sums[1] / (THUMB_H * THUMB_W))
+                rows["mean_b"].append(sums[2] / (THUMB_H * THUMB_W))
+                rows["thumb_fp"].append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "mean_r": rows["mean_r"],
+                    "mean_g": rows["mean_g"],
+                    "mean_b": rows["mean_b"],
+                    "thumb_fp": pd.array(rows["thumb_fp"], dtype="int64"),
+                }
+            )
+
+    return blobs.select(key, "payload").mapInPandas(batches, IMG_FEATURE_SCHEMA)

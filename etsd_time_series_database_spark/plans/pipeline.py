@@ -1621,3 +1621,52 @@ def p40(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "x41_image_features",
+    "multimodal",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS h,
+             8 + (doc_id * 3) % 9 AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    cell AS (
+      SELECT doc_id, h, w, yo, xo, c,
+             (doc_id * 7 + ((yo * h) // 4) * 3
+              + ((xo * w) // 4) * 5 + c * 11) % 256 AS pix
+      FROM d, range(0, 4) t1(yo), range(0, 4) t2(xo), range(0, 3) t3(c)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(max(h) AS INTEGER) AS height,
+             CAST(max(w) AS INTEGER) AS width,
+             sum(CASE WHEN c = 0 THEN pix END) / 16.0 AS mean_r,
+             sum(CASE WHEN c = 1 THEN pix END) / 16.0 AS mean_g,
+             sum(CASE WHEN c = 2 THEN pix END) / 16.0 AS mean_b,
+             CAST(list_reduce(list(pix ORDER BY yo, xo, c),
+                              (a, b) -> (a * 31 + b) % 1000000007)
+                  AS BIGINT) AS thumb_fp
+      FROM cell GROUP BY doc_id
+    )
+    SELECT * FROM agg ORDER BY doc_id
+    """,
+    doc="REAL multimodal decode path: RAW1 gradient images are encoded "
+    "to actual bytes, then decoded (header parse + shape validation), "
+    "nearest-neighbor resized to a 4x4 thumbnail, and featurized "
+    "(exact per-channel means + polynomial fingerprint) in an "
+    "Arrow-batched mapInPandas — verified against a closed-form "
+    "integer SQL oracle that recomputes the same pixels without ever "
+    "touching bytes. Unlike x20/x21 (library decode stubbed), nothing "
+    "here is stubbed.",
+)
+def p41(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.multimodal import (
+        image_features,
+        synth_raw_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_features(synth_raw_images(docs)).orderBy("doc_id")

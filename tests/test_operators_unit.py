@@ -540,3 +540,41 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
     assert len(dup_splits) == 1
     canon = {r.canonical_id for r in out if r.text == "the same document"}
     assert canon == {100}
+
+
+def test_raw1_decode_roundtrip_and_validation(spark):
+    """RAW1 is a REAL decode: encode->decode is the identity, corrupt
+    magic and truncated payloads raise, and the featurizer's thumbnail
+    means are exact integer arithmetic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.multimodal import (
+        decode_raw_image,
+        encode_raw_image,
+        image_features,
+        resize_nearest,
+        synth_raw_images,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    assert (decode_raw_image(encode_raw_image(img)) == img).all()
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_raw_image(b"JUNK" + bytes(40))
+    with _pytest.raises(ValueError, match="pixel bytes"):
+        decode_raw_image(encode_raw_image(img)[:-5])
+    # nearest-neighbor: upscaling a 1x2 image duplicates columns
+    tiny = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    up = resize_nearest(tiny, 2, 4)
+    assert up.tolist()[0] == [[1, 2, 3], [1, 2, 3], [4, 5, 6], [4, 5, 6]]
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in image_features(synth_raw_images(df)).collect()}
+    assert set(out) == set(range(5))
+    r0 = out[0]
+    # doc 0: 8x8 image, pixel = (3y + 5x + 11c) % 256 on the 4x4 thumb
+    ys = [(y * 8) // 4 for y in range(4)]
+    xs = [(x * 8) // 4 for x in range(4)]
+    want_r = sum((3 * y + 5 * x) % 256 for y in ys for x in xs) / 16
+    assert r0.mean_r == want_r and r0.height == 8 and r0.width == 8
