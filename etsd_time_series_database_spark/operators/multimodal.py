@@ -262,3 +262,99 @@ def image_features(blobs: DataFrame, key: str = "doc_id") -> DataFrame:
             )
 
     return blobs.select(key, "payload").mapInPandas(batches, IMG_FEATURE_SCHEMA)
+
+
+# PCM1: the audio analog of RAW1 — magic + u32 sample count + u16
+# sample rate, then big-endian int16 samples. Again a REAL decode
+# (header parse, count validation, dtype interpretation), with
+# transcendental-free features so the whole path is oracle-exact:
+# peak amplitude, mean square (exact integer sum / n), and strict
+# sign-change zero crossings.
+
+PCM_MAGIC = b"PCM1"
+PCM_HEADER = struct.Struct(">4sIH")
+
+
+def encode_raw_audio(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    s = np.ascontiguousarray(samples, dtype=">i2")
+    return PCM_HEADER.pack(PCM_MAGIC, len(s), rate) + s.tobytes()
+
+
+def decode_raw_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL decode of a PCM1 blob to (int16 waveform, sample_rate);
+    raises ValueError on corrupt input."""
+    raw = bytes(payload)
+    if len(raw) < PCM_HEADER.size:
+        raise ValueError("PCM1: truncated header")
+    magic, n, rate = PCM_HEADER.unpack_from(raw)
+    if magic != PCM_MAGIC:
+        raise ValueError(f"PCM1: bad magic {magic!r}")
+    body = raw[PCM_HEADER.size:]
+    if len(body) != 2 * n:
+        raise ValueError(f"PCM1: expected {2*n} sample bytes, got {len(body)}")
+    return np.frombuffer(body, dtype=">i2").astype(np.int64), rate
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int, "
+    "peak bigint, mean_sq double, zero_crossings bigint"
+)
+
+
+def synth_raw_audio(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic PCM1 ingestion stand-in: waveform[i] =
+    ((key*13 + i*7) % 4001) - 2000, 50..99 samples per key, encoded
+    into real PCM1 bytes via Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for k in pdf[key]:
+                k = int(k)
+                n = 50 + k % 50
+                i = np.arange(n)
+                wave = ((k * 13 + i * 7) % 4001) - 2000
+                payloads.append(encode_raw_audio(wave.astype(np.int16)))
+            yield pd.DataFrame({"doc_id": pdf[key], "payload": payloads})
+
+    return df.select(key).mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+def audio_features(blobs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Real decode -> featurize over PCM1 blobs: peak |amplitude|,
+    exact mean square (integer sum of squares / n), strict sign-change
+    zero crossings. All integer arithmetic until one final division —
+    bit-portable across engines."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "peak", "mean_sq",
+                "zero_crossings")}
+            for k, payload in zip(pdf[key], pdf["payload"]):
+                wave, rate = decode_raw_audio(payload)
+                n = len(wave)
+                out["doc_id"].append(int(k))
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["peak"].append(int(np.abs(wave).max()) if n else 0)
+                out["mean_sq"].append(
+                    int((wave * wave).sum()) / n if n else 0.0
+                )
+                out["zero_crossings"].append(
+                    int((wave[:-1] * wave[1:] < 0).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "n_samples": pd.array(out["n_samples"], dtype="int32"),
+                    "sample_rate": pd.array(out["sample_rate"], dtype="int32"),
+                    "peak": pd.array(out["peak"], dtype="int64"),
+                    "mean_sq": out["mean_sq"],
+                    "zero_crossings": pd.array(
+                        out["zero_crossings"], dtype="int64"
+                    ),
+                }
+            )
+
+    return blobs.select(key, "payload").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

@@ -1670,3 +1670,43 @@ def p41(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return image_features(synth_raw_images(docs)).orderBy("doc_id")
+
+
+@register(
+    "x42_audio_features",
+    "multimodal",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id < 200
+    ),
+    w AS (
+      SELECT doc_id,
+             list_transform(range(0, 50 + doc_id % 50),
+                            i -> ((doc_id * 13 + i * 7) % 4001) - 2000) AS s
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(s) AS INTEGER) AS n_samples,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+           list_sum(list_transform(s, x -> x * x)) * 1.0 / len(s) AS mean_sq,
+           CAST(list_sum(list_transform(range(1, len(s)),
+                                        i -> CASE WHEN s[i] * s[i + 1] < 0
+                                             THEN 1 ELSE 0 END))
+                AS BIGINT) AS zero_crossings
+    FROM w ORDER BY doc_id
+    """,
+    doc="REAL audio decode path (PCM1 analog of x41): int16 waveforms "
+    "encoded to real bytes, decoded with header/count validation, and "
+    "featurized with transcendental-free math (peak, exact mean "
+    "square, strict zero crossings) in Arrow-batched mapInPandas — "
+    "verified against a closed-form integer SQL oracle.",
+)
+def p42(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.multimodal import (
+        audio_features,
+        synth_raw_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return audio_features(synth_raw_audio(docs)).orderBy("doc_id")

@@ -578,3 +578,34 @@ def test_raw1_decode_roundtrip_and_validation(spark):
     xs = [(x * 8) // 4 for x in range(4)]
     want_r = sum((3 * y + 5 * x) % 256 for y in ys for x in xs) / 16
     assert r0.mean_r == want_r and r0.height == 8 and r0.width == 8
+
+
+def test_pcm1_decode_roundtrip_and_features(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.multimodal import (
+        audio_features,
+        decode_raw_audio,
+        encode_raw_audio,
+        synth_raw_audio,
+    )
+
+    wave = np.array([100, -50, 0, 7, -7], dtype=np.int16)
+    dec, rate = decode_raw_audio(encode_raw_audio(wave, rate=8000))
+    assert dec.tolist() == wave.tolist() and rate == 8000
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_raw_audio(b"XXXX" + bytes(10))
+    with _pytest.raises(ValueError, match="sample bytes"):
+        decode_raw_audio(encode_raw_audio(wave)[:-1])
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in audio_features(synth_raw_audio(df)).collect()}
+    r0 = out[0]
+    wave0 = [((0 * 13 + i * 7) % 4001) - 2000 for i in range(50)]
+    assert r0.n_samples == 50
+    assert r0.peak == max(abs(x) for x in wave0)
+    assert r0.mean_sq == sum(x * x for x in wave0) / 50
+    assert r0.zero_crossings == sum(
+        1 for a, b in zip(wave0, wave0[1:]) if a * b < 0
+    )
