@@ -479,3 +479,86 @@ def repetition_profile(
         )
         .orderBy(key)
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    max_symbol_ratio: float = 0.10,
+    min_stopwords: int = 2,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style document quality-rule battery (Rae et al. 2021,
+    C4-family heuristics), complementary to ``repetition_profile``
+    (x27) which owns the repetition rules:
+
+    * ``rule_len``        — token count within [min_tokens, max_tokens]
+    * ``rule_word_len``   — mean word length within [min, max] chars
+    * ``rule_alpha``      — fraction of tokens containing a letter
+                            >= min_alpha_frac
+    * ``rule_symbol``     — non-[a-z0-9 ] character ratio
+                            <= max_symbol_ratio
+    * ``rule_stop``       — >= min_stopwords distinct stopwords present
+
+    Every signal is a pure Catalyst column expression over the token
+    array (split / filter / length lambdas): zero shuffle, zero Python,
+    the whole battery runs at parquet scan speed — at 100 TB this is a
+    map-only pass. Ratios are single IEEE divisions of exact BIGINTs so
+    both engines agree bit-for-bit. Empty documents fail ``rule_len``
+    and vacuously pass the ratio rules (NULL -> documented default), so
+    ``keep`` is never NULL.
+    """
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    chars_no_space = F.length(F.replace(F.col(text), F.lit(" "), F.lit("")))
+    mean_word_len = F.try_divide(chars_no_space, n_tok)
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))), n_tok
+    )
+    symbol_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.col(text), "[a-z0-9 ]", "")),
+        F.length(F.col(text)),
+    )
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(
+        F.expr(
+            f"filter(array_distinct(filter(split({text}, ' '), x -> x != '')), "
+            f"x -> x IN ({in_list}))"
+        )
+    )
+    rule_len = (n_tok >= F.lit(min_tokens)) & (n_tok <= F.lit(max_tokens))
+    rule_word_len = F.coalesce(
+        (mean_word_len >= F.lit(min_word_len))
+        & (mean_word_len <= F.lit(max_word_len)),
+        F.lit(False),
+    )
+    rule_alpha = F.coalesce(alpha_frac >= F.lit(min_alpha_frac), F.lit(False))
+    rule_symbol = F.coalesce(
+        symbol_ratio <= F.lit(max_symbol_ratio), F.lit(True)
+    )
+    rule_stop = n_stop >= F.lit(min_stopwords)
+    rules = [rule_len, rule_word_len, rule_alpha, rule_symbol, rule_stop]
+    n_failed = sum(F.when(r, 0).otherwise(1) for r in rules)
+    keep = rules[0]
+    for r in rules[1:]:
+        keep = keep & r
+    return df.select(
+        key,
+        n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        rule_len.alias("rule_len"),
+        rule_word_len.alias("rule_word_len"),
+        rule_alpha.alias("rule_alpha"),
+        rule_symbol.alias("rule_symbol"),
+        rule_stop.alias("rule_stop"),
+        n_failed.cast("int").alias("n_failed"),
+        keep.alias("keep"),
+    ).orderBy(key)

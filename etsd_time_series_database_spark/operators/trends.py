@@ -799,3 +799,67 @@ def seasonal_profile(
         )
         .orderBy(channel, "phase")
     )
+
+
+def mad_anomaly(
+    df: DataFrame,
+    k: float = 3.5,
+    channel: str = "event_type",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Robust per-channel anomaly accounting via the median absolute
+    deviation: a value is anomalous when |v - median| exceeds
+    ``k * 1.4826 * MAD`` (1.4826 scales MAD to sigma under normality).
+    The robust complement of ``zscore_anomalies`` — a handful of wild
+    outliers inflate mean/std and mask themselves, while the median
+    and MAD stay put.
+
+    Output is the per-channel report (channel cardinality rows):
+    sample count, median, MAD, anomaly count/fraction, max deviation.
+
+    Plan shape: two rank-window passes (median of values, then median
+    of deviations) built on the q33 explicit rank arithmetic — the
+    same expression shape runs on any engine, so medians are bit-exact
+    where builtin quantile implementations drift by ulps. Each pass
+    sorts per channel partition and joins back only the straddling
+    order statistics; the per-channel summary joins are AQE-sized (no
+    hard broadcast). Exact medians are the verifiable form; swap the
+    first pass for approx_percentile when a 100 TB corpus can accept
+    sketched medians — the accounting after the join is unchanged.
+    """
+    from etsd_time_series_database_spark.operators.range_stats import (
+        exact_percentiles,
+    )
+
+    med = exact_percentiles(df, (0.5,), channel, value, tie).select(
+        channel, F.col("pct_value").alias("median")
+    )
+    dev = (
+        df.filter(F.col(value).isNotNull())
+        .join(med, channel)
+        .withColumn("__d", F.abs(F.col(value) - F.col("median")))
+    )
+    mad = exact_percentiles(dev, (0.5,), channel, "__d", tie).select(
+        channel, F.col("pct_value").alias("mad")
+    )
+    # Flag on the raw doubles: median/mad are bit-identical across
+    # engines (same rank-arithmetic expression shape), so the strict >
+    # agrees everywhere; constant folding of k*1.4826 is one IEEE
+    # multiply in both engines.
+    thr = F.lit(k * 1.4826) * F.col("mad")
+    flagged = dev.join(mad, channel).withColumn(
+        "__a", F.when(F.col("__d") > thr, 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("median"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum("__a").cast("bigint").alias("n_anomalies"),
+            F.round(F.sum("__a") / F.count(F.lit(1)), 6).alias("anomaly_frac"),
+            F.round(F.max("__d"), 6).alias("max_abs_dev"),
+        )
+        .orderBy(channel)
+    )

@@ -397,3 +397,80 @@ def x33(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import seasonal_profile
 
     return seasonal_profile(load_table(spark, sf_dir, "events"))
+
+
+K_MAD = 3.5
+
+
+@register(
+    "x44_mad_anomaly",
+    "anomaly",
+    f"""
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT event_type, max(rn) AS n FROM ranked GROUP BY event_type),
+    t1 AS (
+      SELECT event_type,
+             CAST(floor(0.5 * (n - 1)) AS INTEGER) AS lo,
+             0.5 * (n - 1) - floor(0.5 * (n - 1)) AS frac,
+             least(CAST(floor(0.5 * (n - 1)) AS INTEGER) + 1, n - 1) AS hi
+      FROM counts
+    ),
+    med AS (
+      SELECT t.event_type, l.value + (h.value - l.value) * t.frac AS med
+      FROM t1 t
+      JOIN ranked l ON l.event_type = t.event_type AND l.rn = t.lo + 1
+      JOIN ranked h ON h.event_type = t.event_type AND h.rn = t.hi + 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, m.med,
+             abs(e.value - m.med) AS d
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      WHERE e.value IS NOT NULL
+    ),
+    ranked2 AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn
+      FROM dev
+    ),
+    counts2 AS (SELECT event_type, max(rn) AS n FROM ranked2 GROUP BY event_type),
+    t2 AS (
+      SELECT event_type,
+             CAST(floor(0.5 * (n - 1)) AS INTEGER) AS lo,
+             0.5 * (n - 1) - floor(0.5 * (n - 1)) AS frac,
+             least(CAST(floor(0.5 * (n - 1)) AS INTEGER) + 1, n - 1) AS hi
+      FROM counts2
+    ),
+    mad AS (
+      SELECT t.event_type, l.d + (h.d - l.d) * t.frac AS mad
+      FROM t2 t
+      JOIN ranked2 l ON l.event_type = t.event_type AND l.rn = t.lo + 1
+      JOIN ranked2 h ON h.event_type = t.event_type AND h.rn = t.hi + 1
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v.med), 6) AS median,
+           round(min(a.mad), 6) AS mad,
+           CAST(sum(CASE WHEN v.d > {K_MAD * 1.4826!r} * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(CAST(sum(CASE WHEN v.d > {K_MAD * 1.4826!r} * a.mad
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS anomaly_frac,
+           round(max(v.d), 6) AS max_abs_dev
+    FROM dev v JOIN mad a ON v.event_type = a.event_type
+    GROUP BY v.event_type ORDER BY v.event_type
+    """,
+    doc="Robust MAD anomaly accounting per channel: |v - median| > "
+    "k*1.4826*MAD with exact rank-arithmetic medians (q33 machinery) "
+    "— the robust complement of q37's moment z-score, immune to the "
+    "outliers it hunts.",
+)
+def x44(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import mad_anomaly
+
+    return mad_anomaly(load_table(spark, sf_dir, "events"), K_MAD)

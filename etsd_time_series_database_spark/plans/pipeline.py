@@ -1710,3 +1710,144 @@ def p42(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return audio_features(synth_raw_audio(docs)).orderBy("doc_id")
+
+
+_GOPHER = dict(
+    min_tokens=20,
+    max_tokens=100_000,
+    min_word_len=3.0,
+    max_word_len=10.0,
+    min_alpha_frac=0.80,
+    max_symbol_ratio=0.10,
+    min_stopwords=2,
+)
+
+
+@register(
+    "x43_gopher_rules",
+    "text",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE length(replace(text, ' ', '')) / len(toks) END AS mwl,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                       / len(toks) END AS af,
+             CASE WHEN length(text) = 0 THEN NULL
+                  ELSE length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                       / length(text) END AS sr,
+             len(list_filter(list_distinct(toks),
+                             x -> list_contains({list(STOPWORDS)!r}, x))) AS nstop
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, n_tok, mwl, af, sr, nstop,
+             (n_tok >= {_GOPHER["min_tokens"]}
+              AND n_tok <= {_GOPHER["max_tokens"]}) AS rule_len,
+             coalesce(mwl >= {_GOPHER["min_word_len"]!r}
+                      AND mwl <= {_GOPHER["max_word_len"]!r}, FALSE) AS rule_word_len,
+             coalesce(af >= {_GOPHER["min_alpha_frac"]!r}, FALSE) AS rule_alpha,
+             coalesce(sr <= {_GOPHER["max_symbol_ratio"]!r}, TRUE) AS rule_symbol,
+             (nstop >= {_GOPHER["min_stopwords"]}) AS rule_stop
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           mwl AS mean_word_len,
+           af AS alpha_frac,
+           sr AS symbol_ratio,
+           CAST(nstop AS INTEGER) AS n_stopwords,
+           rule_len, rule_word_len, rule_alpha, rule_symbol, rule_stop,
+           CAST((CASE WHEN rule_len THEN 0 ELSE 1 END)
+                + (CASE WHEN rule_word_len THEN 0 ELSE 1 END)
+                + (CASE WHEN rule_alpha THEN 0 ELSE 1 END)
+                + (CASE WHEN rule_symbol THEN 0 ELSE 1 END)
+                + (CASE WHEN rule_stop THEN 0 ELSE 1 END) AS INTEGER) AS n_failed,
+           (rule_len AND rule_word_len AND rule_alpha
+            AND rule_symbol AND rule_stop) AS keep
+    FROM r ORDER BY doc_id
+    """,
+    doc="Gopher-style quality-rule battery (token-count bounds, mean "
+    "word length, alpha-token fraction, symbol ratio, stopword "
+    "presence) with per-rule flags and a composite keep verdict — "
+    "complements x27, which owns the repetition rules. Zero-shuffle "
+    "Catalyst column expressions: the whole battery is a map-only "
+    "pass at any corpus size.",
+)
+def p43(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"), **_GOPHER)
+
+
+BPE_MERGES = 8
+
+
+def _bpe_oracle(k: int) -> str:
+    """Generate the k-round DuckDB CTE chain mirroring bpe_merges():
+    same pair counting, same (cnt DESC, l, r) argmax, same greedy
+    left-fold merge (list_reduce over a chr(31)-joined accumulator —
+    symbols never contain the separator, so ends_with identifies the
+    last element exactly)."""
+    parts = [
+        f"""
+    WITH w0 AS (
+      SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(range(1, length(tok) + 1),
+                            i -> substr(tok, i, 1)) AS syms
+      FROM documents, unnest({_TOKS}) AS u(tok)
+      GROUP BY tok
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM w{i - 1}, unnest(range(1, len(syms))) AS t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{i} AS (
+      SELECT w, freq,
+        CASE WHEN b.l IS NULL OR len(syms) = 1 THEN syms
+        ELSE string_split(
+          list_reduce(syms, (acc, x) ->
+            CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+                      AND x = b.r
+                 THEN acc || x
+                 ELSE acc || chr(31) || x END),
+          chr(31))
+        END AS syms
+      FROM w{i - 1} LEFT JOIN b{i} b ON TRUE
+    )"""
+        )
+    sel = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, l AS lhs, r AS rhs, l || r AS merged, "
+        f"cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({sel}) ORDER BY rank")
+    return "".join(parts)
+
+
+@register(
+    "x45_bpe_vocab",
+    "text",
+    _bpe_oracle(BPE_MERGES),
+    doc="Distributed BPE vocabulary induction (tokenizer training): "
+    "collapse the corpus to a distinct-word frequency table (the only "
+    "corpus-sized pass), then per merge round one vocab-bounded "
+    "pair-count hash-agg, a deterministic TakeOrdered(1) argmax and a "
+    "declarative greedy array-fold merge — no .collect() anywhere, "
+    "localCheckpoint truncates the iterative lineage. Hash-gated "
+    "against a generated k-round DuckDB CTE chain (fold included), so "
+    "even the iterative path is oracle-verified.",
+)
+def p45(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), BPE_MERGES)

@@ -1,0 +1,105 @@
+"""Unit tests for the Gopher-rule battery (x43) and MAD anomaly
+accounting (x44); the cross-engine hash equivalence is covered by
+test_catalog_oracle."""
+
+from __future__ import annotations
+
+from etsd_time_series_database_spark.operators.textstats import gopher_rules
+from etsd_time_series_database_spark.operators.trends import mad_anomaly
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs back to "
+    "the barn where it sleeps in soft straw until morning light comes"
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_gopher_rules_flags(spark):
+    texts = [
+        GOOD,  # passes everything
+        "",  # empty: fails len/word_len/alpha/stop, vacuously passes symbol
+        "short doc only",  # fails rule_len (3 tokens)
+        GOOD + " ####### !!!!!!! @@@@@@@ $$$$$$$ %%%%%%% ^^^^^^^ &&&&&&&",
+        "the " + "42 17 99 3 8 " * 5 + "a of and to in is",  # numeric soup
+    ]
+    rows = {r["doc_id"]: r for r in gopher_rules(_docs(spark, texts)).collect()}
+
+    assert rows[0]["keep"] is True
+    assert rows[0]["n_failed"] == 0
+
+    assert rows[1]["n_tokens"] == 0
+    assert rows[1]["rule_len"] is False
+    assert rows[1]["rule_word_len"] is False
+    assert rows[1]["rule_alpha"] is False
+    assert rows[1]["rule_symbol"] is True  # vacuous on empty text
+    assert rows[1]["rule_stop"] is False
+    assert rows[1]["keep"] is False  # never NULL
+
+    assert rows[2]["rule_len"] is False
+    assert rows[2]["keep"] is False
+
+    assert rows[3]["rule_symbol"] is False
+    assert rows[3]["keep"] is False
+
+    assert rows[4]["rule_alpha"] is False  # 25/31 numeric tokens
+    assert rows[4]["keep"] is False
+    # no row may carry a NULL verdict
+    assert all(r["keep"] in (True, False) for r in rows.values())
+
+
+def test_gopher_rules_zero_shuffle_plan(spark):
+    # the only exchange is the presentation ORDER BY (range
+    # partitioning); the battery itself is map-only — no hash shuffle
+    plan = (
+        gopher_rules(_docs(spark, [GOOD]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan  # zero Python in the plan
+
+
+def test_mad_anomaly_flags_outlier_zscore_would_soften(spark):
+    # 1..9 plus one wild outlier: median 5.5, MAD 2.5,
+    # threshold 3.5*1.4826*2.5 = 12.97 -> only the outlier flags.
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    df = spark.createDataFrame(
+        [(i, "ch", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    [r] = mad_anomaly(df).collect()
+    assert r["n"] == 10
+    assert r["median"] == 5.5
+    assert r["mad"] == 2.5
+    assert r["n_anomalies"] == 1
+    assert r["anomaly_frac"] == 0.1
+    assert r["max_abs_dev"] == 94.5
+
+
+def test_mad_anomaly_constant_channel_has_no_anomalies(spark):
+    df = spark.createDataFrame(
+        [(i, "flat", 7.0) for i in range(6)] + [(9, "other", 1.0)],
+        "event_id long, event_type string, value double",
+    )
+    rows = {r["event_type"]: r for r in mad_anomaly(df).collect()}
+    assert rows["flat"]["mad"] == 0.0
+    assert rows["flat"]["n_anomalies"] == 0  # strict >: 0 > 0 is False
+    # single-sample channel: median = the sample, no anomalies
+    assert rows["other"]["n"] == 1
+    assert rows["other"]["n_anomalies"] == 0
+
+
+def test_mad_anomaly_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, "ch", 1.0), (1, "ch", None), (2, "ch", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    [r] = mad_anomaly(df).collect()
+    assert r["n"] == 2
+    assert r["median"] == 2.0
