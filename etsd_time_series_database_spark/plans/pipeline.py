@@ -1846,6 +1846,7 @@ def _bpe_oracle(k: int) -> str:
     "localCheckpoint truncates the iterative lineage. Hash-gated "
     "against a generated k-round DuckDB CTE chain (fold included), so "
     "even the iterative path is oracle-verified.",
+    headline=True,
 )
 def p45(spark, sf_dir):
     from etsd_time_series_database_spark.operators.bpe import bpe_merges

@@ -100,3 +100,66 @@ def test_bpe_merge_order_is_rank_order(spark):
     assert "an" in merged  # first merge
     # at least one later merge uses a merged symbol as an operand
     assert any(r["lhs"] in merged or r["rhs"] in merged for r in rows[1:])
+
+
+def test_bpe_plan_shapes(spark):
+    """The scale contract: the only corpus-sized pass (word_freq) is a
+    map-side-combinable hash agg; the per-round argmax is TakeOrdered
+    (per-partition top-1 + merge, never a global sort); nothing drops
+    to Python."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.bpe import (
+        _pair_structs,
+        word_freq,
+    )
+
+    docs = _corpus(spark, ["banana bandana banana", "ban ana nab"])
+    wf = word_freq(docs)
+    plan = wf._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+    best = (
+        wf.select("freq", F.explode(_pair_structs("syms")).alias("p"))
+        .select("freq", "p.l", "p.r")
+        .groupBy("l", "r")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "l", "r")
+        .limit(1)
+    )
+    bplan = best._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in bplan
+    assert "partial_sum" in bplan  # pair counts combine map-side too
+    assert "BatchEvalPython" not in bplan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(_word, min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_property_matches_reference(spark, docs):
+    """Random tiny-alphabet corpora (maximal pair collisions, overlap
+    runs like 'aaaaaa', heavy ties) against the pure-Python reference."""
+    words = Counter(w for d in docs for w in d.split() if w)
+    ref_merges, _ = _ref_bpe(words, 4)
+    got = [
+        (r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(_corpus(spark, docs), 4).collect()
+    ]
+    assert got == ref_merges
