@@ -544,3 +544,81 @@ def ivf_probe_partitioned(
         .orderBy(F.col("cosine").desc(), F.col(key))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    tau: float = 0.4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    partition the embedding space into cells (nearest seed centroid by
+    cosine), then inside each cell drop every vector whose cosine to
+    an EARLIER (lower-id) cell member reaches ``tau``. Keep-the-
+    earliest is the deterministic version of the paper's keep-one
+    policy.
+
+    Output per vector: cell, the max cosine to any prior cell member
+    (``max_prior_cos``, -2 when it has none — below any real cosine),
+    and the drop verdict.
+
+    Scale shape: assignment is one broadcast of the centroid table +
+    one ``max_by`` hash-agg shuffle (same as kmeans_refine); the
+    within-cell comparison is an equi-join on cell id with the
+    pairwise cosine evaluated post-join. Pair count is bounded by the
+    cell-size distribution, NOT corpus²: SemDeDup at production scale
+    picks k ~ n/target_cell_size precisely so cells stay bounded
+    (tens of thousands), which caps the per-cell quadratic term the
+    same way the LSH band width caps x06. The cosine is the codegen'd
+    sequential fold of functions/exprs.py — bit-identical in DuckDB's
+    list_reduce, so even the tie-free drop verdict hash-matches.
+    """
+    cents = embeddings.filter(F.col(key).isin(centroid_ids)).select(
+        F.col(key).alias("cent_id"), F.col(vec).alias("cent_vec")
+    )
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            key,
+            vec,
+            "cent_id",
+            cosine_similarity(vec, "cent_vec").alias("__cos"),
+        )
+        .groupBy(key)
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid")),
+            ).alias("cent_id"),
+            F.any_value(vec).alias(vec),
+        )
+    )
+    prior = assigned.select(
+        F.col(key).alias("__ka"),
+        F.col("cent_id").alias("__ca"),
+        F.col(vec).alias("__va"),
+    )
+    prior_max = (
+        prior.join(
+            assigned,
+            (F.col("__ca") == F.col("cent_id")) & (F.col("__ka") < F.col(key)),
+        )
+        .groupBy(key)
+        .agg(F.max(cosine_similarity("__va", vec)).alias("__mp"))
+    )
+    return (
+        assigned.join(prior_max, key, "left")
+        .select(
+            key,
+            "cent_id",
+            F.round(F.coalesce(F.col("__mp"), F.lit(-2.0)), 6).alias(
+                "max_prior_cos"
+            ),
+            F.coalesce(F.col("__mp") >= F.lit(tau), F.lit(False)).alias(
+                "dropped"
+            ),
+        )
+        .orderBy(key)
+    )

@@ -1852,3 +1852,61 @@ def p45(spark, sf_dir):
     from etsd_time_series_database_spark.operators.bpe import bpe_merges
 
     return bpe_merges(load_table(spark, sf_dir, "documents"), BPE_MERGES)
+
+
+SEM_TAU = 0.4
+
+
+def _semdedup_oracle(seed_ids: list[int], tau: float) -> str:
+    cos_dc = _duck_cos("d.v", "c.cv")
+    cos_xy = _duck_cos("x.v", "y.v")
+    ids = ", ".join(str(i) for i in seed_ids)
+    return f"""
+    WITH d AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    s AS (
+      SELECT d.vec_id, d.v, c.cent_id, {cos_dc} AS cos
+      FROM d CROSS JOIN c0 c
+    ),
+    a AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM s
+      ) WHERE rk = 1
+    ),
+    pm AS (
+      SELECT y.vec_id, max({cos_xy}) AS mp
+      FROM a x JOIN a y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+      GROUP BY y.vec_id
+    )
+    SELECT a.vec_id, a.cent_id,
+           round(coalesce(pm.mp, -2.0), 6) AS max_prior_cos,
+           coalesce(pm.mp >= {tau!r}, FALSE) AS dropped
+    FROM a LEFT JOIN pm USING (vec_id)
+    ORDER BY a.vec_id
+    """
+
+
+@register(
+    "x46_semantic_dedup",
+    "dedup",
+    _semdedup_oracle(KM_SEEDS, SEM_TAU),
+    doc="SemDeDup-style semantic dedup: nearest-centroid cells, then "
+    "drop any vector whose cosine to an earlier cell member reaches "
+    "tau (keep-the-earliest). Broadcast assignment + one max_by "
+    "shuffle; the pairwise term is bounded by cell size (k ~ "
+    "n/target_cell_size at production scale), the same cap discipline "
+    "as the LSH bands.",
+)
+def p46(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), KM_SEEDS, SEM_TAU
+    )
