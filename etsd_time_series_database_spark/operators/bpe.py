@@ -104,6 +104,19 @@ def bpe_merges(
     Deterministic: pair argmax tie-breaks on (count DESC, lhs, rhs);
     word counting and merge application are order-independent.
     """
+    return bpe_train(df, n_merges, text)[0]
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Full BPE training state: ``(merges, words)`` where ``merges``
+    is the rank-ordered merge table and ``words`` is the vocab table
+    with each distinct word's FINAL symbolization after all merges —
+    the lookup a declarative encoder joins against (see
+    :func:`bpe_compression`)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     words = word_freq(df, text).localCheckpoint(eager=True)
@@ -150,7 +163,46 @@ def bpe_merges(
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out.orderBy("rank")
+    return out.orderBy("rank"), words
+
+
+def bpe_compression(
+    df: DataFrame,
+    n_merges: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE compression accounting, fully declarative:
+    train on the corpus (``bpe_train``), then join every document
+    token against the trained symbol table — char symbols before,
+    BPE symbols after, and the rational compression ratio (IEEE
+    division of exact BIGINTs, engine-portable).
+
+    The encode side is one shuffle of the corpus tokens joined against
+    the vocab-sized symbol table (AQE broadcasts it while it fits —
+    the deployment shape of a tokenizer: model table small, corpus
+    big). Documents with no tokens report zero counts and a NULL
+    ratio."""
+    _, words = bpe_train(df, n_merges, text)
+    toks = df.select(F.col(key), F.explode_outer(_tokens(text)).alias("__w"))
+    joined = toks.join(words.withColumnRenamed("w", "__w"), "__w", "left")
+    return (
+        joined.groupBy(key)
+        .agg(
+            F.count("__w").cast("bigint").alias("n_words"),
+            F.coalesce(F.sum(F.length("__w")), F.lit(0))
+            .cast("bigint")
+            .alias("n_char_syms"),
+            F.coalesce(F.sum(F.size("syms")), F.lit(0))
+            .cast("bigint")
+            .alias("n_bpe_syms"),
+        )
+        .withColumn(
+            "compression",
+            F.try_divide(F.col("n_char_syms"), F.col("n_bpe_syms")),
+        )
+        .orderBy(key)
+    )
 
 
 def bpe_encode(

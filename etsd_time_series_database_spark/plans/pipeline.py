@@ -1786,12 +1786,13 @@ def p43(spark, sf_dir):
 BPE_MERGES = 8
 
 
-def _bpe_oracle(k: int) -> str:
-    """Generate the k-round DuckDB CTE chain mirroring bpe_merges():
+def _bpe_chain(k: int) -> str:
+    """Generate the k-round DuckDB CTE chain mirroring bpe_train():
     same pair counting, same (cnt DESC, l, r) argmax, same greedy
     left-fold merge (list_reduce over a chr(31)-joined accumulator —
     symbols never contain the separator, so ends_with identifies the
-    last element exactly)."""
+    last element exactly). Ends with CTEs b1..bk (the merges) and wk
+    (the final symbol table)."""
     parts = [
         f"""
     WITH w0 AS (
@@ -1825,13 +1826,16 @@ def _bpe_oracle(k: int) -> str:
       FROM w{i - 1} LEFT JOIN b{i} b ON TRUE
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int) -> str:
     sel = "\n      UNION ALL ".join(
         f"SELECT {i} AS rank, l AS lhs, r AS rhs, l || r AS merged, "
         f"cnt AS pair_count FROM b{i}"
         for i in range(1, k + 1)
     )
-    parts.append(f"\n    SELECT * FROM ({sel}) ORDER BY rank")
-    return "".join(parts)
+    return _bpe_chain(k) + f"\n    SELECT * FROM ({sel}) ORDER BY rank"
 
 
 @register(
@@ -1910,3 +1914,42 @@ def p46(spark, sf_dir):
     return semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), KM_SEEDS, SEM_TAU
     )
+
+
+@register(
+    "x47_bpe_compression",
+    "text",
+    _bpe_chain(BPE_MERGES)
+    + f""",
+    dt AS (
+      SELECT doc_id, tok FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    j AS (
+      SELECT dt.doc_id, length(dt.tok) AS nc, len(w.syms) AS nb
+      FROM dt JOIN w{BPE_MERGES} w ON dt.tok = w.w
+    ),
+    g AS (
+      SELECT doc_id, count(*) AS nw, sum(nc) AS nc, sum(nb) AS nb
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(g.nw, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(g.nc, 0) AS BIGINT) AS n_char_syms,
+           CAST(coalesce(g.nb, 0) AS BIGINT) AS n_bpe_syms,
+           CAST(coalesce(g.nc, 0) AS BIGINT)
+             / nullif(CAST(coalesce(g.nb, 0) AS BIGINT), 0) AS compression
+    FROM documents d LEFT JOIN g USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Declarative BPE encoding: per-document char-vs-BPE symbol "
+    "counts and compression ratio, computed by joining corpus tokens "
+    "against the trained symbol table (the deployment shape of a "
+    "tokenizer — small model table vs big corpus, AQE-broadcast while "
+    "it fits). Shares the x45 training chain; no collect anywhere.",
+)
+def p47(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.bpe import (
+        bpe_compression,
+    )
+
+    return bpe_compression(load_table(spark, sf_dir, "documents"), BPE_MERGES)

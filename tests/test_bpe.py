@@ -163,3 +163,27 @@ def test_bpe_property_matches_reference(spark, docs):
         for r in bpe_merges(_corpus(spark, docs), 4).collect()
     ]
     assert got == ref_merges
+
+
+def test_bpe_compression_matches_encode(spark):
+    """The declarative join-based encoder (x47) and the literal-model
+    fold encoder must agree document-by-document."""
+    from etsd_time_series_database_spark.operators.bpe import (
+        bpe_compression,
+    )
+
+    docs = ["banana bandana banana", "ban ana nab", ""]
+    df = _corpus(spark, docs)
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_merges(df, 4).collect()]
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    comp = {r["doc_id"]: r for r in bpe_compression(df, 4).collect()}
+    assert set(comp) == {0, 1, 2}  # empty doc kept with zero counts
+    for i in (0, 1):
+        assert comp[i]["n_char_syms"] == enc[i]["n_char_syms"]
+        assert comp[i]["n_bpe_syms"] == enc[i]["n_bpe_syms"]
+        assert comp[i]["compression"] == (
+            comp[i]["n_char_syms"] / comp[i]["n_bpe_syms"]
+        )
+    assert comp[2]["n_words"] == 0
+    assert comp[2]["n_char_syms"] == 0
+    assert comp[2]["compression"] is None
