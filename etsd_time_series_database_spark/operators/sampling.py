@@ -233,3 +233,66 @@ def leakage_safe_split(
     return split_assign(
         labeled, permille, names, key="canonical_id", hash_mode=hash_mode
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int = 0,
+    n_buckets: int = 1024,
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: assign every row its
+    0-based position in a pseudorandom-but-reproducible global order
+    (order by ``hash(key + seed)``, ties by key). Changing ``seed``
+    re-shuffles; the same seed always yields the same order on any
+    engine and any partitioning — the property a resumable training
+    run needs from its data loader.
+
+    The global ordinal is computed WITHOUT a global sort or a
+    single-partition window: the hash space is cut into ``n_buckets``
+    order-aligned ranges, positions are ``bucket_offset + rank within
+    bucket``, where the offsets come from a bucket-count table
+    (n_buckets rows — the only single-partition window, bounded by
+    construction) broadcast back, and the within-bucket rank windows
+    on the bucket key with parallelism = n_buckets. Same stitching
+    discipline as operators/scalable_window.py.
+
+    ``lcg`` hash mode is the oracle-checkable ANSI form; ``xxhash64``
+    is the scale path (better dispersion) and requires power-of-two
+    ``n_buckets``.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    h = key_hash((F.col(key).cast("bigint") + F.lit(seed)), hash_mode)
+    if hash_mode == "lcg":
+        span = -(-LCG_M // n_buckets)  # ceil: buckets align with hash order
+        bkt = (h / F.lit(span)).cast("bigint")
+    else:
+        bits = n_buckets.bit_length() - 1
+        if 1 << bits != n_buckets:
+            raise ValueError("xxhash64 mode needs power-of-two n_buckets")
+        # arithmetic shift keeps signed order monotone; offset to >= 0
+        bkt = F.shiftright(h, 64 - bits) + F.lit(1 << (bits - 1)) if bits else F.lit(0)
+    hashed = df.select(
+        F.col(key), h.alias("__hk"), bkt.alias("__bkt")
+    )
+    counts = hashed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_rank = Window.partitionBy("__bkt").orderBy("__hk", key)
+    return (
+        hashed.join(offsets, "__bkt")
+        .select(
+            key,
+            (F.col("__off") + F.row_number().over(w_rank) - 1)
+            .cast("bigint")
+            .alias("epoch_pos"),
+        )
+        .orderBy(key)
+    )

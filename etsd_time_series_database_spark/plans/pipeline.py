@@ -1953,3 +1953,35 @@ def p47(spark, sf_dir):
     )
 
     return bpe_compression(load_table(spark, sf_dir, "documents"), BPE_MERGES)
+
+
+EPOCH_SEED = 1
+
+
+@register(
+    "x48_epoch_shuffle",
+    "sampling",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_DUCK_H.replace("doc_id", f"(doc_id + {{seed}})").format(seed=1)} AS hk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)
+             AS epoch_pos
+    FROM s ORDER BY doc_id
+    """,
+    doc="Deterministic training-epoch shuffle: every row's 0-based "
+    "position in the seed-keyed pseudorandom global order, computed "
+    "WITHOUT a global sort — order-aligned hash buckets, a bounded "
+    "bucket-offset table broadcast back, and per-bucket rank windows "
+    "(parallelism = n_buckets). The oracle states the same order as "
+    "one global window.",
+)
+def p48(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    return epoch_shuffle(load_table(spark, sf_dir, "documents"), EPOCH_SEED)

@@ -103,3 +103,32 @@ def test_mad_anomaly_ignores_nulls(spark):
     [r] = mad_anomaly(df).collect()
     assert r["n"] == 2
     assert r["median"] == 2.0
+
+
+def test_epoch_shuffle_is_a_seeded_permutation(spark):
+    from etsd_time_series_database_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    s1 = epoch_shuffle(df, seed=1, n_buckets=8).collect()
+    # a permutation of 0..n-1
+    assert sorted(r["epoch_pos"] for r in s1) == list(range(200))
+    # stable under repartitioning (no partition-order dependence)
+    s1b = epoch_shuffle(df.repartition(13), seed=1, n_buckets=8).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s1b))
+    # bucket count must not change the order (alignment invariant)
+    s1c = epoch_shuffle(df, seed=1, n_buckets=64).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s1c))
+    # a different seed gives a different order
+    s2 = epoch_shuffle(df, seed=2, n_buckets=8).collect()
+    assert sorted(map(tuple, s1)) != sorted(map(tuple, s2))
+    # xxhash64 scale path: still a permutation, still repartition-stable
+    x1 = epoch_shuffle(df, seed=1, n_buckets=8, hash_mode="xxhash64")
+    x2 = epoch_shuffle(
+        df.repartition(5), seed=1, n_buckets=8, hash_mode="xxhash64"
+    )
+    assert sorted(r["epoch_pos"] for r in x1.collect()) == list(range(200))
+    assert sorted(map(tuple, x1.collect())) == sorted(map(tuple, x2.collect()))
