@@ -183,15 +183,23 @@ def _skew_compare(spark) -> dict:
     tasks) vs the stitched (channel, day-bucket) rate_scalable form;
     (b) as-of join of the same N probes against N/10 right rows on the
     same 3 keys — asof_join (per-key union-tag window) vs
-    asof_join_scalable ((key, day-bucket) stitched carry).
+    asof_join_scalable ((key, day-bucket) stitched carry);
+    (c) seeded epoch shuffle of the N keys — the naive global ordinal
+    (row_number over an unpartitioned window: ONE sort task for the
+    whole corpus) vs epoch_shuffle's order-aligned hash buckets
+    (bounded offset table + per-bucket ranks, parallelism = 1024).
     Warm-up pass each, then one timed pass to a noop sink (full JVM
     evaluation, no driver materialization).
     $SPARK_GRAFT_BENCH_SKEW_ROWS overrides N (0 skips)."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
     from etsd_time_series_database_spark.operators.asof import (
         asof_join,
         asof_join_scalable,
+    )
+    from etsd_time_series_database_spark.operators.sampling import (
+        epoch_shuffle,
     )
     from etsd_time_series_database_spark.operators.range_stats import rate
     from etsd_time_series_database_spark.operators.scalable_window import (
@@ -229,6 +237,25 @@ def _skew_compare(spark) -> dict:
         ),
         "asof_scalable_s": lambda: asof_join_scalable(
             df, right, on="event_type", value_cols=["value"]
+        ),
+        "shuffle_global_s": lambda: df.select(
+            "event_id",
+            (
+                F.row_number().over(
+                    Window.orderBy(
+                        F.xxhash64(F.col("event_id") + F.lit(1)), "event_id"
+                    )
+                )
+                - 1
+            ).alias("epoch_pos"),
+        ),
+        "shuffle_scalable_s": lambda: epoch_shuffle(
+            df.select("event_id"),
+            seed=1,
+            n_buckets=1024,
+            key="event_id",
+            hash_mode="xxhash64",
+            sort_output=False,  # neither form pays a presentation sort
         ),
     }
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_RUNS", "2"))

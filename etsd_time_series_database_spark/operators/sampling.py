@@ -241,6 +241,7 @@ def epoch_shuffle(
     n_buckets: int = 1024,
     key: str = "doc_id",
     hash_mode: str = "lcg",
+    sort_output: bool = True,
 ) -> DataFrame:
     """Deterministic training-epoch shuffle: assign every row its
     0-based position in a pseudorandom-but-reproducible global order
@@ -286,13 +287,12 @@ def epoch_shuffle(
         "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
     )
     w_rank = Window.partitionBy("__bkt").orderBy("__hk", key)
-    return (
-        hashed.join(offsets, "__bkt")
-        .select(
-            key,
-            (F.col("__off") + F.row_number().over(w_rank) - 1)
-            .cast("bigint")
-            .alias("epoch_pos"),
-        )
-        .orderBy(key)
+    out = hashed.join(offsets, "__bkt").select(
+        key,
+        (F.col("__off") + F.row_number().over(w_rank) - 1)
+        .cast("bigint")
+        .alias("epoch_pos"),
     )
+    # presentation sort only; writers that re-shard by epoch_pos (the
+    # real consumer) should skip it
+    return out.orderBy(key) if sort_output else out
