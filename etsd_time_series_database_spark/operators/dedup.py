@@ -552,3 +552,54 @@ def cluster_reduction(
         )
         .orderBy("component")
     )
+
+
+def contamination_score(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-training-document contamination fraction: of the document's
+    DISTINCT word n-gram shingles, what share appears anywhere in the
+    held-out test set. The graded companion to :func:`decontaminate`
+    (which reports pairwise hits): a pipeline thresholds this fraction
+    (drop at >= 0.8 overlap, keep-and-log below) instead of dropping
+    on a single shared shingle.
+
+    The test shingle set is distinct-reduced (bounded by test-set
+    size, AQE-broadcast) and the train side left-joins against it —
+    the train corpus shuffles only its shingle keys. Fractions are one
+    IEEE division of exact BIGINTs; documents too short to shingle
+    report zero counts and a NULL fraction.
+    """
+    from etsd_time_series_database_spark.operators.textstats import _tokens
+
+    tr = train.select(F.col(key), _tokens(text).alias("__toks")).select(
+        F.col(key),
+        F.explode_outer(F.array_distinct(shingle_expr("__toks", n))).alias(
+            "__sh"
+        ),
+    )
+    te = (
+        test.select(_tokens(text).alias("__toks"))
+        .select(
+            F.explode(F.array_distinct(shingle_expr("__toks", n))).alias("__sh")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        tr.join(te, "__sh", "left")
+        .groupBy(key)
+        .agg(
+            F.count("__sh").cast("bigint").alias("n_shingles"),
+            F.count("__hit").cast("bigint").alias("n_shared"),
+        )
+        .withColumn(
+            "contamination",
+            F.try_divide(F.col("n_shared"), F.col("n_shingles")),
+        )
+        .orderBy(key)
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etsd_time_series_database_spark.functions.exprs import poly_fingerprint
+from etsd_time_series_database_spark.functions.exprs import DEC, poly_fingerprint
 
 # Deterministic tiny English stopword list for the language heuristic.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -562,3 +562,48 @@ def gopher_rules(
         n_failed.cast("int").alias("n_failed"),
         keep.alias("keep"),
     ).orderBy(key)
+
+
+def surprisal_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Unigram rarity scoring — the transcendental-free proxy for
+    perplexity filtering (CCNet-style quality bucketing): each token's
+    rarity is ``corpus_tokens / token_freq`` (monotone in its -log
+    unigram probability, like the x26 TF-IDF weight policy), and each
+    document reports its token count, mean rarity and max rarity.
+    High mean = unusual vocabulary; high max = at least one
+    corpus-rare token.
+
+    Plan: one map-side-combinable vocab count, a one-row corpus-total
+    broadcast, a token->vocab equi-join (vocab-sized right side, AQE
+    broadcasts while it fits) and one per-doc hash-agg. Rarity values
+    accumulate as DECIMAL(18,6), so the mean is order-independent and
+    engine-portable; empty documents survive with zero counts and
+    NULL scores.
+    """
+    toks = df.select(F.col(key), F.explode(_tokens(text)).alias("__t"))
+    vocab = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    total = vocab.agg(F.sum("__f").cast("bigint").alias("__n"))
+    rar = (
+        toks.join(vocab, "__t")
+        .join(F.broadcast(total))
+        .withColumn("__rar", F.col("__n") / F.col("__f"))
+    )
+    g = rar.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+        F.round(
+            F.sum(F.col("__rar").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_rarity"),
+        F.round(F.max("__rar"), 6).alias("max_rarity"),
+    )
+    return (
+        df.select(key)
+        .join(g, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("__nt"), F.lit(0)).alias("n_tokens"),
+            "mean_rarity",
+            "max_rarity",
+        )
+        .orderBy(key)
+    )

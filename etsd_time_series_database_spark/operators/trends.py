@@ -863,3 +863,80 @@ def mad_anomaly(
         )
         .orderBy(channel)
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    seq: str = "event_id",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """CUSUM changepoint detection per channel: the running sum of
+    deviations from the channel mean drifts fastest at a level shift,
+    so the |CUSUM| argmax is the classic changepoint estimate (Page
+    1954). Report per channel: sample count, mean, the changepoint
+    timestamp, the CUSUM value there, and the |CUSUM| maximum.
+
+    Scale shape: one moment aggregation (decimal-exact mean, AQE-sized
+    join back), then the running sum rides
+    ``scalable_window.cumsum_scalable`` — the distributed prefix sum
+    (in-bucket running sum + broadcast per-bucket offsets), so
+    parallelism is channels x buckets, never a per-channel global
+    sort. Deviations accumulate as DECIMAL(18,6), making the prefix
+    sum order-exact and the argmax comparison engine-portable (no
+    float drift); the argmax itself is a max_by with a TOTAL
+    (|cusum| DESC, ts, seq) order, so ties are engine-independent.
+    """
+    from etsd_time_series_database_spark.operators.scalable_window import (
+        cumsum_scalable,
+    )
+
+    v = F.col(value)
+    src = df.filter(v.isNotNull())
+    stats = src.groupBy(channel).agg(
+        (F.sum(v.cast(DEC)).cast("double") / F.count(v)).alias("__mean")
+    )
+    dev = src.join(stats, channel).withColumn(
+        "__dev", (v - F.col("__mean")).cast(DEC)
+    )
+    run = cumsum_scalable(
+        dev,
+        F.col("__dev"),
+        "__cusum",
+        channel=channel,
+        ts=ts,
+        seq=seq,
+        bucket_s=bucket_s,
+    )
+    a = F.abs(F.col("__cusum"))
+    pick = F.max_by(
+        F.struct(
+            epoch_us(ts).alias("cp_ts_us"),
+            F.col("__cusum").cast("double").alias("cp_cusum"),
+        ),
+        F.struct(
+            a.alias("__a"),
+            (-epoch_us(ts)).alias("__nts"),
+            (-F.col(seq)).alias("__nseq"),
+        ),
+    )
+    return (
+        run.groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__mean"), 6).alias("mean"),
+            pick.alias("__cp"),
+            F.max(a).cast("double").alias("__maxabs"),
+        )
+        .select(
+            channel,
+            "n",
+            "mean",
+            F.col("__cp.cp_ts_us").alias("cp_ts_us"),
+            F.round(F.col("__cp.cp_cusum"), 6).alias("cp_cusum"),
+            F.round(F.col("__maxabs"), 6).alias("max_abs_cusum"),
+        )
+        .orderBy(channel)
+    )

@@ -474,3 +474,54 @@ def x44(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import mad_anomaly
 
     return mad_anomaly(load_table(spark, sf_dir, "events"), K_MAD)
+
+
+@register(
+    "x49_cusum_changepoint",
+    "anomaly",
+    """
+    WITH st AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(value) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    r AS (
+      SELECT e.event_id, e.event_type, e.ts, st.m,
+             sum(CAST(e.value - st.m AS DECIMAL(18,6)))
+               OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM events e JOIN st USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    p AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(cusum) DESC, ts, event_id)
+               AS rk
+      FROM r
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(max(abs(cusum)) AS DOUBLE), 6) AS max_abs_cusum
+      FROM r GROUP BY event_type
+    )
+    SELECT p.event_type, g.n, round(p.m, 6) AS mean,
+           CAST(epoch_us(p.ts) AS BIGINT) AS cp_ts_us,
+           round(CAST(p.cusum AS DOUBLE), 6) AS cp_cusum,
+           g.max_abs_cusum
+    FROM p JOIN g USING (event_type)
+    WHERE p.rk = 1
+    ORDER BY p.event_type
+    """,
+    doc="CUSUM changepoint per channel (Page 1954): |running sum of "
+    "mean deviations| argmax, with the prefix sum computed by the "
+    "distributed (channel, bucket) stitching and DECIMAL-exact "
+    "accumulation — order-exact, so even the argmax position "
+    "hash-matches across engines.",
+)
+def x49(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(load_table(spark, sf_dir, "events"))

@@ -1985,3 +1985,92 @@ def p48(spark, sf_dir):
     )
 
     return epoch_shuffle(load_table(spark, sf_dir, "documents"), EPOCH_SEED)
+
+
+@register(
+    "x50_surprisal_score",
+    "text",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, tok FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY tok),
+    t AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM v),
+    r AS (
+      SELECT tk.doc_id, t.n / v.f AS rar
+      FROM tk JOIN v USING (tok) CROSS JOIN t
+    ),
+    g AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+             round(CAST(sum(CAST(rar AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS mean_rarity,
+             round(max(rar), 6) AS max_rarity
+      FROM r GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(g.nt, 0) AS BIGINT) AS n_tokens,
+           g.mean_rarity, g.max_rarity
+    FROM documents d LEFT JOIN g USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Unigram rarity scoring (transcendental-free perplexity "
+    "proxy, CCNet-style quality bucketing): rarity = corpus_tokens / "
+    "token_freq, per-doc mean (DECIMAL-exact accumulation) and max. "
+    "One vocab hash-agg + one-row total broadcast + vocab-sized "
+    "equi-join.",
+)
+def p50(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        surprisal_score,
+    )
+
+    return surprisal_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x51_contamination_score",
+    "contamination",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    trs AS (
+      SELECT doc_id, unnest(list_distinct({_duck_shingles(DECON_N)})) AS sh
+      FROM tok WHERE source NOT IN {TEST_SOURCES}
+    ),
+    tes AS (
+      SELECT DISTINCT sh FROM (
+        SELECT unnest(list_distinct({_duck_shingles(DECON_N)})) AS sh
+        FROM tok WHERE source IN {TEST_SOURCES}
+      )
+    ),
+    g AS (
+      SELECT trs.doc_id, CAST(count(*) AS BIGINT) AS ns,
+             CAST(count(tes.sh) AS BIGINT) AS shd
+      FROM trs LEFT JOIN tes ON trs.sh = tes.sh
+      GROUP BY trs.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(g.ns, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(g.shd, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(g.shd, 0) AS BIGINT)
+             / nullif(CAST(coalesce(g.ns, 0) AS BIGINT), 0) AS contamination
+    FROM (SELECT doc_id FROM tok WHERE source NOT IN {TEST_SOURCES}) t
+    LEFT JOIN g USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Graded train/test contamination: per training document, the "
+    "fraction of its distinct 5-gram shingles found anywhere in the "
+    "held-out sources — the thresholdable form of x08's pairwise "
+    "report. Test shingle set distinct-reduced and AQE-broadcast; the "
+    "train corpus shuffles only shingle keys.",
+)
+def p51(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source").isin(*TEST_SOURCES))
+    train = docs.filter(~F.col("source").isin(*TEST_SOURCES))
+    from etsd_time_series_database_spark.operators.dedup import (
+        contamination_score,
+    )
+
+    return contamination_score(train, test, n=DECON_N)

@@ -132,3 +132,50 @@ def test_epoch_shuffle_is_a_seeded_permutation(spark):
     )
     assert sorted(r["epoch_pos"] for r in x1.collect()) == list(range(200))
     assert sorted(map(tuple, x1.collect())) == sorted(map(tuple, x2.collect()))
+
+
+def test_surprisal_score_rarity_semantics(spark):
+    from etsd_time_series_database_spark.operators.textstats import (
+        surprisal_score,
+    )
+
+    # corpus: 'the' x4, 'rare' x1, 'word' x3 -> total 8
+    texts = ["the the word", "the word rare", "the word", ""]
+    rows = {
+        r["doc_id"]: r
+        for r in surprisal_score(
+            spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string"
+            )
+        ).collect()
+    }
+    # rarity: the=8/4=2, word=8/3, rare=8/1=8
+    assert rows[1]["max_rarity"] == 8.0
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["mean_rarity"] - round((2 + 8 / 3 + 8) / 3, 6)) < 1e-6
+    assert rows[0]["max_rarity"] == round(8 / 3, 6)
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["mean_rarity"] is None
+
+
+def test_contamination_score_fraction(spark):
+    from etsd_time_series_database_spark.operators.dedup import (
+        contamination_score,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    test = mk([(100, "a b c d e f")])  # shingles: 'a b c', 'b c d', ...
+    train = mk(
+        [
+            (0, "a b c d x"),  # 3 shingles, 2 shared (a b c, b c d)
+            (1, "q r s t u"),  # 3 shingles, 0 shared
+            (2, "a b"),  # too short: 0 shingles
+        ]
+    )
+    rows = {
+        r["doc_id"]: r for r in contamination_score(train, test, n=3).collect()
+    }
+    assert rows[0]["n_shingles"] == 3 and rows[0]["n_shared"] == 2
+    assert abs(rows[0]["contamination"] - 2 / 3) < 1e-12
+    assert rows[1]["n_shared"] == 0 and rows[1]["contamination"] == 0.0
+    assert rows[2]["n_shingles"] == 0 and rows[2]["contamination"] is None

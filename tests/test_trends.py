@@ -286,3 +286,48 @@ def test_seasonal_profile_folds_phases(spark):
     assert out[("A", 0)].avg_value == 20.0
     assert out[("A", 0)].min_value == 10.0 and out[("A", 0)].max_value == 30.0
     assert out[("B", 23)].n == 1
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    from datetime import datetime, timezone
+
+    from etsd_time_series_database_spark.operators.trends import (
+        cusum_changepoint,
+    )
+
+    def ts(i):
+        return datetime(2024, 1, 1, 0, i, tzinfo=timezone.utc)
+
+    rows = [(i, ts(i), "ch", 0.0 if i < 4 else 10.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    [r] = cusum_changepoint(df).collect()
+    # mean 5; cusum walks -5..-20 then back to 0: the |CUSUM| argmax is
+    # the LAST pre-shift sample (classic CUSUM changepoint estimate)
+    assert r["n"] == 8
+    assert r["mean"] == 5.0
+    assert r["cp_cusum"] == -20.0
+    assert r["max_abs_cusum"] == 20.0
+    assert r["cp_ts_us"] == int(ts(3).timestamp() * 1_000_000)
+
+
+def test_cusum_changepoint_tie_takes_earliest(spark):
+    from datetime import datetime, timezone
+
+    from etsd_time_series_database_spark.operators.trends import (
+        cusum_changepoint,
+    )
+
+    def ts(i):
+        return datetime(2024, 1, 1, 0, i, tzinfo=timezone.utc)
+
+    # alternating +1/-1: |cusum| hits 1 at samples 0, 2, 4 — argmax
+    # must deterministically take the earliest
+    rows = [(i, ts(i), "ch", 1.0 if i % 2 == 0 else -1.0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    [r] = cusum_changepoint(df).collect()
+    assert r["max_abs_cusum"] == 1.0
+    assert r["cp_ts_us"] == int(ts(0).timestamp() * 1_000_000)
