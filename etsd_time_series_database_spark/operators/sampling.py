@@ -296,3 +296,36 @@ def epoch_shuffle(
     # presentation sort only; writers that re-shard by epoch_pos (the
     # real consumer) should skip it
     return out.orderBy(key) if sort_output else out
+
+
+def neardup_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    permille: tuple[int, ...] = (980, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    key: str = "doc_id",
+    hash_mode: str = "lcg",
+) -> DataFrame:
+    """Split-by-near-dup-component: the composition
+    :func:`leakage_safe_split`'s docstring promises — candidate
+    near-dup ``pairs`` (e.g. MinHash+LSH) collapse to connected
+    components, and the split hashes the COMPONENT representative, so
+    not even a *near* duplicate can straddle train and test.
+    Singletons are their own component. Adds ``component`` and
+    ``split`` columns.
+
+    The component map is the x09 iterative min-label propagation
+    (vocab-bounded, localCheckpoint per round); attaching it is one
+    equi-join (AQE-broadcast while it fits); the split itself stays
+    the zero-shuffle chained-when of :func:`split_assign`.
+    """
+    from etsd_time_series_database_spark.operators.dedup import cluster_pairs
+
+    comp = cluster_pairs(pairs)
+    labeled = (
+        df.join(comp, key, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(key)))
+    )
+    return split_assign(
+        labeled, permille, names, key="component", hash_mode=hash_mode
+    )

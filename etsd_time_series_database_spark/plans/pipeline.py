@@ -2074,3 +2074,59 @@ def p51(spark, sf_dir):
     )
 
     return contamination_score(train, test, n=DECON_N)
+
+
+@register(
+    "x52_neardup_safe_split",
+    "sampling",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    e(src, dst) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS g,
+             {_TOKS} AS toks
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    s AS (
+      SELECT g, toks, {_DUCK_SPLIT.format(h=_DUCK_H.replace("doc_id", "g"))} AS split
+      FROM lab
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_groups,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split ORDER BY split
+    """,
+    doc="Near-dup-safe split: MinHash+LSH candidate pairs collapse to "
+    "connected components (x09 min-label propagation) and the split "
+    "hashes the COMPONENT representative — not even a NEAR duplicate "
+    "can straddle train and test. The composition x40's docstring "
+    "promises, per-split balance rollup with distinct-group counts.",
+)
+def p52(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        neardup_safe_split,
+    )
+    from etsd_time_series_database_spark.operators.textstats import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="poly")
+    return (
+        neardup_safe_split(docs, pairs, SPLIT_PERMILLE)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("component")).alias("n_groups"),
+            F.sum(F.size(_tokens("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -179,3 +179,30 @@ def test_contamination_score_fraction(spark):
     assert abs(rows[0]["contamination"] - 2 / 3) < 1e-12
     assert rows[1]["n_shared"] == 0 and rows[1]["contamination"] == 0.0
     assert rows[2]["n_shingles"] == 0 and rows[2]["contamination"] is None
+
+
+def test_neardup_safe_split_components_never_straddle(spark):
+    from etsd_time_series_database_spark.operators.sampling import (
+        neardup_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in neardup_safe_split(
+            docs, pairs, permille=(500, 250, 250)
+        ).collect()
+    }
+    assert len(rows) == 10
+    # chain 1-2-3 collapses to component 1; pair 7-8 to component 7
+    assert rows[1]["component"] == rows[2]["component"] == rows[3]["component"] == 1
+    assert rows[7]["component"] == rows[8]["component"] == 7
+    assert rows[1]["split"] == rows[2]["split"] == rows[3]["split"]
+    assert rows[7]["split"] == rows[8]["split"]
+    # singletons are their own component
+    assert rows[0]["component"] == 0 and rows[9]["component"] == 9
