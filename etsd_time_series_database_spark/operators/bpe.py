@@ -107,19 +107,29 @@ def bpe_merges(
     Deterministic: pair argmax tie-breaks on (count DESC, lhs, rhs);
     word counting and merge application are order-independent.
     """
-    return bpe_train(df, n_merges, text)[0]
+    return bpe_train(df, n_merges, text, with_words=False)[0]
 
 
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text: str = "text",
-) -> tuple[DataFrame, DataFrame]:
+    with_words: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Full BPE training state: ``(merges, words)`` where ``merges``
     is the rank-ordered merge table and ``words`` is the vocab table
     with each distinct word's FINAL symbolization after all merges —
     the lookup a declarative encoder joins against (see
-    :func:`bpe_compression`)."""
+    :func:`bpe_compression`). ``with_words=False`` (the
+    :func:`bpe_merges` path) skips the LAST round's merge application
+    and checkpoint — the final argmax needs only the previous vocab,
+    so a merges-only caller saves one full eager round — and returns
+    ``(merges, None)``.
+
+    Oracle note: the DuckDB twin encodes the symbol fold with a
+    chr(31)-joined string accumulator, so cross-engine verification
+    assumes no TOKEN contains that control character (the Spark fold
+    itself is an array fold with no such assumption)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     words = word_freq(df, text).localCheckpoint(eager=True)
@@ -148,6 +158,8 @@ def bpe_train(
                 F.col("__mc").alias("pair_count"),
             )
         )
+        if rank == n_merges and not with_words:
+            break  # the merge table is complete; applying it is waste
         ml, mr = F.col("__ml"), F.col("__mr")
         words = (
             words.join(best, F.lit(True), "left")
@@ -165,7 +177,7 @@ def bpe_train(
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out.orderBy("rank"), words
+    return out.orderBy("rank"), (words if with_words else None)
 
 
 def bpe_compression(
@@ -222,15 +234,20 @@ def bpe_encode(
     until the per-doc rollup, no Python in the loop."""
     ranked = list(merges)
     syms = _char_syms(F.col("__w"))
-    toks = df.select(F.col(key), F.explode(_tokens(text)).alias("__w"))
+    # explode_outer: token-less documents keep a row (zero counts),
+    # matching bpe_compression
+    toks = df.select(F.col(key), F.explode_outer(_tokens(text)).alias("__w"))
     col = syms
     for lhs, rhs in ranked:
         col = _apply_merge(col, F.lit(lhs), F.lit(rhs))
+    zero_if_null = lambda c: F.when(F.col("__w").isNull(), 0).otherwise(
+        F.size(c)
+    )
     return (
         toks.select(
             F.col(key),
-            F.size(syms).alias("__n0"),
-            F.size(col).alias("__n1"),
+            zero_if_null(syms).alias("__n0"),
+            zero_if_null(col).alias("__n1"),
         )
         .groupBy(key)
         .agg(

@@ -574,8 +574,6 @@ def contamination_score(
     IEEE division of exact BIGINTs; documents too short to shingle
     report zero counts and a NULL fraction.
     """
-    from etsd_time_series_database_spark.operators.textstats import _tokens
-
     tr = train.select(F.col(key), _tokens(text).alias("__toks")).select(
         F.col(key),
         F.explode_outer(F.array_distinct(shingle_expr("__toks", n))).alias(

@@ -261,11 +261,18 @@ def epoch_shuffle(
 
     ``lcg`` hash mode is the oracle-checkable ANSI form; ``xxhash64``
     is the scale path (better dispersion) and requires power-of-two
-    ``n_buckets``.
+    ``n_buckets``. Input columns are preserved (annotation, like the
+    module's other assigners). A NULL key raises at runtime: silently
+    dropping it would both lose the row and shift every later
+    ordinal, the worst possible failure for a data loader.
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    h = key_hash((F.col(key).cast("bigint") + F.lit(seed)), hash_mode)
+    h_ok = key_hash((F.col(key).cast("bigint") + F.lit(seed)), hash_mode)
+    h = F.when(
+        F.col(key).isNull(),
+        F.raise_error(F.lit("epoch_shuffle: NULL key")),
+    ).otherwise(h_ok)
     if hash_mode == "lcg":
         span = -(-LCG_M // n_buckets)  # ceil: buckets align with hash order
         bkt = (h / F.lit(span)).cast("bigint")
@@ -275,9 +282,7 @@ def epoch_shuffle(
             raise ValueError("xxhash64 mode needs power-of-two n_buckets")
         # arithmetic shift keeps signed order monotone; offset to >= 0
         bkt = F.shiftright(h, 64 - bits) + F.lit(1 << (bits - 1)) if bits else F.lit(0)
-    hashed = df.select(
-        F.col(key), h.alias("__hk"), bkt.alias("__bkt")
-    )
+    hashed = df.withColumn("__hk", h).withColumn("__bkt", bkt)
     counts = hashed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (
         Window.orderBy("__bkt")
@@ -287,11 +292,13 @@ def epoch_shuffle(
         "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
     )
     w_rank = Window.partitionBy("__bkt").orderBy("__hk", key)
-    out = hashed.join(offsets, "__bkt").select(
-        key,
-        (F.col("__off") + F.row_number().over(w_rank) - 1)
-        .cast("bigint")
-        .alias("epoch_pos"),
+    out = (
+        hashed.join(offsets, "__bkt")
+        .withColumn(
+            "epoch_pos",
+            (F.col("__off") + F.row_number().over(w_rank) - 1).cast("bigint"),
+        )
+        .drop("__hk", "__bkt", "__off")
     )
     # presentation sort only; writers that re-shard by epoch_pos (the
     # real consumer) should skip it
@@ -305,6 +312,8 @@ def neardup_safe_split(
     names: tuple[str, ...] = ("train", "val", "test"),
     key: str = "doc_id",
     hash_mode: str = "lcg",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
 ) -> DataFrame:
     """Split-by-near-dup-component: the composition
     :func:`leakage_safe_split`'s docstring promises — candidate
@@ -318,10 +327,15 @@ def neardup_safe_split(
     (vocab-bounded, localCheckpoint per round); attaching it is one
     equi-join (AQE-broadcast while it fits); the split itself stays
     the zero-shuffle chained-when of :func:`split_assign`.
+    ``pair_a``/``pair_b`` name the pair columns, so a non-default
+    ``key`` (e.g. vec_id with embedding near-dup pairs) works
+    end-to-end.
     """
     from etsd_time_series_database_spark.operators.dedup import cluster_pairs
 
-    comp = cluster_pairs(pairs)
+    comp = cluster_pairs(pairs, a=pair_a, b=pair_b).withColumnRenamed(
+        "doc_id", key
+    )
     labeled = (
         df.join(comp, key, "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col(key)))

@@ -524,12 +524,10 @@ def gopher_rules(
         F.length(F.regexp_replace(F.col(text), "[a-z0-9 ]", "")),
         F.length(F.col(text)),
     )
-    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    # reuse the one tokenizer (_tokens) — a second inline definition
+    # could silently diverge from the other rules' token convention
     n_stop = F.size(
-        F.expr(
-            f"filter(array_distinct(filter(split({text}, ' '), x -> x != '')), "
-            f"x -> x IN ({in_list}))"
-        )
+        F.filter(F.array_distinct(toks), lambda x: x.isin(*STOPWORDS))
     )
     rule_len = (n_tok >= F.lit(min_tokens)) & (n_tok <= F.lit(max_tokens))
     rule_word_len = F.coalesce(
@@ -567,18 +565,24 @@ def gopher_rules(
 def surprisal_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """Unigram rarity scoring — the transcendental-free proxy for
     perplexity filtering (CCNet-style quality bucketing): each token's
-    rarity is ``corpus_tokens / token_freq`` (monotone in its -log
+    rarity is ``corpus_tokens div token_freq`` (monotone in its -log
     unigram probability, like the x26 TF-IDF weight policy), and each
     document reports its token count, mean rarity and max rarity.
     High mean = unusual vocabulary; high max = at least one
     corpus-rare token.
 
+    Rarity is an exact BIGINT (integer division — granularity 1 on
+    values that start at 1 and run to corpus size, plenty for
+    bucketing): sums, max and the final mean division are then exact
+    integer arithmetic plus ONE IEEE division, identical on every
+    engine — no double->decimal rounding boundary anywhere (a
+    fractional rarity summed through DECIMAL(18,6) flipped a 6th
+    decimal between engines on real data).
+
     Plan: one map-side-combinable vocab count, a one-row corpus-total
     broadcast, a token->vocab equi-join (vocab-sized right side, AQE
-    broadcasts while it fits) and one per-doc hash-agg. Rarity values
-    accumulate as DECIMAL(18,6), so the mean is order-independent and
-    engine-portable; empty documents survive with zero counts and
-    NULL scores.
+    broadcasts while it fits) and one per-doc hash-agg. Empty
+    documents survive with zero counts and NULL scores.
     """
     toks = df.select(F.col(key), F.explode(_tokens(text)).alias("__t"))
     vocab = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
@@ -586,15 +590,14 @@ def surprisal_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> D
     rar = (
         toks.join(vocab, "__t")
         .join(F.broadcast(total))
-        .withColumn("__rar", F.col("__n") / F.col("__f"))
+        .withColumn("__rar", F.expr("__n div __f"))
     )
     g = rar.groupBy(key).agg(
         F.count(F.lit(1)).cast("bigint").alias("__nt"),
         F.round(
-            F.sum(F.col("__rar").cast(DEC)).cast("double") / F.count(F.lit(1)),
-            6,
+            F.sum("__rar").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_rarity"),
-        F.round(F.max("__rar"), 6).alias("max_rarity"),
+        F.max("__rar").cast("bigint").alias("max_rarity"),
     )
     return (
         df.select(key)

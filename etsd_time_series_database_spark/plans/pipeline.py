@@ -1964,7 +1964,7 @@ EPOCH_SEED = 1
     f"""
     WITH s AS (
       SELECT doc_id,
-             {_DUCK_H.replace("doc_id", f"(doc_id + {{seed}})").format(seed=1)} AS hk
+             {_DUCK_H.replace("doc_id", f"(doc_id + {EPOCH_SEED})")} AS hk
       FROM documents
     )
     SELECT doc_id,
@@ -1984,7 +1984,9 @@ def p48(spark, sf_dir):
         epoch_shuffle,
     )
 
-    return epoch_shuffle(load_table(spark, sf_dir, "documents"), EPOCH_SEED)
+    return epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), EPOCH_SEED
+    ).select("doc_id", "epoch_pos")
 
 
 @register(
@@ -1997,14 +1999,13 @@ def p48(spark, sf_dir):
     v AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY tok),
     t AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM v),
     r AS (
-      SELECT tk.doc_id, t.n / v.f AS rar
+      SELECT tk.doc_id, t.n // v.f AS rar
       FROM tk JOIN v USING (tok) CROSS JOIN t
     ),
     g AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
-             round(CAST(sum(CAST(rar AS DECIMAL(18,6))) AS DOUBLE)
-                   / count(*), 6) AS mean_rarity,
-             round(max(rar), 6) AS max_rarity
+             round(CAST(sum(rar) AS DOUBLE) / count(*), 6) AS mean_rarity,
+             CAST(max(rar) AS BIGINT) AS max_rarity
       FROM r GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -2014,10 +2015,10 @@ def p48(spark, sf_dir):
     ORDER BY d.doc_id
     """,
     doc="Unigram rarity scoring (transcendental-free perplexity "
-    "proxy, CCNet-style quality bucketing): rarity = corpus_tokens / "
-    "token_freq, per-doc mean (DECIMAL-exact accumulation) and max. "
-    "One vocab hash-agg + one-row total broadcast + vocab-sized "
-    "equi-join.",
+    "proxy, CCNet-style quality bucketing): rarity = corpus_tokens "
+    "div token_freq — exact BIGINT, so sums/max/mean are integer "
+    "arithmetic plus one IEEE division on every engine. One vocab "
+    "hash-agg + one-row total broadcast + vocab-sized equi-join.",
 )
 def p50(spark, sf_dir):
     from etsd_time_series_database_spark.operators.textstats import (

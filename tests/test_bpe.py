@@ -177,13 +177,15 @@ def test_bpe_compression_matches_encode(spark):
     merges = [(r["lhs"], r["rhs"]) for r in bpe_merges(df, 4).collect()]
     enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
     comp = {r["doc_id"]: r for r in bpe_compression(df, 4).collect()}
-    assert set(comp) == {0, 1, 2}  # empty doc kept with zero counts
-    for i in (0, 1):
+    # both encoders keep the empty doc (zero counts), same key set
+    assert set(comp) == set(enc) == {0, 1, 2}
+    for i in (0, 1, 2):
         assert comp[i]["n_char_syms"] == enc[i]["n_char_syms"]
         assert comp[i]["n_bpe_syms"] == enc[i]["n_bpe_syms"]
+    for i in (0, 1):
         assert comp[i]["compression"] == (
             comp[i]["n_char_syms"] / comp[i]["n_bpe_syms"]
         )
     assert comp[2]["n_words"] == 0
-    assert comp[2]["n_char_syms"] == 0
+    assert comp[2]["n_char_syms"] == 0 and enc[2]["n_char_syms"] == 0
     assert comp[2]["compression"] is None

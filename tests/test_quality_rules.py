@@ -149,11 +149,12 @@ def test_surprisal_score_rarity_semantics(spark):
             )
         ).collect()
     }
-    # rarity: the=8/4=2, word=8/3, rare=8/1=8
-    assert rows[1]["max_rarity"] == 8.0
+    # integer rarity: the=8 div 4=2, word=8 div 3=2, rare=8 div 1=8
+    assert rows[1]["max_rarity"] == 8
     assert rows[1]["n_tokens"] == 3
-    assert abs(rows[1]["mean_rarity"] - round((2 + 8 / 3 + 8) / 3, 6)) < 1e-6
-    assert rows[0]["max_rarity"] == round(8 / 3, 6)
+    assert rows[1]["mean_rarity"] == 4.0
+    assert rows[0]["max_rarity"] == 2
+    assert rows[0]["mean_rarity"] == 2.0
     assert rows[3]["n_tokens"] == 0
     assert rows[3]["mean_rarity"] is None
 
