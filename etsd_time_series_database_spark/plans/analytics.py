@@ -518,6 +518,7 @@ def x44(spark, sf_dir):
     "distributed (channel, bucket) stitching and DECIMAL-exact "
     "accumulation — order-exact, so even the argmax position "
     "hash-matches across engines.",
+    headline=True,
 )
 def x49(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import (

@@ -207,3 +207,36 @@ def test_neardup_safe_split_components_never_straddle(spark):
     assert rows[7]["split"] == rows[8]["split"]
     # singletons are their own component
     assert rows[0]["component"] == 0 and rows[9]["component"] == 9
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=2**30),
+)
+def test_epoch_shuffle_property(spark, keys, seed):
+    """Extreme keys (negative, near-2^62) and arbitrary seeds: the
+    LCG stays overflow-free, the ordinal is always a 0-based
+    permutation, and bucket count never changes the order."""
+    from etsd_time_series_database_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    a = epoch_shuffle(df, seed=seed, n_buckets=4).collect()
+    assert sorted(r["epoch_pos"] for r in a) == list(range(len(keys)))
+    b = epoch_shuffle(df, seed=seed, n_buckets=32).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
