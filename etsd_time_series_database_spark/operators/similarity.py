@@ -622,3 +622,52 @@ def semantic_dedup(
         )
         .orderBy(key)
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-similar vectors with a DIFFERENT label —
+    the near-boundary negatives that make a contrastive batch
+    informative (easy negatives teach nothing; false negatives —
+    same-label neighbors — are excluded by construction).
+
+    Plan: the query set broadcasts (bounded — negatives are mined per
+    training batch, not per corpus), the corpus scans once with the
+    codegen cosine fold, and the per-query top-k is a rank window on
+    the query id (WindowGroupLimit pushes the k-filter into the sort,
+    so each partition materializes only k rows per query). Total
+    tie-break (cosine DESC, candidate id) keeps results
+    engine-portable.
+    """
+    from pyspark.sql.window import Window
+
+    q = embeddings.filter(F.col(key).isin(query_ids)).select(
+        F.col(key).alias("q_vec_id"),
+        F.col(vec).alias("__qv"),
+        F.col(label).alias("__ql"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(label) != F.col("__ql"))
+        .select(
+            "q_vec_id",
+            F.col(key).alias("neg_vec_id"),
+            cosine_similarity(vec, "__qv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("q_vec_id", "rank", "neg_vec_id", "cosine")
+        .orderBy("q_vec_id", "rank")
+    )

@@ -2131,3 +2131,46 @@ def p52(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+HN_QUERIES = [0, 1, 2, 3, 4]
+HN_K = 3
+
+
+@register(
+    "x53_hard_negatives",
+    "similarity",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in HN_QUERIES)})
+    ),
+    s AS (
+      SELECT q.q_vec_id, e.vec_id AS neg_vec_id,
+             {_duck_cos("e.embedding", "q.qv")} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label != q.ql
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cosine DESC, neg_vec_id) AS rank
+      FROM s
+    )
+    SELECT q_vec_id, CAST(rank AS INTEGER) AS rank, neg_vec_id, cosine
+    FROM r WHERE rank <= {HN_K}
+    ORDER BY q_vec_id, rank
+    """,
+    doc="Hard-negative mining for contrastive training: per query "
+    "vector, the k most-similar DIFFERENT-label vectors (near-boundary "
+    "negatives; same-label false negatives excluded by construction). "
+    "Broadcast query set, one corpus scan with the codegen cosine, "
+    "WindowGroupLimit-bounded per-query top-k.",
+)
+def p53(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    return hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), HN_QUERIES, HN_K
+    )

@@ -55,3 +55,36 @@ def test_semantic_dedup_is_order_free(spark):
         _emb(spark).repartition(7), [0, 1], tau=0.99
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from etsd_time_series_database_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),  # query, label 0
+        (1, [0.99, 0.1], 0),  # same label, MOST similar -> must be excluded
+        (2, [0.9, 0.2], 1),  # different label, close -> hard negative
+        (3, [0.0, 1.0], 1),  # different label, orthogonal -> easy negative
+        (4, [0.8, 0.3], 2),  # different label
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = hard_negatives(df, [0], k=2).collect()
+    assert [r["neg_vec_id"] for r in got] == [2, 4]
+    assert all(r["q_vec_id"] == 0 for r in got)
+    assert [r["rank"] for r in got] == [1, 2]
+    assert got[0]["cosine"] > got[1]["cosine"]
+
+    plan = (
+        hard_negatives(df, [0], k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the k-filter must push into the sort (per-partition top-k),
+    # and nothing drops to Python
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
