@@ -2174,3 +2174,98 @@ def p53(spark, sf_dir):
     return hard_negatives(
         load_table(spark, sf_dir, "embeddings"), HN_QUERIES, HN_K
     )
+
+
+@register(
+    "x54_training_batches",
+    "packing",
+    f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    t AS (
+      SELECT d.doc_id, d.text, {_TOKS.replace('text', 'd.text')} AS toks
+      FROM documents d JOIN canon USING (doc_id)
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x)))
+               / len(toks) AS stop_ratio,
+             0.5 * (len(list_distinct(toks)) / len(toks))
+               + 0.5 * least(1.0, len(toks) / 100.0) AS quality
+      FROM t WHERE len(toks) > 0
+    ),
+    repfrac AS (
+      SELECT doc_id,
+             CASE WHEN len(g3) > 0 THEN
+               CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             END AS dup_3gram_frac
+      FROM (SELECT doc_id, {_SHINGLES} AS g3 FROM t)
+    ),
+    cnt AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY doc_id, token
+    ),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+               AS top_token_frac
+      FROM cnt GROUP BY doc_id
+    ),
+    repkeep AS (
+      SELECT r.doc_id
+      FROM repfrac r LEFT JOIN top USING (doc_id)
+      WHERE coalesce(dup_3gram_frac, 0) <= {REP_MAX_DUP3}
+        AND coalesce(top_token_frac, 0) <= {REP_MAX_TOP}
+    ),
+    kept AS (
+      SELECT f.doc_id, f.n_tokens
+      FROM feats f JOIN repkeep USING (doc_id)
+      WHERE stop_ratio >= 0.05 AND quality >= 0.5
+    ),
+    tr AS (
+      SELECT doc_id, n_tokens FROM kept
+      WHERE {_DUCK_SPLIT.format(h=_DUCK_H)} = 'train'
+    ),
+    tok AS (
+      SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard, n_tokens
+      FROM tr
+    ),
+    p AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {PACK_CTX}) AS BIGINT) AS pack_idx
+      FROM tok
+    )
+    SELECT shard, pack_idx, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY shard, pack_idx ORDER BY shard, pack_idx
+    """,
+    doc="END-TO-END training-batch assembly, the engine's whole "
+    "pipeline in one verified plan: exact-dedup canonical selection + "
+    "language/quality/repetition gates (x10's chain) -> deterministic "
+    "train split (x39's hash cut) -> fixed-token sequence packing "
+    "(x28's per-shard running count) -> per-pack manifest. Every "
+    "stage is the same bucketed/broadcast shape its standalone entry "
+    "ships; the composite proves they COMPOSE without a collect or an "
+    "extra shuffle between stages.",
+)
+def p54(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = p16(spark, sf_dir).select("doc_id")
+    from etsd_time_series_database_spark.operators.sampling import (
+        split_assign as _sa,
+    )
+
+    train = (
+        _sa(docs.join(kept, "doc_id", "left_semi"), SPLIT_PERMILLE)
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    return pack_sequences(
+        train, ctx_tokens=PACK_CTX, n_shards=PACK_SHARDS
+    )
