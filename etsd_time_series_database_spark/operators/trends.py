@@ -335,6 +335,78 @@ def time_weighted_avg(
     )
 
 
+def _k_lag_frame(
+    df: DataFrame,
+    stitched: bool,
+    k: int,
+    channel: str,
+    ts: str,
+    value: str,
+    tie: str,
+    bucket_s: int,
+):
+    """Shared k-row-history scaffolding for ewma_truncated and
+    rolling_stats: returns ``(u, w_in)`` where ``u`` is the input
+    (tie, channel, us, value) relation — plus, in stitched mode, the
+    (k-1)-row carry margin rows flagged ``__margin=1`` — and ``w_in``
+    the window whose frame sees exactly the right k-row history.
+
+    Stitched mechanics (bit-identical to the channel-global window):
+    per (channel, bucket) the last min(k-1, n) rows form a bounded
+    "tail" array; the k-1 rows before any bucket are rebuilt from the
+    previous k-1 non-empty buckets' tails (every non-empty bucket
+    contributes >= 1 row, so k-1 of them always cover k-1 rows) and
+    injected as margin rows the caller drops after its window.
+    """
+    rows = df.select(
+        F.col(tie), F.col(channel), epoch_us(ts).alias("us"), F.col(value)
+    )
+    if not stitched:
+        w_in = Window.partitionBy(channel).orderBy("us", tie)
+        return rows.withColumn("__margin", F.lit(0)), w_in
+    rows = rows.withColumn("__bkt", _bucket(F.col("us"), bucket_s))
+    w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
+    w_desc = Window.partitionBy(channel, "__bkt").orderBy(
+        F.col("us").desc(), F.col(tie).desc()
+    )
+    tails = (
+        rows.withColumn("__rnd", F.row_number().over(w_desc))
+        .filter(F.col("__rnd") <= k - 1)
+        .groupBy(channel, "__bkt")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", tie, value))
+            ).alias("__tail")
+        )
+    )
+    # carry: concat the previous k-1 buckets' tails (frame order =
+    # ascending bucket), keep the last k-1 entries.
+    w_carry = (
+        Window.partitionBy(channel)
+        .orderBy("__bkt")
+        .rowsBetween(-(k - 1), -1)
+    )
+    allprev = F.flatten(F.collect_list("__tail").over(w_carry))
+    carry = tails.select(
+        channel,
+        "__bkt",
+        F.when(F.size(allprev) <= k - 1, allprev)
+        .otherwise(F.slice(allprev, -(k - 1), k - 1))
+        .alias("__carry"),
+    )
+    margin = carry.select(
+        channel, "__bkt", F.explode("__carry").alias("__s")
+    ).select(
+        F.col("__s")[tie].alias(tie),
+        F.col(channel),
+        F.col("__s")["us"].alias("us"),
+        F.col("__s")[value].alias(value),
+        "__bkt",
+        F.lit(1).alias("__margin"),
+    )
+    return rows.withColumn("__margin", F.lit(0)).unionByName(margin), w_in
+
+
 def ewma_truncated(
     df: DataFrame,
     channel: str = "event_type",
@@ -370,59 +442,9 @@ def ewma_truncated(
     window below the STITCH_AUTO_MIN_ROWS size estimate — identical
     results without the tail/carry stages.
     """
-    stitched = _use_stitched(df, mode)
-    rows = df.select(
-        F.col(tie), F.col(channel), epoch_us(ts).alias("us"), F.col(value)
+    u, w_in = _k_lag_frame(
+        df, _use_stitched(df, mode), k, channel, ts, value, tie, bucket_s
     )
-    if not stitched:
-        w_in = Window.partitionBy(channel).orderBy("us", tie)
-        u = rows.withColumn("__margin", F.lit(0))
-    else:
-        rows = rows.withColumn("__bkt", _bucket(F.col("us"), bucket_s))
-        w_in = Window.partitionBy(channel, "__bkt").orderBy("us", tie)
-
-        # tails: per (channel, bucket), the last min(k-1, n) rows as a
-        # sorted struct array — bounded at k-1 elements, so the table
-        # has n_channels x n_buckets rows of <= k-1 structs.
-        w_desc = Window.partitionBy(channel, "__bkt").orderBy(
-            F.col("us").desc(), F.col(tie).desc()
-        )
-        tails = (
-            rows.withColumn("__rnd", F.row_number().over(w_desc))
-            .filter(F.col("__rnd") <= k - 1)
-            .groupBy(channel, "__bkt")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("us", tie, value))
-                ).alias("__tail")
-            )
-        )
-        # carry: concat the previous k-1 buckets' tails (frame order =
-        # ascending bucket), keep the last k-1 entries.
-        w_carry = (
-            Window.partitionBy(channel)
-            .orderBy("__bkt")
-            .rowsBetween(-(k - 1), -1)
-        )
-        allprev = F.flatten(F.collect_list("__tail").over(w_carry))
-        carry = tails.select(
-            channel,
-            "__bkt",
-            F.when(F.size(allprev) <= k - 1, allprev)
-            .otherwise(F.slice(allprev, -(k - 1), k - 1))
-            .alias("__carry"),
-        )
-        margin = carry.select(
-            channel, "__bkt", F.explode("__carry").alias("__s")
-        ).select(
-            F.col("__s")[tie].alias(tie),
-            F.col(channel),
-            F.col("__s")["us"].alias("us"),
-            F.col("__s")[value].alias(value),
-            "__bkt",
-            F.lit(1).alias("__margin"),
-        )
-        u = rows.withColumn("__margin", F.lit(0)).unionByName(margin)
 
     num = F.lit(0).cast(DEC)
     den = F.lit(0).cast("bigint")
@@ -939,4 +961,57 @@ def cusum_changepoint(
             F.round(F.col("__maxabs"), 6).alias("max_abs_cusum"),
         )
         .orderBy(channel)
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    k: int = 16,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+    bucket_s: int = 86400,
+    mode: str = "auto",
+) -> DataFrame:
+    """Per-channel rolling statistics over the last ``k`` samples
+    (current row inclusive): count, DECIMAL-exact mean, min, max —
+    the moving-window smoother/envelope every monitoring dashboard
+    draws, as frame aggregates in ONE window pass.
+
+    Same scale machinery as :func:`ewma_truncated` (shared
+    ``_k_lag_frame``): stitched mode windows on (channel, bucket)
+    with a (k-1)-row carry margin, bit-identical to the channel-global
+    window with parallelism = channels x buckets; ``mode='auto'``
+    drops to the global form below the size estimate. The mean's
+    decimal numerator makes the result order-exact; the quotient is
+    rounded at the round-6 export convention.
+    """
+    u, w_in = _k_lag_frame(
+        df, _use_stitched(df, mode), k, channel, ts, value, tie, bucket_s
+    )
+    frame = w_in.rowsBetween(-(k - 1), 0)
+    v = F.col(value)
+    return (
+        u.withColumn("roll_n", F.count(v).over(frame).cast("bigint"))
+        .withColumn(
+            "roll_mean",
+            # try_divide: an all-NULL frame (possible when value has
+            # nulls) yields NULL, not an ANSI divide-by-zero
+            F.round(
+                F.try_divide(
+                    F.sum(v.cast(DEC)).over(frame).cast("double"),
+                    F.count(v).over(frame),
+                ),
+                6,
+            ),
+        )
+        .withColumn("roll_min", F.min(v).over(frame))
+        .withColumn("roll_max", F.max(v).over(frame))
+        .filter(F.col("__margin") == 0)
+        .select(
+            tie, channel, "us", value, "roll_n", "roll_mean",
+            "roll_min", "roll_max",
+        )
+        .orderBy(tie)
     )

@@ -526,3 +526,39 @@ def x49(spark, sf_dir):
     )
 
     return cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+ROLL_K = 16
+
+
+@register(
+    "x55_rolling_stats",
+    "consolidation",
+    f"""
+    WITH r AS (
+      SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, value
+      FROM events
+    )
+    SELECT event_id, event_type, us, value,
+           CAST(count(value) OVER w AS BIGINT) AS roll_n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / nullif(count(value) OVER w, 0), 6) AS roll_mean,
+           min(value) OVER w AS roll_min,
+           max(value) OVER w AS roll_max
+    FROM r
+    WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                 ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Rolling k-sample statistics per channel (count / DECIMAL-"
+    "exact mean / min / max) in one window pass — the moving "
+    "smoother+envelope view; stitched (channel, bucket) form with "
+    "(k-1)-row carry margins shares ewma_truncated's machinery "
+    "(bit-identical to the global window, tested).",
+)
+def x55(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        rolling_stats,
+    )
+
+    return rolling_stats(load_table(spark, sf_dir, "events"), ROLL_K)

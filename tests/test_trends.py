@@ -331,3 +331,34 @@ def test_cusum_changepoint_tie_takes_earliest(spark):
     [r] = cusum_changepoint(df).collect()
     assert r["max_abs_cusum"] == 1.0
     assert r["cp_ts_us"] == int(ts(0).timestamp() * 1_000_000)
+
+
+def test_rolling_stats_stitched_matches_global(spark):
+    """rolling_stats shares _k_lag_frame with EWMA: at 60 s buckets
+    (0-2 rows each — margins span many buckets) the stitched form
+    must be bit-identical to the channel-global window."""
+    from etsd_time_series_database_spark.operators.trends import (
+        rolling_stats,
+    )
+
+    rows = []
+    i = 0
+    for c, base in (("a", 0), ("b", 7)):
+        t_s = base
+        for j in range(40):
+            t_s += (j * 37) % 113 + 3
+            i += 1
+            rows.append(
+                (i, c, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(seconds=t_s),
+                 float((j * 13) % 29))
+            )
+    df = _events(spark, rows)
+    a = sorted(
+        map(tuple, rolling_stats(df, k=8, bucket_s=60, mode="stitched").collect())
+    )
+    b = sorted(map(tuple, rolling_stats(df, k=8, mode="global").collect()))
+    assert a == b
+    # sanity: first row of a channel has roll_n == 1, window caps at k
+    first = [r for r in b if r[0] == 1][0]
+    assert first[4] == 1  # roll_n
+    assert max(r[4] for r in b) == 8
