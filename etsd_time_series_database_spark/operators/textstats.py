@@ -432,46 +432,57 @@ def repetition_profile(
     3-gram fractions, the most-frequent-token dominance fraction, and a
     keep flag applying the thresholds.
 
-    The n-gram fractions are pure array expressions (zero shuffle,
-    scan speed); the token-dominance mode needs per-(doc, token) counts
-    — a map-side-combinable hash-agg whose groups are bounded by
-    document vocabulary, re-aggregated per doc, then joined back on the
-    doc key (AQE-sized). All fractions are single IEEE divisions of
-    exact BIGINTs, so both engines agree bit-for-bit.
+    Every signal is computed from EXPLODED tokens/grams — each heavy
+    array expression (tokenize, shingle) is consumed exactly once by a
+    Generate, then counted by map-side-combinable hash-aggs. The
+    per-row array-expression form looks cheaper (zero shuffle) but
+    higher-order lambdas are interpreted (CodegenFallback) and
+    projection collapse re-evaluates the tokenizer per reference —
+    measured 2.5 s vs 0.9 s on sf0.1. All fractions are single IEEE
+    divisions of exact BIGINTs, so both engines agree bit-for-bit;
+    documents too short to shingle keep NULL fractions, and empty
+    documents keep their row (n_tokens 0, keep true — no evidence of
+    repetition).
     """
     from etsd_time_series_database_spark.operators.dedup import shingle_expr
 
     toks = df.select(F.col(key), _tokens(text).alias("__toks"))
-    g2 = shingle_expr("__toks", 2)
-    g3 = shingle_expr("__toks", 3)
-    base = toks.select(
-        key,
-        F.size("__toks").alias("n_tokens"),
-        F.try_divide(
-            F.size(g2) - F.size(F.array_distinct(g2)), F.size(g2)
-        ).alias("dup_2gram_frac"),
-        F.try_divide(
-            F.size(g3) - F.size(F.array_distinct(g3)), F.size(g3)
-        ).alias("dup_3gram_frac"),
-    )
-    top = (
-        df.select(F.col(key), F.explode(_tokens(text)).alias("token"))
-        .groupBy(key, "token")
+
+    def _gram_frac(n: int, out: str):
+        return (
+            toks.select(
+                F.col(key), F.explode(shingle_expr("__toks", n)).alias("__g")
+            )
+            .groupBy(key)
+            .agg(
+                F.try_divide(
+                    F.count(F.lit(1)) - F.count_distinct(F.col("__g")),
+                    F.count(F.lit(1)),
+                ).alias(out)
+            )
+        )
+
+    stats = (
+        toks.select(F.col(key), F.explode("__toks").alias("__t"))
+        .groupBy(key, "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
         .groupBy(key)
-        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__n"))
-        .select(
-            key, F.try_divide(F.col("__top"), F.col("__n")).alias("top_token_frac")
+        .agg(
+            F.sum("__c").cast("int").alias("__nt"),
+            F.try_divide(F.max("__c"), F.sum("__c")).alias("top_token_frac"),
         )
     )
     keep = (
         F.coalesce(F.col("dup_3gram_frac"), F.lit(0.0)) <= F.lit(max_dup_3gram)
     ) & (F.coalesce(F.col("top_token_frac"), F.lit(0.0)) <= F.lit(max_top_token))
     return (
-        base.join(top, key, "left")
+        df.select(key)
+        .join(stats, key, "left")
+        .join(_gram_frac(2, "dup_2gram_frac"), key, "left")
+        .join(_gram_frac(3, "dup_3gram_frac"), key, "left")
         .select(
             key,
-            "n_tokens",
+            F.coalesce(F.col("__nt"), F.lit(0)).alias("n_tokens"),
             "dup_2gram_frac",
             "dup_3gram_frac",
             "top_token_frac",

@@ -529,6 +529,81 @@ def p15(spark, sf_dir):
     )
 
 
+def _clean_gate(docs):
+    """Fused clean-corpus gate (semantics identical to chaining
+    x11+x16+x17+x27, hash-verified): exact-dedup canonical selection,
+    then every gate feature is computed from EXPLODED tokens/3-grams
+    so each heavy array expression is consumed exactly once by a
+    Generate — higher-order array lambdas are interpreted
+    (CodegenFallback), and keeping them as per-row projection
+    expressions lets filter pushdown + projection collapse re-evaluate
+    the tokenizer many times per row (the chained per-operator x10
+    form measured 10.4 s at sf0.1; this form ~1.5 s). Token counts,
+    distinct counts and stopword occurrences come from ONE
+    (doc, token) hash-agg that the TF-IDF metadata branch reuses;
+    duplicate-3-gram fractions from one exploded-gram agg. All
+    shuffles are map-side-combinable and bounded by token counts.
+    Returns (gated keep set with n_tokens/quality, the shared token
+    counts, the deduped corpus)."""
+    from etsd_time_series_database_spark.operators.dedup import shingle_expr
+    from etsd_time_series_database_spark.operators.textstats import _tokens
+
+    canon = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    kept = docs.join(canon, "doc_id", "left_semi")
+    t = kept.select("doc_id", _tokens("text").alias("__toks"))
+    cnt = (
+        t.select("doc_id", F.explode("__toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    stopset = list(STOPWORDS)
+    tokstats = cnt.groupBy("doc_id").agg(
+        F.sum("__c").cast("int").alias("n_tokens"),
+        F.count(F.lit(1)).alias("__ndis"),
+        F.coalesce(
+            F.sum(F.when(F.col("token").isin(stopset), F.col("__c"))),
+            F.lit(0),
+        ).alias("__nstop"),
+        F.max("__c").alias("__top"),
+    )
+    grams = (
+        t.select("doc_id", F.explode(shingle_expr("__toks", 3)).alias("__g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__ng"),
+            F.count_distinct(F.col("__g")).alias("__ngd"),
+        )
+    )
+    n_tok = F.col("n_tokens")
+    gated = (
+        tokstats.join(grams, "doc_id", "left")
+        .withColumn(
+            "quality",
+            F.lit(0.5) * F.try_divide(F.col("__ndis"), n_tok)
+            + F.lit(0.5) * F.least(F.lit(1.0), n_tok / F.lit(100.0)),
+        )
+        .filter(
+            (
+                F.coalesce(
+                    F.try_divide(F.col("__ng") - F.col("__ngd"), F.col("__ng")),
+                    F.lit(0.0),
+                )
+                <= F.lit(REP_MAX_DUP3)
+            )
+            & (
+                F.coalesce(
+                    F.try_divide(F.col("__top"), n_tok), F.lit(0.0)
+                )
+                <= F.lit(REP_MAX_TOP)
+            )
+            & (F.try_divide(F.col("__nstop"), n_tok) >= 0.05)
+            & (F.col("quality") >= 0.5)
+        )
+        .select("doc_id", "n_tokens", "quality")
+    )
+    return gated, cnt, kept
+
+
 @register(
     "x10_clean_corpus",
     "text",
@@ -605,18 +680,33 @@ def p15(spark, sf_dir):
     "attached as metadata.",
 )
 def p16(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    canon = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
-    kept = docs.join(canon, "doc_id", "left_semi")
-    lang = language_id(kept).select("doc_id", "stopword_ratio")
-    qual = quality_score(kept).select("doc_id", "n_tokens", "quality")
-    rep_keep = repetition_profile(
-        kept, max_dup_3gram=REP_MAX_DUP3, max_top_token=REP_MAX_TOP
-    ).filter(F.col("keep")).select("doc_id")
+    gated, cnt, kept = _clean_gate(docs)
     # TF-IDF over the DEDUPED corpus (doc_freq / N change once exact
-    # copies collapse), top-k tokens flattened to one metadata string
+    # copies collapse), top-k tokens flattened to one metadata string;
+    # reuses the gate's (doc, token) counts
+    dfreq = (
+        cnt.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= F.lit(TFIDF_MIN_DF))
+    )
+    n_docs = kept.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        cnt.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("__c") * F.col("__n")).cast("double") / F.col("doc_freq"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
     terms = (
-        tfidf_topterms(kept, k=TFIDF_K, min_df=TFIDF_MIN_DF)
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TFIDF_K)
         .groupBy("doc_id")
         .agg(
             F.array_join(
@@ -629,10 +719,7 @@ def p16(spark, sf_dir):
         )
     )
     return (
-        qual.join(lang, "doc_id")
-        .join(rep_keep, "doc_id", "left_semi")
-        .join(terms, "doc_id", "left")
-        .filter((F.col("stopword_ratio") >= 0.05) & (F.col("quality") >= 0.5))
+        gated.join(terms, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -2256,13 +2343,14 @@ def p53(spark, sf_dir):
 )
 def p54(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    kept = p16(spark, sf_dir).select("doc_id")
+    # gate set only — the TF-IDF metadata branch is not re-computed
+    kept, _, _ = _clean_gate(docs)
     from etsd_time_series_database_spark.operators.sampling import (
         split_assign as _sa,
     )
 
     train = (
-        _sa(docs.join(kept, "doc_id", "left_semi"), SPLIT_PERMILLE)
+        _sa(docs.join(kept.select("doc_id"), "doc_id", "left_semi"), SPLIT_PERMILLE)
         .filter(F.col("split") == "train")
         .drop("split")
     )
