@@ -1,11 +1,19 @@
 """Text-analysis operators for training-data pipelines: language ID,
 quality scoring, token counting, document fingerprinting.
 
-All of these are pure JVM-side Catalyst expressions (split / filter /
-transform / aggregate lambdas) — no Python UDFs — so they run inside
-whole-stage codegen and scale linearly with input splits: a 100 TB
-documents table is just more parquet partitions, no shuffle at all for
-any per-document metric.
+All of these are JVM-side Catalyst expressions — no Python UDFs.
+Two physical regimes, chosen per operator:
+
+* simple per-doc metrics stay as zero-shuffle column expressions in
+  the scan stage;
+* metrics that reference a heavy array expression (tokenize, shingle)
+  MORE THAN ONCE are computed from exploded rows + hash-aggs instead:
+  higher-order array lambdas run interpreted (CodegenFallback), and
+  projection collapse / filter pushdown re-evaluate the expression
+  per reference — a Generate consumes it exactly once, and the
+  follow-up aggs are map-side-combinable (see repetition_profile;
+  the fused clean-corpus gate in plans/pipeline.py measured 10.4 s ->
+  2.3 s at sf0.1 from this rewrite alone).
 
 This extends the reference's scope: the reference is a numeric TSDB
 with no text facility; these operators are the data-pipeline

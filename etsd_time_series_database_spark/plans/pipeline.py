@@ -2340,6 +2340,7 @@ def p53(spark, sf_dir):
     "stage is the same bucketed/broadcast shape its standalone entry "
     "ships; the composite proves they COMPOSE without a collect or an "
     "extra shuffle between stages.",
+    headline=True,
 )
 def p54(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
