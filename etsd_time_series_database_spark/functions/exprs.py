@@ -124,3 +124,16 @@ def poly_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * FP_BASE + x.cast("bigint")) % F.lit(FP_MOD),
     )
+
+
+def sq_l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance between two array<float/double> columns as a
+    sequential left-to-right fold (same oracle-matching shape as
+    dot_product); stays in Catalyst codegen."""
+    diffs = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)

@@ -671,3 +671,106 @@ def hard_negatives(
         .select("q_vec_id", "rank", "neg_vec_id", "cosine")
         .orderBy("q_vec_id", "rank")
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    n_cents: int = 16,
+    dim: int = 64,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011): split each
+    ``dim``-d vector into ``m`` subvectors, quantize every subvector to
+    its nearest codebook centroid, then answer the query by asymmetric
+    distance computation (ADC) — sum of precomputed query-to-centroid
+    subspace distances, never touching the raw corpus vectors.
+
+    This is the memory-side complement to the IVF layout: at 100 TB
+    the m-byte codes (here m=8 → 8 bytes/vector vs 256 raw) are what
+    actually fits in executor memory / a serving tier, and the encode
+    below is exactly the job that materializes them (one pass, like
+    write_ivf_partitioned materializes cells). Codebooks use the first
+    ``n_cents`` corpus vectors' subvectors as centroids — the
+    deterministic, oracle-able stand-in for per-subspace k-means (the
+    production path trains them with kmeans_refine per subspace; the
+    encode/ADC machinery is identical either way).
+
+    Shape: codebook = n_cents × m sub-centroids (KB-sized, broadcast);
+    encode = corpus × (m·n_cents) broadcast nested-loop scored rows
+    collapsing through ONE map-side-combinable min-struct hash agg to
+    (key, s, cent_id) — the standard O(n·m·k_c) PQ encode cost, shuffle
+    = m rows of three scalars per vector (code bytes, not vectors);
+    ADC = broadcast join against the m·n_cents query table + one
+    hash agg per key + TakeOrdered top-k. No global sort, no
+    cartesian pair blowup.
+
+    Determinism: per-element double math has identical fold shape on
+    both engines (functions.exprs.sq_l2_distance); the per-subspace
+    argmin ties break on cent_id; the ADC sum goes through DECIMAL
+    (order-independent); final ordering is on the exact decimal sum
+    with key tiebreak.
+    """
+    from etsd_time_series_database_spark.functions.exprs import (
+        DEC,
+        sq_l2_distance,
+    )
+
+    sub_len = dim // m
+    s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
+    cents = (
+        embeddings.filter(F.col(key).between(1, n_cents))
+        .select(F.col(key).alias("cent_id"), F.col(vec).alias("cv"))
+        .select("cent_id", s_col, "cv")
+        .select(
+            "cent_id",
+            "s",
+            F.slice("cv", F.col("s") * sub_len + 1, sub_len).alias("cvs"),
+        )
+    )
+    sub = F.slice(vec, F.col("s") * sub_len + 1, sub_len)
+    codes = (
+        embeddings.filter(F.col(key) != query_id)
+        .select(key, vec)
+        .crossJoin(F.broadcast(cents))
+        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs")).alias("d2"))
+        # The per-subspace argmin must stay a map-side-combinable
+        # HashAggregate: BOTH min(struct) and min_by with a struct
+        # ordering force SortAggregate (non-primitive buffer — the q35
+        # OHLC lesson), so (d2, cent_id) packs into ONE order-preserving
+        # DECIMAL: d2 quantized to 1e-6 (the codebase-wide export
+        # quantum; identical cast on the oracle side) shifted past a
+        # 13-digit cent_id field. Ties within the quantum break to the
+        # lowest cent_id — exactly the argmin contract.
+        .withColumn(
+            "__ord",
+            F.col("d2").cast("decimal(19,6)")
+            * F.expr("CAST(10000000000000 AS DECIMAL(14,0))")
+            + F.col("cent_id").cast("decimal(13,0)"),
+        )
+        .groupBy(key, "s")
+        .agg(F.min_by("cent_id", "__ord").alias("cent_id"))
+    )
+    qd = (
+        embeddings.filter(F.col(key) == query_id)
+        .select(F.col(vec).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "s",
+            "cent_id",
+            sq_l2_distance(
+                F.slice("qv", F.col("s") * sub_len + 1, sub_len), F.col("cvs")
+            ).alias("qd2"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(qd), ["s", "cent_id"])
+        .groupBy(key)
+        .agg(F.sum(F.col("qd2").cast(DEC)).alias("__sd"))
+        .orderBy("__sd", key)
+        .limit(k)
+        .select(key, F.round(F.col("__sd").cast("double"), 6).alias("adc_d2"))
+    )

@@ -1015,3 +1015,189 @@ def rolling_stats(
         )
         .orderBy(tie)
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    origin_s: int = 1705363200,  # 2024-01-16 00:00:00 UTC
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-channel least-squares linear trend of value against time:
+    slope (units/day), intercept at ``origin``, and R² — the drift
+    estimator a capacity/degradation pipeline fits over every sensor
+    (no reference analog: the reference reports range aggregates,
+    code/etsdQuery.c:218-401, never a fitted model).
+
+    Shape: ONE map-side-combinable hash aggregation to the six
+    regression sums (n, Σx, Σy, Σxy, Σx², Σy²) per channel — no
+    window, no join, no second pass; output cardinality = channels.
+    At 100 TB this is the cheapest possible statistic: partial
+    aggregation reduces each task to six numbers per channel before
+    the (KB-sized) shuffle.
+
+    Determinism: x is INTEGER seconds since ``origin_s`` (floor-div
+    of epoch micros — exact on both engines; the origin is an integer
+    epoch constant, not a timestamp literal, so no engine-side literal
+    parsing is involved); cross-row sums go through DECIMAL
+    (order-independent); the closing slope/intercept/R² arithmetic is
+    scalar double math with identical expression shape on both
+    engines, rounded to 6 places. ``origin_s`` is centred in the
+    data's time span to keep |x| small, which bounds the decimal
+    products and the double cancellation in n·Σx² − (Σx)².
+    """
+    x = F.expr(f"unix_micros({ts}) div 1000000") - F.lit(origin_s)
+    y = F.col(value)
+    agg = (
+        df.filter(y.isNotNull())
+        .select(F.col(channel), x.alias("__x"), y.alias("__y"))
+        .groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__x").cast(DEC)).alias("sx"),
+            F.sum(F.col("__y").cast(DEC)).alias("sy"),
+            F.sum((F.col("__x") * F.col("__y")).cast(DEC_SQ)).alias("sxy"),
+            F.sum((F.col("__x") * F.col("__x")).cast(DEC_SQ)).alias("sxx"),
+            F.sum((F.col("__y") * F.col("__y")).cast(DEC_SQ)).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    # slope undefined for a single sample / zero time spread; R²
+    # additionally undefined for a constant series: NULL, not an ANSI
+    # divide-by-zero (mirrors _pearson's guard convention).
+    slope = F.when(vx > 0, cov / vx)
+    return agg.select(
+        F.col(channel),
+        F.col("n").alias("n_samples"),
+        F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.when((vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6)).alias(
+            "r_squared"
+        ),
+    ).orderBy(channel)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    width_s: int = 21600,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per channel — the
+    shape-preserving decimation a dashboard uses to draw a million
+    points as a few hundred, keeping peaks the plain bucket-average
+    consolidation (q17/edoRRD.c:44-74) flattens away.
+
+    This is the parallel LTTB variant (Steinarsson 2013, §4.2: fixed
+    buckets, neighbour *averages* as triangle anchors instead of the
+    sequentially-chosen previous point), which drops the sequential
+    dependency so every bucket's argmax is independent:
+
+    1. bucket means (one hash-agg; grid = channels × buckets);
+    2. lag/lead over the GRID (not the rows) for neighbour anchors —
+       the per-channel window sorts only the tiny bucket grid — then
+       each grid row explodes into its applicable role rows
+       ('first' for a channel's first bucket, 'last' for its last,
+       'peak' for interior buckets);
+    3. every raw point joins its bucket's role rows (grid side is
+       KB-sized → AQE broadcast; raw side never shuffles) and computes
+       a role-dependent sort key: triangle area for 'peak', time
+       position for the endpoints;
+    4. ONE per-(channel, bucket, role) rank-1 filter — Catalyst
+       rewrites it to WindowGroupLimit (partial top-1 per task before
+       the exchange, no full sort), so shuffle bytes scale with the
+       grid, not the row count.
+
+    The single-window form exists because a per-role UNION of three
+    rank filters re-scans the fact table once per branch (Catalyst
+    does not share scans across union branches): folding the role
+    into the window key cuts the plan from 6 fact scans to 2 (points
+    + grid) while producing the identical row set.
+
+    First/last buckets of each channel keep their first/last point
+    (the fixed endpoints of classic LTTB). A single-bucket channel
+    emits its endpoints under both roles (same point twice when it
+    has one sample — documented, deterministic).
+
+    Determinism: bucket means via DECIMAL sums; the area is per-row
+    double math with identical expression shape on both engines (no
+    cross-row float sums), so the argmax — including float ties,
+    broken by (us, tie) — is engine-identical. The endpoint sort keys
+    use us as an exact double (epoch micros < 2^53).
+    """
+    us = epoch_us(ts)
+    pts = df.filter(F.col(value).isNotNull()).select(
+        F.col(channel).alias("ch"),
+        bucket_epoch(ts, width_s).alias("bucket"),
+        us.alias("us"),
+        F.col(value).alias("y"),
+        F.col(tie).alias("tie"),
+    )
+    grid = pts.groupBy("ch", "bucket").agg(
+        # epoch-micros sums need ~20 digits (1.7e15 per row x bucket
+        # row count) — DEC_W (14,0) would overflow
+        (
+            F.sum(F.col("us").cast("decimal(28,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mx"),
+        (F.sum(F.col("y").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    w = Window.partitionBy("ch").orderBy("bucket")
+    grid = grid.select(
+        "ch",
+        "bucket",
+        F.lag("mx").over(w).alias("pmx"),
+        F.lag("my").over(w).alias("pmy"),
+        F.lead("mx").over(w).alias("nmx"),
+        F.lead("my").over(w).alias("nmy"),
+    )
+    roles = grid.withColumn(
+        "role",
+        F.explode(
+            F.concat(
+                F.when(F.col("pmx").isNull(), F.array(F.lit("first"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                F.when(
+                    F.col("pmx").isNotNull() & F.col("nmx").isNotNull(),
+                    F.array(F.lit("peak")),
+                ).otherwise(F.array().cast("array<string>")),
+                F.when(F.col("nmx").isNull(), F.array(F.lit("last"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+        ),
+    )
+    j = pts.join(roles, ["ch", "bucket"])
+    area = (
+        F.abs(
+            (F.col("pmx") - F.col("nmx"))
+            * (F.col("y") - F.col("pmy"))
+            - (F.col("pmx") - F.col("us").cast("double"))
+            * (F.col("nmy") - F.col("pmy"))
+        )
+        * F.lit(0.5)
+    )
+    usd = F.col("us").cast("double")
+    k1 = (
+        F.when(F.col("role") == "peak", -area)
+        .when(F.col("role") == "first", usd)
+        .otherwise(-usd)
+    )
+    k2 = F.when(F.col("role") == "last", -F.col("us")).otherwise(F.col("us"))
+    k3 = F.when(F.col("role") == "last", -F.col("tie")).otherwise(F.col("tie"))
+    wr = Window.partitionBy("ch", "bucket", "role").orderBy(k1, k2, k3)
+    return (
+        j.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("ch", "bucket", "us", F.col("y").alias("value"), "role")
+        .orderBy("ch", "bucket", "role", "us")
+    )

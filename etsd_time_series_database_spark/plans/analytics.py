@@ -562,3 +562,125 @@ def x55(spark, sf_dir):
     )
 
     return rolling_stats(load_table(spark, sf_dir, "events"), ROLL_K)
+
+
+TREND_ORIGIN_S = 1705363200  # 2024-01-16 00:00:00 UTC, centre of the span
+
+
+@register(
+    "q43_linear_trend",
+    "trend",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000) - {TREND_ORIGIN_S} AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxd,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syd,
+             CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxyd,
+             CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxxd,
+             CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syyd
+      FROM s GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n, syd, sxd,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(n AS DOUBLE) * sxyd - sxd * syd AS cov,
+             CAST(n AS DOUBLE) * sxxd - sxd * sxd AS vx,
+             CAST(n AS DOUBLE) * syyd - syd * syd AS vy
+      FROM a
+    )
+    SELECT event_type, n AS n_samples,
+           round((CASE WHEN vx > 0 THEN cov / vx END) * 86400.0, 6)
+             AS slope_per_day,
+           round((syd - (CASE WHEN vx > 0 THEN cov / vx END) * sxd) / nd, 6)
+             AS intercept,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN round(cov * cov / (vx * vy), 6) END AS r_squared
+    FROM c ORDER BY event_type
+    """,
+    doc="Per-channel least-squares trend (slope/day, intercept, R²) "
+    "from the six regression sums in ONE map-side-combinable hash agg "
+    "— output cardinality = channels, shuffle = six numbers per "
+    "channel. The drift fit the reference's range aggregates "
+    "(code/etsdQuery.c:218-401) stop short of.",
+)
+def q43(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import linear_trend
+
+    return linear_trend(_events(spark, sf_dir), TREND_ORIGIN_S)
+
+
+LTTB_W = 21600  # 6h buckets -> ~120 output points per channel at 30 days
+
+
+@register(
+    "q44_lttb_downsample",
+    "consolidation",
+    f"""
+    WITH pts AS (
+      SELECT event_type AS ch,
+             (epoch_us(ts) // {LTTB_W * 1_000_000}) * {LTTB_W} AS bucket,
+             CAST(epoch_us(ts) AS BIGINT) AS us, value AS y,
+             event_id AS tie
+      FROM events WHERE value IS NOT NULL
+    ),
+    bm AS (
+      SELECT ch, bucket,
+             CAST(sum(CAST(us AS DECIMAL(28,0))) AS DOUBLE) / count(*) AS mx,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS my
+      FROM pts GROUP BY ch, bucket
+    ),
+    grid AS (
+      SELECT ch, bucket,
+             lag(mx)  OVER w AS pmx, lag(my)  OVER w AS pmy,
+             lead(mx) OVER w AS nmx, lead(my) OVER w AS nmy
+      FROM bm WINDOW w AS (PARTITION BY ch ORDER BY bucket)
+    ),
+    j AS (
+      SELECT p.*, g.pmx, g.pmy, g.nmx, g.nmy
+      FROM pts p JOIN grid g USING (ch, bucket)
+    ),
+    interior AS (
+      SELECT ch, bucket, us, y AS value, 'peak' AS role,
+             row_number() OVER (
+               PARTITION BY ch, bucket
+               ORDER BY abs((pmx - nmx) * (y - pmy)
+                            - (pmx - CAST(us AS DOUBLE)) * (nmy - pmy))
+                        * 0.5 DESC, us, tie) AS rn
+      FROM j WHERE pmx IS NOT NULL AND nmx IS NOT NULL
+    ),
+    firstb AS (
+      SELECT ch, bucket, us, y AS value, 'first' AS role,
+             row_number() OVER (PARTITION BY ch, bucket
+                                ORDER BY us, tie) AS rn
+      FROM j WHERE pmx IS NULL
+    ),
+    lastb AS (
+      SELECT ch, bucket, us, y AS value, 'last' AS role,
+             row_number() OVER (PARTITION BY ch, bucket
+                                ORDER BY us DESC, tie DESC) AS rn
+      FROM j WHERE nmx IS NULL
+    )
+    SELECT ch, bucket, us, value, role
+    FROM (SELECT * FROM firstb WHERE rn = 1
+          UNION ALL SELECT * FROM interior WHERE rn = 1
+          UNION ALL SELECT * FROM lastb WHERE rn = 1)
+    ORDER BY ch, bucket, role, us
+    """,
+    doc="Parallel LTTB downsampling (Steinarsson 2013 §4.2: neighbour "
+    "bucket means as triangle anchors) — shape-preserving decimation "
+    "the plain bucket-average RRA (q17, code/plugins/edoRRD.c:44-74) "
+    "flattens. One grid hash-agg + a KB-grid lag/lead window + a "
+    "WindowGroupLimit top-1 per (channel, bucket); raw rows never "
+    "globally sort.",
+)
+def q44(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import lttb_downsample
+
+    return lttb_downsample(_events(spark, sf_dir), LTTB_W)

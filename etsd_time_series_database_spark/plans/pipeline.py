@@ -2358,3 +2358,75 @@ def p54(spark, sf_dir):
     return pack_sequences(
         train, ctx_tokens=PACK_CTX, n_shards=PACK_SHARDS
     )
+
+
+PQ_M = 8       # subspaces (64-dim embedding -> 8-dim subvectors)
+PQ_CENTS = 16  # codebook size per subspace (seed vectors 1..16)
+
+
+def _duck_sq_l2(a: str, b: str) -> str:
+    """Sequential-fold squared-L2 in DuckDB — bit-identical to Spark's
+    functions.exprs.sq_l2_distance (same left-to-right shape; the 0.0
+    init vs first-element fold differ only by +0.0, which is exact)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        f"* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), "
+        f"(p, q) -> p + q)"
+    )
+
+
+@register(
+    "x56_pq_topk",
+    "similarity",
+    f"""
+    WITH subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    cents AS (
+      SELECT e.vec_id AS cent_id, subs.s,
+             list_slice(e.embedding, subs.s * 8 + 1, subs.s * 8 + 8) AS cvs
+      FROM embeddings e CROSS JOIN subs
+      WHERE e.vec_id BETWEEN 1 AND {PQ_CENTS}
+    ),
+    codes AS (
+      SELECT vec_id, s, cent_id FROM (
+        SELECT b.vec_id, c.s, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id, c.s
+                 ORDER BY CAST({_duck_sq_l2(
+                     "list_slice(b.embedding, c.s * 8 + 1, c.s * 8 + 8)",
+                     "c.cvs")} AS DECIMAL(19,6)), c.cent_id) AS rn
+        FROM embeddings b CROSS JOIN cents c
+        WHERE b.vec_id != 0
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT c.s, c.cent_id,
+             {_duck_sq_l2(
+                 "list_slice(q.embedding, c.s * 8 + 1, c.s * 8 + 8)",
+                 "c.cvs")} AS qd2
+      FROM embeddings q CROSS JOIN cents c
+      WHERE q.vec_id = 0
+    )
+    SELECT vec_id,
+           round(CAST(sum(CAST(qd2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc_d2
+    FROM codes JOIN qd USING (s, cent_id)
+    GROUP BY vec_id
+    ORDER BY sum(CAST(qd2 AS DECIMAL(18,6))), vec_id
+    LIMIT 10
+    """,
+    doc="Product-quantization ANN (Jégou 2011): per-subspace codebook "
+    "encode (one min-struct hash agg — the pass that materializes "
+    "8-byte codes at 100 TB) + asymmetric-distance top-k against the "
+    "broadcast query table. Complements IVF (x15: prune WHICH vectors "
+    "to score) by compressing HOW each vector is scored.",
+)
+def p56(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        m=PQ_M,
+        n_cents=PQ_CENTS,
+    )

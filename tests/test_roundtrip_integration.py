@@ -233,3 +233,55 @@ def test_deployed_layout_serves_queries_with_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(dt" in plan
     n_days = pruned.select("dt").distinct().count()
     assert n_days == 2
+
+
+def test_pq_topk_retrieves_query_cluster(spark):
+    import importlib
+
+    from pyspark.sql import Row
+
+    sim = importlib.import_module(
+        "etsd_time_series_database_spark.operators.similarity"
+    )
+
+    # Four well-separated clusters in 64-d: cluster c lives on dims
+    # [16c, 16c+16) with small deterministic per-vector jitter.  PQ with
+    # seed codebook ids 1..16 (four seeds per cluster) must quantize
+    # every vector into its own cluster\'s region, so ADC top-k for a
+    # cluster-0 query returns only cluster-0 vectors.
+    def vec(cluster, j):
+        v = [0.0] * 64
+        for d in range(16 * cluster, 16 * cluster + 16):
+            v[d] = 1.0 + 0.01 * ((j * 7 + d) % 5)
+        return v
+
+    rows = []
+    vid = 0
+    for j in range(10):            # ids 0..39 interleave clusters so
+        for c in range(4):         # seeds 1..16 cover all four clusters
+            rows.append(Row(vec_id=vid, embedding=vec(c, j), label=c))
+            vid += 1
+    emb = spark.createDataFrame(rows)
+    label = {r.vec_id: r.label for r in rows}
+    got = sim.pq_topk(emb, query_id=0, k=5).collect()
+    assert len(got) == 5
+    assert all(label[r.vec_id] == label[0] for r in got)
+    # ADC distances come back sorted ascending with the exact-decimal
+    # ordering applied before the round
+    assert [r.adc_d2 for r in got] == sorted(r.adc_d2 for r in got)
+
+
+def test_pq_topk_smoke_on_store(spark):
+    import importlib
+
+    sim = importlib.import_module(
+        "etsd_time_series_database_spark.operators.similarity"
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = sim.pq_topk(emb, query_id=0, k=10).collect()
+    assert len(got) == 10
+    assert all(r.adc_d2 >= 0.0 for r in got)
+    assert [r.adc_d2 for r in got] == sorted(r.adc_d2 for r in got)

@@ -362,3 +362,64 @@ def test_rolling_stats_stitched_matches_global(spark):
     first = [r for r in b if r[0] == 1][0]
     assert first[4] == 1  # roll_n
     assert max(r[4] for r in b) == 8
+
+
+def test_linear_trend_recovers_exact_line(spark):
+    from etsd_time_series_database_spark.operators.trends import linear_trend
+
+    # value = 10 + 2/minute along an exact line -> slope recovered
+    # exactly, R^2 == 1; constant channel -> defined slope 0 and NULL
+    # R^2 (vy == 0); single-point channel -> NULL slope (vx == 0)
+    rows = [(i, "a", _t(i), 10.0 + 2.0 * i) for i in range(10)]
+    rows += [(100 + i, "b", _t(i), 5.0) for i in range(10)]
+    rows += [(200, "c", _t(0), 1.0)]
+    origin = int(_t(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    out = {
+        r["event_type"]: r
+        for r in linear_trend(
+            _events(spark, rows), origin_s=origin
+        ).collect()
+    }
+    # 2 per minute = 2 * 1440 per day
+    assert out["a"]["slope_per_day"] == pytest.approx(2.0 * 1440, abs=1e-3)
+    assert out["a"]["intercept"] == pytest.approx(10.0, abs=1e-4)
+    assert out["a"]["r_squared"] == pytest.approx(1.0, abs=1e-9)
+    assert out["b"]["slope_per_day"] == pytest.approx(0.0, abs=1e-9)
+    assert out["b"]["r_squared"] is None
+    assert out["c"]["slope_per_day"] is None
+    assert out["c"]["r_squared"] is None
+
+
+def test_lttb_keeps_endpoints_and_peak(spark):
+    from etsd_time_series_database_spark.operators.trends import lttb_downsample
+
+    # one channel, 3 buckets of 60s; flat series except one spike in
+    # the middle bucket -> LTTB must keep first point, the spike, and
+    # the last point
+    rows = [(i, "a", _t(0, i * 10), 1.0) for i in range(6)]          # bucket 0
+    rows += [(10 + i, "a", _t(1, i * 10), 1.0) for i in range(6)]    # bucket 1
+    rows[8] = (18, "a", _t(1, 20), 50.0)                             # spike
+    rows += [(20 + i, "a", _t(2, i * 10), 1.0) for i in range(6)]    # bucket 2
+    out = lttb_downsample(
+        _events(spark, rows), width_s=60
+    ).collect()
+    roles = {r["role"]: r for r in out}
+    assert len(out) == 3
+    assert roles["first"]["us"] == int(
+        _t(0, 0).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    assert roles["peak"]["value"] == 50.0
+    assert roles["last"]["us"] == int(
+        _t(2, 50).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def test_lttb_single_bucket_channel_emits_both_endpoints(spark):
+    from etsd_time_series_database_spark.operators.trends import lttb_downsample
+
+    rows = [(1, "solo", _t(0, 5), 3.0), (2, "solo", _t(0, 25), 4.0)]
+    out = lttb_downsample(_events(spark, rows), width_s=60).collect()
+    assert [(r["role"], r["value"]) for r in out] == [
+        ("first", 3.0),
+        ("last", 4.0),
+    ]
