@@ -629,3 +629,101 @@ def surprisal_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> D
         )
         .orderBy(key)
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 2048,
+    text: str = "text",
+    key: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its hashed n-gram
+    feature distribution looks like a TARGET domain versus the raw
+    corpus, so a pipeline can resample raw data toward the target.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    buckets (the paper's hashed n-gram feature space), with the
+    portable polynomial fingerprint — engine-builtin hash() would not
+    reproduce across engines. Bucket probabilities are
+    Laplace-smoothed ((n+1)/(N+B)). The per-document score is the
+    linear distribution contrast Σ_b c_b · (p̂_target(b) − p̂_raw(b)),
+    scaled to parts-per-million — a deterministic, log-free surrogate
+    for the paper's log-likelihood-ratio (same sign structure and the
+    same resampling ORDER on docs whose features concentrate in
+    target-heavy buckets; ln() is libm/engine-specific, which the
+    house rules ban from oracle-gated paths — the x50 rational-rarity
+    precedent).
+
+    Shape (all map-side-combinable, no window, no per-doc state):
+    Generate (explode) consumes the token array once; hash-agg to
+    (doc, bucket) counts; hash-agg to the B-row bucket table; the
+    B-row table and its 1-row total broadcast back onto the (doc,
+    bucket) counts; one final per-doc hash-agg. Shuffles carry
+    (doc, bucket, count) triples and the KB-sized bucket table —
+    never text. At 100 TB the bucket table is static: train it once,
+    persist, and the scoring pass is a single broadcast-join scan.
+
+    Docs with no features (empty text) drop out — scoring needs at
+    least one feature. Cross-row sums quantize each ppm term to
+    DECIMAL(18,6) (resolution 1e-12 of the raw probability delta), so
+    accumulation order cannot move the hash.
+    """
+    from etsd_time_series_database_spark.operators.dedup import shingle_expr
+
+    toks = df.select(
+        key,
+        (F.col(source) == target_source).alias("is_target"),
+        _tokens(text).alias("__toks"),
+    )
+    feats = toks.select(
+        key,
+        "is_target",
+        F.explode(F.concat(F.col("__toks"), shingle_expr("__toks", 2))).alias(
+            "feat"
+        ),
+    )
+    cnts = (
+        feats.select(
+            key,
+            "is_target",
+            F.pmod(poly_fingerprint("feat"), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy(key, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bt = cnts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "nt"
+        ),
+        F.sum(F.when(~F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "nr"
+        ),
+    )
+    tot = bt.agg(F.sum("nt").alias("t_total"), F.sum("nr").alias("r_total"))
+    pt = (F.col("nt") + 1).cast("double") / (
+        F.col("t_total") + n_buckets
+    ).cast("double")
+    pr = (F.col("nr") + 1).cast("double") / (
+        F.col("r_total") + n_buckets
+    ).cast("double")
+    term = F.col("c").cast("double") * (pt - pr) * F.lit(1000000.0)
+    return (
+        cnts.join(F.broadcast(bt), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(key, "is_target")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(term.cast("decimal(18,6)")).alias("__w"),
+        )
+        .select(
+            key,
+            "is_target",
+            "n_feats",
+            F.round(F.col("__w").cast("double"), 6).alias("dsir_ppm"),
+        )
+        .orderBy(key)
+    )

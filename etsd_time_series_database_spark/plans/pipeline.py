@@ -2430,3 +2430,62 @@ def p56(spark, sf_dir):
         m=PQ_M,
         n_cents=PQ_CENTS,
     )
+
+
+DSIR_B = 2048
+DSIR_TARGET = "src0"
+
+
+@register(
+    "x57_dsir_weights",
+    "selection",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source = '{DSIR_TARGET}' AS is_target, {_TOKS} AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_target, unnest(toks) AS feat FROM tok
+      UNION ALL
+      SELECT doc_id, is_target, unnest({_duck_shingles(2)}) AS feat FROM tok
+    ),
+    fb AS (
+      SELECT doc_id, is_target,
+             {_DUCK_POLY_FP.format(col="feat")} % {DSIR_B} AS bucket
+      FROM feats
+    ),
+    cnts AS (
+      SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM fb GROUP BY doc_id, is_target, bucket
+    ),
+    bt AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target THEN c ELSE 0 END) AS nt,
+             sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS nr
+      FROM cnts GROUP BY bucket
+    ),
+    tot AS (SELECT sum(nt) AS t_total, sum(nr) AS r_total FROM bt)
+    SELECT doc_id, is_target,
+           CAST(sum(c) AS BIGINT) AS n_feats,
+           round(CAST(sum(CAST(CAST(c AS DOUBLE)
+                 * (CAST(nt + 1 AS DOUBLE) / CAST(t_total + {DSIR_B} AS DOUBLE)
+                    - CAST(nr + 1 AS DOUBLE) / CAST(r_total + {DSIR_B} AS DOUBLE))
+                 * 1000000.0 AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_ppm
+    FROM cnts JOIN bt USING (bucket) CROSS JOIN tot
+    GROUP BY doc_id, is_target
+    ORDER BY doc_id
+    """,
+    doc="DSIR importance weights (Xie 2023): hashed unigram+bigram "
+    "feature distributions, target-vs-raw contrast per doc in ppm — "
+    "the data-selection scorer that resamples a raw corpus toward a "
+    "target domain. Bucket table is KB-sized and broadcast; text "
+    "never shuffles.",
+)
+def p57(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import dsir_weights
+
+    return dsir_weights(
+        load_table(spark, sf_dir, "documents"),
+        target_source=DSIR_TARGET,
+        n_buckets=DSIR_B,
+    )

@@ -609,3 +609,39 @@ def test_pcm1_decode_roundtrip_and_features(spark):
     assert r0.zero_crossings == sum(
         1 for a, b in zip(wave0, wave0[1:]) if a * b < 0
     )
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from etsd_time_series_database_spark.operators.textstats import dsir_weights
+
+    # target domain speaks "alpha beta"; raw domain speaks "gamma
+    # delta" — a raw doc written in the target's vocabulary must score
+    # above raw docs that aren't
+    rows = [
+        (1, "alpha beta alpha beta alpha", "tgt"),
+        (2, "beta alpha beta alpha beta", "tgt"),
+        (3, "alpha beta alpha alpha beta", "raw"),   # target-like raw doc
+        (4, "gamma delta gamma delta gamma", "raw"),
+        (5, "delta gamma delta delta gamma", "raw"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(df, target_source="tgt", n_buckets=64).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].is_target and not out[3].is_target
+    # the target-like raw doc outranks both off-domain raw docs
+    assert out[3].dsir_ppm > out[4].dsir_ppm
+    assert out[3].dsir_ppm > out[5].dsir_ppm
+    # off-domain docs score negative (their buckets are raw-heavy)
+    assert out[4].dsir_ppm < 0 and out[5].dsir_ppm < 0
+
+
+def test_dsir_weights_drops_empty_docs(spark):
+    from etsd_time_series_database_spark.operators.textstats import dsir_weights
+
+    rows = [(1, "alpha beta", "tgt"), (2, "", "raw"), (3, "gamma", "raw")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dsir_weights(df, target_source="tgt", n_buckets=64).collect()
+    assert [r.doc_id for r in out] == [1, 3]
