@@ -609,6 +609,7 @@ TREND_ORIGIN_S = 1705363200  # 2024-01-16 00:00:00 UTC, centre of the span
     "— output cardinality = channels, shuffle = six numbers per "
     "channel. The drift fit the reference's range aggregates "
     "(code/etsdQuery.c:218-401) stop short of.",
+    headline=True,
 )
 def q43(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import linear_trend
@@ -679,6 +680,7 @@ LTTB_W = 21600  # 6h buckets -> ~120 output points per channel at 30 days
     "flattens. One grid hash-agg + a KB-grid lag/lead window + a "
     "WindowGroupLimit top-1 per (channel, bucket); raw rows never "
     "globally sort.",
+    headline=True,
 )
 def q44(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import lttb_downsample

@@ -2488,4 +2488,8 @@ def p57(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         target_source=DSIR_TARGET,
         n_buckets=DSIR_B,
+        # the catalog opts into the portable fingerprint so the DuckDB
+        # oracle reproduces the exact bucketing (dedup hash_mode
+        # convention); operators default to codegen'd xxhash64
+        hash_mode="poly",
     )

@@ -625,17 +625,22 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
         (5, "delta gamma delta delta gamma", "raw"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
-    out = {
-        r.doc_id: r
-        for r in dsir_weights(df, target_source="tgt", n_buckets=64).collect()
-    }
-    assert set(out) == {1, 2, 3, 4, 5}
-    assert out[1].is_target and not out[3].is_target
-    # the target-like raw doc outranks both off-domain raw docs
-    assert out[3].dsir_ppm > out[4].dsir_ppm
-    assert out[3].dsir_ppm > out[5].dsir_ppm
-    # off-domain docs score negative (their buckets are raw-heavy)
-    assert out[4].dsir_ppm < 0 and out[5].dsir_ppm < 0
+    # the ranking semantics hold under BOTH bucket hashes: the
+    # codegen'd scale default and the oracle-portable fingerprint
+    for mode in ("hash64", "poly"):
+        out = {
+            r.doc_id: r
+            for r in dsir_weights(
+                df, target_source="tgt", n_buckets=64, hash_mode=mode
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4, 5}
+        assert out[1].is_target and not out[3].is_target
+        # the target-like raw doc outranks both off-domain raw docs
+        assert out[3].dsir_ppm > out[4].dsir_ppm
+        assert out[3].dsir_ppm > out[5].dsir_ppm
+        # off-domain docs score negative (their buckets are raw-heavy)
+        assert out[4].dsir_ppm < 0 and out[5].dsir_ppm < 0
 
 
 def test_dsir_weights_drops_empty_docs(spark):
