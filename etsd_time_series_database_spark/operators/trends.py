@@ -1017,6 +1017,29 @@ def rolling_stats(
     )
 
 
+def _trend_sums(
+    df: DataFrame, origin_s: int, channel: str, value: str, ts: str
+) -> DataFrame:
+    """Six regression sums per channel (n, Σx, Σy, Σxy, Σx², Σy²) with
+    x = integer seconds since origin_s — ONE map-side-combinable hash
+    agg, DECIMAL-exact; shared by linear_trend and seasonal_decompose."""
+    x = F.expr(f"unix_micros({ts}) div 1000000") - F.lit(origin_s)
+    y = F.col(value)
+    return (
+        df.filter(y.isNotNull())
+        .select(F.col(channel), x.alias("__x"), y.alias("__y"))
+        .groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__x").cast(DEC)).alias("sx"),
+            F.sum(F.col("__y").cast(DEC)).alias("sy"),
+            F.sum((F.col("__x") * F.col("__y")).cast(DEC_SQ)).alias("sxy"),
+            F.sum((F.col("__x") * F.col("__x")).cast(DEC_SQ)).alias("sxx"),
+            F.sum((F.col("__y") * F.col("__y")).cast(DEC_SQ)).alias("syy"),
+        )
+    )
+
+
 def linear_trend(
     df: DataFrame,
     origin_s: int = 1705363200,  # 2024-01-16 00:00:00 UTC
@@ -1047,21 +1070,7 @@ def linear_trend(
     data's time span to keep |x| small, which bounds the decimal
     products and the double cancellation in n·Σx² − (Σx)².
     """
-    x = F.expr(f"unix_micros({ts}) div 1000000") - F.lit(origin_s)
-    y = F.col(value)
-    agg = (
-        df.filter(y.isNotNull())
-        .select(F.col(channel), x.alias("__x"), y.alias("__y"))
-        .groupBy(channel)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__x").cast(DEC)).alias("sx"),
-            F.sum(F.col("__y").cast(DEC)).alias("sy"),
-            F.sum((F.col("__x") * F.col("__y")).cast(DEC_SQ)).alias("sxy"),
-            F.sum((F.col("__x") * F.col("__x")).cast(DEC_SQ)).alias("sxx"),
-            F.sum((F.col("__y") * F.col("__y")).cast(DEC_SQ)).alias("syy"),
-        )
-    )
+    agg = _trend_sums(df, origin_s, channel, value, ts)
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
@@ -1201,3 +1210,87 @@ def lttb_downsample(
         .select("ch", "bucket", "us", F.col("y").alias("value"), "role")
         .orderBy("ch", "bucket", "role", "us")
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    origin_s: int = 1705363200,
+    period_buckets: int = 24,
+    bucket_s: int = 3600,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Classical additive decomposition per channel — value = linear
+    trend + seasonal phase mean + residual — reporting, per (channel,
+    phase-of-period): sample count, the seasonal component, and the
+    residual RMS. The STL-lite view a capacity dashboard shows for
+    every sensor (daily-profile-with-drift), composing the q43 trend
+    fit with the x33 phase-fold machinery in one verified plan.
+
+    Channels where the trend is undefined (single sample / zero time
+    spread: vx == 0) fall back to slope 0 with the plain mean as
+    intercept, so decomposition still reports their seasonal fold.
+
+    Shape: TWO fact passes, each one map-side-combinable hash-agg —
+    (1) the six regression sums per channel (KB output, broadcast
+    back); (2) per-(channel, phase) DECIMAL sums of the detrended
+    first and second moments, from which seasonal = E[det] and
+    residual RMS = sqrt(E[det²] − E[det]²) close without a join-back.
+    No window, no sort; the only join carries the KB-sized fit table.
+    All statistics shuffle as a few numbers per (channel, phase).
+
+    Determinism: trend arithmetic matches linear_trend (DECIMAL sums,
+    fixed-shape double math); detrended values and residuals are
+    per-row doubles with identical expression shape on both engines,
+    quantized to DECIMAL at every cross-row sum.
+    """
+    agg = _trend_sums(df, origin_s, channel, value, ts)
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    slope = F.when(vx > 0, cov / vx).otherwise(F.lit(0.0))
+    fit = agg.select(
+        F.col(channel),
+        slope.alias("__m"),
+        ((sy - slope * sx) / n).alias("__b"),
+    )
+    x = F.expr(f"unix_micros({ts}) div 1000000") - F.lit(origin_s)
+    phase = (
+        F.expr(f"unix_micros({ts}) div {bucket_s * 1_000_000}")
+        % period_buckets
+    )
+    det = (
+        df.filter(F.col(value).isNotNull())
+        .select(F.col(channel), x.alias("__x"), phase.alias("phase"), F.col(value))
+        .join(F.broadcast(fit), channel)
+        .select(
+            channel,
+            "phase",
+            (
+                F.col(value) - (F.col("__b") + F.col("__m") * F.col("__x"))
+            ).alias("__det"),
+        )
+    )
+    # One agg carries both moments: seasonal = E[det], residual RMS =
+    # sqrt(E[det²] − E[det]²) — no join-back, no third fact scan.
+    agg2 = det.groupBy(channel, "phase").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col("__det").cast(DEC)).alias("__sd"),
+        F.sum((F.col("__det") * F.col("__det")).cast(DEC_SQ)).alias("__sd2"),
+    )
+    nn = F.col("n_samples").cast("double")
+    smean = F.col("__sd").cast("double") / nn
+    # E[det²] − mean² can round to a tiny negative for near-constant
+    # residuals; clamp before sqrt (the _pearson convention)
+    var = F.greatest(F.col("__sd2").cast("double") / nn - smean * smean,
+                     F.lit(0.0))
+    return agg2.select(
+        channel,
+        "phase",
+        "n_samples",
+        F.round(smean, 6).alias("seasonal"),
+        F.round(F.sqrt(var), 6).alias("resid_rms"),
+    ).orderBy(channel, "phase")

@@ -686,3 +686,78 @@ def q44(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import lttb_downsample
 
     return lttb_downsample(_events(spark, sf_dir), LTTB_W)
+
+
+SD_PERIOD = 24
+SD_BUCKET = 3600
+
+
+@register(
+    "q45_seasonal_decompose",
+    "trend",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000) - {TREND_ORIGIN_S} AS x,
+             (epoch_us(ts) // {SD_BUCKET * 1_000_000}) % {SD_PERIOD} AS phase,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxd,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syd,
+             CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxyd,
+             CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxxd
+      FROM s GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type,
+             CASE WHEN CAST(n AS DOUBLE) * sxxd - sxd * sxd > 0
+                  THEN (CAST(n AS DOUBLE) * sxyd - sxd * syd)
+                       / (CAST(n AS DOUBLE) * sxxd - sxd * sxd)
+                  ELSE 0.0 END AS m,
+             (syd - (CASE WHEN CAST(n AS DOUBLE) * sxxd - sxd * sxd > 0
+                          THEN (CAST(n AS DOUBLE) * sxyd - sxd * syd)
+                               / (CAST(n AS DOUBLE) * sxxd - sxd * sxd)
+                          ELSE 0.0 END) * sxd) / CAST(n AS DOUBLE) AS b
+      FROM a
+    ),
+    det AS (
+      SELECT s.event_type, s.phase,
+             s.y - (fit.b + fit.m * s.x) AS det
+      FROM s JOIN fit USING (event_type)
+    ),
+    agg2 AS (
+      SELECT event_type, phase,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(det * det AS DECIMAL(28,6))) AS DOUBLE) AS sd2
+      FROM det GROUP BY event_type, phase
+    )
+    SELECT event_type, phase, n_samples,
+           round(sd / CAST(n_samples AS DOUBLE), 6) AS seasonal,
+           round(sqrt(greatest(
+             sd2 / CAST(n_samples AS DOUBLE)
+             - (sd / CAST(n_samples AS DOUBLE))
+               * (sd / CAST(n_samples AS DOUBLE)), 0.0)), 6) AS resid_rms
+    FROM agg2 ORDER BY event_type, phase
+    """,
+    doc="Additive seasonal decomposition per channel (value = linear "
+    "trend + phase mean + residual): composes the q43 trend fit with "
+    "the x33 phase fold in one plan — two fact passes, each a "
+    "map-side hash-agg, the fit broadcast back; seasonal and residual "
+    "RMS close from first/second moments without a join-back.",
+)
+def q45(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(
+        _events(spark, sf_dir),
+        origin_s=TREND_ORIGIN_S,
+        period_buckets=SD_PERIOD,
+        bucket_s=SD_BUCKET,
+    )

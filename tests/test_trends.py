@@ -423,3 +423,35 @@ def test_lttb_single_bucket_channel_emits_both_endpoints(spark):
         ("first", 3.0),
         ("last", 4.0),
     ]
+
+
+def test_seasonal_decompose_recovers_pattern(spark):
+    from etsd_time_series_database_spark.operators.trends import (
+        seasonal_decompose,
+    )
+
+    # two full days of hourly samples: value = 100 + 0.5/h drift + a
+    # 4-phase square pattern chosen orthogonal to BOTH the constant
+    # and the linear term (sum p_i = 0 and sum i*p_i = 0), so the OLS
+    # fit recovers the drift exactly and the per-phase residual RMS
+    # collapses to ~0 (a pattern correlated with time would be partly
+    # absorbed into the slope — correct OLS behavior, not a bug)
+    pattern = {0: 5.0, 1: -5.0, 2: -5.0, 3: 5.0}
+    rows = []
+    for h in range(48):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+        rows.append((h, "a", t, 100.0 + 0.5 * h + pattern[h % 4]))
+    origin = int(
+        dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp()
+    )
+    out = seasonal_decompose(
+        _events(spark, rows),
+        origin_s=origin,
+        period_buckets=4,
+        bucket_s=3600,
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_samples"] == 12
+        assert r["seasonal"] == pytest.approx(pattern[r["phase"]], abs=1e-6)
+        assert r["resid_rms"] == pytest.approx(0.0, abs=1e-6)
