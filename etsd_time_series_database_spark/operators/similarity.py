@@ -682,6 +682,7 @@ def pq_topk(
     dim: int = 64,
     key: str = "vec_id",
     vec: str = "embedding",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k (Jégou et al. 2011): split each
     ``dim``-d vector into ``m`` subvectors, quantize every subvector to
@@ -713,6 +714,12 @@ def pq_topk(
     argmin ties break on cent_id; the ADC sum goes through DECIMAL
     (order-independent); final ordering is on the exact decimal sum
     with key tiebreak.
+
+    ``base`` restricts which vectors are encoded and scored (defaults
+    to the full ``embeddings`` corpus): pass an IVF cell's members to
+    get the FAISS-style IVF-PQ composite (see :func:`ivfpq_topk`) —
+    the codebook and query table always come from ``embeddings``, so
+    codes are comparable across cells.
     """
     from etsd_time_series_database_spark.functions.exprs import (
         DEC,
@@ -732,8 +739,10 @@ def pq_topk(
         )
     )
     sub = F.slice(vec, F.col("s") * sub_len + 1, sub_len)
+    if base is None:
+        base = embeddings
     codes = (
-        embeddings.filter(F.col(key) != query_id)
+        base.filter(F.col(key) != query_id)
         .select(key, vec)
         .crossJoin(F.broadcast(cents))
         .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs")).alias("d2"))
@@ -773,4 +782,57 @@ def pq_topk(
         .orderBy("__sd", key)
         .limit(k)
         .select(key, F.round(F.col("__sd").cast("double"), 6).alias("adc_d2"))
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    centroid_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 8,
+    n_cents: int = 16,
+    dim: int = 64,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite (the FAISS production layout): IVF cell
+    pruning decides WHICH vectors are scored, product quantization
+    decides HOW — the query probes only its own coarse cell and ranks
+    that cell's members by asymmetric PQ distance against broadcast
+    per-subspace tables.
+
+    At 100 TB this is the serving shape that actually fits: the cell
+    prunes the corpus to ~1/nlist (on disk: partition pruning via
+    write_ivf_partitioned), and the PQ codes of one cell — m bytes a
+    vector — fit an executor's memory where raw vectors would not.
+    Composes :func:`assign_cells` (coarse quantizer, broadcast
+    centroids, ONE max_by hash-agg) with :func:`pq_topk` restricted to
+    the cell (``base=``); the fine codebook is corpus-level so codes
+    stay comparable across cells.
+
+    Determinism matches both parents (decimal ADC sums, packed-decimal
+    argmin, cent_id/key tiebreaks).
+    """
+    if centroid_ids is None:
+        centroid_ids = list(range(1, 9))
+    cells = assign_cells(embeddings, centroid_ids, key, vec)
+    q_cell = cells.filter(F.col(key) == query_id).select(
+        F.col("cent_id").alias("__qcell")
+    )
+    members = (
+        cells.crossJoin(F.broadcast(q_cell))
+        .filter(F.col("cent_id") == F.col("__qcell"))
+        .select(key, vec)
+    )
+    return pq_topk(
+        embeddings,
+        query_id=query_id,
+        k=k,
+        m=m,
+        n_cents=n_cents,
+        dim=dim,
+        key=key,
+        vec=vec,
+        base=members,
     )

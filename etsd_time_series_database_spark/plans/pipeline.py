@@ -2493,3 +2493,80 @@ def p57(spark, sf_dir):
         # convention); operators default to codegen'd xxhash64
         hash_mode="poly",
     )
+
+
+@register(
+    "x58_ivfpq_topk",
+    "similarity",
+    f"""
+    WITH subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    cents AS (
+      SELECT e.vec_id AS cent_id, subs.s,
+             list_slice(e.embedding, subs.s * 8 + 1, subs.s * 8 + 8) AS cvs
+      FROM embeddings e CROSS JOIN subs
+      WHERE e.vec_id BETWEEN 1 AND {PQ_CENTS}
+    ),
+    coarse AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {_duck_cos("e.embedding", "c.cv")} AS cos
+      FROM embeddings e CROSS JOIN coarse c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cent_id) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    qcell AS (SELECT cent_id AS qc FROM assigned WHERE vec_id = 0),
+    members AS (
+      SELECT a.vec_id, a.embedding FROM assigned a, qcell
+      WHERE a.cent_id = qcell.qc
+    ),
+    codes AS (
+      SELECT vec_id, s, cent_id FROM (
+        SELECT b.vec_id, c.s, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id, c.s
+                 ORDER BY CAST({_duck_sq_l2(
+                     "list_slice(b.embedding, c.s * 8 + 1, c.s * 8 + 8)",
+                     "c.cvs")} AS DECIMAL(19,6)), c.cent_id) AS rn
+        FROM members b CROSS JOIN cents c
+        WHERE b.vec_id != 0
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT c.s, c.cent_id,
+             {_duck_sq_l2(
+                 "list_slice(q.embedding, c.s * 8 + 1, c.s * 8 + 8)",
+                 "c.cvs")} AS qd2
+      FROM embeddings q CROSS JOIN cents c
+      WHERE q.vec_id = 0
+    )
+    SELECT vec_id,
+           round(CAST(sum(CAST(qd2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc_d2
+    FROM codes JOIN qd USING (s, cent_id)
+    GROUP BY vec_id
+    ORDER BY sum(CAST(qd2 AS DECIMAL(18,6))), vec_id
+    LIMIT 10
+    """,
+    doc="IVF-PQ composite (the FAISS serving layout): coarse cell "
+    "prunes WHICH vectors are scored (1/nlist of the corpus; on disk "
+    "= partition pruning), PQ codes decide HOW (m bytes/vector in "
+    "executor memory). Composes x15's coarse quantizer with x56's "
+    "encode+ADC — every stage broadcast/hash-agg shaped.",
+)
+def p58(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        m=PQ_M,
+        n_cents=PQ_CENTS,
+    )

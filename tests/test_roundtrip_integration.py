@@ -285,3 +285,31 @@ def test_pq_topk_smoke_on_store(spark):
     assert len(got) == 10
     assert all(r.adc_d2 >= 0.0 for r in got)
     assert [r.adc_d2 for r in got] == sorted(r.adc_d2 for r in got)
+
+
+def test_ivfpq_results_subset_of_query_cell(spark):
+    import importlib
+
+    sim = importlib.import_module(
+        "etsd_time_series_database_spark.operators.similarity"
+    )
+    from pyspark.sql import functions as F
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = list(range(1, 9))
+    cells = sim.assign_cells(emb, cents)
+    qcell = cells.filter(F.col("vec_id") == 0).collect()[0].cent_id
+    members = {
+        r.vec_id
+        for r in cells.filter(F.col("cent_id") == qcell).collect()
+    }
+    got = sim.ivfpq_topk(emb, query_id=0, centroid_ids=cents, k=10).collect()
+    assert 0 < len(got) <= 10
+    # every hit comes from the query's coarse cell, never elsewhere
+    assert all(r.vec_id in members and r.vec_id != 0 for r in got)
+    # and the ADC ordering is ascending with vec_id tiebreak
+    assert [(r.adc_d2, r.vec_id) for r in got] == sorted(
+        (r.adc_d2, r.vec_id) for r in got
+    )
