@@ -601,3 +601,62 @@ def contamination_score(
         )
         .orderBy(key)
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of corpus
+    sources, the number of distinct word n-gram shingles they share
+    and the shingle-set Jaccard — the provenance view a dedup pipeline
+    reads to find which feeds copy from each other (and therefore
+    which pairs to decontaminate or down-weight) before any per-doc
+    work.
+
+    Shape: Generate (explode) → ONE distinct on (source, shingle) —
+    the only corpus-sized shuffle, map-side combinable; per-source
+    set sizes are a hash-agg of that relation; candidate pairs come
+    from the shingle-keyed self-equi-join, which is safe at scale
+    because after the distinct each shingle's posting list is bounded
+    by the SOURCE count (a small constant), so pairs-per-shingle is
+    C(sources, 2) at worst, never O(rows²). Size joins broadcast the
+    KB-sized per-source table. Pairs sharing no shingle are absent
+    (inner join) — the matrix is sparse by construction.
+
+    Determinism: pure set arithmetic on exact counts; Jaccard is one
+    double division, rounded at the round-6 export convention.
+    """
+    sh = (
+        df.select(F.col(source).alias("src"), _tokens(text).alias("__toks"))
+        .select("src", F.explode(shingle_expr("__toks", n)).alias("__sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("src").alias("source_a"), "__sh")
+    b = sh.select(F.col("src").alias("source_b"), "__sh")
+    shared = (
+        a.join(b, "__sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -2570,3 +2570,40 @@ def p58(spark, sf_dir):
         m=PQ_M,
         n_cents=PQ_CENTS,
     )
+
+
+@register(
+    "x59_source_overlap",
+    "dedup",
+    f"""
+    WITH tok AS (SELECT source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT source AS src, shingle
+      FROM (SELECT source, unnest({_SHINGLES}) AS shingle FROM tok)
+    ),
+    sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY src),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT source_a, source_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.src = source_a
+    JOIN sizes sb ON sb.src = source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Cross-source duplication matrix: distinct-shingle overlap + "
+    "Jaccard per source pair — the provenance view that finds feeds "
+    "copying from each other. Posting lists bounded by the SOURCE "
+    "count after the distinct, so the shingle self-join is "
+    "C(sources,2)-per-shingle at worst, never O(rows²).",
+)
+def p59(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"), n=3)

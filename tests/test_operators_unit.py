@@ -650,3 +650,22 @@ def test_dsir_weights_drops_empty_docs(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     out = dsir_weights(df, target_source="tgt", n_buckets=64).collect()
     assert [r.doc_id for r in out] == [1, 3]
+
+
+def test_source_overlap_counts_shared_shingles(spark):
+    from etsd_time_series_database_spark.operators.dedup import source_overlap
+
+    rows = [
+        (1, "a b c d", "s1"),        # shingles: "a b c", "b c d"
+        (2, "a b c x", "s2"),        # shares "a b c" with s1
+        (3, "p q r s", "s3"),        # disjoint from everything
+        (4, "b c d e", "s2"),        # s2 also gets "b c d", "c d e"
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.source_a, r.source_b): r for r in source_overlap(df).collect()}
+    # s1 = {abc, bcd}; s2 = {abc, abx?, ...}: doc2 -> {"a b c","b c x"},
+    # doc4 -> {"b c d","c d e"}; s2 = 4 shingles; shared s1∩s2 = {abc, bcd}
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert r.n_shared == 2
+    assert abs(r.jaccard - 2 / (2 + 4 - 2)) < 1e-9
