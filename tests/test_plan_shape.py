@@ -356,3 +356,39 @@ def test_rank_filters_get_window_group_limit(spark):
     ):
         plan = _plan(catalog()[name].build(spark, SF_SMOKE))
         assert "WindowGroupLimit" in plan, name
+
+
+def test_linear_trend_is_single_hash_agg(spark):
+    """q43 must stay ONE partial+final HashAggregate pair: six decimal
+    sums per channel, no window, no sort-aggregate fallback."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q43_linear_trend"].build(spark, SF_SMOKE))
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    assert "partial_" in plan
+
+
+def test_lttb_single_window_two_scans(spark):
+    """q44's role-keyed form exists to avoid the per-role UNION that
+    re-scanned the fact 6x: assert 2 scans, a WindowGroupLimit top-1,
+    and broadcast grid joins (raw rows never hash-shuffle)."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q44_lttb_downsample"].build(spark, SF_SMOKE))
+    n_scans = max(plan.count("Scan parquet"), plan.count("FileScan"))
+    assert n_scans == 2, f"expected 2 fact scans, saw {n_scans}"
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_is_hash_agg(spark):
+    """x56's packed-decimal argmin exists to keep the PQ encode a
+    map-side-combinable HashAggregate — min(struct)/min_by(struct)
+    would fall back to SortAggregate over the n*m*k scored rows."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["x56_pq_topk"].build(spark, SF_SMOKE))
+    assert "SortAggregate" not in plan
+    assert "partial_min_by" in plan or "min_by" in plan
