@@ -164,6 +164,32 @@ def cmd_catalog(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_run(args, spark: SparkSession) -> int:
+    """Execute any catalog query against a testdata-style sf_dir —
+    makes the whole operator surface user-reachable from the CLI, not
+    just the TSDB verbs (pair with `catalog` to discover names)."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    cat = catalog()
+    if args.name not in cat:
+        close = [n for n in sorted(cat) if args.name in n]
+        print(f"unknown catalog query {args.name!r}"
+              + (f"; did you mean: {', '.join(close[:5])}" if close else ""))
+        return 2
+    df = cat[args.name].build(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+        return 0
+    rows = df.limit(args.limit).collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols))
+    print(f"({len(rows)} row(s) shown, limit {args.limit})")
+    return 0
+
+
 def cmd_write_index(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.operators.similarity import (
         write_ivf_partitioned,
@@ -337,6 +363,16 @@ def build_parser() -> argparse.ArgumentParser:
     cat = sub.add_parser("catalog", help="list every catalog query")
     cat.add_argument("--category", default=None)
     cat.set_defaults(fn=cmd_catalog)
+
+    run = sub.add_parser(
+        "run", help="execute a catalog query on an sf_dir of parquet tables"
+    )
+    run.add_argument("name", help="catalog query name (see `catalog`)")
+    run.add_argument("sf_dir", help="directory with the parquet tables")
+    run.add_argument("--limit", type=int, default=20)
+    run.add_argument("--out", default=None, help="write result parquet here "
+                     "instead of printing")
+    run.set_defaults(fn=cmd_run)
     return p
 
 

@@ -169,3 +169,30 @@ def test_append_index_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "appended" in out
     assert spark.read.parquet(idx).count() == 2 * before
+
+
+def test_run_catalog_query(spark, capsys):
+    rc = cli.main(
+        ["run", "q43_linear_trend", "/root/testdata/sf0.001"], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "slope_per_day" in out
+    assert "row(s) shown" in out
+
+
+def test_run_unknown_name_suggests(spark, capsys):
+    rc = cli.main(["run", "linear", "/root/testdata/sf0.001"], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "did you mean" in out and "q43_linear_trend" in out
+
+
+def test_run_writes_parquet(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "res")
+    rc = cli.main(
+        ["run", "q43_linear_trend", "/root/testdata/sf0.001", "--out", out_dir],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(out_dir).count() == 5
