@@ -480,10 +480,15 @@ def resample_interpolate(
     tie: str = "event_id",
     bucket_s: int = 86400,
     mode: str = "auto",
+    fill: str = "linear",
 ) -> DataFrame:
     """Resample each channel onto a regular [start, end] grid with
     linear interpolation between the nearest samples (nearest-value at
     the edges) — gap-fill for ML feature matrices and dashboards.
+    ``fill='locf'`` switches to step fill (last observation carried
+    forward, the Prometheus/monitoring convention; the leading edge
+    before a channel's first sample takes the next sample) — same
+    carry machinery, only the closing expression differs.
 
     Union-tag design (same as operators/asof.py): grid points and data
     rows are unioned, then one ascending and one descending
@@ -644,16 +649,24 @@ def resample_interpolate(
         )
     p_u, p_v = F.col("prev.u"), F.col("prev.v")
     n_u, n_v = F.col("nxt.u"), F.col("nxt.v")
-    interp = (
-        F.when(F.col("prev").isNull(), n_v)
-        .when(F.col("nxt").isNull(), p_v)
-        .when(n_u == p_u, p_v)
-        .otherwise(
-            p_v
-            + (n_v - p_v)
-            * ((F.col("us") - p_u).cast("double") / (n_u - p_u).cast("double"))
+    if fill == "locf":
+        interp = F.when(F.col("prev").isNull(), n_v).otherwise(p_v)
+    elif fill == "linear":
+        interp = (
+            F.when(F.col("prev").isNull(), n_v)
+            .when(F.col("nxt").isNull(), p_v)
+            .when(n_u == p_u, p_v)
+            .otherwise(
+                p_v
+                + (n_v - p_v)
+                * (
+                    (F.col("us") - p_u).cast("double")
+                    / (n_u - p_u).cast("double")
+                )
+            )
         )
-    )
+    else:
+        raise ValueError(f"unknown fill mode {fill!r}")
     return (
         u.filter(F.col("is_grid") == 1)
         .select(

@@ -761,3 +761,58 @@ def q45(spark, sf_dir):
         period_buckets=SD_PERIOD,
         bucket_s=SD_BUCKET,
     )
+
+
+@register(
+    "q46_resample_locf",
+    "resample",
+    f"""
+    WITH chans AS (SELECT DISTINCT event_type FROM events
+                   WHERE ts >= TIMESTAMP '{GRID_MARGIN_LO}'
+                     AND ts <= TIMESTAMP '{GRID_MARGIN_HI}'),
+    grid AS (
+      SELECT c.event_type, g.g AS us, CAST(NULL AS DOUBLE) AS value,
+             1 AS is_grid, CAST(0 AS BIGINT) AS t
+      FROM chans c,
+           generate_series(epoch_us(TIMESTAMP '{T0}'),
+                           epoch_us(TIMESTAMP '{T1}'),
+                           {GRID_W * 1_000_000}) AS g(g)
+    ),
+    data AS (
+      SELECT event_type, epoch_us(ts) AS us, value, 0 AS is_grid,
+             CAST(event_id AS BIGINT) AS t
+      FROM events
+      WHERE ts >= TIMESTAMP '{GRID_MARGIN_LO}'
+        AND ts <= TIMESTAMP '{GRID_MARGIN_HI}'
+    ),
+    u AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
+    c AS (
+      SELECT *,
+        last_value(CASE WHEN is_grid = 0 THEN {{'u': us, 'v': value}} END
+                   IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY us, is_grid, t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        last_value(CASE WHEN is_grid = 0 THEN {{'u': us, 'v': value}} END
+                   IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY us DESC, is_grid, t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+      FROM u
+    )
+    SELECT event_type, us AS grid_us,
+           CASE WHEN prev IS NULL THEN nxt.v ELSE prev.v
+           END AS value_interp
+    FROM c WHERE is_grid = 1 ORDER BY event_type, grid_us
+    """,
+    doc="Regular-grid resample with LOCF step fill (last observation "
+    "carried forward — the Prometheus/monitoring convention; leading "
+    "edge takes the next sample). Same union-tag + carry-window "
+    "machinery as q40; only the closing expression differs.",
+)
+def q46(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir, (GRID_MARGIN_LO, GRID_MARGIN_HI)).filter(
+        (F.col("ts") >= F.lit(GRID_MARGIN_LO).cast("timestamp"))
+        & (F.col("ts") <= F.lit(GRID_MARGIN_HI).cast("timestamp"))
+    )
+    return resample_interpolate(e, T0, T1, GRID_W, fill="locf")

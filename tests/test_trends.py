@@ -455,3 +455,29 @@ def test_seasonal_decompose_recovers_pattern(spark):
         assert r["n_samples"] == 12
         assert r["seasonal"] == pytest.approx(pattern[r["phase"]], abs=1e-6)
         assert r["resid_rms"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_resample_locf_steps_not_slopes(spark):
+    from etsd_time_series_database_spark.operators.trends import (
+        resample_interpolate,
+    )
+
+    # samples at :00 (v=10) and :04 (v=30); grid every minute.
+    # LOCF holds 10 through :03, jumps to 30 at :04; the leading grid
+    # point before any data takes the next sample
+    rows = [(1, "a", _t(1, 0), 10.0), (2, "a", _t(4, 0), 30.0)]
+    out = resample_interpolate(
+        _events(spark, rows),
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:05:00",
+        width_s=60,
+        fill="locf",
+    ).collect()
+    vals = [r["value_interp"] for r in sorted(out, key=lambda r: r["grid_us"])]
+    assert vals == [10.0, 10.0, 10.0, 10.0, 30.0, 30.0]
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        resample_interpolate(
+            _events(spark, rows), "2024-01-01", "2024-01-02", fill="cubic"
+        )
