@@ -723,11 +723,25 @@ def _bucket_means(
 ) -> DataFrame:
     """(ch, bucket, m): per-channel bucket-mean series on a common time
     grid — one map-side-combinable hash-agg; mean via exact decimal sum
-    so the grid is engine-deterministic."""
+    so the grid is engine-deterministic.
+
+    The mean is quantized with round(·, 6) — NOT left to the decimal
+    cast in the downstream Pearson sums — because the two disagree on
+    exact-half ties: a mean like 55.4465625 (decimal sums divided by a
+    power-of-two count land exactly on the 5e-7 boundary) goes UP
+    under Spark's double→decimal cast (HALF_UP) but DOWN under
+    DuckDB's (HALF_EVEN), while both engines' round() is
+    half-away-from-zero. Rounding first makes the later cast exact, so
+    no tie is ever taken. (Found by q47 at sf0.1: 8 of 720 view-channel
+    buckets sat exactly on the boundary.)"""
     return df.groupBy(
         F.col(channel).alias("ch"),
         bucket_epoch(ts, width_s).alias("bucket"),
-    ).agg((F.sum(F.col(value).cast(DEC)).cast("double") / F.count(value)).alias("m"))
+    ).agg(
+        F.round(
+            F.sum(F.col(value).cast(DEC)).cast("double") / F.count(value), 6
+        ).alias("m")
+    )
 
 
 def _pearson(pairs: DataFrame, keys: list[str]) -> DataFrame:
@@ -1307,3 +1321,41 @@ def seasonal_decompose(
         F.round(smean, 6).alias("seasonal"),
         F.round(F.sqrt(var), 6).alias("resid_rms"),
     ).orderBy(channel, "phase")
+
+
+def cross_correlation(
+    df: DataFrame,
+    lags: tuple[int, ...] = (0, 1, 2),
+    width_s: int = 3600,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Cross-correlation function between channel pairs: Pearson r of
+    channel a's bucket-mean series shifted k buckets against channel
+    b's, for each ordered pair and lag — the lead/lag probe that finds
+    which sensor MOVES FIRST (q41 gives the zero-lag dependence,
+    q42 each channel's own periodicity; this closes the triangle).
+    Directional: (a, b, k) correlates a at t−k·W with b at t, so a
+    peak at k>0 means a leads b.
+
+    Shape matches autocorrelation: one bucket-mean hash-agg, explode
+    the lag list on the left, keyed equi-join on (bucket) restricted
+    to a != b — parallelism scales with the bucket grid; with C
+    channels and L lags the output is C·(C−1)·L rows. Determinism:
+    decimal Pearson sums, round-6 finish.
+    """
+    b = _bucket_means(df, width_s, channel, value, ts)
+    lhs = b.withColumn(
+        "lag_k", F.explode(F.array(*[F.lit(k) for k in lags]))
+    ).select(
+        F.col("ch").alias("ch_a"),
+        "lag_k",
+        (F.col("bucket") + F.col("lag_k") * F.lit(width_s)).alias("bucket"),
+        F.col("m").alias("x"),
+    )
+    rhs = b.select(F.col("ch").alias("ch_b"), "bucket", F.col("m").alias("y"))
+    pairs = lhs.join(rhs, "bucket").filter(F.col("ch_a") != F.col("ch_b"))
+    return _pearson(pairs, ["ch_a", "ch_b", "lag_k"]).orderBy(
+        "ch_a", "ch_b", "lag_k"
+    )

@@ -277,7 +277,8 @@ CORR_W = 3600
     WITH b AS (
       SELECT event_type AS ch,
              (epoch_us(ts) // {CORR_W * 1_000_000}) * {CORR_W} AS bucket,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value), 6) AS m
       FROM events GROUP BY 1, 2
     ),
     p AS (
@@ -327,7 +328,8 @@ ACF_LAGS = (1, 2, 3)
     WITH b AS (
       SELECT event_type AS ch,
              (epoch_us(ts) // {CORR_W * 1_000_000}) * {CORR_W} AS bucket,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value), 6) AS m
       FROM events GROUP BY 1, 2
     ),
     l AS (
@@ -816,3 +818,64 @@ def q46(spark, sf_dir):
         & (F.col("ts") <= F.lit(GRID_MARGIN_HI).cast("timestamp"))
     )
     return resample_interpolate(e, T0, T1, GRID_W, fill="locf")
+
+
+CCF_LAGS = (0, 1, 2)
+
+
+@register(
+    "q47_cross_correlation",
+    "analytics",
+    f"""
+    WITH b AS (
+      SELECT event_type AS ch,
+             (epoch_us(ts) // {CORR_W * 1_000_000}) * {CORR_W} AS bucket,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value), 6) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT b.ch AS ch_a, k.lag_k, b.bucket + k.lag_k * {CORR_W} AS bucket2,
+             b.m AS x
+      FROM b CROSS JOIN (VALUES {", ".join(f"({k})" for k in CCF_LAGS)}) k(lag_k)
+    ),
+    p AS (
+      SELECT l.ch_a, r.ch AS ch_b, l.lag_k, l.x, r.m AS y
+      FROM l JOIN b r ON l.bucket2 = r.bucket
+      WHERE l.ch_a != r.ch
+    ),
+    s AS (
+      SELECT ch_a, ch_b, lag_k, CAST(count(*) AS BIGINT) AS n_buckets,
+             sum(CAST(x AS DECIMAL(18,6))) AS sx,
+             sum(CAST(y AS DECIMAL(18,6))) AS sy,
+             sum(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(28,6))) AS syy
+      FROM p GROUP BY ch_a, ch_b, lag_k
+    ),
+    d AS (
+      SELECT ch_a, ch_b, lag_k, n_buckets,
+             CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             sqrt(greatest(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+               * sqrt(greatest(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)) AS den
+      FROM s
+    )
+    SELECT ch_a, ch_b, lag_k, n_buckets,
+           CASE WHEN den > 0 THEN round(cov / den, 6) END AS pearson
+    FROM d ORDER BY ch_a, ch_b, lag_k
+    """,
+    doc="Cross-correlation function between channel pairs at lags "
+    "0-2 hours (directional: a at t-k vs b at t — a peak at k>0 "
+    "means a LEADS b): the lead/lag probe closing the q41/q42 "
+    "triangle. Bucket-mean hash-agg + keyed lag join, grid-scaled "
+    "parallelism.",
+)
+def q47(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        cross_correlation,
+    )
+
+    return cross_correlation(_events(spark, sf_dir), CCF_LAGS, CORR_W)

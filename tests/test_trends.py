@@ -481,3 +481,32 @@ def test_resample_locf_steps_not_slopes(spark):
         resample_interpolate(
             _events(spark, rows), "2024-01-01", "2024-01-02", fill="cubic"
         )
+
+
+def test_cross_correlation_detects_leader(spark):
+    from etsd_time_series_database_spark.operators.trends import (
+        cross_correlation,
+    )
+
+    # channel b copies channel a one bucket later: CCF(a, b) peaks at
+    # lag 1 (a leads b), CCF(b, a) peaks at lag 0 only via the shared
+    # trendless noise — use a non-monotone pattern so lag alignment is
+    # unambiguous
+    pat = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = []
+    for j, v in enumerate(pat):
+        rows.append((2 * j + 1, "a", _t(0, 0) + dt.timedelta(seconds=j * 10), v))
+        if j >= 1:
+            rows.append(
+                (2 * j + 2, "b", _t(0, 0) + dt.timedelta(seconds=j * 10),
+                 pat[j - 1])
+            )
+    out = {
+        (r.ch_a, r.ch_b, r.lag_k): r.pearson
+        for r in cross_correlation(
+            _events(spark, rows), lags=(0, 1), width_s=10
+        ).collect()
+    }
+    # a shifted 1 bucket == b exactly -> perfect correlation at lag 1
+    assert out[("a", "b", 1)] == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "b", 0)] < 0.9
