@@ -167,3 +167,92 @@ def test_segment_dedup_fingerprint_equals_raw(spark, docs, seg_tokens):
         fp = sorted(map(tuple, op(df, seg_tokens=seg_tokens, fingerprint=True).collect()))
         raw = sorted(map(tuple, op(df, seg_tokens=seg_tokens, fingerprint=False).collect()))
         assert fp == raw
+
+
+@_few
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=2,
+        max_size=60,
+    ),
+    st.sampled_from([30, 60, 300]),
+)
+def test_lttb_selects_real_points_and_keeps_endpoints(spark, values, width_s):
+    """LTTB output must be a subset of the input points (us, value both
+    real), include the channel's first and last sample, and emit at
+    most one row per (bucket, role)."""
+    import datetime as dt
+
+    from etsd_time_series_database_spark.operators.trends import (
+        lttb_downsample,
+    )
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            event_type="ch",
+            ts=base + dt.timedelta(seconds=17 * i),
+            value=float(v),
+        )
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows)
+    out = lttb_downsample(df, width_s=width_s).collect()
+    inp = {
+        (int((r.ts - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000), r.value)
+        for r in rows
+    }
+    assert all((r.us, r.value) in inp for r in out)
+    first_us = min(p[0] for p in inp)
+    last_us = max(p[0] for p in inp)
+    assert any(r.role == "first" and r.us == first_us for r in out)
+    assert any(r.role == "last" and r.us == last_us for r in out)
+    seen = [(r.bucket, r.role) for r in out]
+    assert len(seen) == len(set(seen))
+
+
+@_few
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(min_value=-3600, max_value=3600),
+)
+def test_linear_trend_slope_invariant_under_time_shift(spark, values, shift_s):
+    """Shifting the origin must not change the fitted slope or R² (the
+    intercept moves by slope·shift): the regression is affine-
+    equivariant, and the decimal sums must not overflow or drift."""
+    import datetime as dt
+
+    from etsd_time_series_database_spark.operators.trends import linear_trend
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            event_type="ch",
+            ts=base + dt.timedelta(seconds=60 * i),
+            value=float(v),
+        )
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows)
+    origin = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    a = linear_trend(df, origin_s=origin).collect()[0]
+    b = linear_trend(df, origin_s=origin + shift_s).collect()[0]
+    if a.slope_per_day is None:
+        assert b.slope_per_day is None
+    else:
+        # equal up to the DECIMAL(…,6) quantization of the x·y sums,
+        # whose effect on the slope is amplified when vx is tiny (few
+        # samples): relative + absolute band, not exact equality
+        tol = 2e-3 + 1e-5 * abs(a.slope_per_day)
+        assert abs(a.slope_per_day - b.slope_per_day) < tol
+        if a.r_squared is not None:
+            assert abs(a.r_squared - b.r_squared) < 1e-4
