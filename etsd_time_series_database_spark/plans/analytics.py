@@ -879,3 +879,58 @@ def q47(spark, sf_dir):
     )
 
     return cross_correlation(_events(spark, sf_dir), CCF_LAGS, CORR_W)
+
+
+FM_CHANNELS = ("click", "error", "purchase", "signup", "view")
+FM_W = 3600
+
+
+@register(
+    "q48_feature_matrix",
+    "reshape",
+    f"""
+    WITH b AS (
+      SELECT (epoch_us(ts) // {FM_W * 1_000_000}) * {FM_W} AS bucket,
+             event_type, value
+      FROM events
+    )
+    SELECT bucket,
+           {", ".join(
+             "round(CAST(sum(CASE WHEN event_type = '" + c
+             + "' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+             + " / count(CASE WHEN event_type = '" + c
+             + "' THEN value END), 6) AS " + c
+             for c in ("click", "error", "purchase", "signup", "view"))}
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Wide feature-matrix export: hourly bucket means pivoted to "
+    "one column per channel (the ML-ready aligned matrix; "
+    "reference-inspired by the reference's multi-stream row layout, "
+    "code/etsd.h:57-69). Single-pass explicit-list pivot — one "
+    "hash-agg keyed on bucket, never the two-pass inferred pivot; a "
+    "channel absent from a bucket yields NULL.",
+)
+def q48(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.trends import DEC
+
+    e = _events(spark, sf_dir).select(
+        F.expr(f"(unix_micros(ts) div {FM_W * 1_000_000}) * {FM_W}").alias(
+            "bucket"
+        ),
+        "event_type",
+        "value",
+    )
+    return (
+        e.groupBy("bucket")
+        .pivot("event_type", list(FM_CHANNELS))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count("value"),
+                6,
+            )
+        )
+        .orderBy("bucket")
+    )
