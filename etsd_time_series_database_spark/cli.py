@@ -153,6 +153,49 @@ def cmd_create(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_write_pq(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.similarity import (
+        write_pq_codes,
+    )
+
+    emb = spark.read.parquet(args.source)
+    write_pq_codes(
+        emb, path=args.path, m=args.m, n_cents=args.n_cents, dim=args.dim,
+        mode=args.mode, key=args.key, vec=args.vec,
+    )
+    print(
+        f"wrote PQ code table {args.path} (m={args.m}, "
+        f"n_cents={args.n_cents}, mode={args.mode})"
+    )
+    return 0
+
+
+def cmd_probe_pq(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.similarity import (
+        pq_probe_codes,
+    )
+
+    if args.vector:
+        qv = [float(x) for x in args.vector.split(",")]
+    elif args.query_id is not None and args.source:
+        rows = (
+            spark.read.parquet(args.source)
+            .filter(F.col(args.key) == args.query_id)
+            .select(args.vec)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"query id {args.query_id} not in {args.source}")
+        qv = list(rows[0][0])
+    else:
+        raise ValueError("pass --vector, or --query-id with --source")
+    pq_probe_codes(
+        spark, args.path, qv, k=args.k, key=args.key,
+        exclude_id=args.query_id,
+    ).show(n=args.k, truncate=False)
+    return 0
+
+
 def cmd_catalog(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.plans import catalog
 
@@ -363,6 +406,33 @@ def build_parser() -> argparse.ArgumentParser:
     cat = sub.add_parser("catalog", help="list every catalog query")
     cat.add_argument("--category", default=None)
     cat.set_defaults(fn=cmd_catalog)
+
+    wp = sub.add_parser(
+        "write-pq",
+        help="materialize the PQ code table (compressed ANN serving "
+        "artifact; probes read codes, never vectors)",
+    )
+    wp.add_argument("source", help="embeddings parquet")
+    wp.add_argument("path", help="output code-table directory")
+    wp.add_argument("--m", type=int, default=8)
+    wp.add_argument("--n-cents", type=int, default=16)
+    wp.add_argument("--dim", type=int, default=64)
+    wp.add_argument("--mode", default="overwrite")
+    wp.add_argument("--key", default="vec_id")
+    wp.add_argument("--vec", default="embedding")
+    wp.set_defaults(fn=cmd_write_pq)
+
+    pp = sub.add_parser(
+        "probe-pq", help="ADC top-k against a write-pq code table"
+    )
+    pp.add_argument("path", help="code table from write-pq")
+    pp.add_argument("--vector", default=None, help="comma-separated floats")
+    pp.add_argument("--query-id", type=int, default=None)
+    pp.add_argument("--source", default=None, help="embeddings parquet for --query-id")
+    pp.add_argument("--k", type=int, default=10)
+    pp.add_argument("--key", default="vec_id")
+    pp.add_argument("--vec", default="embedding")
+    pp.set_defaults(fn=cmd_probe_pq)
 
     run = sub.add_parser(
         "run", help="execute a catalog query on an sf_dir of parquet tables"

@@ -836,3 +836,102 @@ def ivfpq_topk(
         vec=vec,
         base=members,
     )
+
+
+def write_pq_codes(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    n_cents: int = 16,
+    dim: int = 64,
+    mode: str = "overwrite",
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> None:
+    """Materialize the PQ code table — the compressed serving artifact
+    the ADC probe reads INSTEAD of raw vectors. At 100 TB this is the
+    point of PQ: (key, s, cent_id) is m small ints per vector (vs
+    dim·4 bytes raw), so the scored relation fits a serving tier.
+
+    The encode is :func:`pq_topk`'s packed-decimal min_by hash-agg run
+    once over the whole corpus (every vector, including the query-side
+    ids — codes are query-independent). The per-subspace codebook
+    (cent_id, s, cvs) persists under ``{path}/_codebook`` (underscore
+    = invisible to the corpus listing, same convention as the IVF
+    layout's ``_centroids``), so a prober needs only the index path.
+    """
+    from etsd_time_series_database_spark.functions.exprs import sq_l2_distance
+
+    sub_len = dim // m
+    s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
+    cents = (
+        embeddings.filter(F.col(key).between(1, n_cents))
+        .select(F.col(key).alias("cent_id"), F.col(vec).alias("cv"))
+        .select("cent_id", s_col, "cv")
+        .select(
+            "cent_id",
+            "s",
+            F.slice("cv", F.col("s") * sub_len + 1, sub_len).alias("cvs"),
+        )
+    )
+    sub = F.slice(vec, F.col("s") * sub_len + 1, sub_len)
+    codes = (
+        embeddings.select(key, vec)
+        .crossJoin(F.broadcast(cents))
+        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs")).alias("d2"))
+        .withColumn(
+            "__ord",
+            F.col("d2").cast("decimal(19,6)")
+            * F.expr("CAST(10000000000000 AS DECIMAL(14,0))")
+            + F.col("cent_id").cast("decimal(13,0)"),
+        )
+        .groupBy(key, "s")
+        .agg(F.min_by("cent_id", "__ord").alias("cent_id"))
+    )
+    codes.write.mode(mode).parquet(path)
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/_codebook")
+
+
+def pq_probe_codes(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    key: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k against a :func:`write_pq_codes` layout: build the
+    m×n_cents query-distance table from the persisted codebook and the
+    raw query vector (driver-side KB of work), broadcast it, and rank
+    the code table — the scan reads ONLY the 3-int code columns, never
+    an embedding. One broadcast hash join + one per-key hash agg +
+    TakeOrdered, identical math to the live :func:`pq_topk` ADC."""
+    from etsd_time_series_database_spark.functions.exprs import sq_l2_distance
+
+    codes = spark.read.parquet(path)
+    cb = spark.read.parquet(path + "/_codebook")
+    q = spark.createDataFrame([([float(x) for x in query_vec],)], ["qv"])
+    qd = (
+        cb.crossJoin(F.broadcast(q))
+        .select(
+            "s",
+            "cent_id",
+            sq_l2_distance(
+                F.slice("qv", F.col("s") * F.size("cvs") + 1, F.size("cvs")),
+                F.col("cvs"),
+            ).alias("qd2"),
+        )
+    )
+    out = codes
+    if exclude_id is not None:
+        out = out.filter(F.col(key) != exclude_id)
+    from etsd_time_series_database_spark.functions.exprs import DEC
+
+    return (
+        out.join(F.broadcast(qd), ["s", "cent_id"])
+        .groupBy(key)
+        .agg(F.sum(F.col("qd2").cast(DEC)).alias("__sd"))
+        .orderBy("__sd", key)
+        .limit(k)
+        .select(key, F.round(F.col("__sd").cast("double"), 6).alias("adc_d2"))
+    )

@@ -196,3 +196,21 @@ def test_run_writes_parquet(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert spark.read.parquet(out_dir).count() == 5
+
+
+def test_write_pq_and_probe_pq(spark, tmp_path, capsys):
+    idx = str(tmp_path / "pq")
+    rc = cli.main(
+        ["write-pq", f"{SF_SMOKE}/embeddings.parquet", idx], spark=spark
+    )
+    assert rc == 0 and "wrote PQ code table" in capsys.readouterr().out
+    rc = cli.main(
+        [
+            "probe-pq", idx, "--query-id", "0",
+            "--source", f"{SF_SMOKE}/embeddings.parquet", "--k", "5",
+        ],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "adc_d2" in out

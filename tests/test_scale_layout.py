@@ -333,3 +333,39 @@ def test_ivf_append_maintains_layout_incrementally(spark, tmp_path):
         for r in got.filter(F.col("vec_id") >= 40).collect()
     }
     assert have == want
+
+
+def test_pq_codes_layout_probe_matches_live_and_reads_no_vectors(
+    spark, tmp_path
+):
+    """write_pq_codes + pq_probe_codes must reproduce the live pq_topk
+    ADC ranking exactly, and the probe's code scan must read ONLY the
+    3-int code columns — never an embedding (that is the point of the
+    compressed layout)."""
+    import importlib
+
+    from pyspark.sql import functions as F
+
+    sim = importlib.import_module(
+        "etsd_time_series_database_spark.operators.similarity"
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "pqidx")
+    sim.write_pq_codes(emb, path)
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    probe = sim.pq_probe_codes(spark, path, qv, k=10, exclude_id=0)
+    live = sim.pq_topk(emb, query_id=0, k=10)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in live.collect()
+    ]
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the code-table scan must not touch any embedding column
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    code_scans = [ln for ln in scans if "cent_id" in ln or "pqidx" in ln]
+    assert code_scans, plan
+    assert all("embedding" not in ln for ln in scans), scans
