@@ -2419,6 +2419,7 @@ def _duck_sq_l2(a: str, b: str) -> str:
     "8-byte codes at 100 TB) + asymmetric-distance top-k against the "
     "broadcast query table. Complements IVF (x15: prune WHICH vectors "
     "to score) by compressing HOW each vector is scored.",
+    headline=True,
 )
 def p56(spark, sf_dir):
     from etsd_time_series_database_spark.operators.similarity import pq_topk
