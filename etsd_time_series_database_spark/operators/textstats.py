@@ -739,3 +739,60 @@ def dsir_weights(
         )
         .orderBy(key)
     )
+
+
+def corpus_datacard(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-source corpus data card — the datasheet row a training run
+    records per feed: document count, token volume, English fraction
+    (x16's stopword rule), mean quality (x17's composite), and the
+    exact-duplicate rate (x11's fingerprint grouping) — all five
+    signals in ONE map-side-combinable hash aggregation keyed by
+    source (no joins between the component operators, no second
+    pass).
+
+    Per-doc expressions reuse the catalog components verbatim so the
+    card is consistent with the standalone entries. The x10/x54 note
+    applies at 100 TB: the token array is referenced several times per
+    row, which evaluates interpreted per reference — the fused
+    exploded form in plans/pipeline.py is the hot-path variant; this
+    card is the small-output reporting form. Mean quality quantizes
+    per-doc scores with round(·, 6) before the DECIMAL sum (the
+    exact-half tie rule — see _bucket_means); dup-rate counts distinct
+    xxhash64(text) with the raw-text oracle, the x11 collision-free
+    convention.
+    """
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(
+        F.expr(
+            f"filter(filter(split({text}, ' '), x -> x != ''), "
+            f"x -> x IN ({in_list}))"
+        )
+    )
+    is_en = F.try_divide(n_stop, n_tok) >= 0.05
+    n_dis = F.size(F.array_distinct(toks))
+    quality = F.lit(0.5) * F.try_divide(n_dis, n_tok) + F.lit(0.5) * F.least(
+        F.lit(1.0), n_tok / F.lit(100.0)
+    )
+    agg = df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.sum(F.when(is_en, 1).otherwise(0)).alias("__n_en"),
+        F.sum(F.round(quality, 6).cast(DEC)).alias("__sq"),
+        F.count(quality).alias("__nq"),
+        F.countDistinct(F.xxhash64(text)).alias("__nd"),
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("__n_en").cast("double") / n, 6).alias("english_frac"),
+        F.round(
+            F.col("__sq").cast("double") / F.col("__nq").cast("double"), 6
+        ).alias("mean_quality"),
+        F.round(F.lit(1.0) - F.col("__nd").cast("double") / n, 6).alias(
+            "dup_rate"
+        ),
+    ).orderBy("source")

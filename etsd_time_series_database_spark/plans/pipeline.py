@@ -2608,3 +2608,50 @@ def p59(spark, sf_dir):
     from etsd_time_series_database_spark.operators.dedup import source_overlap
 
     return source_overlap(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "x60_corpus_datacard",
+    "text",
+    f"""
+    WITH d AS (
+      SELECT source, text, {_TOKS} AS toks FROM documents
+    ),
+    per AS (
+      SELECT source, text,
+             len(toks) AS n_tok,
+             len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+             len(list_distinct(toks)) AS n_dis
+      FROM d
+    ),
+    q AS (
+      SELECT source, text, n_tok,
+             CASE WHEN n_tok > 0
+                       AND CAST(n_stop AS DOUBLE) / n_tok >= 0.05
+                  THEN 1 ELSE 0 END AS is_en,
+             round(0.5 * (CAST(n_dis AS DOUBLE) / nullif(n_tok, 0))
+                   + 0.5 * least(1.0, n_tok / 100.0), 6) AS quality
+      FROM per
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(is_en) AS DOUBLE) / count(*), 6) AS english_frac,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(quality) AS DOUBLE), 6) AS mean_quality,
+           round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+    FROM q GROUP BY source ORDER BY source
+    """,
+    doc="Per-source corpus DATA CARD: docs, token volume, English "
+    "fraction (x16 rule), mean quality (x17 composite), exact-dup "
+    "rate (x11 fingerprint grouping) — the per-feed datasheet row, "
+    "five signals in ONE map-side hash-agg with no joins between the "
+    "component operators.",
+)
+def p60(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        corpus_datacard,
+    )
+
+    return corpus_datacard(load_table(spark, sf_dir, "documents"))

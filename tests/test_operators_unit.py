@@ -669,3 +669,25 @@ def test_source_overlap_counts_shared_shingles(spark):
     r = out[("s1", "s2")]
     assert r.n_shared == 2
     assert abs(r.jaccard - 2 / (2 + 4 - 2)) < 1e-9
+
+
+def test_corpus_datacard_signals(spark):
+    from etsd_time_series_database_spark.operators.textstats import (
+        corpus_datacard,
+    )
+
+    rows = [
+        # s1: two English docs (stopword-rich), one exact dup pair
+        (1, "the cat sat on the mat and the dog", "s1"),
+        (2, "the cat sat on the mat and the dog", "s1"),
+        # s2: one non-English doc
+        (3, "xyzzy plugh quux foo bar", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in corpus_datacard(df).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert s1.n_docs == 2 and s1.total_tokens == 18
+    assert abs(s1.english_frac - 1.0) < 1e-9
+    assert abs(s1.dup_rate - 0.5) < 1e-9     # 2 docs, 1 distinct text
+    assert s2.english_frac == 0.0 and s2.dup_rate == 0.0
+    assert 0.0 < s2.mean_quality <= 1.0
