@@ -236,42 +236,23 @@ def _use_stitched(df: DataFrame, mode: str) -> bool:
     return _est_rows(df) >= STITCH_AUTO_MIN_ROWS
 
 
-def time_weighted_avg(
+def _hold_segments(
     df: DataFrame,
     start: str,
     end: str,
-    channel: str = "event_type",
-    ts: str = "ts",
-    value: str = "value",
-    tie: str = "event_id",
-    bucket_s: int = 86400,
-    mode: str = "auto",
+    channel: str,
+    ts: str,
+    value: str,
+    tie: str,
+    bucket_s: int,
+    mode: str,
 ) -> DataFrame:
-    """Carry-forward time-weighted average per channel over [start, end).
-
-    Each sample holds its value until the next sample; segments are
-    clipped to the query range, so a sample before ``start`` whose
-    successor lies inside the range contributes its pro-rata tail —
-    the reference's interval interpolation generalized from totals
-    (code/etsdQuery.c:254,279) to averages.
-
-    Weights are integer microsecond durations; value×duration products
-    stay in exact DECIMAL, so the aggregation is order-independent.
-
-    The only sequential dependency is ``lead(us)``. In stitched form it
-    is computed at (channel, bucket) parallelism with a 1-row lead
-    margin: a tiny per-(channel, bucket) boundary table (first us per
-    bucket) is windowed per channel — n_channels x n_buckets rows, not
-    n_rows — and each bucket's last row takes the next non-empty
-    bucket's first us from it. Bit-identical to the global per-channel
-    window at any bucket size (the boundary table skips empty buckets
-    by construction), but parallelism scales with channels x buckets.
-
-    ``mode='auto'`` (default) picks the plain channel-global window
-    when the Catalyst size estimate says the input is small (<
-    STITCH_AUTO_MIN_ROWS): same result, none of the boundary-machinery
-    stages. 'stitched'/'global' force a form.
-    """
+    """Carry-forward hold segments clipped to [start, end): one row per
+    sample with its held value and integer-microsecond ``dur_us``.
+    Shared by :func:`time_weighted_avg` and :func:`time_in_state` —
+    the lead(us) is the only sequential dependency, computed at
+    (channel, bucket) parallelism in stitched form via the 1-row
+    boundary-table margin (see time_weighted_avg's docstring)."""
     t0, t1 = _ts_us(start), _ts_us(end)
     stitched = _use_stitched(df, mode)
     rows = df.select(
@@ -311,12 +292,51 @@ def time_weighted_avg(
         seg = rows.withColumn(
             "nxt", F.coalesce(F.lead("us").over(w), t1)
         )
-    seg = (
+    return (
         seg.withColumn("seg_start", F.greatest(F.col("us"), t0))
         .withColumn("seg_end", F.least(F.col("nxt"), t1))
         .withColumn("dur_us", F.col("seg_end") - F.col("seg_start"))
         .filter(F.col("dur_us") > 0)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    start: str,
+    end: str,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+    bucket_s: int = 86400,
+    mode: str = "auto",
+) -> DataFrame:
+    """Carry-forward time-weighted average per channel over [start, end).
+
+    Each sample holds its value until the next sample; segments are
+    clipped to the query range, so a sample before ``start`` whose
+    successor lies inside the range contributes its pro-rata tail —
+    the reference's interval interpolation generalized from totals
+    (code/etsdQuery.c:254,279) to averages.
+
+    Weights are integer microsecond durations; value×duration products
+    stay in exact DECIMAL, so the aggregation is order-independent.
+
+    The only sequential dependency is ``lead(us)``. In stitched form it
+    is computed at (channel, bucket) parallelism with a 1-row lead
+    margin: a tiny per-(channel, bucket) boundary table (first us per
+    bucket) is windowed per channel — n_channels x n_buckets rows, not
+    n_rows — and each bucket's last row takes the next non-empty
+    bucket's first us from it. Bit-identical to the global per-channel
+    window at any bucket size (the boundary table skips empty buckets
+    by construction), but parallelism scales with channels x buckets.
+
+    ``mode='auto'`` (default) picks the plain channel-global window
+    when the Catalyst size estimate says the input is small (<
+    STITCH_AUTO_MIN_ROWS): same result, none of the boundary-machinery
+    stages. 'stitched'/'global' force a form.
+    """
+    seg = _hold_segments(df, start, end, channel, ts, value, tie, bucket_s, mode)
     contrib = F.col(value).cast(DEC) * F.col("dur_us").cast(DEC_W)
     return (
         seg.groupBy(channel)
@@ -1358,4 +1378,45 @@ def cross_correlation(
     pairs = lhs.join(rhs, "bucket").filter(F.col("ch_a") != F.col("ch_b"))
     return _pearson(pairs, ["ch_a", "ch_b", "lag_k"]).orderBy(
         "ch_a", "ch_b", "lag_k"
+    )
+
+
+def time_in_state(
+    df: DataFrame,
+    threshold: float,
+    start: str,
+    end: str,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+    bucket_s: int = 86400,
+    mode: str = "auto",
+) -> DataFrame:
+    """Alarm/SLO duration accounting per channel over [start, end):
+    how long each channel's carry-forward value sat ABOVE the
+    threshold — total microseconds, covered time, and the fraction.
+    The "time in alarm" number every SLO dashboard reports, with the
+    reference's pro-rata boundary treatment (code/etsdQuery.c:254,279)
+    applied to state durations instead of totals.
+
+    Shares :func:`time_weighted_avg`'s hold-segment machinery
+    (stitched (channel, bucket) lead with the 1-row boundary margin —
+    scale notes there); the closing aggregation is a two-term
+    conditional integer sum, map-side combinable. Integer microsecond
+    durations make every output exact except the final fraction
+    (round-6 convention).
+    """
+    seg = _hold_segments(df, start, end, channel, ts, value, tie, bucket_s, mode)
+    above = F.when(F.col(value) > threshold, F.col("dur_us")).otherwise(F.lit(0))
+    return (
+        seg.groupBy(channel)
+        .agg(
+            F.sum(above).cast("bigint").alias("us_above"),
+            F.sum("dur_us").cast("bigint").alias("covered_us"),
+            F.round(
+                F.sum(above).cast("double") / F.sum("dur_us").cast("double"), 6
+            ).alias("frac_above"),
+        )
+        .orderBy(channel)
     )

@@ -934,3 +934,47 @@ def q48(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+SLO_THRESH = 250.0
+
+
+@register(
+    "q49_time_in_state",
+    "aggregate",
+    f"""
+    WITH seg AS (
+      SELECT event_type, epoch_us(ts) AS us, value, event_id,
+             coalesce(lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                               ORDER BY epoch_us(ts), event_id),
+                      epoch_us(TIMESTAMP '{T1}')) AS nxt
+      FROM events
+      WHERE epoch_us(ts) < epoch_us(TIMESTAMP '{T1}')
+    ),
+    c AS (
+      SELECT event_type, value,
+             least(nxt, epoch_us(TIMESTAMP '{T1}'))
+               - greatest(us, epoch_us(TIMESTAMP '{T0}')) AS dur_us
+      FROM seg
+      WHERE least(nxt, epoch_us(TIMESTAMP '{T1}'))
+              - greatest(us, epoch_us(TIMESTAMP '{T0}')) > 0
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN value > {SLO_THRESH} THEN dur_us ELSE 0 END)
+                AS BIGINT) AS us_above,
+           CAST(sum(dur_us) AS BIGINT) AS covered_us,
+           round(CAST(sum(CASE WHEN value > {SLO_THRESH} THEN dur_us ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(dur_us) AS DOUBLE), 6) AS frac_above
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-in-alarm accounting per channel over [T0, T1): carry-"
+    "forward duration above the threshold with pro-rata boundary "
+    "clipping (q38's hold segments; the reference's interval "
+    "interpolation applied to state durations). Exact integer "
+    "microsecond sums; map-side combinable.",
+)
+def q49(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import time_in_state
+
+    return time_in_state(_events(spark, sf_dir), SLO_THRESH, T0, T1)

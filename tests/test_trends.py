@@ -510,3 +510,39 @@ def test_cross_correlation_detects_leader(spark):
     # a shifted 1 bucket == b exactly -> perfect correlation at lag 1
     assert out[("a", "b", 1)] == pytest.approx(1.0, abs=1e-6)
     assert out[("a", "b", 0)] < 0.9
+
+
+def test_time_in_state_pro_rata_boundaries(spark):
+    from etsd_time_series_database_spark.operators.trends import time_in_state
+
+    # v=10 (below) for 30 min, then v=30 (above) for 30 min; threshold
+    # 20 -> half the hour above. Clipped range covers only the middle
+    # 30 min -> still half above (15 min of each state).
+    df = _events(spark, [(1, "a", _t(0), 10.0), (2, "a", _t(30), 30.0)])
+    r = time_in_state(
+        df, 20.0, "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+    ).collect()[0]
+    assert r.covered_us == 3600 * 1_000_000
+    assert r.us_above == 1800 * 1_000_000
+    assert abs(r.frac_above - 0.5) < 1e-9
+    r2 = time_in_state(
+        df, 20.0, "2024-01-01 00:15:00", "2024-01-01 00:45:00"
+    ).collect()[0]
+    assert r2.covered_us == 1800 * 1_000_000
+    assert r2.us_above == 900 * 1_000_000
+
+
+def test_time_in_state_stitched_matches_global(spark):
+    from etsd_time_series_database_spark.operators.trends import time_in_state
+
+    rows = []
+    for j in range(50):
+        rows.append((j, "a", _t(0) + dt.timedelta(seconds=7 * j + (j % 5)),
+                     float((j * 13) % 40)))
+    df = _events(spark, rows)
+    t0, t1 = "2024-01-01 00:00:30", "2024-01-01 00:05:30"
+    a = sorted(map(tuple, time_in_state(
+        df, 20.0, t0, t1, bucket_s=60, mode="stitched").collect()))
+    b = sorted(map(tuple, time_in_state(
+        df, 20.0, t0, t1, mode="global").collect()))
+    assert a == b
