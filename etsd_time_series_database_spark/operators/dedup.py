@@ -660,3 +660,63 @@ def source_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def keep_best_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Near-dup canonical selection by QUALITY: collapse candidate
+    pairs to connected components (:func:`cluster_pairs`) and keep
+    each cluster's highest-quality member — the production dedup
+    policy (keep the best copy, not the earliest id; x09/x38 keep
+    min-id). Singletons are their own component and survive.
+
+    Per (component): the kept doc, member count, and its quality.
+    Quality is x17's composite, quantized to round-6 BEFORE the argmax
+    so sub-quantum differences tie deterministically to the lowest id
+    on every engine; the argmax packs (quality, -id) into one
+    order-preserving DECIMAL so the per-component reduction stays a
+    map-side-combinable HashAggregate (the q35/x56 packing). Empty
+    docs (undefined quality) rank at -1, below every real score.
+
+    Scale: cluster_pairs is the iterative min-label propagation
+    (bounded rounds, localCheckpoint); everything after is one
+    broadcast-joinable label table + one hash-agg keyed by component.
+    """
+    from etsd_time_series_database_spark.operators.textstats import (
+        _tokens as _ttokens,
+    )
+
+    comp = cluster_pairs(pairs)
+    toks = _ttokens(text)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    quality = F.lit(0.5) * F.try_divide(n_dis, n_tok) + F.lit(0.5) * F.least(
+        F.lit(1.0), n_tok / F.lit(100.0)
+    )
+    q6 = F.coalesce(F.round(quality, 6), F.lit(-1.0))
+    lab = df.select(F.col(key), q6.alias("q6")).join(
+        comp.withColumnRenamed("doc_id", key), key, "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col(key)).alias("component"),
+        F.col(key),
+        "q6",
+    )
+    packed = (
+        F.col("q6").cast("decimal(19,6)")
+        * F.expr("CAST(10000000000000 AS DECIMAL(14,0))")
+        - F.col(key).cast("decimal(13,0)")
+    )
+    return (
+        lab.withColumn("__pk", packed)
+        .groupBy("component")
+        .agg(
+            F.max_by(key, "__pk").alias("best_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("q6").alias("best_quality"),
+        )
+        .orderBy("component")
+    )

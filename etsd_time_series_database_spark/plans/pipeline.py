@@ -2655,3 +2655,57 @@ def p60(spark, sf_dir):
     )
 
     return corpus_datacard(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x61_keep_best_canonical",
+    "dedup",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    e(src, dst) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    qual AS (
+      SELECT doc_id,
+             coalesce(round(
+               0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / nullif(len(toks), 0))
+               + 0.5 * least(1.0, len(toks) / 100.0), 6), -1.0) AS q6
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    lab AS (
+      SELECT coalesce(c.component, q.doc_id) AS component, q.doc_id, q.q6
+      FROM qual q LEFT JOIN comp c USING (doc_id)
+    ),
+    sel AS (
+      SELECT component, doc_id, q6,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY q6 DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS nm
+      FROM lab
+    )
+    SELECT component, doc_id AS best_doc, CAST(nm AS BIGINT) AS n_members,
+           max(q6) OVER (PARTITION BY component) AS best_quality
+    FROM sel WHERE rn = 1 ORDER BY component
+    """,
+    doc="Keep-BEST near-dup canonicals: LSH pairs -> connected "
+    "components (x09 propagation) -> per-cluster argmax by x17 "
+    "quality (round-6 quantized, packed-decimal max_by hash-agg; "
+    "lowest id on ties) — the production dedup policy of keeping the "
+    "best copy rather than the earliest id.",
+)
+def p61(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        keep_best_canonical,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="poly")
+    return keep_best_canonical(docs, pairs)

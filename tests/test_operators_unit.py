@@ -691,3 +691,27 @@ def test_corpus_datacard_signals(spark):
     assert abs(s1.dup_rate - 0.5) < 1e-9     # 2 docs, 1 distinct text
     assert s2.english_frac == 0.0 and s2.dup_rate == 0.0
     assert 0.0 < s2.mean_quality <= 1.0
+
+
+def test_keep_best_canonical_prefers_quality_over_id(spark):
+    from etsd_time_series_database_spark.operators.dedup import (
+        keep_best_canonical,
+    )
+
+    # cluster {1,2,3}: doc 3 has the richest text -> kept despite the
+    # highest id; singleton 9 survives as its own component
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "a b a b"),
+            (3, "a b c d e f g h"),
+            (9, "z z y y"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {r.component: r for r in keep_best_canonical(docs, pairs).collect()}
+    assert set(out) == {1, 9}
+    assert out[1].best_doc == 3 and out[1].n_members == 3
+    assert out[9].best_doc == 9 and out[9].n_members == 1
+    assert out[1].best_quality > out[9].best_quality
