@@ -414,3 +414,54 @@ def carry_forward_batch(batch: DataFrame, state: DataFrame | None) -> tuple[Data
         )
     )
     return filled, new_state
+
+
+def enrich_join_stream(
+    readings: DataFrame,
+    annotations: DataFrame,
+    band_s: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attach to every reading the
+    annotations (alerts, config changes, operator notes) for the SAME
+    channel whose timestamp falls within ``band_s`` seconds BEFORE the
+    reading — the live enrichment path a monitoring pipeline runs
+    (readings tagged with the alert that was active when they arrived).
+
+    The standard Structured Streaming stream-stream equi+interval join:
+    both sides carry a watermark and the join condition bounds
+    ``ann.ts ∈ [reading.ts − band_s, reading.ts]``, so state on each
+    side is bounded by watermark + band — Spark evicts joined state
+    past the horizon. Inner join: readings without an annotation in
+    the band are dropped (use the batch as-of join, q23/q34, for the
+    keep-all enrichment shape).
+
+    On batch DataFrames the same expression is a plain interval join
+    with identical semantics (watermark is a no-op) — which is how the
+    deterministic tests pin it.
+    """
+    r = readings.withWatermark("ts", watermark).alias("r")
+    a = (
+        annotations.withWatermark("ts", watermark)
+        .select(
+            F.col("source").alias("a_source"),
+            F.col("channel").alias("a_channel"),
+            F.col("ts").alias("a_ts"),
+            F.col("value").alias("a_value"),
+        )
+        .alias("a")
+    )
+    cond = (
+        (F.col("r.source") == F.col("a.a_source"))
+        & (F.col("r.channel") == F.col("a.a_channel"))
+        & (F.col("a.a_ts") <= F.col("r.ts"))
+        & (F.col("a.a_ts") >= F.col("r.ts") - F.expr(f"INTERVAL {band_s} SECONDS"))
+    )
+    return r.join(a, cond, "inner").select(
+        F.col("r.source").alias("source"),
+        F.col("r.channel").alias("channel"),
+        F.col("r.ts").alias("ts"),
+        F.col("r.value").alias("value"),
+        F.col("a.a_ts").alias("ann_ts"),
+        F.col("a.a_value").alias("ann_value"),
+    )

@@ -143,3 +143,56 @@ def test_sliding_window_batch_semantics(spark):
     assert out["2025-12-31 23:59:30"] == 1
     assert out["2026-01-01 00:00:00"] == 2
     assert out["2026-01-01 00:00:30"] == 1
+
+
+def test_enrich_join_stream_batch_semantics(spark):
+    readings = _events(
+        spark,
+        [
+            ("2026-01-01 00:01:00", "a", 10, 0),
+            ("2026-01-01 00:05:00", "a", 20, 0),
+            ("2026-01-01 00:01:00", "b", 30, 0),
+        ],
+    )
+    anns = _events(
+        spark,
+        [
+            ("2026-01-01 00:00:30", "a", 99, 0),   # 30 s before reading 1
+            ("2026-01-01 00:03:00", "a", 77, 0),   # 120 s before reading 2
+        ],
+    )
+    out = ingest.enrich_join_stream(readings, anns, band_s=60).collect()
+    # only reading (a, 00:01) has an annotation within its 60 s band;
+    # reading 2's annotation is 120 s old, channel b has none
+    assert len(out) == 1
+    r = out[0]
+    assert (r.channel, r.value, r.ann_value) == ("a", 10.0, 99.0)
+
+
+def test_enrich_join_stream_true_streaming_smoke(spark, tmp_path):
+    """Exercise the REAL stream-stream join (not the batch degenerate):
+    two file streams, availableNow trigger, memory sink."""
+    import uuid
+
+    rdir, adir = tmp_path / "r", tmp_path / "a"
+    rdir.mkdir(), adir.mkdir()
+    _events(
+        spark, [("2026-01-01 00:01:00", "a", 10, 0)]
+    ).write.parquet(str(rdir / "p"))
+    _events(
+        spark, [("2026-01-01 00:00:30", "a", 99, 0)]
+    ).write.parquet(str(adir / "p"))
+    schema = "ts timestamp, source string, channel string, value double, status int"
+    rs = spark.readStream.schema(schema).parquet(str(rdir / "p"))
+    as_ = spark.readStream.schema(schema).parquet(str(adir / "p"))
+    joined = ingest.enrich_join_stream(rs, as_, band_s=60)
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == 1 and rows[0].ann_value == 99.0
