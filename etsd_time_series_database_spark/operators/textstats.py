@@ -796,3 +796,38 @@ def corpus_datacard(df: DataFrame, text: str = "text") -> DataFrame:
             "dup_rate"
         ),
     ).orderBy("source")
+
+
+def normalize_dedup_lift(df: DataFrame, text: str = "text") -> DataFrame:
+    """Normalization-aware dedup accounting (the CCNet/RefinedWeb
+    pre-dedup step): lowercase + whitespace-run collapse + trim, then
+    report in ONE row how much duplicate mass normalization exposes —
+    docs changed by normalization, distinct texts before vs after, and
+    the extra duplicates found (raw-distinct − norm-distinct).
+
+    The normalization grammar sticks to the Java-regex/RE2-compatible
+    subset (the PII-module rule): explicit classes and {m,n} runs, no
+    lookarounds — so the oracle reproduces the exact strings. Distinct
+    counts key on xxhash64 of the (raw|normalized) text Spark-side
+    with raw-string oracle grouping (the x11 collision-free
+    convention). Shape: one projection + one global hash-agg (two
+    count-distincts + two conditional sums) — map-side combinable,
+    text never shuffles.
+    """
+    t = F.col(text)
+    norm = F.trim(F.regexp_replace(F.lower(t), "[ ]{2,}", " "))
+    per = df.select(
+        t.alias("__raw"),
+        norm.alias("__norm"),
+        (norm != t).cast("int").alias("__changed"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__changed").cast("bigint").alias("n_changed"),
+        F.countDistinct(F.xxhash64("__raw")).alias("distinct_raw"),
+        F.countDistinct(F.xxhash64("__norm")).alias("distinct_norm"),
+        (
+            F.countDistinct(F.xxhash64("__raw"))
+            - F.countDistinct(F.xxhash64("__norm"))
+        ).cast("bigint").alias("extra_dups_found"),
+    )

@@ -2709,3 +2709,34 @@ def p61(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs, rows_per_band=2, hash_mode="poly")
     return keep_best_canonical(docs, pairs)
+
+
+@register(
+    "x62_normalize_dedup_lift",
+    "dedup",
+    """
+    WITH per AS (
+      SELECT text AS raw,
+             trim(regexp_replace(lower(text), '[ ]{2,}', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN norm != raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(count(DISTINCT raw) AS BIGINT) AS distinct_raw,
+           CAST(count(DISTINCT norm) AS BIGINT) AS distinct_norm,
+           CAST(count(DISTINCT raw) - count(DISTINCT norm) AS BIGINT)
+             AS extra_dups_found
+    FROM per
+    """,
+    doc="Normalization-aware dedup lift (CCNet-style normalize-before-"
+    "dedup): lowercase + whitespace-collapse + trim, then distinct-"
+    "text counts before/after in one global hash-agg — quantifies the "
+    "duplicate mass that case/spacing variants hide from exact dedup.",
+)
+def p62(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        normalize_dedup_lift,
+    )
+
+    return normalize_dedup_lift(load_table(spark, sf_dir, "documents"))

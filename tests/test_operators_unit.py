@@ -715,3 +715,26 @@ def test_keep_best_canonical_prefers_quality_over_id(spark):
     assert out[1].best_doc == 3 and out[1].n_members == 3
     assert out[9].best_doc == 9 and out[9].n_members == 1
     assert out[1].best_quality > out[9].best_quality
+
+
+def test_normalize_dedup_lift_counts(spark):
+    from etsd_time_series_database_spark.operators.textstats import (
+        normalize_dedup_lift,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),        # dup of 1 only after normalization
+            (3, " hello world "),      # also collapses to the same
+            (4, "other doc"),
+            (5, "other doc"),          # raw exact dup of 4
+        ],
+        ["doc_id", "text"],
+    )
+    r = normalize_dedup_lift(docs).collect()[0]
+    assert r.n_docs == 5
+    assert r.n_changed == 2            # docs 1 and 3; 2/4/5 already clean
+    # raw: 4 distinct (1,2,3 differ; 4==5); norm: 2 distinct
+    assert (r.distinct_raw, r.distinct_norm) == (4, 2)
+    assert r.extra_dups_found == 2
