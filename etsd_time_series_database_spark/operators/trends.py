@@ -1420,3 +1420,61 @@ def time_in_state(
         )
         .orderBy(channel)
     )
+
+
+def moment_profile(
+    df: DataFrame,
+    channel: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Higher-moment statistical profile per channel: mean, stddev
+    (population), skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2² − 3 — the distribution-shape battery a monitoring
+    pipeline uses to pick anomaly detectors (z-score assumes g1≈0,
+    g2≈0; heavy tails send you to the MAD/CUSUM family instead).
+
+    Shape matches q43: ONE map-side-combinable hash agg to the five
+    power sums (n, Σy, Σy², Σy³, Σy⁴ — all DECIMAL, order-exact),
+    output cardinality = channels. Central moments close from the
+    power sums in fixed-shape double arithmetic (the standard
+    E[(y−μ)^k] expansions), with the m2 > 0 guard emitting NULL for
+    constant channels instead of an ANSI divide-by-zero; tiny negative
+    m2 from double rounding clamps at 0 (the _pearson convention).
+    """
+    y = F.col(value)
+    agg = (
+        df.filter(y.isNotNull())
+        .groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast(DEC)).alias("s1"),
+            F.sum((y * y).cast(DEC_SQ)).alias("s2"),
+            F.sum((y * y * y).cast(DEC_SQ)).alias("s3"),
+            F.sum((y * y * y * y).cast(DEC_SQ)).alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    e2 = F.col("s2").cast("double") / n
+    e3 = F.col("s3").cast("double") / n
+    e4 = F.col("s4").cast("double") / n
+    m2 = F.greatest(e2 - m * m, F.lit(0.0))
+    m3 = e3 - F.lit(3.0) * m * e2 + F.lit(2.0) * m * m * m
+    m4 = (
+        e4
+        - F.lit(4.0) * m * e3
+        + F.lit(6.0) * m * m * e2
+        - F.lit(3.0) * m * m * m * m
+    )
+    return agg.select(
+        F.col(channel),
+        F.col("n").alias("n_samples"),
+        F.round(m, 6).alias("mean"),
+        F.round(F.sqrt(m2), 6).alias("stddev_pop"),
+        F.when(m2 > 0, F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6)).alias(
+            "skewness"
+        ),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)).alias(
+            "kurtosis_excess"
+        ),
+    ).orderBy(channel)

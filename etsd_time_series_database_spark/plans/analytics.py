@@ -978,3 +978,55 @@ def q49(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import time_in_state
 
     return time_in_state(_events(spark, sf_dir), SLO_THRESH, T0, T1)
+
+
+@register(
+    "q50_moment_profile",
+    "analytics",
+    """
+    WITH a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(value * value * value AS DECIMAL(28,6))) AS DOUBLE)
+               AS s3,
+             CAST(sum(CAST(value * value * value * value AS DECIMAL(28,6)))
+                  AS DOUBLE) AS s4
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n,
+             s1 / CAST(n AS DOUBLE) AS m,
+             s2 / CAST(n AS DOUBLE) AS e2,
+             s3 / CAST(n AS DOUBLE) AS e3,
+             s4 / CAST(n AS DOUBLE) AS e4
+      FROM a
+    ),
+    d AS (
+      SELECT event_type, n, m,
+             greatest(e2 - m * m, 0.0) AS m2,
+             e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
+             e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
+      FROM c
+    )
+    SELECT event_type, n AS n_samples,
+           round(m, 6) AS mean,
+           round(sqrt(m2), 6) AS stddev_pop,
+           CASE WHEN m2 > 0
+                THEN round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) END
+             AS skewness,
+           CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+             AS kurtosis_excess
+    FROM d ORDER BY event_type
+    """,
+    doc="Distribution-shape battery per channel (mean/stddev/skewness/"
+    "excess kurtosis from the five DECIMAL power sums, ONE map-side "
+    "hash-agg) — the detector-selection statistics: heavy tails or "
+    "strong skew disqualify the z-score family (q37) in favour of "
+    "MAD/CUSUM (x44/x49).",
+)
+def q50(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import moment_profile
+
+    return moment_profile(_events(spark, sf_dir))

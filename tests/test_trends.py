@@ -546,3 +546,23 @@ def test_time_in_state_stitched_matches_global(spark):
     b = sorted(map(tuple, time_in_state(
         df, 20.0, t0, t1, mode="global").collect()))
     assert a == b
+
+
+def test_moment_profile_known_distributions(spark):
+    from etsd_time_series_database_spark.operators.trends import moment_profile
+
+    # symmetric two-point {0, 10}: mean 5, skew 0, kurtosis -2 (Bernoulli)
+    rows = [(i, "sym", _t(i), 0.0 if i % 2 else 10.0) for i in range(20)]
+    # constant channel: stddev 0, skew/kurtosis NULL
+    rows += [(100 + i, "const", _t(i), 7.0) for i in range(5)]
+    # right-skewed: mostly 0 with one large value
+    rows += [(200 + i, "skewed", _t(i), 0.0) for i in range(9)]
+    rows += [(250, "skewed", _t(30), 90.0)]
+    out = {r.event_type: r for r in moment_profile(_events(spark, rows)).collect()}
+    s = out["sym"]
+    assert s.mean == pytest.approx(5.0) and s.stddev_pop == pytest.approx(5.0)
+    assert s.skewness == pytest.approx(0.0, abs=1e-9)
+    assert s.kurtosis_excess == pytest.approx(-2.0, abs=1e-6)
+    c = out["const"]
+    assert c.stddev_pop == 0.0 and c.skewness is None and c.kurtosis_excess is None
+    assert out["skewed"].skewness > 2.0
