@@ -572,3 +572,51 @@ def etsd_ks(
         channel, "t_min_us", "t_max_us"
     )
     return base.join(F.broadcast(tx), channel).orderBy(channel)
+
+
+def longest_gaps(
+    df: DataFrame,
+    k: int = 3,
+    channel: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Top-k LONGEST inter-sample gaps per channel with their
+    endpoints — the outage report behind q14's gap *counts* (which
+    silence was worst, when did it start/end). Rank per channel by
+    (duration DESC, gap start, seq): Catalyst rewrites the rank-1..k
+    filter to WindowGroupLimit, so each task keeps k rows per channel
+    before the exchange — the q44 pruning shape, never a full sort of
+    the fact. The lag() itself windows per channel; for the
+    skew-regime alternative see operators/scalable_window.py (q07's
+    stitched lag) — at the catalog's channel cardinality the plain
+    form is the right plan.
+    """
+    w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+    us = epoch_us(ts)
+    d = (
+        df.select(
+            F.col(channel),
+            us.alias("__us"),
+            F.col(seq).alias("__seq"),
+            F.lag(us).over(w).alias("__prev_us"),
+            F.lag(F.col(seq)).over(w).alias("__prev_seq"),
+        )
+        .filter(F.col("__prev_us").isNotNull())
+        .withColumn("gap_us", F.col("__us") - F.col("__prev_us"))
+    )
+    wr = Window.partitionBy(channel).orderBy(
+        F.col("gap_us").desc(), "__prev_us", "__seq"
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col(channel),
+            F.col("__rn").alias("rank"),
+            "gap_us",
+            F.col("__prev_us").alias("gap_start_us"),
+            F.col("__us").alias("gap_end_us"),
+        )
+        .orderBy(channel, "rank")
+    )

@@ -801,3 +801,39 @@ def q34(spark, sf_dir):
         epoch_us("ts").alias("p_ts_us"),
         epoch_us("ts_asof").alias("click_ts_us"),
     ).orderBy("event_id")
+
+
+@register(
+    "q51_longest_gaps",
+    "quality",
+    """
+    WITH d AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT event_type, us - prev_us AS gap_us, prev_us, us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY us - prev_us DESC, prev_us,
+                                         event_id) AS rn
+      FROM d WHERE prev_us IS NOT NULL
+    )
+    SELECT event_type, CAST(rn AS INTEGER) AS rank, gap_us,
+           prev_us AS gap_start_us, us AS gap_end_us
+    FROM g WHERE rn <= 3
+    ORDER BY event_type, rank
+    """,
+    doc="Top-3 longest silences per channel with endpoints (the outage "
+    "report behind q14's counts); rank filter plans as "
+    "WindowGroupLimit — k rows per channel kept per task, no full "
+    "sort.",
+)
+def q51(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        longest_gaps,
+    )
+
+    return longest_gaps(_events(spark, sf_dir), k=3)

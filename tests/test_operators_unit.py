@@ -738,3 +738,22 @@ def test_normalize_dedup_lift_counts(spark):
     # raw: 4 distinct (1,2,3 differ; 4==5); norm: 2 distinct
     assert (r.distinct_raw, r.distinct_norm) == (4, 2)
     assert r.extra_dups_found == 2
+
+
+def test_longest_gaps_ranks_and_endpoints(spark):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        longest_gaps,
+    )
+
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:00", "a", 1, 1),
+            ("2026-01-01 00:00:10", "a", 1, 2),   # 10 s gap
+            ("2026-01-01 00:01:00", "a", 1, 3),   # 50 s gap  (rank 1)
+            ("2026-01-01 00:01:30", "a", 1, 4),   # 30 s gap  (rank 2)
+        ],
+    )
+    out = longest_gaps(df, k=2).collect()
+    assert [(r.rank, r.gap_us // 1_000_000) for r in out] == [(1, 50), (2, 30)]
+    assert out[0].gap_end_us - out[0].gap_start_us == out[0].gap_us
