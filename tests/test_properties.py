@@ -249,10 +249,28 @@ def test_linear_trend_slope_invariant_under_time_shift(spark, values, shift_s):
     if a.slope_per_day is None:
         assert b.slope_per_day is None
     else:
-        # equal up to the DECIMAL(…,6) quantization of the x·y sums,
-        # whose effect on the slope is amplified when vx is tiny (few
-        # samples): relative + absolute band, not exact equality
-        tol = 2e-3 + 1e-5 * abs(a.slope_per_day)
+        # Exactness model, not a guessed band: S_x/S_xx are integer-
+        # exact; S_y and S_xy are DECIMAL sums of values quantized at
+        # q = 1e-6, so each carries error <= 0.5e-6·n, and the slope
+        # numerator n·S_xy − S_x·S_y inherits <= 0.5e-6·n·(n + |S_x|)
+        # (denominator vx is exact and shift-invariant). Hypothesis
+        # shrinks straight to this bound's edge (2 points, |y| < 0.01,
+        # large shift), so derive it from the actual x grids instead
+        # of hand-tuning a constant.
+        n = len(values)
+
+        def slope_err_bound(xs):
+            sx = abs(sum(xs))
+            vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+            return 0.5e-6 * n * (n + sx) / vx if vx else 0.0
+
+        xs_a = [60 * i for i in range(n)]
+        xs_b = [60 * i - shift_s for i in range(n)]
+        tol = 86400.0 * (slope_err_bound(xs_a) + slope_err_bound(xs_b)) + 1e-6
         assert abs(a.slope_per_day - b.slope_per_day) < tol
         if a.r_squared is not None:
-            assert abs(a.r_squared - b.r_squared) < 1e-4
+            # r² inherits the same quantization through cov²/(vx·vy);
+            # a qualitative invariance band suffices here — the bug
+            # classes this property exists for (origin leakage into
+            # the fit) move r² by O(1), not O(quantum)
+            assert abs(a.r_squared - b.r_squared) < 0.02
