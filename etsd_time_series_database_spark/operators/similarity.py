@@ -935,3 +935,60 @@ def pq_probe_codes(
         .limit(k)
         .select(key, F.round(F.col("__sd").cast("double"), 6).alias("adc_d2"))
     )
+
+
+def centroid_similarity(
+    embeddings: DataFrame,
+    label: str = "label",
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid profile: the mean embedding of every label
+    class, then the pairwise cosine between class centroids — the
+    separability matrix an embedding-quality check reads (labels whose
+    centroids sit at cosine ≈ 1 are indistinguishable to a classifier;
+    the going-in sanity check before training on labeled embeddings).
+
+    Shape: posexplode each vector once (Generate — the lambda-vs-
+    explode rule), ONE map-side hash-agg to (label, dim) DECIMAL sums,
+    reassemble per-label centroid arrays (labels × dim rows — KB), and
+    a labels² self-join for the cosine matrix — with L labels that is
+    L(L−1)/2 rows of driver-scale work regardless of corpus size.
+
+    Determinism: per-dim means close from exact DECIMAL sums and are
+    quantized with round(·, 6) BEFORE reuse (the _bucket_means
+    exact-half rule), so both engines fold the cosine over identical
+    doubles; output rounds at the export convention.
+    """
+    from etsd_time_series_database_spark.functions.exprs import (
+        cosine_similarity as _cos,
+    )
+
+    dims = (
+        embeddings.select(label, F.posexplode(vec).alias("dim", "v"))
+        .groupBy(label, "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(DEC_KM)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+    )
+    cents = dims.groupBy(label).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+    a = cents.select(F.col(label).alias("label_a"), F.col("cv").alias("ca"))
+    b = cents.select(F.col(label).alias("label_b"), F.col("cv").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(_cos("ca", "cb"), 6).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -2740,3 +2740,37 @@ def p62(spark, sf_dir):
     )
 
     return normalize_dedup_lift(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x63_centroid_similarity",
+    "similarity",
+    f"""
+    WITH dims AS (
+      SELECT label, d.dim,
+             round(CAST(sum(CAST(embedding[d.dim + 1] AS DECIMAL(38,12)))
+                        AS DOUBLE) / count(*), 6) AS m
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+      GROUP BY label, d.dim
+    ),
+    cents AS (
+      SELECT label, list(m ORDER BY dim) AS cv FROM dims GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round({_duck_cos("a.cv", "b.cv")}, 6) AS centroid_cosine
+    FROM cents a JOIN cents b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+    doc="Label-centroid separability matrix: exact-decimal mean "
+    "embedding per label class (one Generate + hash-agg; labels x dim "
+    "KB output) and pairwise centroid cosine — the embedding-quality "
+    "check run before training on labeled vectors (centroids at "
+    "cosine ~1 = classes a probe cannot separate).",
+)
+def p63(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    return centroid_similarity(load_table(spark, sf_dir, "embeddings"))

@@ -313,3 +313,35 @@ def test_ivfpq_results_subset_of_query_cell(spark):
     assert [(r.adc_d2, r.vec_id) for r in got] == sorted(
         (r.adc_d2, r.vec_id) for r in got
     )
+
+
+def test_centroid_similarity_separable_clusters(spark):
+    import importlib
+
+    from pyspark.sql import Row
+
+    sim = importlib.import_module(
+        "etsd_time_series_database_spark.operators.similarity"
+    )
+
+    # two orthogonal clusters + one cluster aligned with the first:
+    # the separability matrix must read ~0 for orthogonal pairs and
+    # ~1 for the aligned pair
+    def vec(active, n=64, jitter=0):
+        v = [0.0] * n
+        for d in active:
+            v[d] = 1.0 + 0.001 * jitter
+        return v
+
+    rows = []
+    vid = 0
+    for j in range(5):
+        rows.append(Row(vec_id=vid, embedding=vec(range(0, 8), jitter=j), label=0)); vid += 1
+        rows.append(Row(vec_id=vid, embedding=vec(range(32, 40), jitter=j), label=1)); vid += 1
+        rows.append(Row(vec_id=vid, embedding=vec(range(0, 8), jitter=j + 3), label=2)); vid += 1
+    out = {
+        (r.label_a, r.label_b): r.centroid_cosine
+        for r in sim.centroid_similarity(spark.createDataFrame(rows)).collect()
+    }
+    assert out[(0, 1)] < 0.01 and out[(1, 2)] < 0.01
+    assert out[(0, 2)] > 0.999
