@@ -831,3 +831,63 @@ def normalize_dedup_lift(df: DataFrame, text: str = "text") -> DataFrame:
             - F.countDistinct(F.xxhash64("__norm"))
         ).cast("bigint").alias("extra_dups_found"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Dataset version diff — the audit row a pipeline records when a
+    corpus snapshot is refreshed: how many documents were added,
+    removed, changed (same id, different text), and unchanged between
+    two versions. The ingest-side counterpart of retention/rotation
+    (O26): rotation tells you what aged out, this tells you what a
+    refresh actually did.
+
+    One full-outer join keyed on the document id comparing xxhash64
+    text fingerprints (bodies never shuffle — the x11 convention;
+    raw-text comparison is the oracle form), then a single global
+    hash-agg of four conditional counters.
+    """
+    o = old.select(
+        F.col(key), F.xxhash64(F.col(text)).alias("__fo")
+    )
+    n = new.select(
+        F.col(key), F.xxhash64(F.col(text)).alias("__fn")
+    )
+    j = o.join(n, key, "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("__fo").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_old"),
+        F.sum(F.when(F.col("__fn").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("__fo").isNull() & F.col("__fn").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(
+            F.when(F.col("__fo").isNotNull() & F.col("__fn").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("__fo").isNotNull()
+                & F.col("__fn").isNotNull()
+                & (F.col("__fo") != F.col("__fn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(
+            F.when(F.col("__fo") == F.col("__fn"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )

@@ -2774,3 +2774,49 @@ def p63(spark, sf_dir):
     )
 
     return centroid_similarity(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "x64_corpus_diff",
+    "text",
+    """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 89 = 0 THEN text || ' [rev]' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 97 != 0
+    ),
+    j AS (
+      SELECT o.doc_id AS od, n.doc_id AS nd, o.text AS ot, n.text AS nt
+      FROM old o FULL OUTER JOIN new n USING (doc_id)
+    )
+    SELECT
+      CAST(sum(CASE WHEN od IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      CAST(sum(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      CAST(sum(CASE WHEN od IS NULL AND nd IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_added,
+      CAST(sum(CASE WHEN od IS NOT NULL AND nd IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_removed,
+      CAST(sum(CASE WHEN od IS NOT NULL AND nd IS NOT NULL AND ot != nt
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(sum(CASE WHEN ot = nt THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j
+    """,
+    doc="Dataset version diff (added/removed/changed/unchanged between "
+    "two corpus snapshots): one fingerprint-keyed full-outer join + a "
+    "global conditional-counter hash-agg; the catalog entry diffs the "
+    "corpus against a deterministic synthetic refresh (3%% of ids "
+    "dropped, ~1%% of texts revised).",
+)
+def p64(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev]"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(docs, new)

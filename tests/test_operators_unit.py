@@ -757,3 +757,17 @@ def test_longest_gaps_ranks_and_endpoints(spark):
     out = longest_gaps(df, k=2).collect()
     assert [(r.rank, r.gap_us // 1_000_000) for r in out] == [(1, 50), (2, 30)]
     assert out[0].gap_end_us - out[0].gap_start_us == out[0].gap_us
+
+
+def test_corpus_diff_counts(spark):
+    from etsd_time_series_database_spark.operators.textstats import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+    )
+    r = corpus_diff(old, new).collect()[0]
+    assert (r.n_old, r.n_new) == (3, 3)
+    assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (1, 1, 1, 1)
