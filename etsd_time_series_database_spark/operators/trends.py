@@ -1478,3 +1478,57 @@ def moment_profile(
             "kurtosis_excess"
         ),
     ).orderBy(channel)
+
+
+def daily_coverage(
+    df: DataFrame,
+    start: str,
+    end: str,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+    bucket_s: int = 86400,
+    mode: str = "auto",
+) -> DataFrame:
+    """Per-(channel, day) data-coverage report over [start, end): the
+    fraction of each UTC day covered by carry-forward hold segments —
+    the uptime/availability view an operations dashboard renders as a
+    calendar heatmap (q49 gives one number per channel; this is its
+    per-day breakdown).
+
+    A hold segment can span multiple days, so each segment explodes
+    into its day range (sequence over integer day indices — bounded by
+    the segment's span in days, i.e. by the data's largest gap, never
+    by row count) and contributes its clipped overlap to every day it
+    touches. Shares :func:`time_weighted_avg`'s segment machinery; the
+    closing aggregation is one integer-microsecond hash-agg keyed
+    (channel, day).
+    """
+    day_us = 86_400_000_000
+    seg = _hold_segments(df, start, end, channel, ts, value, tie, bucket_s, mode)
+    d0 = (F.col("seg_start") / F.lit(day_us)).cast("bigint")
+    d1 = ((F.col("seg_end") - 1) / F.lit(day_us)).cast("bigint")
+    days = seg.select(
+        F.col(channel),
+        "seg_start",
+        "seg_end",
+        F.explode(F.sequence(d0, d1)).alias("day_idx"),
+    )
+    ov = F.least(F.col("seg_end"), (F.col("day_idx") + 1) * day_us) - F.greatest(
+        F.col("seg_start"), F.col("day_idx") * day_us
+    )
+    return (
+        days.withColumn("__ov", ov)
+        .groupBy(channel, "day_idx")
+        .agg(F.sum("__ov").cast("bigint").alias("covered_us"))
+        .select(
+            channel,
+            (F.col("day_idx") * 86400).alias("day_epoch_s"),
+            "covered_us",
+            F.round(F.col("covered_us").cast("double") / F.lit(float(day_us)), 6).alias(
+                "coverage_frac"
+            ),
+        )
+        .orderBy(channel, "day_epoch_s")
+    )

@@ -1030,3 +1030,58 @@ def q50(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import moment_profile
 
     return moment_profile(_events(spark, sf_dir))
+
+
+@register(
+    "q52_daily_coverage",
+    "quality",
+    f"""
+    WITH seg AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             coalesce(lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                               ORDER BY epoch_us(ts), event_id),
+                      epoch_us(TIMESTAMP '{T1}')) AS nxt
+      FROM events
+      WHERE epoch_us(ts) < epoch_us(TIMESTAMP '{T1}')
+    ),
+    c AS (
+      SELECT event_type,
+             greatest(us, epoch_us(TIMESTAMP '{T0}')) AS seg_start,
+             least(nxt, epoch_us(TIMESTAMP '{T1}')) AS seg_end
+      FROM seg
+      WHERE least(nxt, epoch_us(TIMESTAMP '{T1}'))
+              - greatest(us, epoch_us(TIMESTAMP '{T0}')) > 0
+    ),
+    days AS (
+      -- static day list for the fixed [T0, T1) range (DuckDB's
+      -- generate_series takes no lateral column args); the engine-side
+      -- plan explodes per-segment day sequences instead
+      SELECT c.event_type, c.seg_start, c.seg_end, g.d AS day_idx
+      FROM c CROSS JOIN (
+        SELECT unnest(generate_series(
+          epoch_us(TIMESTAMP '{T0}') // 86400000000,
+          (epoch_us(TIMESTAMP '{T1}') - 1) // 86400000000)) AS d) g
+      WHERE g.d BETWEEN seg_start // 86400000000
+                AND (seg_end - 1) // 86400000000
+    )
+    SELECT event_type,
+           day_idx * 86400 AS day_epoch_s,
+           CAST(sum(least(seg_end, (day_idx + 1) * 86400000000)
+                    - greatest(seg_start, day_idx * 86400000000)) AS BIGINT)
+             AS covered_us,
+           round(CAST(sum(least(seg_end, (day_idx + 1) * 86400000000)
+                          - greatest(seg_start, day_idx * 86400000000))
+                      AS DOUBLE) / 86400000000.0, 6) AS coverage_frac
+    FROM days GROUP BY event_type, day_idx
+    ORDER BY event_type, day_epoch_s
+    """,
+    doc="Per-(channel, UTC day) coverage calendar over [T0, T1): hold "
+    "segments exploded into their day ranges (bounded by the largest "
+    "gap, not row count) with clipped per-day overlap — the uptime "
+    "heatmap behind q49's single number. Exact integer microsecond "
+    "sums.",
+)
+def q52(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import daily_coverage
+
+    return daily_coverage(_events(spark, sf_dir), T0, T1)

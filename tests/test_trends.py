@@ -566,3 +566,19 @@ def test_moment_profile_known_distributions(spark):
     c = out["const"]
     assert c.stddev_pop == 0.0 and c.skewness is None and c.kurtosis_excess is None
     assert out["skewed"].skewness > 2.0
+
+
+def test_daily_coverage_spans_and_clips_days(spark):
+    from etsd_time_series_database_spark.operators.trends import daily_coverage
+
+    # one sample at noon day 1 holds through the range end at noon
+    # day 3: day1 covered from noon (0.5), day2 fully (1.0), day3
+    # until noon (0.5); nothing before the first sample counts
+    rows = [(1, "a", dt.datetime(2024, 1, 1, 12), 5.0)]
+    out = daily_coverage(
+        _events(spark, rows), "2024-01-01 00:00:00", "2024-01-03 12:00:00"
+    ).collect()
+    got = {r.day_epoch_s: r.coverage_frac for r in out}
+    d1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert got == {d1: 0.5, d1 + 86400: 1.0, d1 + 2 * 86400: 0.5}
+    assert all(r.covered_us in (43_200_000_000, 86_400_000_000) for r in out)
