@@ -1532,3 +1532,87 @@ def daily_coverage(
         )
         .orderBy(channel, "day_epoch_s")
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    origin_s: int = 1705363200,
+    period_buckets: int = 24,
+    bucket_s: int = 3600,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Seasonal-strength score per channel: the fraction of detrended
+    variance explained by the phase fold, 1 − SS_resid/SS_total — the
+    forecastability feature (tsfeatures' seasonal_strength) that
+    decides whether a seasonal model is worth fitting at all. 0 = the
+    daily profile explains nothing; → 1 = the series IS its profile.
+
+    Closes algebraically from :func:`seasonal_decompose`'s phase
+    aggregates without a join-back:
+    SS_resid = Σdet² − Σ_phases n_p·mean_p², SS_total = Σdet² −
+    (Σdet)²/n — so the plan is the q45 two-pass shape plus ONE extra
+    rollup of the (channels × phases) table (KB-sized). NULL when the
+    detrended series is constant (SS_total ≤ 0 after the clamp).
+    """
+    agg = _trend_sums(df, origin_s, channel, value, ts)
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    slope = F.when(vx > 0, cov / vx).otherwise(F.lit(0.0))
+    fit = agg.select(
+        F.col(channel),
+        slope.alias("__m"),
+        ((sy - slope * sx) / n).alias("__b"),
+    )
+    x = F.expr(f"unix_micros({ts}) div 1000000") - F.lit(origin_s)
+    phase = (
+        F.expr(f"unix_micros({ts}) div {bucket_s * 1_000_000}")
+        % period_buckets
+    )
+    det = (
+        df.filter(F.col(value).isNotNull())
+        .select(F.col(channel), x.alias("__x"), phase.alias("phase"), F.col(value))
+        .join(F.broadcast(fit), channel)
+        .select(
+            channel,
+            "phase",
+            (
+                F.col(value) - (F.col("__b") + F.col("__m") * F.col("__x"))
+            ).alias("__det"),
+        )
+    )
+    ph = det.groupBy(channel, "phase").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.col("__det").cast(DEC)).alias("sd"),
+        F.sum((F.col("__det") * F.col("__det")).cast(DEC_SQ)).alias("sd2"),
+    )
+    npd = F.col("np").cast("double")
+    mean_p = F.col("sd").cast("double") / npd
+    ch = ph.groupBy(channel).agg(
+        F.sum("np").cast("double").alias("nn"),
+        F.sum(F.col("sd").cast(DEC)).alias("ssd"),
+        F.sum(F.col("sd2").cast(DEC_SQ)).alias("ssd2"),
+        F.sum((npd * mean_p * mean_p).cast(DEC_SQ)).alias("sexp"),
+    )
+    ss_tot = F.greatest(
+        F.col("ssd2").cast("double")
+        - F.col("ssd").cast("double") * F.col("ssd").cast("double") / F.col("nn"),
+        F.lit(0.0),
+    )
+    ss_res = F.greatest(
+        F.col("ssd2").cast("double") - F.col("sexp").cast("double"), F.lit(0.0)
+    )
+    return ch.select(
+        F.col(channel),
+        F.col("nn").cast("bigint").alias("n_samples"),
+        F.when(
+            ss_tot > 0,
+            F.round(
+                F.greatest(F.lit(1.0) - ss_res / ss_tot, F.lit(0.0)), 6
+            ),
+        ).alias("seasonal_strength"),
+    ).orderBy(channel)

@@ -1085,3 +1085,86 @@ def q52(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import daily_coverage
 
     return daily_coverage(_events(spark, sf_dir), T0, T1)
+
+
+@register(
+    "q53_seasonal_strength",
+    "trend",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000) - {TREND_ORIGIN_S} AS x,
+             (epoch_us(ts) // {SD_BUCKET * 1_000_000}) % {SD_PERIOD} AS phase,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxd,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syd,
+             CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxyd,
+             CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxxd
+      FROM s GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type,
+             CASE WHEN CAST(n AS DOUBLE) * sxxd - sxd * sxd > 0
+                  THEN (CAST(n AS DOUBLE) * sxyd - sxd * syd)
+                       / (CAST(n AS DOUBLE) * sxxd - sxd * sxd)
+                  ELSE 0.0 END AS m,
+             (syd - (CASE WHEN CAST(n AS DOUBLE) * sxxd - sxd * sxd > 0
+                          THEN (CAST(n AS DOUBLE) * sxyd - sxd * syd)
+                               / (CAST(n AS DOUBLE) * sxxd - sxd * sxd)
+                          ELSE 0.0 END) * sxd) / CAST(n AS DOUBLE) AS b
+      FROM a
+    ),
+    det AS (
+      SELECT s.event_type, s.phase,
+             s.y - (fit.b + fit.m * s.x) AS det
+      FROM s JOIN fit USING (event_type)
+    ),
+    ph AS (
+      SELECT event_type, phase,
+             CAST(count(*) AS BIGINT) AS np,
+             sum(CAST(det AS DECIMAL(18,6))) AS sd,
+             sum(CAST(det * det AS DECIMAL(28,6))) AS sd2
+      FROM det GROUP BY event_type, phase
+    ),
+    ch AS (
+      SELECT event_type,
+             CAST(sum(np) AS DOUBLE) AS nn,
+             CAST(sum(CAST(sd AS DECIMAL(18,6))) AS DOUBLE) AS ssd,
+             CAST(sum(CAST(sd2 AS DECIMAL(28,6))) AS DOUBLE) AS ssd2,
+             CAST(sum(CAST(CAST(np AS DOUBLE)
+                  * (CAST(sd AS DOUBLE) / CAST(np AS DOUBLE))
+                  * (CAST(sd AS DOUBLE) / CAST(np AS DOUBLE))
+                  AS DECIMAL(28,6))) AS DOUBLE) AS sexp
+      FROM ph GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(nn AS BIGINT) AS n_samples,
+           CASE WHEN greatest(ssd2 - ssd * ssd / nn, 0.0) > 0
+                THEN round(greatest(1.0
+                     - greatest(ssd2 - sexp, 0.0)
+                       / greatest(ssd2 - ssd * ssd / nn, 0.0), 0.0), 6)
+           END AS seasonal_strength
+    FROM ch ORDER BY event_type
+    """,
+    doc="Seasonal-strength score per channel (tsfeatures): fraction "
+    "of detrended variance explained by the q45 phase fold, closed "
+    "algebraically from the phase aggregates (SS_resid = Σdet² − "
+    "Σ n_p·mean_p²) — q45's two-pass shape plus one KB rollup, no "
+    "join-back.",
+)
+def q53(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        seasonal_strength,
+    )
+
+    return seasonal_strength(
+        _events(spark, sf_dir),
+        origin_s=TREND_ORIGIN_S,
+        period_buckets=SD_PERIOD,
+        bucket_s=SD_BUCKET,
+    )

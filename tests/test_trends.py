@@ -582,3 +582,33 @@ def test_daily_coverage_spans_and_clips_days(spark):
     d1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
     assert got == {d1: 0.5, d1 + 86400: 1.0, d1 + 2 * 86400: 0.5}
     assert all(r.covered_us in (43_200_000_000, 86_400_000_000) for r in out)
+
+
+def test_seasonal_strength_pattern_vs_trend_only(spark):
+    from etsd_time_series_database_spark.operators.trends import (
+        seasonal_strength,
+    )
+
+    pattern = {0: 5.0, 1: -5.0, 2: -5.0, 3: 5.0}   # trend-orthogonal
+    rows = []
+    for h in range(48):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+        # channel "seasonal": pure pattern + drift -> strength 1
+        rows.append((h, "seasonal", t, 100.0 + 0.5 * h + pattern[h % 4]))
+        # channel "trendonly": same drift, no pattern, plus tiny
+        # phase-independent jitter -> strength ~ 0
+        rows.append((100 + h, "trendonly", t, 100.0 + 0.5 * h + 0.01 * ((h * 7) % 13)))
+        # constant channel -> SS_total 0 -> NULL
+        rows.append((200 + h, "const", t, 42.0))
+    out = {
+        r.event_type: r
+        for r in seasonal_strength(
+            _events(spark, rows),
+            origin_s=int(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp()),
+            period_buckets=4,
+            bucket_s=3600,
+        ).collect()
+    }
+    assert out["seasonal"].seasonal_strength == pytest.approx(1.0, abs=1e-6)
+    assert out["trendonly"].seasonal_strength < 0.5
+    assert out["const"].seasonal_strength is None
