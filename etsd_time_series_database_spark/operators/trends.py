@@ -1616,3 +1616,70 @@ def seasonal_strength(
             ),
         ).alias("seasonal_strength"),
     ).orderBy(channel)
+
+
+def distribution_drift(
+    df: DataFrame,
+    split_epoch_s: int,
+    bin_width: float = 25.0,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Value-distribution drift per channel: total-variation distance
+    0.5·Σ|p_early(bin) − p_late(bin)| between the histograms BEFORE
+    and AFTER ``split_epoch_s`` — the drift monitor that catches a
+    sensor whose mean never moved but whose distribution did (TV is
+    the bounded, log-free alternative to PSI/KL, so it stays inside
+    the house rational-arithmetic rules — the x50 precedent).
+
+    Shape: ONE conditional hash-agg to (channel, bin, n_early,
+    n_late) — a single pass, both windows counted in the same
+    map-side-combinable aggregate; per-channel totals roll up from
+    that KB-sized bin table and join back (AQE broadcast); one final
+    per-channel agg of DECIMAL-quantized |Δp| terms. Output
+    cardinality = channels; 0 ≤ tv ≤ 1, NULL when either window is
+    empty for the channel.
+    """
+    side_early = (
+        F.expr(f"unix_micros({ts}) div 1000000") < F.lit(split_epoch_s)
+    )
+    bins = (
+        df.filter(F.col(value).isNotNull())
+        .select(
+            F.col(channel),
+            F.floor(F.col(value) / F.lit(bin_width)).alias("bin"),
+            side_early.alias("__early"),
+        )
+        .groupBy(channel, "bin")
+        .agg(
+            F.sum(F.when(F.col("__early"), 1).otherwise(0)).alias("ne"),
+            F.sum(F.when(~F.col("__early"), 1).otherwise(0)).alias("nl"),
+        )
+    )
+    tot = bins.groupBy(channel).agg(
+        F.sum("ne").alias("te"), F.sum("nl").alias("tl")
+    )
+    j = bins.join(tot, channel)
+    # try_divide: a channel entirely inside one window has te or tl =
+    # 0 — NULL terms (skipped by the sum) instead of an ANSI
+    # divide-by-zero; the closing guard emits NULL tv for that channel
+    dp = F.abs(
+        F.try_divide(F.col("ne").cast("double"), F.col("te").cast("double"))
+        - F.try_divide(F.col("nl").cast("double"), F.col("tl").cast("double"))
+    )
+    return (
+        j.groupBy(channel)
+        .agg(
+            F.any_value("te").cast("bigint").alias("n_early"),
+            F.any_value("tl").cast("bigint").alias("n_late"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.when(
+                (F.any_value("te") > 0) & (F.any_value("tl") > 0),
+                F.round(
+                    F.lit(0.5) * F.sum(dp.cast(DEC)).cast("double"), 6
+                ),
+            ).alias("tv_distance"),
+        )
+        .orderBy(channel)
+    )

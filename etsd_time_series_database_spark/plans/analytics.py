@@ -1168,3 +1168,57 @@ def q53(spark, sf_dir):
         period_buckets=SD_PERIOD,
         bucket_s=SD_BUCKET,
     )
+
+
+DRIFT_SPLIT_S = 1705363200  # 2024-01-16 00:00 UTC: early vs late window
+DRIFT_BIN = 25.0
+
+
+@register(
+    "q54_distribution_drift",
+    "anomaly",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value / {DRIFT_BIN}) AS BIGINT) AS bin,
+             CAST(sum(CASE WHEN (epoch_us(ts) // 1000000) < {DRIFT_SPLIT_S}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+             CAST(sum(CASE WHEN (epoch_us(ts) // 1000000) >= {DRIFT_SPLIT_S}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nl
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(floor(value / {DRIFT_BIN}) AS BIGINT)
+    ),
+    t AS (
+      SELECT event_type, sum(ne) AS te, sum(nl) AS tl
+      FROM b GROUP BY event_type
+    ),
+    j AS (
+      SELECT b.event_type, b.ne, b.nl, t.te, t.tl,
+             abs(CAST(b.ne AS DOUBLE) / nullif(CAST(t.te AS DOUBLE), 0)
+                 - CAST(b.nl AS DOUBLE) / nullif(CAST(t.tl AS DOUBLE), 0))
+               AS dp
+      FROM b JOIN t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(any_value(te) AS BIGINT) AS n_early,
+           CAST(any_value(tl) AS BIGINT) AS n_late,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CASE WHEN any_value(te) > 0 AND any_value(tl) > 0
+                THEN round(0.5 * CAST(sum(CAST(dp AS DECIMAL(18,6)))
+                                      AS DOUBLE), 6) END AS tv_distance
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Value-distribution drift per channel: total-variation "
+    "distance between the early/late histogram halves — the bounded, "
+    "log-free drift monitor (catches distribution change the mean "
+    "misses). One conditional hash-agg pass; KB bin table rolls up "
+    "and joins back via AQE broadcast.",
+)
+def q54(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        distribution_drift,
+    )
+
+    return distribution_drift(
+        _events(spark, sf_dir), DRIFT_SPLIT_S, DRIFT_BIN
+    )

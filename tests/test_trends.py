@@ -612,3 +612,32 @@ def test_seasonal_strength_pattern_vs_trend_only(spark):
     assert out["seasonal"].seasonal_strength == pytest.approx(1.0, abs=1e-6)
     assert out["trendonly"].seasonal_strength < 0.5
     assert out["const"].seasonal_strength is None
+
+
+def test_distribution_drift_detects_shift(spark):
+    from etsd_time_series_database_spark.operators.trends import (
+        distribution_drift,
+    )
+
+    split = int(dt.datetime(2024, 1, 1, 0, 30, tzinfo=dt.timezone.utc).timestamp())
+    rows = []
+    # "shifted": values ~10 early, ~110 late -> disjoint bins, TV = 1
+    for i in range(10):
+        rows.append((i, "shifted", _t(i), 10.0))
+        rows.append((50 + i, "shifted", _t(31 + i), 110.0))
+    # "stable": same distribution both halves -> TV = 0
+    for i in range(10):
+        rows.append((100 + i, "stable", _t(i), float(25 * (i % 3))))
+        rows.append((150 + i, "stable", _t(31 + i), float(25 * (i % 3))))
+    # "onesided": all rows early -> NULL
+    rows += [(200 + i, "onesided", _t(i), 5.0) for i in range(5)]
+    out = {
+        r.event_type: r
+        for r in distribution_drift(
+            _events(spark, rows), split, bin_width=25.0
+        ).collect()
+    }
+    assert out["shifted"].tv_distance == 1.0
+    assert out["stable"].tv_distance == 0.0
+    assert out["onesided"].tv_distance is None
+    assert out["shifted"].n_early == 10 and out["shifted"].n_late == 10
