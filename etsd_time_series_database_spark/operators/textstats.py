@@ -891,3 +891,101 @@ def corpus_diff(
         .cast("bigint")
         .alias("n_unchanged"),
     )
+
+
+def source_style_distance(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text: str = "text",
+    source: str = "source",
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """Pairwise STYLE distance between corpus sources: total-variation
+    distance between their hashed token distributions — the
+    distributional complement of x59's shingle overlap (x59 finds
+    sources that COPY each other; this finds sources that merely WRITE
+    alike, which drives mixture weighting and dedup-threshold choices
+    per feed pair).
+
+    Tokens hash into ``n_buckets`` (the DSIR feature-space trick, same
+    ``hash_mode`` convention: codegen xxhash64 by default, portable
+    polynomial fingerprint for the oracle). Shape: Generate + ONE
+    (source, bucket) hash-agg — the only corpus-sized shuffle, carrying
+    counts, never text; per-source totals and the S² pair join run on
+    the KB-sized bucket table. TV terms are DECIMAL-quantized before
+    the cross-row sum. Output: S(S−1)/2 rows, 0 ≤ tv ≤ 1.
+    """
+    toks = df.select(
+        F.col(source).alias("src"), F.explode(_tokens(text)).alias("tok")
+    )
+    if hash_mode == "poly":
+        bucket = F.pmod(poly_fingerprint("tok"), F.lit(n_buckets))
+    elif hash_mode == "hash64":
+        bucket = F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    cnt = (
+        toks.select("src", bucket.alias("bucket"))
+        .groupBy("src", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    withp = cnt.join(tot, "src").select(
+        "src",
+        "bucket",
+        (F.col("c").cast("double") / F.col("t").cast("double")).alias("p"),
+    )
+    a = withp.select(
+        F.col("src").alias("source_a"), "bucket", F.col("p").alias("pa")
+    )
+    b = withp.select(
+        F.col("src").alias("source_b"), "bucket", F.col("p").alias("pb")
+    )
+    # the bucket equi-join yields only buckets BOTH sources populate;
+    # one-sided buckets close algebraically (Σp = 1 per source):
+    # TV = 0.5·(Σ_common |pa−pb| + (1 − Σ_common pa) + (1 − Σ_common pb))
+    # — no outer-join bookkeeping, and the join never leaves the
+    # KB-sized bucket tables
+    pairs = a.join(b, "bucket").filter(F.col("source_a") < F.col("source_b"))
+    term = F.abs(F.col("pa") - F.col("pb"))
+
+    # round(·, 9) BEFORE the decimal cast: integer-ratio probabilities
+    # land exactly on cast tie boundaries (the _bucket_means exact-half
+    # rule), and 1e-9 keeps the per-term quantum three orders below the
+    # round-6 output
+    def q9(c):
+        return F.round(c, 9).cast("decimal(18,9)")
+
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(q9(term)).cast("double").alias("sab"),
+        F.sum(q9(F.col("pa"))).cast("double").alias("spa"),
+        F.sum(q9(F.col("pb"))).cast("double").alias("spb"),
+    )
+    # pairs with NO common bucket (fully disjoint vocabularies) never
+    # reach the equi-join: enumerate all S(S−1)/2 pairs from the tiny
+    # source list and left-join the overlap sums, zero-filled — their
+    # TV correctly closes to 1
+    all_pairs = (
+        tot.select(F.col("src").alias("source_a"))
+        .crossJoin(tot.select(F.col("src").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    full = all_pairs.join(agg, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("sab", F.lit(0.0)).alias("sab"),
+        F.coalesce("spa", F.lit(0.0)).alias("spa"),
+        F.coalesce("spb", F.lit(0.0)).alias("spb"),
+    )
+    # quantized Σp can exceed 1 by <= n_buckets·5e-7: clamp the
+    # one-sided remainders at 0 (the _pearson convention)
+    tv = F.lit(0.5) * (
+        F.col("sab")
+        + F.greatest(F.lit(1.0) - F.col("spa"), F.lit(0.0))
+        + F.greatest(F.lit(1.0) - F.col("spb"), F.lit(0.0))
+    )
+    return full.select(
+        "source_a",
+        "source_b",
+        F.round(tv, 6).alias("tv_distance"),
+    ).orderBy("source_a", "source_b")

@@ -1677,7 +1677,14 @@ def distribution_drift(
             F.when(
                 (F.any_value("te") > 0) & (F.any_value("tl") > 0),
                 F.round(
-                    F.lit(0.5) * F.sum(dp.cast(DEC)).cast("double"), 6
+                    F.lit(0.5)
+                    # round(·, 9) before the cast: integer-ratio
+                    # probabilities sit exactly on decimal-cast tie
+                    # boundaries (the _bucket_means exact-half rule)
+                    * F.sum(
+                        F.round(dp, 9).cast("decimal(18,9)")
+                    ).cast("double"),
+                    6,
                 ),
             ).alias("tv_distance"),
         )

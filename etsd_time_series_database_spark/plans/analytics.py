@@ -1204,7 +1204,8 @@ DRIFT_BIN = 25.0
            CAST(any_value(tl) AS BIGINT) AS n_late,
            CAST(count(*) AS BIGINT) AS n_bins,
            CASE WHEN any_value(te) > 0 AND any_value(tl) > 0
-                THEN round(0.5 * CAST(sum(CAST(dp AS DECIMAL(18,6)))
+                THEN round(0.5 * CAST(sum(CAST(round(dp, 9)
+                                               AS DECIMAL(18,9)))
                                       AS DOUBLE), 6) END AS tv_distance
     FROM j GROUP BY event_type ORDER BY event_type
     """,

@@ -2820,3 +2820,68 @@ def p64(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return corpus_diff(docs, new)
+
+
+STYLE_B = 1024
+
+
+@register(
+    "x65_source_style_distance",
+    "text",
+    f"""
+    WITH toks AS (
+      SELECT source AS src, unnest({_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT src, {_DUCK_POLY_FP.format(col="tok")} % {STYLE_B} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY src, {_DUCK_POLY_FP.format(col="tok")} % {STYLE_B}
+    ),
+    tot AS (SELECT src, sum(c) AS t FROM cnt GROUP BY src),
+    withp AS (
+      SELECT cnt.src, cnt.bucket,
+             CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+      FROM cnt JOIN tot USING (src)
+    ),
+    pairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             abs(a.p - b.p) AS term, a.p AS pa, b.p AS pb
+      FROM withp a JOIN withp b USING (bucket)
+      WHERE a.src < b.src
+    ),
+    agg AS (
+      SELECT source_a, source_b,
+             CAST(sum(CAST(round(term, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               AS sab,
+             CAST(sum(CAST(round(pa, 9) AS DECIMAL(18,9))) AS DOUBLE) AS spa,
+             CAST(sum(CAST(round(pb, 9) AS DECIMAL(18,9))) AS DOUBLE) AS spb
+      FROM pairs GROUP BY source_a, source_b
+    )
+    , allp AS (
+      SELECT a.src AS source_a, b.src AS source_b
+      FROM tot a CROSS JOIN tot b WHERE a.src < b.src
+    )
+    SELECT allp.source_a, allp.source_b,
+           round(0.5 * (coalesce(sab, 0.0)
+                        + greatest(1.0 - coalesce(spa, 0.0), 0.0)
+                        + greatest(1.0 - coalesce(spb, 0.0), 0.0)), 6)
+             AS tv_distance
+    FROM allp LEFT JOIN agg USING (source_a, source_b)
+    ORDER BY source_a, source_b
+    """,
+    doc="Pairwise source STYLE distance: total-variation between "
+    "hashed token distributions (x59 finds sources that COPY each "
+    "other, this finds sources that WRITE alike). One corpus-sized "
+    "hash-agg of counts; pairs and TV close on the KB bucket tables "
+    "with one-sided buckets handled algebraically (Σp = 1).",
+)
+def p65(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        source_style_distance,
+    )
+
+    return source_style_distance(
+        load_table(spark, sf_dir, "documents"),
+        n_buckets=STYLE_B,
+        hash_mode="poly",
+    )

@@ -771,3 +771,29 @@ def test_corpus_diff_counts(spark):
     r = corpus_diff(old, new).collect()[0]
     assert (r.n_old, r.n_new) == (3, 3)
     assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (1, 1, 1, 1)
+
+
+def test_source_style_distance_disjoint_and_identical(spark):
+    from etsd_time_series_database_spark.operators.textstats import (
+        source_style_distance,
+    )
+
+    rows = [
+        (1, "aa bb aa bb", "s1"),
+        (2, "bb aa bb aa", "s2"),     # identical distribution to s1
+        (3, "xx yy xx yy", "s3"),     # disjoint vocabulary
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # large bucket count so the 4 distinct tokens cannot collide in
+    # bucket space (TV is computed over hashed buckets by design —
+    # collisions only ever UNDERSTATE distance)
+    for mode in ("hash64", "poly"):
+        out = {
+            (r.source_a, r.source_b): r.tv_distance
+            for r in source_style_distance(
+                df, n_buckets=1 << 20, hash_mode=mode
+            ).collect()
+        }
+        assert out[("s1", "s2")] == 0.0
+        assert out[("s1", "s3")] == 1.0
+        assert out[("s2", "s3")] == 1.0
