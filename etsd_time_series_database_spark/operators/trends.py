@@ -1690,3 +1690,44 @@ def distribution_drift(
         )
         .orderBy(channel)
     )
+
+
+def lag_estimate(
+    df: DataFrame,
+    lags: tuple[int, ...] = (0, 1, 2, 3),
+    width_s: int = 3600,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Estimated lead time between channel pairs: the lag (in buckets)
+    at which :func:`cross_correlation` peaks, with the peak value —
+    the closing read on the CCF ("b follows a by k hours"), which is
+    what an operator actually wants from q47's full matrix.
+
+    One KB-sized rollup over the CCF output (channel-pair × lag rows):
+    argmax by (pearson, −lag) via the packed-decimal max_by (q35/x56
+    packing; pearson quantized at round-6 already, shifted past a
+    signed 4-digit lag field — ties take the SMALLEST lag, i.e. the
+    least-delayed explanation). Pairs whose pearson is NULL at every
+    lag (a constant channel) drop out.
+    """
+    ccf = cross_correlation(df, lags, width_s, channel, value, ts)
+    # pearson ∈ [−1, 1] at 6 decimals; pack (pearson, −lag) into one
+    # decimal: shift pearson past a 4-digit lag field, offset so the
+    # lag term stays positive
+    packed = (
+        F.col("pearson").cast("decimal(8,6)")
+        * F.expr("CAST(10000 AS DECIMAL(5,0))")
+        + (F.lit(5000) - F.col("lag_k")).cast("decimal(5,0)")
+    )
+    return (
+        ccf.filter(F.col("pearson").isNotNull())
+        .withColumn("__pk", packed)
+        .groupBy("ch_a", "ch_b")
+        .agg(
+            F.max_by("lag_k", "__pk").alias("best_lag"),
+            F.max("pearson").alias("peak_pearson"),
+        )
+        .orderBy("ch_a", "ch_b")
+    )

@@ -1223,3 +1223,73 @@ def q54(spark, sf_dir):
     return distribution_drift(
         _events(spark, sf_dir), DRIFT_SPLIT_S, DRIFT_BIN
     )
+
+
+LAGEST_LAGS = (0, 1, 2, 3)
+
+
+@register(
+    "q55_lag_estimate",
+    "analytics",
+    f"""
+    WITH b AS (
+      SELECT event_type AS ch,
+             (epoch_us(ts) // {CORR_W * 1_000_000}) * {CORR_W} AS bucket,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value), 6) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT b.ch AS ch_a, k.lag_k, b.bucket + k.lag_k * {CORR_W} AS bucket2,
+             b.m AS x
+      FROM b CROSS JOIN (VALUES {", ".join(f"({k})" for k in LAGEST_LAGS)})
+        k(lag_k)
+    ),
+    p AS (
+      SELECT l.ch_a, r.ch AS ch_b, l.lag_k, l.x, r.m AS y
+      FROM l JOIN b r ON l.bucket2 = r.bucket
+      WHERE l.ch_a != r.ch
+    ),
+    s AS (
+      SELECT ch_a, ch_b, lag_k, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DECIMAL(18,6))) AS sx,
+             sum(CAST(y AS DECIMAL(18,6))) AS sy,
+             sum(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(28,6))) AS syy
+      FROM p GROUP BY ch_a, ch_b, lag_k
+    ),
+    d AS (
+      SELECT ch_a, ch_b, lag_k,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+               * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)) AS den
+      FROM s
+    ),
+    cc AS (
+      SELECT ch_a, ch_b, lag_k,
+             CASE WHEN den > 0 THEN round(cov / den, 6) END AS pearson
+      FROM d
+    ),
+    rk AS (
+      SELECT ch_a, ch_b, lag_k, pearson,
+             row_number() OVER (PARTITION BY ch_a, ch_b
+                                ORDER BY pearson DESC, lag_k) AS rn,
+             max(pearson) OVER (PARTITION BY ch_a, ch_b) AS peak
+      FROM cc WHERE pearson IS NOT NULL
+    )
+    SELECT ch_a, ch_b, lag_k AS best_lag, peak AS peak_pearson
+    FROM rk WHERE rn = 1 ORDER BY ch_a, ch_b
+    """,
+    doc="Estimated lead time per channel pair: argmax of the q47 CCF "
+    "over lags 0-3 (ties to the smallest lag) with the peak "
+    "correlation — 'b follows a by k hours' as one KB rollup via the "
+    "packed-decimal max_by.",
+)
+def q55(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import lag_estimate
+
+    return lag_estimate(_events(spark, sf_dir), LAGEST_LAGS, CORR_W)

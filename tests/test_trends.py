@@ -641,3 +641,27 @@ def test_distribution_drift_detects_shift(spark):
     assert out["stable"].tv_distance == 0.0
     assert out["onesided"].tv_distance is None
     assert out["shifted"].n_early == 10 and out["shifted"].n_late == 10
+
+
+def test_lag_estimate_finds_follower_delay(spark):
+    from etsd_time_series_database_spark.operators.trends import lag_estimate
+
+    pat = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = []
+    for j, v in enumerate(pat):
+        rows.append((2 * j + 1, "a", _t(0, 0) + dt.timedelta(seconds=j * 10), v))
+        if j >= 2:
+            # b copies a two buckets later
+            rows.append(
+                (2 * j + 2, "b", _t(0, 0) + dt.timedelta(seconds=j * 10),
+                 pat[j - 2])
+            )
+    out = {
+        (r.ch_a, r.ch_b): r
+        for r in lag_estimate(
+            _events(spark, rows), lags=(0, 1, 2, 3), width_s=10
+        ).collect()
+    }
+    r = out[("a", "b")]
+    assert r.best_lag == 2
+    assert r.peak_pearson == pytest.approx(1.0, abs=1e-6)
