@@ -343,3 +343,61 @@ def neardup_safe_split(
     return split_assign(
         labeled, permille, names, key="component", hash_mode=hash_mode
     )
+
+
+def eval_slice(
+    df,
+    k: int = 2,
+    n_bands: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+    source: str = "source",
+):
+    """Balanced eval-set construction: k documents per (source ×
+    quality band), picked pseudorandomly-but-deterministically — the
+    held-out slice builder that gives every feed and every quality
+    regime equal representation (a uniform random sample
+    over-represents the biggest source and the modal quality band).
+
+    Quality is x17's composite banded into ``n_bands`` equal cuts;
+    within each stratum documents rank by the portable polynomial
+    fingerprint of their text (pseudorandom, engine-reproducible —
+    the hash-rank idiom of x04's stratified sampler) with id
+    tiebreak. The rank ≤ k filter plans as WindowGroupLimit: k rows
+    per stratum survive each task before the exchange, so the slice
+    costs one scan regardless of corpus size.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.functions.exprs import (
+        poly_fingerprint,
+    )
+    from etsd_time_series_database_spark.operators.textstats import _tokens
+
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    quality = F.lit(0.5) * F.try_divide(n_dis, n_tok) + F.lit(0.5) * F.least(
+        F.lit(1.0), n_tok / F.lit(100.0)
+    )
+    band = F.least(
+        F.floor(F.coalesce(quality, F.lit(0.0)) * n_bands).cast("int"),
+        F.lit(n_bands - 1),
+    )
+    ranked = df.select(
+        F.col(source).alias("src"),
+        band.alias("band"),
+        F.col(key),
+        poly_fingerprint(F.col(text)).alias("__fp"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("src", "band").orderBy("__fp", key)
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select("src", "band", "rank", key)
+        .orderBy("src", "band", "rank")
+    )

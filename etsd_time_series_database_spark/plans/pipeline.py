@@ -2885,3 +2885,50 @@ def p65(spark, sf_dir):
         n_buckets=STYLE_B,
         hash_mode="poly",
     )
+
+
+EVAL_K = 2
+EVAL_BANDS = 4
+
+
+@register(
+    "x66_eval_slice",
+    "sampling",
+    f"""
+    WITH per AS (
+      SELECT source AS src, doc_id, text,
+             len({_TOKS}) AS n_tok,
+             len(list_distinct({_TOKS})) AS n_dis
+      FROM documents
+    ),
+    q AS (
+      SELECT src, doc_id, text,
+             least(CAST(floor(coalesce(
+                 0.5 * (CAST(n_dis AS DOUBLE) / nullif(n_tok, 0))
+                 + 0.5 * least(1.0, n_tok / 100.0), 0.0)
+               * {EVAL_BANDS}) AS INTEGER), {EVAL_BANDS - 1}) AS band
+      FROM per
+    ),
+    r AS (
+      SELECT src, band, doc_id,
+             row_number() OVER (PARTITION BY src, band
+                                ORDER BY {_DUCK_POLY_FP.format(col="text")},
+                                         doc_id) AS rank
+      FROM q
+    )
+    SELECT src, band, CAST(rank AS INTEGER) AS rank, doc_id
+    FROM r WHERE rank <= {EVAL_K}
+    ORDER BY src, band, rank
+    """,
+    doc="Balanced eval-slice builder: k docs per (source × quality "
+    "band), hash-ranked for deterministic pseudorandomness — equal "
+    "representation for every feed and quality regime where a uniform "
+    "sample over-weights the modal stratum. WindowGroupLimit rank; "
+    "one scan at any corpus size.",
+)
+def p66(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import eval_slice
+
+    return eval_slice(
+        load_table(spark, sf_dir, "documents"), k=EVAL_K, n_bands=EVAL_BANDS
+    )

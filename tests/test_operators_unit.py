@@ -797,3 +797,27 @@ def test_source_style_distance_disjoint_and_identical(spark):
         assert out[("s1", "s2")] == 0.0
         assert out[("s1", "s3")] == 1.0
         assert out[("s2", "s3")] == 1.0
+
+
+def test_eval_slice_balanced_and_deterministic(spark):
+    from etsd_time_series_database_spark.operators.sampling import eval_slice
+
+    rows = []
+    did = 0
+    for s in ("s1", "s2"):
+        for j in range(10):
+            # long, token-rich docs land in the top band; short ones low
+            body = " ".join(f"w{s}{j}t{t}" for t in range(120 if j < 5 else 3))
+            rows.append((did, body, s))
+            did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = eval_slice(df, k=2, n_bands=4).collect()
+    # at most k rows per (source, band); both sources represented
+    from collections import Counter
+
+    c = Counter((r.src, r.band) for r in out)
+    assert all(v <= 2 for v in c.values())
+    assert {r.src for r in out} == {"s1", "s2"}
+    # deterministic: same input, same slice
+    again = eval_slice(df, k=2, n_bands=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
