@@ -620,3 +620,71 @@ def longest_gaps(
         )
         .orderBy(channel, "rank")
     )
+
+
+def alarm_episodes(
+    df: DataFrame,
+    threshold: float,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Alarm-episode accounting per channel: consecutive samples above
+    ``threshold`` form an episode (the gaps-and-islands difference of
+    row numbers); report the episode count and the LONGEST episode's
+    span and sample count — which incident was worst, completing the
+    alarm family (q49: total time above; q51: longest silences).
+
+    Two per-channel row_number windows build the island id (rn_all −
+    rn_state is constant within a run); the per-island rollup is a
+    hash-agg, and the per-channel argmax packs (span, −start) into one
+    order-preserving DECIMAL max_by (ties take the EARLIEST episode).
+    Window parallelism is channel-keyed like q51 — at extreme channel
+    skew the stitched lag machinery applies (operators/
+    scalable_window.py); at catalog cardinality this is the right
+    plan.
+    """
+    us = epoch_us(ts)
+    w_all = Window.partitionBy(channel).orderBy("__us", seq)
+    w_state = Window.partitionBy(channel, "__above").orderBy("__us", seq)
+    marked = (
+        df.filter(F.col(value).isNotNull())
+        .select(
+            F.col(channel), us.alias("__us"), F.col(seq), F.col(value),
+            (F.col(value) > threshold).alias("__above"),
+        )
+        .withColumn(
+            "__island", F.row_number().over(w_all) - F.row_number().over(w_state)
+        )
+    )
+    episodes = (
+        marked.filter(F.col("__above"))
+        .groupBy(channel, "__island")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("__us").alias("start_us"),
+            F.max("__us").alias("end_us"),
+        )
+        .withColumn("span_us", F.col("end_us") - F.col("start_us"))
+    )
+    # pack (span, −start) for the argmax: spans fit decimal(19,0),
+    # start epochs fit the low 19 digits (the q35 packing)
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    packed = F.col("span_us").cast("decimal(19,0)") * shift + (
+        F.expr("CAST(9999999999999999999 AS DECIMAL(19,0))")
+        - F.col("start_us").cast("decimal(19,0)")
+    )
+    return (
+        episodes.withColumn("__pk", packed)
+        .groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+            F.max("span_us").cast("bigint").alias("longest_span_us"),
+            F.max_by("start_us", "__pk").alias("longest_start_us"),
+            F.max_by("n_samples", "__pk").cast("bigint").alias(
+                "longest_n_samples"
+            ),
+        )
+        .orderBy(channel)
+    )

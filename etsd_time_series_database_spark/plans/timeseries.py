@@ -837,3 +837,54 @@ def q51(spark, sf_dir):
     )
 
     return longest_gaps(_events(spark, sf_dir), k=3)
+
+
+ALARM_T = 250.0
+
+
+@register(
+    "q56_alarm_episodes",
+    "anomaly",
+    f"""
+    WITH m AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             value > {ALARM_T} AS above,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY event_type, value > {ALARM_T}
+                                  ORDER BY ts, event_id) AS island
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT event_type, island,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS span_us
+      FROM m WHERE above GROUP BY event_type, island
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY span_us DESC, start_us) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_episodes,
+             max(span_us) OVER (PARTITION BY event_type) AS longest_span_us
+      FROM e
+    )
+    SELECT event_type,
+           CAST(n_episodes AS BIGINT) AS n_episodes,
+           CAST(longest_span_us AS BIGINT) AS longest_span_us,
+           start_us AS longest_start_us,
+           n_samples AS longest_n_samples
+    FROM rk WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="Alarm-episode accounting: consecutive above-threshold runs "
+    "via gaps-and-islands, with the LONGEST episode's span/start/"
+    "samples per channel (packed-decimal argmax, earliest on ties) — "
+    "which incident was worst, completing q49 (total time above) and "
+    "q51 (longest silences).",
+)
+def q56(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_episodes,
+    )
+
+    return alarm_episodes(_events(spark, sf_dir), ALARM_T)

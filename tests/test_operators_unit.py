@@ -821,3 +821,34 @@ def test_eval_slice_balanced_and_deterministic(spark):
     # deterministic: same input, same slice
     again = eval_slice(df, k=2, n_bands=4).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_alarm_episodes_islands_and_argmax(spark):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_episodes,
+    )
+
+    df = _series(
+        spark,
+        [
+            ("2026-01-01 00:00:00", "a", 5, 1),
+            ("2026-01-01 00:00:10", "a", 50, 2),   # ep1: 2 samples, 10 s
+            ("2026-01-01 00:00:20", "a", 60, 3),
+            ("2026-01-01 00:00:30", "a", 5, 4),
+            ("2026-01-01 00:01:00", "a", 70, 5),   # ep2: 3 samples, 20 s
+            ("2026-01-01 00:01:10", "a", 80, 6),
+            ("2026-01-01 00:01:20", "a", 90, 7),
+            ("2026-01-01 00:02:00", "b", 1, 8),    # never above
+        ],
+    )
+    out = {r.event_type: r for r in alarm_episodes(df, 20.0).collect()}
+    assert set(out) == {"a"}          # channels with no episode drop out
+    a = out["a"]
+    assert a.n_episodes == 2
+    assert a.longest_span_us == 20 * 1_000_000
+    assert a.longest_n_samples == 3
+    from datetime import datetime, timezone
+
+    assert a.longest_start_us == int(
+        datetime(2026, 1, 1, 0, 1, tzinfo=timezone.utc).timestamp() * 1e6
+    )
