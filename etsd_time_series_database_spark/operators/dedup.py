@@ -687,17 +687,11 @@ def keep_best_canonical(
     broadcast-joinable label table + one hash-agg keyed by component.
     """
     from etsd_time_series_database_spark.operators.textstats import (
-        _tokens as _ttokens,
+        quality_expr,
     )
 
     comp = cluster_pairs(pairs)
-    toks = _ttokens(text)
-    n_tok = F.size(toks)
-    n_dis = F.size(F.array_distinct(toks))
-    quality = F.lit(0.5) * F.try_divide(n_dis, n_tok) + F.lit(0.5) * F.least(
-        F.lit(1.0), n_tok / F.lit(100.0)
-    )
-    q6 = F.coalesce(F.round(quality, 6), F.lit(-1.0))
+    q6 = F.coalesce(F.round(quality_expr(text), 6), F.lit(-1.0))
     lab = df.select(F.col(key), q6.alias("q6")).join(
         comp.withColumnRenamed("doc_id", key), key, "left"
     ).select(
@@ -705,9 +699,14 @@ def keep_best_canonical(
         F.col(key),
         "q6",
     )
+    # q6's 1e-6 quantum must dominate the FULL id field: ids are
+    # allowed 13 digits, so q6 shifts by 10^19 (1e-6 * 1e19 = 1e13 >
+    # max id) — a single quality step outranks any id difference; the
+    # earlier 10^13 shift let a 1e-6-better doc with a >=10^7-larger
+    # id pack BELOW a worse doc, violating the keep-best contract.
     packed = (
-        F.col("q6").cast("decimal(19,6)")
-        * F.expr("CAST(10000000000000 AS DECIMAL(14,0))")
+        F.col("q6").cast("decimal(8,6)")
+        * F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
         - F.col(key).cast("decimal(13,0)")
     )
     return (

@@ -373,14 +373,9 @@ def eval_slice(
     from etsd_time_series_database_spark.functions.exprs import (
         poly_fingerprint,
     )
-    from etsd_time_series_database_spark.operators.textstats import _tokens
+    from etsd_time_series_database_spark.operators.textstats import quality_expr
 
-    toks = _tokens(text)
-    n_tok = F.size(toks)
-    n_dis = F.size(F.array_distinct(toks))
-    quality = F.lit(0.5) * F.try_divide(n_dis, n_tok) + F.lit(0.5) * F.least(
-        F.lit(1.0), n_tok / F.lit(100.0)
-    )
+    quality = quality_expr(text)
     band = F.least(
         F.floor(F.coalesce(quality, F.lit(0.0)) * n_bands).cast("int"),
         F.lit(n_bands - 1),

@@ -673,6 +673,19 @@ def hard_negatives(
     )
 
 
+def _check_pq_n_cents(n_cents: int) -> None:
+    """The PQ encode packs (d2, cent_id) into one DECIMAL with a
+    10^13 shift; d2's 1e-6 quantum then clears only a < 10^7 cent_id
+    range, so the argmin contract requires n_cents < 10^7 (any real
+    codebook is <= 65536). m/n_cents are user-settable via the
+    write-pq CLI, so this is enforced, not assumed."""
+    if not (0 < n_cents < 10**7):
+        raise ValueError(
+            f"n_cents must be in [1, 10^7) for the packed-decimal "
+            f"argmin to preserve the (d2, cent_id) ordering; got {n_cents}"
+        )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -726,6 +739,7 @@ def pq_topk(
         sq_l2_distance,
     )
 
+    _check_pq_n_cents(n_cents)
     sub_len = dim // m
     s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
     cents = (
@@ -751,8 +765,10 @@ def pq_topk(
         # ordering force SortAggregate (non-primitive buffer — the q35
         # OHLC lesson), so (d2, cent_id) packs into ONE order-preserving
         # DECIMAL: d2 quantized to 1e-6 (the codebase-wide export
-        # quantum; identical cast on the oracle side) shifted past a
-        # 13-digit cent_id field. Ties within the quantum break to the
+        # quantum; identical cast on the oracle side) shifted by 10^13,
+        # which scales the quantum to 1e7 — so the ordering is correct
+        # ONLY while cent_id < 10^7 (guarded above; realistic codebooks
+        # are <= 65536 centroids). Ties within the quantum break to the
         # lowest cent_id — exactly the argmin contract.
         .withColumn(
             "__ord",
@@ -862,6 +878,7 @@ def write_pq_codes(
     """
     from etsd_time_series_database_spark.functions.exprs import sq_l2_distance
 
+    _check_pq_n_cents(n_cents)
     sub_len = dim // m
     s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
     cents = (

@@ -51,6 +51,26 @@ def token_counts(df: DataFrame, text: str = "text", key: str = "doc_id") -> Data
     ).orderBy(key)
 
 
+def quality_expr(text: str = "text"):
+    """x17's composite quality score as a reusable Column:
+    ``0.5 * distinct-token ratio + 0.5 * least(1, n_tokens/100)``.
+
+    This is the SINGLE source of truth for the composite — x17
+    (:func:`quality_score`), x60 (:func:`corpus_datacard`), x61
+    (``dedup.keep_best_canonical``) and x66 (``sampling.eval_slice``)
+    all build on this expression, so a tweak here changes all four
+    operators and their oracles together instead of silently
+    desynchronizing hand-copied variants. NULL (not 0) on empty
+    documents — callers choose their own coalesce policy.
+    """
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    return F.lit(0.5) * F.try_divide(n_dis, n_tok) + F.lit(0.5) * F.least(
+        F.lit(1.0), n_tok / F.lit(100.0)
+    )
+
+
 def quality_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """Heuristic quality features: length, token count, distinct-token
     ratio, average token length, composite score in [0,1]."""
@@ -61,7 +81,6 @@ def quality_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> Dat
     # try_divide: empty documents yield NULL ratios instead of an ANSI
     # divide-by-zero error (same as SQL NULLIF-guarded division).
     distinct_ratio = F.try_divide(n_dis, n_tok)
-    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
     return df.select(
         key,
         F.length(text).cast("int").alias("n_chars"),
@@ -69,7 +88,7 @@ def quality_score(df: DataFrame, text: str = "text", key: str = "doc_id") -> Dat
         n_dis.alias("n_distinct"),
         F.try_divide(chars_no_space, n_tok).alias("avg_token_len"),
         distinct_ratio.alias("distinct_ratio"),
-        (F.lit(0.5) * distinct_ratio + F.lit(0.5) * len_score).alias("quality"),
+        quality_expr(text).alias("quality"),
     ).orderBy(key)
 
 
@@ -771,10 +790,7 @@ def corpus_datacard(df: DataFrame, text: str = "text") -> DataFrame:
         )
     )
     is_en = F.try_divide(n_stop, n_tok) >= 0.05
-    n_dis = F.size(F.array_distinct(toks))
-    quality = F.lit(0.5) * F.try_divide(n_dis, n_tok) + F.lit(0.5) * F.least(
-        F.lit(1.0), n_tok / F.lit(100.0)
-    )
+    quality = quality_expr(text)
     agg = df.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("bigint").alias("total_tokens"),

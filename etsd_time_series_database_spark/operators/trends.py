@@ -1714,11 +1714,17 @@ def lag_estimate(
     """
     ccf = cross_correlation(df, lags, width_s, channel, value, ts)
     # pearson ∈ [−1, 1] at 6 decimals; pack (pearson, −lag) into one
-    # decimal: shift pearson past a 4-digit lag field, offset so the
-    # lag term stays positive
+    # decimal. The shift must clear the FULL 4-digit lag field
+    # including pearson's own 6 decimals: pearson's quantum is 1e-6,
+    # so a 10^10 shift makes one quantum worth 1e4 — strictly more
+    # than the lag term's whole range (0..9999). (A 10^4 shift scales
+    # the quantum to only 0.01, so two lags whose pearsons differ by
+    # < ~1e-4 — routine for smooth CCFs at adjacent lags — would let
+    # the lag tiebreak override the pearson ordering and pick the
+    # wrong best_lag.)
     packed = (
         F.col("pearson").cast("decimal(8,6)")
-        * F.expr("CAST(10000 AS DECIMAL(5,0))")
+        * F.expr("CAST(10000000000 AS DECIMAL(11,0))")
         + (F.lit(5000) - F.col("lag_k")).cast("decimal(5,0)")
     )
     return (

@@ -852,3 +852,44 @@ def test_alarm_episodes_islands_and_argmax(spark):
     assert a.longest_start_us == int(
         datetime(2026, 1, 1, 0, 1, tzinfo=timezone.utc).timestamp() * 1e6
     )
+
+
+def test_keep_best_canonical_quality_dominates_13_digit_ids(spark):
+    """Round-7 ADVICE regression: the packed (quality, -id) argmax
+    must preserve quality dominance across the FULL allowed 13-digit
+    id range. The old 10^13 shift only cleared id spreads < 10^7, so
+    a better doc with a much larger id packed below a worse doc."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        keep_best_canonical,
+    )
+
+    big = 9_000_000_000_000  # 13-digit id, spread >> 10^7
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),                  # low quality, tiny id
+            (big, "a b c d e f g h"),        # high quality, huge id
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, big)], ["doc_a", "doc_b"])
+    out = keep_best_canonical(docs, pairs).collect()
+    assert len(out) == 1
+    assert out[0].best_doc == big
+    assert out[0].n_members == 2
+
+
+def test_pq_n_cents_guard(spark):
+    """pq_topk / write_pq_codes enforce n_cents < 10^7 (the packed
+    argmin's contract) instead of silently mis-ordering."""
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        pq_topk,
+        write_pq_codes,
+    )
+
+    df = spark.range(1).selectExpr("id AS vec_id")
+    with _pytest.raises(ValueError, match="n_cents"):
+        pq_topk(df, n_cents=10**7)
+    with _pytest.raises(ValueError, match="n_cents"):
+        write_pq_codes(df, "/tmp/unused", n_cents=0)

@@ -665,3 +665,46 @@ def test_lag_estimate_finds_follower_delay(spark):
     r = out[("a", "b")]
     assert r.best_lag == 2
     assert r.peak_pearson == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lag_estimate_close_pearsons_pick_true_peak(spark):
+    """Round-7 ADVICE regression: when pearsons at two lags differ by
+    less than 1e-4 (routine for smooth CCFs at adjacent lags), the
+    packed argmax must still follow the pearson ordering — the old
+    10^4 shift let the lag tiebreak override it, returning a best_lag
+    whose pearson was NOT peak_pearson."""
+    import math
+
+    from etsd_time_series_database_spark.operators.trends import (
+        cross_correlation,
+        lag_estimate,
+    )
+
+    # smooth sinusoid, period 600 buckets; b copies a ONE bucket later
+    # -> pearson@lag1 = 1.0 exactly, pearson@lag0 = cos(2*pi/600)
+    # ~= 0.999945: a 5.5e-5 gap, far below the old 1e-4 resolution.
+    n = 610
+    pat = [math.sin(2 * math.pi * j / 600.0) for j in range(n)]
+    rows = []
+    for j in range(n):
+        t = _t(0, 0) + dt.timedelta(seconds=j * 10)
+        rows.append((2 * j + 1, "a", t, pat[j]))
+        if j >= 1:
+            rows.append((2 * j + 2, "b", t, pat[j - 1]))
+    df = _events(spark, rows)
+    out = {
+        (r.ch_a, r.ch_b): r
+        for r in lag_estimate(df, lags=(0, 1, 2, 3), width_s=10).collect()
+    }
+    r = out[("a", "b")]
+    ccf = {
+        row.lag_k: row.pearson
+        for row in cross_correlation(df, (0, 1, 2, 3), 10)
+        .filter("ch_a = 'a' AND ch_b = 'b'")
+        .collect()
+    }
+    # the scenario is only meaningful if the gap is truly sub-1e-4
+    assert 0 < ccf[1] - ccf[0] < 1e-4
+    # internal consistency: best_lag is the argmax of the CCF
+    assert r.best_lag == 1
+    assert r.peak_pearson == pytest.approx(ccf[1], abs=1e-9)
