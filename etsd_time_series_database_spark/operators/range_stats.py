@@ -580,6 +580,8 @@ def longest_gaps(
     channel: str = "event_type",
     ts: str = "ts",
     seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
 ) -> DataFrame:
     """Top-k LONGEST inter-sample gaps per channel with their
     endpoints — the outage report behind q14's gap *counts* (which
@@ -587,24 +589,50 @@ def longest_gaps(
     (duration DESC, gap start, seq): Catalyst rewrites the rank-1..k
     filter to WindowGroupLimit, so each task keeps k rows per channel
     before the exchange — the q44 pruning shape, never a full sort of
-    the fact. The lag() itself windows per channel; for the
-    skew-regime alternative see operators/scalable_window.py (q07's
-    stitched lag) — at the catalog's channel cardinality the plain
-    form is the right plan.
-    """
-    w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+    the fact.
+
+    The lag() is where channel-keyed skew lives (the rank is
+    WindowGroupLimit-bounded either way): the default path computes it
+    with the stitched (channel, time-bucket) form (q07's
+    operators/scalable_window.py machinery), so parallelism is bounded
+    by buckets, not channels. ``scalable=False`` selects the plain
+    per-channel window (the equivalence oracle in tests)."""
     us = epoch_us(ts)
-    d = (
-        df.select(
-            F.col(channel),
-            us.alias("__us"),
-            F.col(seq).alias("__seq"),
-            F.lag(us).over(w).alias("__prev_us"),
-            F.lag(F.col(seq)).over(w).alias("__prev_seq"),
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            lag_stitched,
         )
-        .filter(F.col("__prev_us").isNotNull())
-        .withColumn("gap_us", F.col("__us") - F.col("__prev_us"))
-    )
+
+        st = lag_stitched(
+            df.withColumn("__ts_us", us),
+            ["__ts_us"],
+            channel=channel,
+            ts=ts,
+            seq=seq,
+            bucket_s=bucket_s,
+        )
+        d = (
+            st.filter(F.col("__lag___ts_us").isNotNull())
+            .select(
+                F.col(channel),
+                F.col("__ts_us").alias("__us"),
+                F.col(seq).alias("__seq"),
+                F.col("__lag___ts_us").alias("__prev_us"),
+            )
+            .withColumn("gap_us", F.col("__us") - F.col("__prev_us"))
+        )
+    else:
+        w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+        d = (
+            df.select(
+                F.col(channel),
+                us.alias("__us"),
+                F.col(seq).alias("__seq"),
+                F.lag(us).over(w).alias("__prev_us"),
+            )
+            .filter(F.col("__prev_us").isNotNull())
+            .withColumn("gap_us", F.col("__us") - F.col("__prev_us"))
+        )
     wr = Window.partitionBy(channel).orderBy(
         F.col("gap_us").desc(), "__prev_us", "__seq"
     )
@@ -629,6 +657,8 @@ def alarm_episodes(
     value: str = "value",
     ts: str = "ts",
     seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
 ) -> DataFrame:
     """Alarm-episode accounting per channel: consecutive samples above
     ``threshold`` form an episode (the gaps-and-islands difference of
@@ -636,28 +666,48 @@ def alarm_episodes(
     span and sample count — which incident was worst, completing the
     alarm family (q49: total time above; q51: longest silences).
 
-    Two per-channel row_number windows build the island id (rn_all −
-    rn_state is constant within a run); the per-island rollup is a
-    hash-agg, and the per-channel argmax packs (span, −start) into one
-    order-preserving DECIMAL max_by (ties take the EARLIEST episode).
-    Window parallelism is channel-keyed like q51 — at extreme channel
-    skew the stitched lag machinery applies (operators/
-    scalable_window.py); at catalog cardinality this is the right
-    plan.
+    Island id: for an above-threshold row, rn_all − rn_above equals
+    the running count of NOT-above rows at or before it (each below
+    row increments it, separating runs; it is constant within a run).
+    That is a single per-channel prefix sum of the not-above
+    indicator, so the default path computes it with the distributed
+    prefix-sum machinery (operators/scalable_window.cumsum_scalable,
+    q08's shape) — (channel, bucket) parallelism instead of the
+    channel-capped double-row_number window. ``scalable=False``
+    selects the plain two-window form (the equivalence oracle in
+    tests; also exactly the q56 DuckDB oracle's formulation). Either
+    way the per-island rollup is a hash-agg and the per-channel argmax
+    packs (span, −start) into one order-preserving DECIMAL max_by
+    (ties take the EARLIEST episode).
     """
     us = epoch_us(ts)
-    w_all = Window.partitionBy(channel).orderBy("__us", seq)
-    w_state = Window.partitionBy(channel, "__above").orderBy("__us", seq)
-    marked = (
-        df.filter(F.col(value).isNotNull())
-        .select(
-            F.col(channel), us.alias("__us"), F.col(seq), F.col(value),
-            (F.col(value) > threshold).alias("__above"),
+    base = df.filter(F.col(value).isNotNull()).select(
+        F.col(channel),
+        F.col(ts),
+        us.alias("__us"),
+        F.col(seq),
+        (F.col(value) > threshold).alias("__above"),
+    )
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            cumsum_scalable,
         )
-        .withColumn(
+
+        marked = cumsum_scalable(
+            base,
+            F.when(F.col("__above"), F.lit(0)).otherwise(F.lit(1)),
+            "__island",
+            channel=channel,
+            ts=ts,
+            seq=seq,
+            bucket_s=bucket_s,
+        )
+    else:
+        w_all = Window.partitionBy(channel).orderBy("__us", seq)
+        w_state = Window.partitionBy(channel, "__above").orderBy("__us", seq)
+        marked = base.withColumn(
             "__island", F.row_number().over(w_all) - F.row_number().over(w_state)
         )
-    )
     episodes = (
         marked.filter(F.col("__above"))
         .groupBy(channel, "__island")

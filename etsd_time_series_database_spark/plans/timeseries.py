@@ -829,7 +829,8 @@ def q34(spark, sf_dir):
     doc="Top-3 longest silences per channel with endpoints (the outage "
     "report behind q14's counts); rank filter plans as "
     "WindowGroupLimit — k rows per channel kept per task, no full "
-    "sort.",
+    "sort — and since r7 the lag defaults to the stitched (channel, "
+    "bucket) form, so no channel-capped sort either.",
 )
 def q51(spark, sf_dir):
     from etsd_time_series_database_spark.operators.range_stats import (
@@ -880,7 +881,9 @@ ALARM_T = 250.0
     "via gaps-and-islands, with the LONGEST episode's span/start/"
     "samples per channel (packed-decimal argmax, earliest on ties) — "
     "which incident was worst, completing q49 (total time above) and "
-    "q51 (longest silences).",
+    "q51 (longest silences). Since r7 the island id is a distributed "
+    "prefix sum of the not-above indicator (cumsum_scalable), not a "
+    "channel-capped double row_number.",
 )
 def q56(spark, sf_dir):
     from etsd_time_series_database_spark.operators.range_stats import (

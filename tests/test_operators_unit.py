@@ -893,3 +893,53 @@ def test_pq_n_cents_guard(spark):
         pq_topk(df, n_cents=10**7)
     with _pytest.raises(ValueError, match="n_cents"):
         write_pq_codes(df, "/tmp/unused", n_cents=0)
+
+
+def test_longest_gaps_scalable_matches_plain(spark):
+    """Round-7: the stitched default must equal the plain per-channel
+    window, including gaps that SPAN a bucket boundary (bucket_s=60
+    forces the lag of a bucket's first row through the boundary
+    table)."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        longest_gaps,
+    )
+
+    rows = []
+    sq = 0
+    for ch in ("a", "b"):
+        for m, s in [(0, 0), (0, 10), (1, 5), (2, 30), (2, 31), (5, 0)]:
+            sq += 1
+            rows.append((f"2026-01-01 00:0{m}:{s:02d}", ch, sq, sq))
+    df = _series(spark, rows)
+    plain = longest_gaps(df, k=3, scalable=False).collect()
+    stitched = longest_gaps(df, k=3, scalable=True, bucket_s=60).collect()
+    assert [tuple(r) for r in stitched] == [tuple(r) for r in plain]
+    assert len(plain) == 6  # 3 per channel
+
+
+def test_alarm_episodes_scalable_matches_plain(spark):
+    """Round-7: the prefix-sum island id must equal the two-row_number
+    form, including an episode RUNNING ACROSS a bucket boundary (the
+    cross-bucket run must stay ONE island: its not-above prefix count
+    is stitched through the offset table)."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_episodes,
+    )
+
+    rows = [
+        ("2026-01-01 00:00:50", "a", 30, 1),   # ep1 starts in bucket 0
+        ("2026-01-01 00:01:05", "a", 40, 2),   # ...continues in bucket 1
+        ("2026-01-01 00:01:10", "a", 5, 3),
+        ("2026-01-01 00:01:20", "a", 50, 4),   # ep2 spans buckets 1-3
+        ("2026-01-01 00:02:10", "a", 60, 5),
+        ("2026-01-01 00:03:05", "a", 70, 6),
+        ("2026-01-01 00:00:00", "b", 1, 7),    # never above
+        ("2026-01-01 00:04:00", "b", 99, 8),   # one episode
+    ]
+    df = _series(spark, rows)
+    plain = alarm_episodes(df, 20.0, scalable=False).collect()
+    stitched = alarm_episodes(df, 20.0, scalable=True, bucket_s=60).collect()
+    assert [tuple(r) for r in stitched] == [tuple(r) for r in plain]
+    a = {r.event_type: r for r in stitched}["a"]
+    assert a.n_episodes == 2
+    assert a.longest_span_us == 105 * 1_000_000  # the cross-bucket ep2
