@@ -5,20 +5,32 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query runs once as warm-up (JVM/JIT/code-cache, not counted),
+Isolation (round 7): each headline query runs in its OWN subprocess /
+fresh JVM, sequentially. Round 6 proved the shared-session design
+unsound as a plan-cost signal: 25 queries in one JVM let early queries'
+shuffle buffers, code-cache and GC debt inflate later queries' walls
+~1.5-8x (driver BENCH_r06 recorded q35 at 2.10 s where an idle fresh-JVM
+run measures 0.46 s — adjudicated as harness artifact, not regression).
+The skew harness already ran isolated for exactly this reason; the
+headline queries now get the same treatment. Cost: ~6-8 s JVM startup
+per query, NOT counted in the reported timings (each child warms up,
+then times min-of-N collects exactly as before).
+
+Within a child: one warm-up pass (JVM/JIT/code-cache, not counted),
 then N timed passes (default 3, $SPARK_GRAFT_BENCH_RUNS) of which the
 MINIMUM is reported — the steady-state cost, insulated from one-off
 scheduler/GC noise. The timed action is a full collect() of the query
-result — scan + compute + result materialization.
+result — scan + compute + result materialization. The executor
+task-time snapshot is taken BEFORE plan-metrics collection so the
+task-time delta covers exactly the N timed passes.
 
-The window-skew comparison (20M rows, 3 keys) runs in a SEPARATE
-subprocess with its own memory-bounded JVM: generating and
-checkpointing the rows in the same session as the headline timings
-inflated every unchanged query ~20-30% in round 2 (heap/code-cache
-pressure), which read as a phantom regression — and an unbounded heap
-hides the skew pathology itself (see _skew_compare_isolated).
-Isolation keeps the headline numbers clean and the skew regime
-representative.
+Set SPARK_GRAFT_BENCH_ISOLATE=0 to fall back to the legacy
+single-session mode (useful for quick iteration where absolute numbers
+don't matter; a System.gc() between queries limits cross-query debt).
+
+The window-skew comparison (20M rows, 3 keys) also runs in a SEPARATE
+subprocess with its own memory-bounded JVM: an unbounded heap hides the
+skew pathology itself (see _skew_compare_isolated).
 """
 
 from __future__ import annotations
@@ -36,11 +48,8 @@ if str(REPO) not in sys.path:
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
-from etsd_time_series_database_spark import get_spark  # noqa: E402
-from etsd_time_series_database_spark.plans import catalog  # noqa: E402
-from etsd_time_series_database_spark.plans.metrics import (  # noqa: E402
-    collect_plan_metrics,
-)
+_ONE_SENTINEL = "ONEJSON:"
+_SKEW_SENTINEL = "SKEWJSON:"
 
 
 def _executor_totals(spark) -> dict[str, int] | None:
@@ -72,45 +81,77 @@ def _executor_totals(spark) -> dict[str, int] | None:
         return None
 
 
+def _time_one(spark, name: str, sf_dir: str, n_runs: int) -> tuple[float, dict]:
+    """Warm up, then min-of-n_runs time one catalog query; returns
+    (best_seconds, plan+task metrics). Shared by both the per-query
+    child process and the legacy single-session loop."""
+    from etsd_time_series_database_spark.plans import catalog
+    from etsd_time_series_database_spark.plans.metrics import collect_plan_metrics
+
+    q = catalog()[name]
+    q.build(spark, sf_dir).collect()  # warm-up (not counted)
+    best = float("inf")
+    before = _executor_totals(spark)
+    df = None
+    for _ in range(n_runs):
+        # time build() + collect(): plan construction is ~ms for
+        # declarative queries, but iterative operators (x45 BPE)
+        # materialize eager checkpoints during build — timing only
+        # the final collect would hide their real cost.
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        df.collect()
+        best = min(best, time.perf_counter() - t0)
+    # task-time snapshot FIRST: the delta must cover exactly the n_runs
+    # timed passes (plan-metrics collection below walks the JVM plan
+    # tree over py4j, which burns driver time but no executor time —
+    # still, keep the accounting unambiguous).
+    after = _executor_totals(spark)
+    try:
+        metrics = collect_plan_metrics(df)
+    except Exception:
+        metrics = {}
+    if before is not None and after is not None:
+        for k, v in after.items():
+            metrics[k] = v - before[k]
+        metrics["timed_passes"] = n_runs
+    return best, metrics
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
-    # UI on for this session only: _executor_totals reads task time from
-    # the status REST API (the repo default keeps the UI off for tests)
-    spark = get_spark("etsd_spark_bench", {"spark.ui.enabled": "true"})
-
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+
+    from etsd_time_series_database_spark.plans import catalog
+
     names = sorted(n for n, q in catalog().items() if q.headline)
     timings: dict[str, float] = {}
     query_metrics: dict[str, dict] = {}
-    for name in names:
-        q = catalog()[name]
-        q.build(spark, sf_dir).collect()  # warm-up (not counted)
-        best = float("inf")
-        before = _executor_totals(spark)
-        df = None
-        for _ in range(n_runs):
-            # time build() + collect(): plan construction is ~ms for
-            # declarative queries, but iterative operators (x45 BPE)
-            # materialize eager checkpoints during build — timing only
-            # the final collect would hide their real cost.
-            t0 = time.perf_counter()
-            df = q.build(spark, sf_dir)
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # plan-cost metrics for the LAST timed pass (SQLMetrics attach to
-        # that df's own QueryExecution) + task-time delta across all
-        # n_runs passes (divide by n_runs for a per-pass average)
-        try:
-            query_metrics[name] = collect_plan_metrics(df)
-        except Exception:
-            query_metrics[name] = {}
-        after = _executor_totals(spark)
-        if before is not None and after is not None:
-            for k, v in after.items():
-                query_metrics[name][k] = v - before[k]
-            query_metrics[name]["timed_passes"] = n_runs
+
+    if isolate:
+        for name in names:
+            result = _run_one_isolated(name)
+            if "error" in result:
+                # one retry: a child can die to transient port/temp-dir
+                # races; a persistent failure is recorded, not hidden
+                result = _run_one_isolated(name)
+            if "error" in result:
+                print(f"bench: {name} FAILED: {result['error']}", file=sys.stderr)
+                query_metrics[name] = {"error": result["error"]}
+                continue
+            timings[name] = round(result["best"], 4)
+            query_metrics[name] = result.get("metrics", {})
+    else:
+        from etsd_time_series_database_spark import get_spark
+
+        spark = get_spark("etsd_spark_bench", {"spark.ui.enabled": "true"})
+        for name in names:
+            spark.sparkContext._jvm.System.gc()
+            best, metrics = _time_one(spark, name, sf_dir, n_runs)
+            timings[name] = round(best, 4)
+            query_metrics[name] = metrics
 
     total = round(sum(timings.values()), 4)
     # Per-query SQLMetrics go to a SIDE FILE, never stdout: the driver
@@ -122,7 +163,12 @@ def main() -> None:
     )
     metrics_path.write_text(
         json.dumps(
-            {"sf": sf, "queries": timings, "query_metrics": query_metrics},
+            {
+                "sf": sf,
+                "isolated": isolate,
+                "queries": timings,
+                "query_metrics": query_metrics,
+            },
             indent=1,
         )
     )
@@ -138,6 +184,38 @@ def main() -> None:
             }
         )
     )
+
+
+def _run_one_isolated(name: str) -> dict:
+    """Run one headline query in a fresh subprocess/JVM and parse its
+    sentinel-prefixed JSON result line."""
+    proc = subprocess.run(
+        [sys.executable, __file__, "--one", name],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=dict(os.environ),
+    )
+    if proc.returncode != 0:
+        return {"error": (proc.stderr or proc.stdout)[-500:]}
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_ONE_SENTINEL):
+            try:
+                return json.loads(line[len(_ONE_SENTINEL):])
+            except json.JSONDecodeError as exc:
+                return {"error": f"bad JSON from {name} child: {exc}"}
+    return {"error": f"no result JSON in stdout: {proc.stdout[-300:]!r}"}
+
+
+def _one_child(name: str) -> None:
+    """Child-process entry: time one query in this fresh JVM."""
+    from etsd_time_series_database_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark("etsd_spark_bench_one", {"spark.ui.enabled": "true"})
+    best, metrics = _time_one(spark, name, sf_dir, n_runs)
+    print(_ONE_SENTINEL + json.dumps({"name": name, "best": best, "metrics": metrics}))
 
 
 def _skew_compare_isolated() -> dict:
@@ -277,12 +355,13 @@ def _skew_compare(spark) -> dict:
     return out
 
 
-_SKEW_SENTINEL = "SKEWJSON:"
-
-
 if __name__ == "__main__":
     if "--skew-only" in sys.argv:
+        from etsd_time_series_database_spark import get_spark
+
         spark = get_spark("etsd_spark_bench_skew")
         print(_SKEW_SENTINEL + json.dumps(_skew_compare(spark)))
+    elif "--one" in sys.argv:
+        _one_child(sys.argv[sys.argv.index("--one") + 1])
     else:
         main()
