@@ -89,7 +89,12 @@ def _time_one(spark, name: str, sf_dir: str, n_runs: int) -> tuple[float, dict]:
     from etsd_time_series_database_spark.plans.metrics import collect_plan_metrics
 
     q = catalog()[name]
-    q.build(spark, sf_dir).collect()  # warm-up (not counted)
+    # Warm-up passes (not counted). A fresh JVM needs ~2 passes before
+    # whole-stage-codegen/JIT reach steady state (measured: q35 runs
+    # 6.1 / 1.0 / 0.8 / 0.7 / 0.6 s over passes 1-5 in a cold JVM);
+    # the shared-session harness hid this behind earlier queries.
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))):
+        q.build(spark, sf_dir).collect()
     best = float("inf")
     before = _executor_totals(spark)
     df = None

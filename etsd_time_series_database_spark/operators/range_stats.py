@@ -650,7 +650,7 @@ def longest_gaps(
     )
 
 
-def alarm_episodes(
+def episode_table(
     df: DataFrame,
     threshold: float,
     channel: str = "event_type",
@@ -660,11 +660,12 @@ def alarm_episodes(
     scalable: bool = True,
     bucket_s: int = 86400,
 ) -> DataFrame:
-    """Alarm-episode accounting per channel: consecutive samples above
-    ``threshold`` form an episode (the gaps-and-islands difference of
-    row numbers); report the episode count and the LONGEST episode's
-    span and sample count — which incident was worst, completing the
-    alarm family (q49: total time above; q51: longest silences).
+    """One row per alarm episode: consecutive samples above
+    ``threshold`` form an episode (gaps-and-islands), reduced to
+    (channel, island id, n_samples, start_us, end_us, span_us). The
+    shared reduction under :func:`alarm_episodes` (per-channel worst
+    incident) and :func:`alarm_coverage` (cross-channel interval
+    union).
 
     Island id: for an above-threshold row, rn_all − rn_above equals
     the running count of NOT-above rows at or before it (each below
@@ -676,9 +677,7 @@ def alarm_episodes(
     channel-capped double-row_number window. ``scalable=False``
     selects the plain two-window form (the equivalence oracle in
     tests; also exactly the q56 DuckDB oracle's formulation). Either
-    way the per-island rollup is a hash-agg and the per-channel argmax
-    packs (span, −start) into one order-preserving DECIMAL max_by
-    (ties take the EARLIEST episode).
+    way the per-island rollup is a map-side-combinable hash-agg.
     """
     us = epoch_us(ts)
     base = df.filter(F.col(value).isNotNull()).select(
@@ -718,6 +717,35 @@ def alarm_episodes(
         )
         .withColumn("span_us", F.col("end_us") - F.col("start_us"))
     )
+    return episodes
+
+
+def alarm_episodes(
+    df: DataFrame,
+    threshold: float,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Alarm-episode accounting per channel over the
+    :func:`episode_table`: episode count plus the LONGEST episode's
+    span/start/samples (packed-decimal argmax, EARLIEST on ties) —
+    which incident was worst, completing the alarm family (q49: total
+    time above; q51: longest silences). See :func:`episode_table` for
+    the scalable island construction."""
+    episodes = episode_table(
+        df,
+        threshold,
+        channel=channel,
+        value=value,
+        ts=ts,
+        seq=seq,
+        scalable=scalable,
+        bucket_s=bucket_s,
+    )
     # pack (span, −start) for the argmax: spans fit decimal(19,0),
     # start epochs fit the low 19 digits (the q35 packing)
     shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
@@ -737,4 +765,83 @@ def alarm_episodes(
             ),
         )
         .orderBy(channel)
+    )
+
+
+def alarm_coverage(
+    df: DataFrame,
+    threshold: float,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Cross-channel alarm coverage: merge every channel's alarm
+    episodes (:func:`episode_table`) into the union of time intervals
+    where ANY channel was above ``threshold`` — "how much wall-clock
+    was the site in alarm", the fleet-level view the per-channel q56
+    rollup can't answer (overlapping episodes must not double-count).
+
+    Classic interval union: episodes sorted by (start, end, channel);
+    an episode whose start exceeds the running max of all previous
+    ends opens a NEW merged interval (equal endpoints touch and
+    merge); the interval id is the running count of such openings;
+    per-interval min(start)/max(end) then reduce to ONE summary row:
+    episode count, merged-interval count, total covered microseconds,
+    the longest merged interval, and the overall first/last bounds.
+
+    Scale shape: the raw scan reduces to the episode table first (one
+    row per episode — a full groupBy reduction, orders of magnitude
+    smaller than the sample count); only that table rides the global
+    ordered window, and the result is a single row. Single-sample
+    episodes cover zero microseconds by construction (span = 0).
+    All outputs are integers — engine/oracle hashing is exact.
+    """
+    eps = episode_table(
+        df,
+        threshold,
+        channel=channel,
+        value=value,
+        ts=ts,
+        seq=seq,
+        scalable=scalable,
+        bucket_s=bucket_s,
+    )
+    order = [F.col("start_us"), F.col("end_us"), F.col(channel)]
+    w_prev = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # the very first episode has a NULL running max over the empty
+    # preceding frame — it still opens interval #1
+    opened = F.when(
+        F.max("end_us").over(w_prev).isNull()
+        | (F.col("start_us") > F.max("end_us").over(w_prev)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    merged = (
+        eps.withColumn("__interval", F.sum(opened).over(w_run))
+        .groupBy("__interval")
+        .agg(
+            F.min("start_us").alias("i_start"),
+            F.max("end_us").alias("i_end"),
+            F.count(F.lit(1)).alias("i_eps"),
+        )
+    )
+    return merged.agg(
+        F.sum("i_eps").cast("bigint").alias("n_episodes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias(
+            "covered_us"
+        ),
+        F.max(F.col("i_end") - F.col("i_start")).cast("bigint").alias(
+            "longest_interval_us"
+        ),
+        F.min("i_start").alias("first_start_us"),
+        F.max("i_end").alias("last_end_us"),
     )

@@ -396,3 +396,71 @@ def eval_slice(
         .select("src", "band", "rank", key)
         .orderBy("src", "band", "rank")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weight: Column | None = None,
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Training-mixture planner: given per-source token supplies and
+    target mixture weights, compute the LARGEST corpus achievable
+    WITHOUT upsampling any source, and each source's token take and
+    sampling rate toward it (the planning step behind domain-weighted
+    pretraining mixes à la DoReMi/The Pile — deterministic arithmetic,
+    not the optimizer).
+
+    With integer weights ``w_s`` (relative, need not sum to anything)
+    and supplies ``T_s``: feasible corpus size
+    ``N* = min_s floor(T_s * W / w_s)`` with ``W = sum(w_s)``; then
+    ``take_s = floor(w_s * N* / W)`` and ``rate_s = take_s / T_s``.
+    The source(s) attaining the min are flagged ``limiting`` — adding
+    data there (or lowering their weight) is what grows the corpus.
+    All sizing is 64-bit integer math (engine/oracle exact); only the
+    reported shares/rates are rounded doubles.
+
+    ``weight`` defaults to ``(int(source[3:]) % 4) + 1`` — a
+    deterministic 1..4 spread over the testdata's ``srcN`` names;
+    pass any integer Column to encode real mixture targets.
+
+    Scale shape: one map-side-combinable hash-agg over the corpus
+    (token counting is a scan-side expression; text never shuffles),
+    then all planning runs on the per-source table (one row per
+    source) via unpartitioned windows — KB-sized by construction.
+    """
+    if weight is None:
+        weight = (
+            F.substring(F.col(source), 4, 10).cast("bigint") % 4 + 1
+        )
+    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    per_src = (
+        df.groupBy(source)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+        )
+        .withColumn("weight", weight)
+    )
+    w_all = Window.partitionBy()
+    tot_w = F.sum("weight").over(w_all)
+    tot_t = F.sum("n_tokens").over(w_all)
+    cap = F.expr("n_tokens * __w div weight")  # this source's max corpus
+    planned = (
+        per_src.withColumn("__w", tot_w)
+        .withColumn("__t", tot_t)
+        .withColumn("__cap", cap)
+        .withColumn("__nstar", F.min("__cap").over(w_all))
+    )
+    take = F.expr("weight * __nstar div __w")
+    return planned.select(
+        source,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("weight").cast("bigint").alias("weight"),
+        F.round(F.col("n_tokens") / F.col("__t"), 6).alias("natural_share"),
+        F.round(F.col("weight") / F.col("__w"), 6).alias("target_share"),
+        take.cast("bigint").alias("take_tokens"),
+        F.round(take / F.col("n_tokens"), 6).alias("sampling_rate"),
+        (F.col("__cap") == F.col("__nstar")).cast("int").alias("limiting"),
+    ).orderBy(source)

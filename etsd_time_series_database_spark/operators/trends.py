@@ -1064,6 +1064,68 @@ def rolling_stats(
     )
 
 
+def median_filter(
+    df: DataFrame,
+    k: int = 5,
+    spike_t: float = 100.0,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+    bucket_s: int = 86400,
+    mode: str = "auto",
+) -> DataFrame:
+    """Hampel-style despiking: per-channel rolling MEDIAN over the
+    last ``k`` samples (current inclusive) plus a spike flag where the
+    reading deviates from that median by more than ``spike_t`` — the
+    robust cleaner for telemetry glitches that a mean smoother
+    (x55 rolling_stats) smears instead of isolating.
+
+    Spark has no frame-capable ``median``, so the median comes from
+    ``array_sort(collect_list(value))`` over the frame with an
+    element-pick that handles odd and even counts in ONE formula:
+    ``(arr[(n+1) div 2] + arr[n div 2 + 1]) / 2`` (odd n averages the
+    middle element with itself — exact in floating point). The DuckDB
+    oracle uses the *same* sorted-list element picks, so both engines
+    run an identical expression shape — no interpolation-formula
+    drift. NULL readings are dropped up front (both engines), so the
+    collected frames are null-free by construction.
+
+    Scale: same stitched (channel, bucket) machinery as
+    x55/:func:`ewma_truncated` (shared ``_k_lag_frame``); the k-row
+    array per row is bounded and never leaves the executor.
+    """
+    src = df.filter(F.col(value).isNotNull())
+    u, w_in = _k_lag_frame(
+        src, _use_stitched(src, mode), k, channel, ts, value, tie, bucket_s
+    )
+    frame = w_in.rowsBetween(-(k - 1), 0)
+    v = F.col(value)
+    return (
+        u.withColumn("__arr", F.array_sort(F.collect_list(v).over(frame)))
+        .withColumn("__n", F.size("__arr"))
+        .withColumn(
+            "__med",
+            (
+                F.element_at("__arr", F.expr("CAST((__n + 1) DIV 2 AS INT)"))
+                + F.element_at("__arr", F.expr("CAST(__n DIV 2 + 1 AS INT)"))
+            )
+            / F.lit(2.0),
+        )
+        .filter(F.col("__margin") == 0)
+        .select(
+            tie,
+            channel,
+            value,
+            F.round(F.col("__med"), 6).alias("roll_med"),
+            (F.abs(v - F.col("__med")) > F.lit(spike_t))
+            .cast("int")
+            .alias("is_spike"),
+        )
+        .orderBy(tie)
+    )
+
+
 def _trend_sums(
     df: DataFrame, origin_s: int, channel: str, value: str, ts: str
 ) -> DataFrame:

@@ -1293,3 +1293,45 @@ def q55(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import lag_estimate
 
     return lag_estimate(_events(spark, sf_dir), LAGEST_LAGS, CORR_W)
+
+
+MED_K = 5
+SPIKE_T = 100.0
+
+
+@register(
+    "q58_median_despike",
+    "analytics",
+    f"""
+    WITH src AS (
+      SELECT event_id, event_type, ts, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT event_id, event_type, value,
+             list_sort(list(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {MED_K - 1} PRECEDING AND CURRENT ROW)) AS arr
+      FROM src
+    ),
+    m AS (
+      SELECT event_id, event_type, value,
+             (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+               AS med
+      FROM w
+    )
+    SELECT event_id, event_type, value, round(med, 6) AS roll_med,
+           CAST(abs(value - med) > {SPIKE_T} AS INT) AS is_spike
+    FROM m ORDER BY event_id
+    """,
+    doc="Hampel-style robust despiking: rolling k-sample median per "
+    "channel (sorted-frame element picks — identical odd/even formula "
+    "on both engines) with a deviation spike flag; rides the x55 "
+    "stitched (channel, bucket) frame machinery.",
+)
+def q58(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import median_filter
+
+    return median_filter(
+        load_table(spark, sf_dir, "events"), k=MED_K, spike_t=SPIKE_T
+    )

@@ -2932,3 +2932,46 @@ def p66(spark, sf_dir):
     return eval_slice(
         load_table(spark, sf_dir, "documents"), k=EVAL_K, n_bands=EVAL_BANDS
     )
+
+
+# ----------------------------------------------------- mixture planning
+
+
+@register(
+    "x67_mixture_plan",
+    "sampling",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+             CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT)
+               AS weight
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT *, sum(weight) OVER () AS w_all,
+             sum(n_tokens) OVER () AS t_all,
+             n_tokens * sum(weight) OVER () // weight AS cap
+      FROM s
+    ),
+    m AS (SELECT *, min(cap) OVER () AS nstar FROM p)
+    SELECT source, n_docs, n_tokens, weight,
+           round(CAST(n_tokens AS DOUBLE) / t_all, 6) AS natural_share,
+           round(CAST(weight AS DOUBLE) / w_all, 6) AS target_share,
+           CAST(weight * nstar // w_all AS BIGINT) AS take_tokens,
+           round(CAST(weight * nstar // w_all AS DOUBLE) / n_tokens, 6)
+             AS sampling_rate,
+           CAST(cap = nstar AS INT) AS limiting
+    FROM m ORDER BY source
+    """,
+    doc="Training-mixture planner: per-source token supply vs target "
+    "weights -> the largest no-upsampling corpus (N* = min over "
+    "sources of supply x total-weight / weight), each source's token "
+    "take, sampling rate, and the limiting-source flag. Integer "
+    "sizing end-to-end; planning windows ride the one-row-per-source "
+    "table.",
+)
+def p67(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(load_table(spark, sf_dir, "documents"))

@@ -891,3 +891,64 @@ def q56(spark, sf_dir):
     )
 
     return alarm_episodes(_events(spark, sf_dir), ALARM_T)
+
+
+@register(
+    "q57_alarm_coverage",
+    "anomaly",
+    f"""
+    WITH m AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             value > {ALARM_T} AS above,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY event_type, value > {ALARM_T}
+                                  ORDER BY ts, event_id) AS island
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT event_type, island,
+             min(us) AS start_us, max(us) AS end_us
+      FROM m WHERE above GROUP BY event_type, island
+    ),
+    o AS (
+      SELECT *, CASE WHEN max(end_us) OVER w_prev IS NULL
+                     OR start_us > max(end_us) OVER w_prev
+                THEN 1 ELSE 0 END AS opened
+      FROM e
+      WINDOW w_prev AS (ORDER BY start_us, end_us, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    iv AS (
+      SELECT sum(opened) OVER (ORDER BY start_us, end_us, event_type
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS interval_id,
+             start_us, end_us
+      FROM o
+    ),
+    g AS (
+      SELECT interval_id, min(start_us) AS i_start, max(end_us) AS i_end,
+             CAST(count(*) AS BIGINT) AS i_eps
+      FROM iv GROUP BY interval_id
+    )
+    SELECT CAST(sum(i_eps) AS BIGINT) AS n_episodes,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(max(i_end - i_start) AS BIGINT) AS longest_interval_us,
+           min(i_start) AS first_start_us,
+           max(i_end) AS last_end_us
+    FROM g
+    """,
+    doc="Fleet-level alarm coverage: union of the time intervals where "
+    "ANY channel was above threshold (q56's episodes merged across "
+    "channels without double-counting overlaps) — total covered "
+    "wall-clock, merged-interval count, and the longest combined "
+    "incident. The global ordered window rides the episode table "
+    "(one row per episode), never the samples.",
+)
+def q57(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_coverage,
+    )
+
+    return alarm_coverage(_events(spark, sf_dir), ALARM_T)

@@ -943,3 +943,83 @@ def test_alarm_episodes_scalable_matches_plain(spark):
     a = {r.event_type: r for r in stitched}["a"]
     assert a.n_episodes == 2
     assert a.longest_span_us == 105 * 1_000_000  # the cross-bucket ep2
+
+
+def test_alarm_coverage_merges_overlaps(spark):
+    """q57: overlapping episodes across channels must merge (no
+    double-count), touching endpoints merge, disjoint ones don't."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_coverage,
+    )
+
+    rows = [
+        # a: alarm 00:10-00:30
+        ("2026-01-01 00:10:00", "a", 99, 1),
+        ("2026-01-01 00:30:00", "a", 99, 2),
+        # b: alarm 00:20-00:40 (overlaps a's) and 01:00-01:05 (disjoint)
+        ("2026-01-01 00:20:00", "b", 99, 3),
+        ("2026-01-01 00:40:00", "b", 99, 4),
+        ("2026-01-01 00:50:00", "b", 1, 5),    # below: splits b's episodes
+        ("2026-01-01 01:00:00", "b", 99, 6),
+        ("2026-01-01 01:05:00", "b", 99, 7),
+    ]
+    df = _series(spark, rows)
+    r = alarm_coverage(df, 20.0).collect()[0]
+    assert r.n_episodes == 3
+    assert r.n_intervals == 2          # [00:10,00:40] and [01:00,01:05]
+    assert r.covered_us == (30 + 5) * 60 * 1_000_000
+    assert r.longest_interval_us == 30 * 60 * 1_000_000
+    # scalable and plain island construction agree
+    r2 = alarm_coverage(df, 20.0, scalable=False).collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_mixture_plan_integer_sizing(spark):
+    """x67: the limiting source caps the corpus; takes follow the
+    weights; no source is upsampled (rate <= 1)."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.sampling import mixture_plan
+
+    rows = [
+        # src1 (weight 2): 100 tokens; src2 (weight 3): 600 tokens
+        (1, " ".join(["w"] * 100), "src1"),
+        (2, " ".join(["w"] * 600), "src2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in mixture_plan(df).collect()}
+    # W=5; caps: src1 100*5//2=250, src2 600*5//3=1000 -> N*=250
+    assert out["src1"].limiting == 1 and out["src2"].limiting == 0
+    assert out["src1"].take_tokens == 100   # 2*250//5
+    assert out["src2"].take_tokens == 150   # 3*250//5
+    assert out["src1"].sampling_rate == 1.0
+    assert out["src2"].sampling_rate == 0.25
+    # custom weights column
+    out2 = {
+        r.source: r
+        for r in mixture_plan(df, weight=F.lit(1)).collect()
+    }
+    # equal weights: caps 200 / 1200 -> N*=200, takes 100/100
+    assert out2["src1"].take_tokens == 100
+    assert out2["src2"].take_tokens == 100
+
+
+def test_median_filter_stitched_matches_plain_and_flags_spikes(spark):
+    from etsd_time_series_database_spark.operators.trends import median_filter
+
+    rows = []
+    sq = 0
+    for ch in ("a", "b"):
+        for i, v in enumerate([10, 11, 12, 500, 13, 14, 12, 11, 10, 12]):
+            sq += 1
+            rows.append((f"2026-01-01 00:0{i}:00", ch, v, sq))
+    df = _series(spark, rows)
+    plain = median_filter(df, k=5, spike_t=100.0, mode="global").collect()
+    stitched = median_filter(
+        df, k=5, spike_t=100.0, mode="stitched", bucket_s=120
+    ).collect()
+    assert [tuple(r) for r in stitched] == [tuple(r) for r in plain]
+    spikes = [r.event_id for r in plain if r.is_spike]
+    assert spikes == [4, 14]           # the 500s in each channel
+    # even-count head frame: median of (10, 11) = 10.5
+    assert plain[1].roll_med == 10.5
