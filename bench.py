@@ -89,16 +89,24 @@ def _time_one(spark, name: str, sf_dir: str, n_runs: int) -> tuple[float, dict]:
     from etsd_time_series_database_spark.plans.metrics import collect_plan_metrics
 
     q = catalog()[name]
-    # Warm-up passes (not counted). A fresh JVM needs ~2 passes before
-    # whole-stage-codegen/JIT reach steady state (measured: q35 runs
-    # 6.1 / 1.0 / 0.8 / 0.7 / 0.6 s over passes 1-5 in a cold JVM);
-    # the shared-session harness hid this behind earlier queries.
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))):
+    # Warm-up passes (not counted). A fresh JVM needs several passes
+    # before whole-stage-codegen/JIT reach steady state (measured: q35
+    # runs 6.1 / 1.0 / 0.8 / 0.7 / 0.6 s over passes 1-5 in a cold
+    # JVM); the old shared-session harness hid this behind earlier
+    # queries, which is why round <= 6 snapshots are not comparable.
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "3"))):
         q.build(spark, sf_dir).collect()
     best = float("inf")
-    before = _executor_totals(spark)
+    before = None
     df = None
-    for _ in range(n_runs):
+    for i in range(n_runs):
+        # Executor task time is snapshotted around the LAST timed pass
+        # only: the earlier passes still carry residual JIT warm-up in
+        # a fresh JVM (measured on q06: 3-pass average 680 task-ms vs
+        # 507 for the final pass), which would read as phantom
+        # plan-cost drift across rounds. Wall stays min-of-n.
+        if i == n_runs - 1:
+            before = _executor_totals(spark)
         # time build() + collect(): plan construction is ~ms for
         # declarative queries, but iterative operators (x45 BPE)
         # materialize eager checkpoints during build — timing only
@@ -107,10 +115,9 @@ def _time_one(spark, name: str, sf_dir: str, n_runs: int) -> tuple[float, dict]:
         df = q.build(spark, sf_dir)
         df.collect()
         best = min(best, time.perf_counter() - t0)
-    # task-time snapshot FIRST: the delta must cover exactly the n_runs
-    # timed passes (plan-metrics collection below walks the JVM plan
-    # tree over py4j, which burns driver time but no executor time —
-    # still, keep the accounting unambiguous).
+    # task-time snapshot BEFORE plan-metrics collection: the delta must
+    # cover exactly the final timed pass (the plan walk below runs over
+    # py4j — driver time, no executor time — but keep it unambiguous).
     after = _executor_totals(spark)
     try:
         metrics = collect_plan_metrics(df)
@@ -119,7 +126,7 @@ def _time_one(spark, name: str, sf_dir: str, n_runs: int) -> tuple[float, dict]:
     if before is not None and after is not None:
         for k, v in after.items():
             metrics[k] = v - before[k]
-        metrics["timed_passes"] = n_runs
+        metrics["timed_passes"] = 1
     return best, metrics
 
 

@@ -206,3 +206,59 @@ def rollover_corrected_scalable(
             "corrected_value"
         ),
     ).orderBy(seq)
+
+
+def cumsum_multi(
+    df: DataFrame,
+    cols: dict[str, Column],
+    channel: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Several per-channel running sums (ordered by ts, seq) in ONE
+    stitched pass: each entry of ``cols`` (out_name -> Column) gets the
+    distributed prefix-sum treatment of :func:`cumsum_scalable`, but
+    the per-bucket totals aggregate, the offsets window and the
+    boundary join are shared — n prefix sums cost one extra stage, not
+    n. Reuses an existing ``__bkt`` column exactly like
+    :func:`cumsum_scalable` (same Exchange/Sort elision)."""
+    src = df
+    for name, col in cols.items():
+        src = src.withColumn(f"__x_{name}", col)
+    b = src if "__bkt" in df.columns else _bucketed(src, ts, bucket_s)
+    w_in = (
+        Window.partitionBy(channel, "__bkt")
+        .orderBy(F.col(ts), F.col(seq))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = b.groupBy(channel, "__bkt").agg(
+        *[F.sum(f"__x_{n}").alias(f"__tot_{n}") for n in cols]
+    )
+    w_excl = (
+        Window.partitionBy(channel)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        channel,
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__tot_{n}").over(w_excl), F.lit(0)).alias(
+                f"__off_{n}"
+            )
+            for n in cols
+        ],
+    )
+    out = b
+    for n in cols:
+        out = out.withColumn(f"__run_{n}", F.sum(f"__x_{n}").over(w_in))
+    out = out.join(offsets, [channel, "__bkt"])
+    for n in cols:
+        out = out.withColumn(n, F.col(f"__run_{n}") + F.col(f"__off_{n}"))
+    return out.drop(
+        "__bkt",
+        *[f"__x_{n}" for n in cols],
+        *[f"__run_{n}" for n in cols],
+        *[f"__off_{n}" for n in cols],
+    )

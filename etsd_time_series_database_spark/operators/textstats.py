@@ -1005,3 +1005,34 @@ def source_style_distance(
         "source_b",
         F.round(tv, 6).alias("tv_distance"),
     ).orderBy("source_a", "source_b")
+
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+PII_IDNUM_RE = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+
+def pii_scan(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Per-document PII pattern counts (emails, phone-shaped numbers,
+    SSN-shaped ids) and a has_pii flag — the redaction/filter gate a
+    training pipeline runs before anything else. Pure scan-side
+    regexp_count expressions: no shuffle at all (the output is
+    one row per doc in scan order), no UDF, text never leaves the
+    scan task.
+
+    The three patterns use only syntax with identical semantics in
+    Java regex (Spark) and RE2 (DuckDB oracle): ASCII classes,
+    bounded repetition, word boundaries. Counts are
+    non-overlapping-match counts in both engines.
+    """
+    t = F.col(text)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_phone = F.regexp_count(t, F.lit(PII_PHONE_RE))
+    n_idnum = F.regexp_count(t, F.lit(PII_IDNUM_RE))
+    return df.select(
+        key,
+        n_email.cast("bigint").alias("n_email"),
+        n_phone.cast("bigint").alias("n_phone"),
+        n_idnum.cast("bigint").alias("n_idnum"),
+        ((n_email + n_phone + n_idnum) > 0).cast("int").alias("has_pii"),
+    ).orderBy(key)

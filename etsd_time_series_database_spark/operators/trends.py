@@ -1799,3 +1799,146 @@ def lag_estimate(
         )
         .orderBy("ch_a", "ch_b")
     )
+
+
+def monotone_runs(
+    df: DataFrame,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Longest strictly-rising and strictly-falling run per channel
+    (sample count, endpoints, total rise/fall) — the ramp detector
+    behind "how long did the counter climb before it turned": runs of
+    consecutive positive (negative) deltas, longest wins, EARLIEST on
+    ties.
+
+    Construction mirrors q56's islands: delta rows come from the
+    stitched lag (scalable default); an up-run's island id is the
+    running count of NON-positive deltas at or before it (constant
+    within the run, bumped by every run breaker) — one prefix sum per
+    direction, both computed in a single
+    :func:`~etsd_time_series_database_spark.operators.scalable_window.cumsum_multi`
+    pass that reuses the lag's (channel, bucket) partitioning. Run
+    rollups are hash-aggs; the per-channel argmax packs
+    (n, −start) into an order-preserving DECIMAL max_by. Rises
+    accumulate as DECIMAL(18,6) (order-independent, oracle-exact).
+
+    ``scalable=False`` is the plain two-window equivalence oracle.
+    """
+    src = df.filter(F.col(value).isNotNull()).withColumn(
+        "__ts_us", epoch_us(ts)
+    )
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            cumsum_multi,
+            lag_stitched,
+        )
+
+        st = lag_stitched(
+            src, [value, "__ts_us"], channel=channel, ts=ts, seq=seq,
+            bucket_s=bucket_s,
+        )
+        d = st.filter(F.col(f"__lag_{value}").isNotNull()).select(
+            F.col(channel),
+            F.col(ts),
+            F.col(seq),
+            "__bkt",
+            F.col("__ts_us").alias("__us"),
+            F.col(f"__lag___ts_us").alias("__pus"),
+            (F.col(value) - F.col(f"__lag_{value}")).alias("__dv"),
+        )
+        d = cumsum_multi(
+            d,
+            {
+                "__isl_up": (F.col("__dv") <= 0).cast("int"),
+                "__isl_dn": (F.col("__dv") >= 0).cast("int"),
+            },
+            channel=channel,
+            ts=ts,
+            seq=seq,
+            bucket_s=bucket_s,
+        )
+    else:
+        w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+        wr = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq)).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        d = (
+            src.select(
+                F.col(channel),
+                F.col(ts),
+                F.col(seq),
+                F.col("__ts_us").alias("__us"),
+                F.lag("__ts_us").over(w).alias("__pus"),
+                (F.col(value) - F.lag(value).over(w)).alias("__dv"),
+            )
+            .filter(F.col("__pus").isNotNull())
+            .withColumn(
+                "__isl_up", F.sum((F.col("__dv") <= 0).cast("int")).over(wr)
+            )
+            .withColumn(
+                "__isl_dn", F.sum((F.col("__dv") >= 0).cast("int")).over(wr)
+            )
+        )
+
+    # ONE role-keyed pipeline instead of separate up/down branches
+    # (which would each recompute the scan + stitched lag + prefix-sum
+    # lineage — the q44 lesson): every delta row takes its direction
+    # role and that direction's island id; a single rollup + packed
+    # argmax per (channel, role) then folds to one row per channel.
+    role = F.when(F.col("__dv") > 0, F.lit("u")).when(
+        F.col("__dv") < 0, F.lit("d")
+    )
+    r = (
+        d.withColumn("__role", role)
+        .filter(F.col("__role").isNotNull())
+        .withColumn(
+            "__isl",
+            F.when(F.col("__role") == "u", F.col("__isl_up")).otherwise(
+                F.col("__isl_dn")
+            ),
+        )
+        .groupBy(channel, "__role", "__isl")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
+            F.min("__pus").alias("start_us"),
+            F.max("__us").alias("end_us"),
+            F.round(F.sum(F.col("__dv").cast(DEC)).cast("double"), 6).alias(
+                "amt"
+            ),
+        )
+    )
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    pk = F.col("n").cast("decimal(19,0)") * shift + (
+        F.expr("CAST(9999999999999999999 AS DECIMAL(19,0))")
+        - F.col("start_us").cast("decimal(19,0)")
+    )
+    arg = (
+        r.withColumn("__pk", pk)
+        .groupBy(channel, "__role")
+        .agg(
+            F.max_by("n", "__pk").alias("n"),
+            F.max_by("start_us", "__pk").alias("start_us"),
+            F.max_by("end_us", "__pk").alias("end_us"),
+            F.max_by("amt", "__pk").alias("amt"),
+        )
+    )
+    u = F.col("__role") == "u"
+    return (
+        arg.groupBy(channel)
+        .agg(
+            F.max(F.when(u, F.col("n"))).alias("up_n"),
+            F.max(F.when(u, F.col("start_us"))).alias("up_start_us"),
+            F.max(F.when(u, F.col("end_us"))).alias("up_end_us"),
+            F.max(F.when(u, F.col("amt"))).alias("rise"),
+            F.max(F.when(~u, F.col("n"))).alias("down_n"),
+            F.max(F.when(~u, F.col("start_us"))).alias("down_start_us"),
+            F.max(F.when(~u, F.col("end_us"))).alias("down_end_us"),
+            F.max(F.when(~u, F.col("amt"))).alias("fall"),
+        )
+        .orderBy(channel)
+    )

@@ -1335,3 +1335,70 @@ def q58(spark, sf_dir):
     return median_filter(
         load_table(spark, sf_dir, "events"), k=MED_K, spike_t=SPIKE_T
     )
+
+
+@register(
+    "q59_monotone_runs",
+    "analytics",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             value, lag(value) OVER w AS pv,
+             lag(epoch_us(ts)) OVER w AS pus
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    dd AS (
+      SELECT event_type, us, event_id, pus, value - pv AS dv,
+             sum(CASE WHEN value - pv <= 0 THEN 1 ELSE 0 END) OVER wr
+               AS isl_up,
+             sum(CASE WHEN value - pv >= 0 THEN 1 ELSE 0 END) OVER wr
+               AS isl_dn
+      FROM d WHERE pv IS NOT NULL
+      WINDOW wr AS (PARTITION BY event_type ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    up AS (
+      SELECT event_type, CAST(count(*) + 1 AS BIGINT) AS n,
+             min(pus) AS start_us, max(us) AS end_us,
+             round(CAST(sum(CAST(dv AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS rise
+      FROM dd WHERE dv > 0 GROUP BY event_type, isl_up
+    ),
+    upb AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, start_us) AS rn
+      FROM up
+    ),
+    dn AS (
+      SELECT event_type, CAST(count(*) + 1 AS BIGINT) AS n,
+             min(pus) AS start_us, max(us) AS end_us,
+             round(CAST(sum(CAST(dv AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS fall
+      FROM dd WHERE dv < 0 GROUP BY event_type, isl_dn
+    ),
+    dnb AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, start_us) AS rn
+      FROM dn
+    )
+    SELECT event_type,
+           u.n AS up_n, u.start_us AS up_start_us, u.end_us AS up_end_us,
+           u.rise,
+           b.n AS down_n, b.start_us AS down_start_us,
+           b.end_us AS down_end_us, b.fall
+    FROM (SELECT * FROM upb WHERE rn = 1) u
+    FULL JOIN (SELECT * FROM dnb WHERE rn = 1) b USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="Longest strictly-rising and strictly-falling run per channel "
+    "with endpoints and total rise/fall (earliest on ties) — the ramp "
+    "detector. Delta rows from the stitched lag; BOTH direction "
+    "island ids in one shared prefix-sum pass (cumsum_multi reusing "
+    "the lag's (channel, bucket) partitioning); packed-decimal "
+    "argmax.",
+)
+def q59(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import monotone_runs
+
+    return monotone_runs(load_table(spark, sf_dir, "events"))

@@ -2975,3 +2975,34 @@ def p67(spark, sf_dir):
     from etsd_time_series_database_spark.operators.sampling import mixture_plan
 
     return mixture_plan(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x68_pii_scan",
+    "quality",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_idnum,
+           CAST((len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+             + len(regexp_extract_all(text,
+             '\b\d{3}-\d{2}-\d{4}\b'))) > 0 AS INT) AS has_pii
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Per-document PII pattern counts (emails, phone-shaped, "
+    "SSN-shaped) + has_pii flag — the pre-training redaction gate. "
+    "Scan-side regexp_count only (no shuffle, no UDF); patterns "
+    "restricted to syntax with identical Java-regex/RE2 semantics.",
+)
+def p68(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import pii_scan
+
+    return pii_scan(load_table(spark, sf_dir, "documents"))

@@ -1023,3 +1023,67 @@ def test_median_filter_stitched_matches_plain_and_flags_spikes(spark):
     assert spikes == [4, 14]           # the 500s in each channel
     # even-count head frame: median of (10, 11) = 10.5
     assert plain[1].roll_med == 10.5
+
+
+def test_monotone_runs_picks_longest_earliest(spark):
+    from etsd_time_series_database_spark.operators.trends import monotone_runs
+
+    rows = [
+        # a: 1,2,3 (up n=3, rise 2), 2,1 (down n=3, fall -2), 5 (up n=2)
+        ("2026-01-01 00:00:00", "a", 1, 1),
+        ("2026-01-01 00:01:00", "a", 2, 2),
+        ("2026-01-01 00:02:00", "a", 3, 3),
+        ("2026-01-01 00:03:00", "a", 2, 4),
+        ("2026-01-01 00:04:00", "a", 1, 5),
+        ("2026-01-01 00:05:00", "a", 5, 6),
+        # b: flat then one drop — no up run at all
+        ("2026-01-01 00:00:00", "b", 7, 7),
+        ("2026-01-01 00:01:00", "b", 7, 8),
+        ("2026-01-01 00:02:00", "b", 4, 9),
+    ]
+    df = _series(spark, rows)
+    out = {r.event_type: r for r in monotone_runs(df).collect()}
+    a = out["a"]
+    assert (a.up_n, a.rise) == (3, 2.0)         # first 3-sample climb wins
+    assert (a.down_n, a.fall) == (3, -2.0)
+    assert a.up_end_us - a.up_start_us == 120 * 1_000_000
+    b = out["b"]
+    assert b.up_n is None and (b.down_n, b.fall) == (2, -3.0)
+    # stitched default == plain global windows, across bucket edges
+    plain = monotone_runs(df, scalable=False).collect()
+    stitched = monotone_runs(df, scalable=True, bucket_s=120).collect()
+    assert [tuple(r) for r in stitched] == [tuple(r) for r in plain]
+
+
+def test_pii_scan_counts_and_engine_parity(spark):
+    """x68: counts on PII-bearing text (the catalog table has none),
+    and Java-regex vs RE2 parity on the same strings."""
+    import duckdb
+
+    from etsd_time_series_database_spark.operators.textstats import pii_scan
+
+    rows = [
+        (1, "contact bob@example.com or alice@test.org today"),
+        (2, "call 555-123-4567 or 555.987.6543 x9"),
+        (3, "ssn 123-45-6789 appears once; 12-345-678 does not match"),
+        (4, "clean text with numbers 1234567890 and at@ signs"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (out[1].n_email, out[1].has_pii) == (2, 1)
+    assert (out[2].n_phone, out[2].has_pii) == (2, 1)
+    assert (out[3].n_idnum, out[3].n_phone, out[3].has_pii) == (1, 0, 1)
+    assert (out[4].n_email, out[4].n_phone, out[4].n_idnum, out[4].has_pii) == (
+        0, 0, 0, 0,
+    )
+    # engine parity on the same strings via the x68 oracle SQL
+    from etsd_time_series_database_spark.plans import catalog
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    oracle = con.execute(catalog()["x68_pii_scan"].oracle).fetchall()
+    assert sorted(map(tuple, out.values())) == sorted(map(tuple, oracle))
