@@ -1036,3 +1036,63 @@ def pii_scan(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFram
         n_idnum.cast("bigint").alias("n_idnum"),
         ((n_email + n_phone + n_idnum) > 0).cast("int").alias("has_pii"),
     ).orderBy(key)
+
+
+def quality_percentile(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    source: str = "source",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Rank-based quality calibration: each document's x17 composite
+    quality mapped to its PERCENT RANK within its source — the
+    cross-source comparable score a mixture pipeline filters on when
+    sources have incomparable raw-quality scales (one feed's 0.4 is
+    another's 0.9).
+
+    Exact percent_rank without a per-source global sort: quality is
+    quantized to value-range buckets (it lives in [0, 1] rounded to
+    1e-6, so ``floor(q * n_buckets)`` is order-aligned); a tiny
+    (source x bucket) count table windows per source for exclusive
+    running offsets (the x48 epoch-shuffle pattern, ordered by VALUE
+    instead of hash); the min-rank of a doc = its bucket's offset +
+    rank() within the bucket. Ties share the min rank, so
+    ``(rank - 1) / (n - 1)`` equals SQL ``percent_rank()`` exactly —
+    the oracle uses the plain window form. Parallelism is
+    sources x buckets; per-bucket sort state is corpus/n_buckets.
+    """
+    q = F.round(quality_expr(text), 6)
+    d = df.select(
+        key, F.col(source), q.alias("quality")
+    ).withColumn("__qb", F.floor(F.col("quality") * n_buckets).cast("int"))
+    counts = d.groupBy(source, "__qb").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(source)
+        .orderBy("__qb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy(source)
+    offsets = counts.select(
+        source,
+        "__qb",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_n).alias("__n"),
+    )
+    w_in = Window.partitionBy(source, "__qb").orderBy("quality")
+    return (
+        d.join(offsets, [source, "__qb"])
+        .withColumn("__rk", F.col("__off") + F.rank().over(w_in))
+        .select(
+            key,
+            source,
+            "quality",
+            F.round(
+                F.when(F.col("__n") > 1,
+                       (F.col("__rk") - 1) / (F.col("__n") - 1))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("quality_pct"),
+        )
+        .orderBy(key)
+    )

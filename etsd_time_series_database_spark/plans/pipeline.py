@@ -3006,3 +3006,33 @@ def p68(spark, sf_dir):
     from etsd_time_series_database_spark.operators.textstats import pii_scan
 
     return pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x69_quality_percentile",
+    "text",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             round(0.5 * (len(list_distinct({_TOKS})) / len({_TOKS}))
+                   + 0.5 * least(1.0, len({_TOKS}) / 100.0), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality), 6) AS quality_pct
+    FROM t ORDER BY doc_id
+    """,
+    doc="Rank-based quality calibration: x17 quality mapped to its "
+    "percent rank WITHIN source — the cross-source comparable score "
+    "when feeds have incomparable raw-quality scales. Exact "
+    "percent_rank with no per-source global sort: value-bucketed "
+    "counts + per-source offset table (the x48 order-aligned "
+    "pattern), min-rank ties — parallelism sources x buckets.",
+)
+def p69(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        quality_percentile,
+    )
+
+    return quality_percentile(load_table(spark, sf_dir, "documents"))

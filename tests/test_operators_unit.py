@@ -1087,3 +1087,46 @@ def test_pii_scan_counts_and_engine_parity(spark):
     )
     oracle = con.execute(catalog()["x68_pii_scan"].oracle).fetchall()
     assert sorted(map(tuple, out.values())) == sorted(map(tuple, oracle))
+
+
+def test_quality_percentile_matches_percent_rank_with_ties(spark):
+    """x69: bucketed min-rank == SQL percent_rank, including ties,
+    singleton sources (pct 0), and docs in the same bucket."""
+    import duckdb
+
+    from etsd_time_series_database_spark.operators.textstats import (
+        quality_percentile,
+    )
+
+    rows = []
+    did = 0
+    for s, lens in [("s1", [5, 5, 20, 80, 200]), ("s2", [50])]:
+        for n in lens:
+            did += 1
+            rows.append((did, " ".join(f"w{i%7}" for i in range(n)), s))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = quality_percentile(df, n_buckets=10).collect()  # coarse buckets
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', '{s}')" for i, t, s in rows)
+        + ") t(doc_id, text, source)"
+    )
+    oracle = con.execute("""
+      WITH t AS (
+        SELECT doc_id, source,
+               round(0.5 * (len(list_distinct(list_filter(string_split(text, ' '), x -> x != '')))
+                     / len(list_filter(string_split(text, ' '), x -> x != '')))
+                     + 0.5 * least(1.0, len(list_filter(string_split(text, ' '), x -> x != '')) / 100.0), 6) AS quality
+        FROM d
+      )
+      SELECT doc_id, source, quality,
+             round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6) AS quality_pct
+      FROM t ORDER BY doc_id
+    """).fetchall()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, oracle))
+    # ties (the two 5-token docs, quality 0.525) share the min rank
+    pct = {r.doc_id: r.quality_pct for r in out}
+    assert pct[1] == pct[2] == 0.75
+    assert pct[3] == 0.0  # lowest quality in s1
+    assert pct[6] == 0.0  # singleton source

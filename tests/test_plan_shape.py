@@ -395,3 +395,22 @@ def test_pq_encode_is_hash_agg(spark):
     plan = _plan(catalog()["x56_pq_topk"].build(spark, SF_SMOKE))
     assert "SortAggregate" not in plan
     assert "partial_min_by" in plan or "min_by" in plan
+
+
+def test_quality_percentile_rank_window_is_bucket_parallel(spark):
+    """x69's exact percent_rank must never run a source-global sort
+    over the documents fact table: the rank window partitions by
+    (source, __qb) so per-partition sort state is corpus/n_buckets;
+    source-only windows are legal only on the tiny (source x bucket)
+    counts table, which orders by __qb, never by quality."""
+    import re
+
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["x69_quality_percentile"].build(spark, SF_SMOKE))
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, __qb#\d+, quality#", plan
+    ), "no (source, bucket) rank window over the fact table"
+    assert not re.search(
+        r"windowspecdefinition\(source#\d+, quality#", plan
+    ), "found a source-global window ordered by quality (unbounded sort)"
