@@ -1096,3 +1096,68 @@ def quality_percentile(
         )
         .orderBy(key)
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Bigram conditional-rarity scoring — the order-sensitive upgrade
+    of x50's unigram proxy: each bigram's rarity is
+    ``context_freq div bigram_freq`` (monotone in -log P(cur | prev),
+    the conditional probability a KenLM-style perplexity filter
+    estimates), and each document reports its bigram count, mean and
+    max conditional rarity. High mean = token order unusual for the
+    corpus (gibberish, shuffled text, boilerplate soup) even when
+    every individual token is common — exactly the failure mode
+    unigram rarity cannot see.
+
+    Rarity is an exact BIGINT (integer division), so sums/max/mean
+    are integer arithmetic plus ONE IEEE division (the x50
+    determinism discipline). Bigrams travel as ``xxhash64`` keys from
+    the moment they leave the token array — the raw strings never
+    shuffle (the x11 discipline); the context key ``xxhash64(prev)``
+    rides along so context totals re-aggregate from the bigram vocab
+    without touching the corpus again. Plan: one bigram explode, a
+    map-side-combinable vocab hash-agg, a vocab-derived context
+    re-agg (unigram-sized, AQE-broadcast), one vocab equi-join and
+    one per-doc hash-agg. Documents with < 2 tokens survive with
+    zero counts and NULL scores.
+    """
+    toks = df.select(F.col(key), _tokens(text).alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    bg = toks.select(
+        F.col(key),
+        F.explode(
+            F.expr(
+                "zip_with(slice(__t, 1, size(__t) - 1),"
+                " slice(__t, 2, size(__t) - 1),"
+                " (a, b) -> struct(xxhash64(a) AS hp, xxhash64(a, b) AS hb))"
+            )
+        ).alias("__g"),
+    ).select(key, F.col("__g.hp").alias("__hp"), F.col("__g.hb").alias("__hb"))
+    vocab = bg.groupBy("__hp", "__hb").agg(F.count(F.lit(1)).alias("__bf"))
+    ctx = vocab.groupBy("__hp").agg(F.sum("__bf").cast("bigint").alias("__cf"))
+    rar = (
+        bg.join(vocab, ["__hp", "__hb"])
+        .join(ctx, "__hp")
+        .withColumn("__rar", F.expr("__cf div __bf"))
+    )
+    g = rar.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nb"),
+        F.round(
+            F.sum("__rar").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_cond_rarity"),
+        F.max("__rar").cast("bigint").alias("max_cond_rarity"),
+    )
+    return (
+        df.select(key)
+        .join(g, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("__nb"), F.lit(0)).alias("n_bigrams"),
+            "mean_cond_rarity",
+            "max_cond_rarity",
+        )
+        .orderBy(key)
+    )

@@ -1402,3 +1402,63 @@ def q59(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import monotone_runs
 
     return monotone_runs(load_table(spark, sf_dir, "events"))
+
+
+SAX_W = 3600
+
+
+@register(
+    "q60_sax_symbols",
+    "analytics",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {SAX_W * 1_000_000}) AS bkt,
+             CAST(value AS DECIMAL(18,6)) AS vd,
+             CAST(value * value AS DECIMAL(28,6)) AS vsq
+      FROM events WHERE value IS NOT NULL
+    ),
+    paa AS (
+      SELECT event_type, bkt, sum(vd) AS s, sum(vsq) AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY event_type, bkt
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mean,
+             sqrt(greatest(
+               CAST(sum(ss) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+               - (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+                 * (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)),
+               0.0)) AS std
+      FROM paa GROUP BY event_type
+    ),
+    zz AS (
+      SELECT paa.event_type,
+             CAST(paa.bkt * {SAX_W * 1_000_000} AS BIGINT) AS bucket_us,
+             paa.n AS n_samples,
+             CAST(paa.s AS DOUBLE) / paa.n AS paa_v,
+             CASE WHEN st.std > 0
+                  THEN (CAST(paa.s AS DOUBLE) / paa.n - st.mean) / st.std
+                  ELSE 0.0 END AS z
+      FROM paa JOIN st USING (event_type)
+    )
+    SELECT event_type, bucket_us, n_samples,
+           round(paa_v, 6) AS paa,
+           CASE WHEN z < -0.6745 THEN 'a'
+                WHEN z < 0 THEN 'b'
+                WHEN z < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM zz ORDER BY event_type, bucket_us
+    """,
+    doc="SAX symbolization (Lin et al. 2003): per-channel "
+    "z-normalized PAA over fixed buckets cut at the standard-normal "
+    "quartile breakpoints into an a-d alphabet. ONE scan: (channel, "
+    "bucket) decimal hash agg; channel moments close by re-aggregating "
+    "the bucket sums (decimal re-agg is order-exact, no second scan); "
+    "AQE-broadcast stats join back onto bucket rows.",
+)
+def q60(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import sax_symbols
+
+    return sax_symbols(load_table(spark, sf_dir, "events"), bucket_s=SAX_W)

@@ -3036,3 +3036,50 @@ def p69(spark, sf_dir):
     )
 
     return quality_percentile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x70_bigram_surprisal",
+    "text",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, p[1] AS prev, p[2] AS cur
+      FROM (SELECT doc_id, unnest(list_zip(t[:len(t)-1], t[2:])) AS p
+            FROM tok)
+    ),
+    v AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS bf
+      FROM bg GROUP BY prev, cur
+    ),
+    c AS (SELECT prev, CAST(sum(bf) AS BIGINT) AS cf FROM v GROUP BY prev),
+    r AS (
+      SELECT bg.doc_id, c.cf // v.bf AS rar
+      FROM bg JOIN v USING (prev, cur) JOIN c USING (prev)
+    ),
+    g AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+             round(CAST(sum(rar) AS DOUBLE) / count(*), 6)
+               AS mean_cond_rarity,
+             CAST(max(rar) AS BIGINT) AS max_cond_rarity
+      FROM r GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(g.nb, 0) AS BIGINT) AS n_bigrams,
+           g.mean_cond_rarity, g.max_cond_rarity
+    FROM documents d LEFT JOIN g USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Bigram conditional-rarity scoring: rarity = context_freq div "
+    "bigram_freq (exact BIGINT, monotone in -log P(cur|prev)) — the "
+    "order-sensitive perplexity proxy that catches shuffled/gibberish "
+    "text unigram rarity cannot. Bigrams shuffle as xxhash64 keys "
+    "(raw strings never leave the scan stage); context totals "
+    "re-aggregate from the bigram vocab, one corpus pass total.",
+)
+def p70(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        bigram_surprisal,
+    )
+
+    return bigram_surprisal(load_table(spark, sf_dir, "documents"))

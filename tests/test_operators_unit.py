@@ -1130,3 +1130,95 @@ def test_quality_percentile_matches_percent_rank_with_ties(spark):
     assert pct[1] == pct[2] == 0.75
     assert pct[3] == 0.0  # lowest quality in s1
     assert pct[6] == 0.0  # singleton source
+
+
+def test_sax_symbols_breakpoints_and_constant_channel(spark):
+    """q60: PAA + z-normalized 4-symbol binning vs the DuckDB oracle
+    shape; a constant channel symbolizes as 'c' (z=0), not a
+    divide-by-zero."""
+    from datetime import datetime, timezone
+
+    from etsd_time_series_database_spark.operators.trends import sax_symbols
+
+    def t(s):
+        return datetime(2024, 1, 1, tzinfo=timezone.utc).replace(
+            hour=s // 3600, minute=(s % 3600) // 60
+        )
+
+    rows = []
+    # channel "a": bucket means 0, 10, 20, 30 over 4 one-hour buckets
+    for i, m in enumerate([0.0, 10.0, 20.0, 30.0]):
+        rows.append((f"e{2*i}", "a", t(i * 3600), m - 1.0))
+        rows.append((f"e{2*i+1}", "a", t(i * 3600 + 60), m + 1.0))
+    # channel "b": constant
+    rows.append(("c1", "b", t(0), 5.0))
+    rows.append(("c2", "b", t(3600), 5.0))
+    df = spark.createDataFrame(
+        rows, ["event_id", "event_type", "ts", "value"]
+    )
+    out = {(r.event_type, r.bucket_us): r for r in sax_symbols(df).collect()}
+    base = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC
+    syms = [
+        out[("a", base + b * 3600 * 1_000_000)].symbol for b in range(4)
+    ]
+    # mean 15, std ~11.2: z = (-1.34, -0.45, 0.45, 1.34)
+    assert syms == ["a", "b", "c", "d"]
+    b0 = out[("a", base)]
+    assert b0.paa == 0.0 and b0.n_samples == 2
+    assert [r.symbol for k, r in out.items() if k[0] == "b"] == ["c", "c"]
+
+
+def test_bigram_surprisal_matches_duckdb_and_edge_docs(spark):
+    """x70: conditional rarity vs a string-keyed DuckDB oracle;
+    0/1-token docs survive with zero counts and NULL scores."""
+    import duckdb
+
+    from etsd_time_series_database_spark.operators.textstats import (
+        bigram_surprisal,
+    )
+
+    rows = [
+        (1, "the cat sat"),          # bigrams: (the,cat) (cat,sat)
+        (2, "the cat ran"),          # (the,cat) (cat,ran)
+        (3, "the dog sat"),          # (the,dog) (dog,sat)
+        (4, "cat"),                  # 1 token -> no bigrams
+        (5, ""),                     # empty
+        (6, "the cat sat the cat"),  # repeats boost (the,cat)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(map(tuple, bigram_surprisal(df).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    oracle = con.execute("""
+      WITH tok AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+             FROM documents),
+      bg AS (SELECT doc_id, p[1] AS prev, p[2] AS cur
+             FROM (SELECT doc_id,
+                          unnest(list_zip(t[:len(t)-1], t[2:])) AS p
+                   FROM tok)),
+      v AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bf
+            FROM bg GROUP BY prev, cur),
+      c AS (SELECT prev, CAST(sum(bf) AS BIGINT) AS cf FROM v GROUP BY prev),
+      r AS (SELECT bg.doc_id, c.cf // v.bf AS rar
+            FROM bg JOIN v USING (prev, cur) JOIN c USING (prev)),
+      g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+                   round(CAST(sum(rar) AS DOUBLE) / count(*), 6)
+                     AS mean_cond_rarity,
+                   CAST(max(rar) AS BIGINT) AS max_cond_rarity
+            FROM r GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(g.nb, 0) AS BIGINT) AS n_bigrams,
+             g.mean_cond_rarity, g.max_cond_rarity
+      FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id
+    """).fetchall()
+    assert out == sorted(map(tuple, oracle))
+    d = {r[0]: r for r in out}
+    assert d[4][1] == 0 and d[4][2] is None  # 1 token
+    assert d[5][1] == 0                      # empty
+    # (the,cat) occurs 4x of "the"-context 5 -> rarity 5 div 4 = 1
+    # (the,dog) occurs 1x -> rarity 5
+    assert d[3][3] >= d[1][3]
