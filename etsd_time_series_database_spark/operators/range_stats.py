@@ -845,3 +845,123 @@ def alarm_coverage(
         F.min("i_start").alias("first_start_us"),
         F.max("i_end").alias("last_end_us"),
     )
+
+
+def hysteresis_episodes(
+    df: DataFrame,
+    hi: float,
+    lo: float,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Alarm accounting with HYSTERESIS: an episode opens when the
+    value crosses ``hi`` and stays open until it falls to ``lo`` or
+    below — samples between the two thresholds carry the current
+    state instead of chattering the alarm on/off (the two-threshold
+    comparator every real alerting pipeline uses; q56 is the
+    degenerate hi == lo case).
+
+    The state machine reduces to DECISIVE rows only (value >= hi sets,
+    value <= lo resets; in-band rows can never change state, so they
+    are dropped at the scan — the big data reduction). On the decisive
+    table: a stitched per-channel lag marks episode STARTS (a set row
+    whose previous decisive row was a reset / nothing), one stitched
+    prefix sum of the start indicator numbers the episodes, and the
+    k-th episode's rows group to (start = first row, end = first
+    reset) in a single hash-agg. Episodes still open at channel end
+    close at the channel's last sample (a tiny per-channel max joined
+    back). Both stitched passes share the (channel, bucket)
+    partitioning (the q59 shape); ``scalable=False`` selects plain
+    channel-global windows (the oracle's formulation, equivalence-
+    tested). Per-channel rollup = the q56 packed-decimal argmax.
+    """
+    us = epoch_us(ts)
+    dec = (
+        df.filter(F.col(value).isNotNull())
+        .filter((F.col(value) >= hi) | (F.col(value) <= lo))
+        .select(
+            F.col(channel),
+            F.col(ts),
+            us.alias("__us"),
+            F.col(seq),
+            (F.col(value) >= hi).cast("int").alias("__set"),
+        )
+    )
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            cumsum_scalable,
+            lag_stitched,
+        )
+
+        lagged = lag_stitched(
+            dec, ["__set"], channel=channel, ts=ts, seq=seq, bucket_s=bucket_s
+        )
+        start = (
+            (F.col("__set") == 1)
+            & (F.coalesce(F.col("__lag___set"), F.lit(0)) == 0)
+        ).cast("bigint")
+        marked = cumsum_scalable(
+            lagged,
+            start,
+            "__k",
+            channel=channel,
+            ts=ts,
+            seq=seq,
+            bucket_s=bucket_s,
+        )
+    else:
+        w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+        start = (
+            (F.col("__set") == 1)
+            & (F.coalesce(F.lag("__set").over(w), F.lit(0)) == 0)
+        ).cast("bigint")
+        marked = dec.withColumn(
+            "__k",
+            F.sum(start).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    ep = (
+        marked.filter(F.col("__k") >= 1)
+        .groupBy(channel, "__k")
+        .agg(
+            F.min("__us").alias("start_us"),
+            F.min(F.when(F.col("__set") == 0, F.col("__us"))).alias(
+                "__end_raw"
+            ),
+        )
+    )
+    chan_max = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(channel)
+        .agg(F.max(us).alias("__max_us"))
+    )
+    sp = ep.join(chan_max, channel).select(
+        F.col(channel),
+        "start_us",
+        (F.coalesce(F.col("__end_raw"), F.col("__max_us")) - F.col("start_us"))
+        .cast("bigint")
+        .alias("span_us"),
+        F.col("__end_raw").isNull().cast("int").alias("__open"),
+    )
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    packed = F.col("span_us").cast("decimal(19,0)") * shift + (
+        F.expr("CAST(9999999999999999999 AS DECIMAL(19,0))")
+        - F.col("start_us").cast("decimal(19,0)")
+    )
+    return (
+        sp.withColumn("__pk", packed)
+        .groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+            F.sum("span_us").cast("bigint").alias("total_active_us"),
+            F.max("span_us").cast("bigint").alias("longest_span_us"),
+            F.max_by("start_us", "__pk").alias("longest_start_us"),
+            F.max("__open").cast("int").alias("has_open"),
+        )
+        .orderBy(channel)
+    )

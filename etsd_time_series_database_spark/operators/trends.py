@@ -2019,3 +2019,48 @@ def sax_symbols(
         )
         .orderBy(channel, "bucket_us")
     )
+
+
+def sax_transitions(
+    df: DataFrame,
+    bucket_s: int = 3600,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Symbol-transition profile over the q60 SAX stream: counts and
+    probabilities of (from_symbol -> to_symbol) between consecutive
+    PRESENT buckets per channel — the first-order Markov signature of
+    the channel's dynamics (a mostly-diagonal matrix = slow regimes; a
+    hot a<->d anti-diagonal = oscillation; heavy '->d' column = spike
+    habit).
+
+    Rides :func:`sax_symbols` (one events scan); the lead() and the
+    per-channel probability normalization run over the TINY bucket
+    table (channels x buckets rows), the stitched-boundary-table
+    convention for channel-only windows.
+    """
+    sax = sax_symbols(
+        df, bucket_s=bucket_s, channel=channel, ts=ts, value=value
+    )
+    w = Window.partitionBy(channel).orderBy("bucket_us")
+    t = (
+        sax.select(F.col(channel), "bucket_us", "symbol")
+        .withColumn("__to", F.lead("symbol").over(w))
+        .filter(F.col("__to").isNotNull())
+    )
+    counts = t.groupBy(
+        F.col(channel),
+        F.col("symbol").alias("from_symbol"),
+        F.col("__to").alias("to_symbol"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_tot = Window.partitionBy(channel)
+    return (
+        counts.withColumn(
+            "p",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w_tot), 6
+            ),
+        )
+        .orderBy(channel, "from_symbol", "to_symbol")
+    )

@@ -1462,3 +1462,74 @@ def q60(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import sax_symbols
 
     return sax_symbols(load_table(spark, sf_dir, "events"), bucket_s=SAX_W)
+
+
+@register(
+    "q61_sax_transitions",
+    "analytics",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {SAX_W * 1_000_000}) AS bkt,
+             CAST(value AS DECIMAL(18,6)) AS vd,
+             CAST(value * value AS DECIMAL(28,6)) AS vsq
+      FROM events WHERE value IS NOT NULL
+    ),
+    paa AS (
+      SELECT event_type, bkt, sum(vd) AS s, sum(vsq) AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY event_type, bkt
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mean,
+             sqrt(greatest(
+               CAST(sum(ss) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+               - (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+                 * (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)),
+               0.0)) AS std
+      FROM paa GROUP BY event_type
+    ),
+    sym AS (
+      SELECT paa.event_type, paa.bkt,
+             CASE WHEN (CASE WHEN st.std > 0
+                        THEN (CAST(paa.s AS DOUBLE) / paa.n - st.mean) / st.std
+                        ELSE 0.0 END) < -0.6745 THEN 'a'
+                  WHEN (CASE WHEN st.std > 0
+                        THEN (CAST(paa.s AS DOUBLE) / paa.n - st.mean) / st.std
+                        ELSE 0.0 END) < 0 THEN 'b'
+                  WHEN (CASE WHEN st.std > 0
+                        THEN (CAST(paa.s AS DOUBLE) / paa.n - st.mean) / st.std
+                        ELSE 0.0 END) < 0.6745 THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM paa JOIN st USING (event_type)
+    ),
+    tr AS (
+      SELECT event_type, symbol AS from_symbol,
+             lead(symbol) OVER (PARTITION BY event_type ORDER BY bkt)
+               AS to_symbol
+      FROM sym
+    ),
+    cnt AS (
+      SELECT event_type, from_symbol, to_symbol,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tr WHERE to_symbol IS NOT NULL
+      GROUP BY event_type, from_symbol, to_symbol
+    )
+    SELECT event_type, from_symbol, to_symbol, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM cnt ORDER BY event_type, from_symbol, to_symbol
+    """,
+    doc="First-order Markov transition profile over the q60 SAX "
+    "stream: (from_symbol -> to_symbol) counts and probabilities "
+    "between consecutive present buckets per channel. One events "
+    "scan; lead() and the probability normalization ride the tiny "
+    "bucket table.",
+)
+def q61(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        sax_transitions,
+    )
+
+    return sax_transitions(load_table(spark, sf_dir, "events"), bucket_s=SAX_W)

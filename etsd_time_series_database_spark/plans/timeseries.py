@@ -952,3 +952,82 @@ def q57(spark, sf_dir):
     )
 
     return alarm_coverage(_events(spark, sf_dir), ALARM_T)
+
+
+HYST_HI = 250.0
+HYST_LO = 50.0
+
+
+@register(
+    "q62_hysteresis_episodes",
+    "anomaly",
+    f"""
+    WITH dec AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN value >= {HYST_HI} THEN 1 ELSE 0 END AS s
+      FROM events
+      WHERE value IS NOT NULL
+        AND (value >= {HYST_HI} OR value <= {HYST_LO})
+    ),
+    l AS (
+      SELECT *, coalesce(lag(s) OVER (PARTITION BY event_type
+                                      ORDER BY us, event_id), 0) AS ps
+      FROM dec
+    ),
+    kk AS (
+      SELECT *, sum(CASE WHEN s = 1 AND ps = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS k
+      FROM l
+    ),
+    cm AS (
+      SELECT event_type, max(epoch_us(ts)) AS max_us
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    ep AS (
+      SELECT event_type, k, min(us) AS start_us,
+             min(CASE WHEN s = 0 THEN us END) AS end_raw
+      FROM kk WHERE k >= 1 GROUP BY event_type, k
+    ),
+    sp AS (
+      SELECT ep.event_type, start_us,
+             CAST(coalesce(end_raw, cm.max_us) - start_us AS BIGINT)
+               AS span_us,
+             CASE WHEN end_raw IS NULL THEN 1 ELSE 0 END AS open_flag
+      FROM ep JOIN cm USING (event_type)
+    ),
+    best AS (
+      SELECT event_type, start_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY span_us DESC, start_us) AS rn
+      FROM sp
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_episodes,
+             CAST(sum(span_us) AS BIGINT) AS total_active_us,
+             CAST(max(span_us) AS BIGINT) AS longest_span_us,
+             CAST(max(open_flag) AS INT) AS has_open
+      FROM sp GROUP BY event_type
+    )
+    SELECT agg.event_type, n_episodes, total_active_us, longest_span_us,
+           b.start_us AS longest_start_us, has_open
+    FROM agg JOIN (SELECT event_type, start_us FROM best WHERE rn = 1) b
+      USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="Two-threshold alarm accounting with hysteresis: an episode "
+    "opens at value >= hi and closes only at value <= lo (in-band "
+    "samples carry state — no chatter; q56 is the hi == lo case). "
+    "State machine reduced to DECISIVE rows at the scan; stitched "
+    "lag marks starts, ONE stitched prefix sum numbers episodes, "
+    "first-reset closes each in a single hash-agg; open episodes "
+    "close at the channel's last sample. q56's packed-decimal argmax "
+    "rollup.",
+)
+def q62(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        hysteresis_episodes,
+    )
+
+    return hysteresis_episodes(_events(spark, sf_dir), HYST_HI, HYST_LO)

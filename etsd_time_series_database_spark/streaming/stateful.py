@@ -177,3 +177,90 @@ def carry_forward_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ALARM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("source", StringType()),
+        StructField("channel", StringType()),
+        StructField("event", StringType()),
+        StructField("value", DoubleType()),
+        StructField("span_us", LongType()),
+    ]
+)
+
+ALARM_STATE_SCHEMA = StructType(
+    [
+        StructField("active", IntegerType()),
+        StructField("opened_ts_us", LongType()),
+    ]
+)
+
+
+def _make_hysteresis_fn(hi: float, lo: float):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        active, opened = state.get if state.exists else (0, None)
+        source, channel = key
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_us")
+            out = {k: [] for k in ("ts_us", "event", "value", "span_us")}
+            for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                if v >= hi and not active:
+                    active, opened = 1, int(ts_us)
+                    out["ts_us"].append(int(ts_us))
+                    out["event"].append("open")
+                    out["value"].append(v)
+                    out["span_us"].append(None)
+                elif v <= lo and active:
+                    out["ts_us"].append(int(ts_us))
+                    out["event"].append("close")
+                    out["value"].append(v)
+                    out["span_us"].append(int(ts_us) - opened)
+                    active, opened = 0, None
+            yield pd.DataFrame(
+                {
+                    "ts_us": pd.array(out["ts_us"], dtype="int64"),
+                    "source": source,
+                    "channel": channel,
+                    "event": out["event"],
+                    "value": pd.array(out["value"], dtype="float64"),
+                    "span_us": pd.array(out["span_us"], dtype="Int64"),
+                }
+            )
+        state.update((active, opened))
+
+    return fn
+
+
+def hysteresis_alarm_stream(
+    stream: DataFrame, hi: float, lo: float
+) -> DataFrame:
+    """Streaming two-threshold alarm: emits an ``open`` event when a
+    channel's value crosses ``hi`` while inactive and a ``close``
+    event (with the episode span) when it falls to ``lo`` or below —
+    in-band samples emit nothing and state carries, so the alert
+    stream cannot chatter. The batch equivalent over the historical
+    store is operators.range_stats.hysteresis_episodes (q62); this is
+    its live-alerting dual: state is two scalars per (source,
+    channel), outputs only on transitions (a tiny fraction of input),
+    and an episode spanning any number of micro-batches closes with
+    the exact span because ``opened_ts_us`` persists in group state.
+    """
+    from pyspark.sql import functions as F
+
+    rows = stream.select(
+        F.unix_micros("ts").alias("ts_us"), "source", "channel", "value"
+    )
+    return rows.groupBy("source", "channel").applyInPandasWithState(
+        _make_hysteresis_fn(hi, lo),
+        outputStructType=ALARM_OUTPUT_SCHEMA,
+        stateStructType=ALARM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1222,3 +1222,69 @@ def test_bigram_surprisal_matches_duckdb_and_edge_docs(spark):
     # (the,cat) occurs 4x of "the"-context 5 -> rarity 5 div 4 = 1
     # (the,dog) occurs 1x -> rarity 5
     assert d[3][3] >= d[1][3]
+
+
+def test_sax_transitions_counts_and_probs(spark):
+    """q61: transitions count between consecutive PRESENT buckets
+    (missing buckets don't break the chain) and p normalizes per
+    channel."""
+    from datetime import datetime, timezone
+
+    from etsd_time_series_database_spark.operators.trends import (
+        sax_transitions,
+    )
+
+    def t(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    # buckets 0,1,3 (2 missing): symbols low, high, low
+    rows = [
+        ("e0", "a", t(0), 0.0),
+        ("e1", "a", t(1), 100.0),
+        ("e3", "a", t(3), 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    out = {
+        (r.from_symbol, r.to_symbol): (r.n, r.p)
+        for r in sax_transitions(df).collect()
+    }
+    # z = (-0.707, 1.414, -0.707) -> symbols a, d, a
+    assert out == {("a", "d"): (1, 0.5), ("d", "a"): (1, 0.5)}
+
+
+def test_hysteresis_episodes_state_machine(spark):
+    """q62: set at >= hi, carry between lo and hi, reset at <= lo;
+    open episode closes at the channel's last sample; stitched ==
+    plain across bucket boundaries."""
+    from datetime import datetime, timedelta, timezone
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        hysteresis_episodes,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    # values: 60 (in-band pre-state: inactive), 250 (S), 100 (carry),
+    # 50 (R), 80 (in-band), 300 (S), 120 (carry, last sample)
+    vals = [(0, 60.0), (10, 250.0), (20, 100.0), (30, 50.0),
+            (40, 80.0), (50, 300.0), (60, 120.0)]
+    rows = [(f"e{i}", "a", t(s), v) for i, (s, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    out = hysteresis_episodes(df, hi=250.0, lo=50.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ep1: 10s..30s (20s); ep2: 50s..60s (10s, open -> closes at last
+    # sample 60s)
+    assert r.n_episodes == 2
+    assert r.total_active_us == 30 * 1_000_000
+    assert r.longest_span_us == 20 * 1_000_000
+    assert r.longest_start_us == int(t(10).timestamp()) * 1_000_000
+    assert r.has_open == 1
+    plain = hysteresis_episodes(df, 250.0, 50.0, scalable=False).collect()
+    stitched = hysteresis_episodes(
+        df, 250.0, 50.0, scalable=True, bucket_s=25
+    ).collect()
+    assert [tuple(x) for x in stitched] == [tuple(x) for x in plain]

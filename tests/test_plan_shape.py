@@ -414,3 +414,24 @@ def test_quality_percentile_rank_window_is_bucket_parallel(spark):
     assert not re.search(
         r"windowspecdefinition\(source#\d+, quality#", plan
     ), "found a source-global window ordered by quality (unbounded sort)"
+
+
+def test_hysteresis_episodes_windows_are_bucket_stitched(spark):
+    """q62's default path must never window the decisive table by
+    channel alone: the lag and the prefix sum run at (channel, __bkt)
+    parallelism; channel-only specs are legal only on the tiny
+    boundary tables, which order by __bkt."""
+    import re
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        hysteresis_episodes,
+    )
+
+    df = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(hysteresis_episodes(df, 250.0, 50.0))
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, __bkt#\d+L, ts#", plan
+    ), "no (channel, bucket) window over the decisive table"
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, (ts|us|__us)#", plan
+    ), "found a channel-global window over the decisive table"

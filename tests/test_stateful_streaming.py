@@ -65,3 +65,60 @@ def test_carry_forward_state_survives_micro_batches(spark, tmp_path):
     # NULL in the later micro-batch filled from carried state
     assert by_time[1][0] is None
     assert by_time[1][1] == 42.0 and by_time[1][2] == 1
+
+
+@pytest.mark.slow
+def test_hysteresis_alarm_spans_micro_batches(spark, tmp_path):
+    """An episode opened in micro-batch 1 must close in micro-batch 2
+    with the exact span — opened_ts_us lives in group state. In-band
+    samples emit nothing."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        hysteresis_alarm_stream,
+    )
+
+    src = str(tmp_path / "alarm_src")
+    now = time.time()
+    # batch 1: in-band (no event), cross hi (open), in-band carry
+    _write_batch(
+        spark,
+        os.path.join(src, "b1"),
+        [
+            ("2026-01-01 00:00:00", "a", 100.0),
+            ("2026-01-01 00:00:10", "a", 260.0),
+            ("2026-01-01 00:00:20", "a", 200.0),
+        ],
+        now - 100,
+    )
+    # batch 2: still high (no event, already active), reset (close)
+    _write_batch(
+        spark,
+        os.path.join(src, "b2"),
+        [
+            ("2026-01-01 00:00:30", "a", 300.0),
+            ("2026-01-01 00:00:40", "a", 40.0),
+        ],
+        now - 50,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = hysteresis_alarm_stream(stream, hi=250.0, lo=50.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hyst_alarm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+    rows = sorted(
+        spark.sql("select * from hyst_alarm").collect(),
+        key=lambda r: r.ts_us,
+    )
+    assert [(r.event, r.value, r.span_us) for r in rows] == [
+        ("open", 260.0, None),
+        ("close", 40.0, 30 * 1_000_000),
+    ]
