@@ -1451,6 +1451,7 @@ SAX_W = 3600
                 ELSE 'd' END AS symbol
     FROM zz ORDER BY event_type, bucket_us
     """,
+    headline=True,
     doc="SAX symbolization (Lin et al. 2003): per-channel "
     "z-normalized PAA over fixed buckets cut at the standard-normal "
     "quartile breakpoints into an a-d alphabet. ONE scan: (channel, "

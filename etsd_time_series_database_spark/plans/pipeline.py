@@ -3070,6 +3070,7 @@ def p69(spark, sf_dir):
     FROM documents d LEFT JOIN g USING (doc_id)
     ORDER BY d.doc_id
     """,
+    headline=True,
     doc="Bigram conditional-rarity scoring: rarity = context_freq div "
     "bigram_freq (exact BIGINT, monotone in -log P(cur|prev)) — the "
     "order-sensitive perplexity proxy that catches shuffled/gibberish "

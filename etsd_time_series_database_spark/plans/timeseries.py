@@ -1016,6 +1016,7 @@ HYST_LO = 50.0
       USING (event_type)
     ORDER BY event_type
     """,
+    headline=True,
     doc="Two-threshold alarm accounting with hysteresis: an episode "
     "opens at value >= hi and closes only at value <= lo (in-band "
     "samples carry state — no chatter; q56 is the hi == lo case). "
