@@ -965,3 +965,87 @@ def hysteresis_episodes(
         )
         .orderBy(channel)
     )
+
+
+def rle_profile(
+    df: DataFrame,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Run-length compressibility profile per channel: how many
+    consecutive-equal-value runs the stream contains, the RLE ratio
+    (runs / rows — 1.0 = incompressible, small = register-like), and
+    the longest run with its value and start. The accounting view of
+    the reference's bit-packing identity (ETSD stores repeated
+    readings in 1-2 bits, reference code/etsdSave.c packing loop;
+    Parquet RLE-dictionary does the same job here — this query tells
+    you per channel how much that matters).
+
+    Same physical family as q62: a stitched (channel, bucket) lag
+    marks run starts (value differs from previous, NULL-safe), ONE
+    stitched prefix sum numbers the runs, one hash-agg reduces each
+    run, and the per-channel rollup closes with the q56
+    packed-decimal argmax (longest run, earliest on ties).
+    """
+    us = epoch_us(ts)
+    base = df.filter(F.col(value).isNotNull()).select(
+        F.col(channel),
+        F.col(ts),
+        us.alias("__us"),
+        F.col(seq),
+        F.col(value).alias("__v"),
+    )
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            cumsum_scalable,
+            lag_stitched,
+        )
+
+        lagged = lag_stitched(
+            base, ["__v"], channel=channel, ts=ts, seq=seq, bucket_s=bucket_s
+        )
+        chg = F.coalesce(
+            F.col("__v") != F.col("__lag___v"), F.lit(True)
+        ).cast("bigint")
+        marked = cumsum_scalable(
+            lagged, chg, "__k",
+            channel=channel, ts=ts, seq=seq, bucket_s=bucket_s,
+        )
+    else:
+        w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+        chg = F.coalesce(
+            F.col("__v") != F.lag("__v").over(w), F.lit(True)
+        ).cast("bigint")
+        marked = base.withColumn(
+            "__k",
+            F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    runs = marked.groupBy(channel, "__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("__us").alias("start_us"),
+        F.min("__v").alias("v"),
+    )
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    packed = F.col("n").cast("decimal(19,0)") * shift + (
+        F.expr("CAST(9999999999999999999 AS DECIMAL(19,0))")
+        - F.col("start_us").cast("decimal(19,0)")
+    )
+    return (
+        runs.withColumn("__pk", packed)
+        .groupBy(channel)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("n"), 6
+            ).alias("rle_ratio"),
+            F.max("n").cast("bigint").alias("longest_run"),
+            F.max_by("v", "__pk").alias("longest_value"),
+            F.max_by("start_us", "__pk").alias("longest_start_us"),
+        )
+        .orderBy(channel)
+    )

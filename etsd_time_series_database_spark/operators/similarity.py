@@ -1009,3 +1009,85 @@ def centroid_similarity(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def label_dispersion(
+    embeddings: DataFrame,
+    label: str = "label",
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Within-label embedding dispersion: for every label class, the
+    MEAN PAIRWISE COSINE among its (unit-normalized) members and the
+    centroid norm — the intra-class dual of x63's between-class
+    separability matrix (cos ≈ 1 inside a class = collapsed/duplicate
+    members; low cos = the class is semantically diffuse; read both
+    before trusting labeled embeddings).
+
+    No pairwise join anywhere: for unit vectors,
+    sum_pairs cos(u_i, u_j) = (||Σu||² − Σ||u||²) / 2, so the whole
+    statistic closes from PER-DIMENSION component sums — one Generate
+    (posexplode) pass, one (label, dim) DECIMAL hash-agg, one
+    label-level rollup of dims-sized rows. O(n·d) work, O(labels · d)
+    shuffle, exact at any corpus size where an n² pairs table is
+    impossible.
+
+    Determinism: the per-vector norm is the same sequential double
+    fold as the cosine oracle helper (plans/pipeline._duck_cos);
+    normalized components quantize with round(·, 6) BEFORE the
+    decimal sums (the x63 _bucket_means rule), so Σu (DECIMAL(18,6)
+    sums) and Σ||u_rounded||² (DECIMAL(28,12) sums of exact 12-dp
+    squares) are bit-identical on both engines and the closing
+    formula folds identical doubles. Zero-norm vectors are dropped
+    (they have no direction); singleton labels report NULL cosine.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    # the divisor guard (NULL, not 0, for dropped rows) matters under
+    # ANSI: Catalyst may evaluate the projection lambda on rows the
+    # adjacent filter discards, and 0-division would raise
+    safe_nrm = F.when(F.col("__nrm") > 0, F.col("__nrm"))
+    u = (
+        embeddings.withColumn("__nrm", norm)
+        .filter(F.col("__nrm") > 0)
+        .select(
+            F.col(label),
+            F.transform(
+                F.col(vec),
+                lambda x: F.round(x.cast("double") / safe_nrm, 6),
+            ).alias("__u"),
+        )
+    )
+    dims = (
+        u.select(label, F.posexplode("__u").alias("dim", "__ud"))
+        .groupBy(label, "dim")
+        .agg(
+            F.sum(F.col("__ud").cast("decimal(18,6)")).alias("__s"),
+            F.sum(
+                (F.col("__ud") * F.col("__ud")).cast("decimal(28,12)")
+            ).alias("__q"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+    )
+    n = F.max("__cnt").cast("double")
+    sum_sq = F.sum(
+        F.col("__s").cast("double") * F.col("__s").cast("double")
+    )
+    qsum = F.sum("__q").cast("double")
+    return (
+        dims.groupBy(label)
+        .agg(
+            F.max("__cnt").cast("bigint").alias("n_vecs"),
+            F.when(
+                n > 1,
+                F.round((sum_sq - qsum) / (n * (n - F.lit(1.0))), 6),
+            ).alias("mean_pairwise_cos"),
+            F.round(F.sqrt(sum_sq) / n, 6).alias("centroid_norm"),
+        )
+        .orderBy(label)
+    )

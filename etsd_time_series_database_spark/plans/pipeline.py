@@ -3084,3 +3084,61 @@ def p70(spark, sf_dir):
     )
 
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x71_label_dispersion",
+    "similarity",
+    """
+    WITH nrm AS (
+      SELECT label, vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (p, q) -> p + q)) AS nv,
+             embedding
+      FROM embeddings
+    ),
+    u AS (
+      SELECT label, vec_id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) / nv, 6)) AS uv
+      FROM nrm WHERE nv > 0
+    ),
+    d AS (
+      SELECT label, generate_subscripts(uv, 1) AS dim,
+             unnest(uv) AS ud
+      FROM u
+    ),
+    dims AS (
+      SELECT label, dim,
+             sum(CAST(ud AS DECIMAL(18,6))) AS s,
+             sum(CAST(ud * ud AS DECIMAL(28,12))) AS q,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(max(cnt) AS BIGINT) AS n_vecs,
+           CASE WHEN max(cnt) > 1 THEN
+             round((sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    - CAST(sum(q) AS DOUBLE))
+                   / (CAST(max(cnt) AS DOUBLE)
+                      * (CAST(max(cnt) AS DOUBLE) - 1.0)), 6)
+           END AS mean_pairwise_cos,
+           round(sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                 / CAST(max(cnt) AS DOUBLE), 6) AS centroid_norm
+    FROM dims GROUP BY label ORDER BY label
+    """,
+    doc="Within-label embedding dispersion: mean pairwise cosine among "
+    "a class's unit-normalized members WITHOUT a pairs table — for "
+    "unit vectors sum-of-pairwise-cos closes from per-dimension "
+    "component sums ((||sum u||^2 - sum ||u||^2) / n(n-1)), so one "
+    "posexplode pass + one (label, dim) DECIMAL hash-agg replaces an "
+    "impossible n^2 join. The intra-class dual of x63's separability "
+    "matrix.",
+)
+def p71(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import (
+        label_dispersion,
+    )
+
+    return label_dispersion(load_table(spark, sf_dir, "embeddings"))

@@ -1032,3 +1032,60 @@ def q62(spark, sf_dir):
     )
 
     return hysteresis_episodes(_events(spark, sf_dir), HYST_HI, HYST_LO)
+
+
+@register(
+    "q63_rle_profile",
+    "storage",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id) AS pv
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *, sum(CASE WHEN pv IS NULL OR value != pv
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS k
+      FROM d
+    ),
+    runs AS (
+      SELECT event_type, k, CAST(count(*) AS BIGINT) AS n,
+             min(us) AS start_us, min(value) AS v
+      FROM r GROUP BY event_type, k
+    ),
+    best AS (
+      SELECT event_type, n, v, start_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, start_us) AS rn
+      FROM runs
+    ),
+    agg AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS rle_ratio,
+             CAST(max(n) AS BIGINT) AS longest_run
+      FROM runs GROUP BY event_type
+    )
+    SELECT agg.event_type, n_rows, n_runs, rle_ratio, longest_run,
+           b.v AS longest_value, b.start_us AS longest_start_us
+    FROM agg JOIN (SELECT event_type, v, start_us FROM best
+                   WHERE rn = 1) b
+      USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="Run-length compressibility profile: consecutive-equal-value "
+    "runs per channel, RLE ratio (runs/rows), and the longest run "
+    "with value and start — the accounting view of the reference's "
+    "1-2-bit repeated-reading packing (Parquet RLE-dictionary's job "
+    "here). q62's physical family: stitched lag + ONE stitched "
+    "prefix sum + per-run hash-agg + packed-decimal argmax.",
+)
+def q63(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        rle_profile,
+    )
+
+    return rle_profile(_events(spark, sf_dir))

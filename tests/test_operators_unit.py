@@ -1288,3 +1288,78 @@ def test_hysteresis_episodes_state_machine(spark):
         df, 250.0, 50.0, scalable=True, bucket_s=25
     ).collect()
     assert [tuple(x) for x in stitched] == [tuple(x) for x in plain]
+
+
+def test_rle_profile_runs_and_ratio(spark):
+    """q63: NULL-safe run detection, ratio, longest run with value and
+    start; stitched == plain across bucket boundaries."""
+    from datetime import datetime, timedelta, timezone
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        rle_profile,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    # a: 5,5,5,7,7,5 -> runs [5x3, 7x2, 5x1]; b: constant 1.0 x2
+    vals_a = [5.0, 5.0, 5.0, 7.0, 7.0, 5.0]
+    rows = [(f"a{i}", "a", t(i * 10), v) for i, v in enumerate(vals_a)]
+    rows += [("b0", "b", t(0), 1.0), ("b1", "b", t(10), 1.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    out = {r.event_type: r for r in rle_profile(df).collect()}
+    a = out["a"]
+    assert (a.n_rows, a.n_runs, a.longest_run) == (6, 3, 3)
+    assert a.rle_ratio == 0.5
+    assert a.longest_value == 5.0 and a.longest_start_us == int(
+        t(0).timestamp()) * 1_000_000
+    b = out["b"]
+    assert (b.n_rows, b.n_runs, b.rle_ratio, b.longest_run) == (2, 1, 0.5, 2)
+    plain = rle_profile(df, scalable=False).collect()
+    stitched = rle_profile(df, scalable=True, bucket_s=25).collect()
+    assert [tuple(x) for x in stitched] == [tuple(x) for x in plain]
+
+
+def test_label_dispersion_closed_form_matches_pairs(spark):
+    """x71: the per-dimension closed form equals the brute-force mean
+    pairwise cosine; singleton labels report NULL; zero vectors drop."""
+    import itertools
+
+    import numpy as np
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        label_dispersion,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    vecs_by_label = {}
+    for lbl, n in [(0, 4), (1, 2), (2, 1)]:
+        vs = rng.randn(n, 6).astype("float32")
+        vecs_by_label[lbl] = vs
+        for v in vs:
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    rows.append((vid, [0.0] * 6, 0))  # zero vector: dropped
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.label: r for r in label_dispersion(df).collect()}
+    for lbl, vs in vecs_by_label.items():
+        # reference: quantized unit vectors, brute-force pair mean
+        u = np.round(
+            (vs.astype("float64").T / np.linalg.norm(
+                vs.astype("float64"), axis=1)).T, 6)
+        n = len(u)
+        r = out[lbl]
+        assert r.n_vecs == n
+        if n == 1:
+            assert r.mean_pairwise_cos is None
+            continue
+        pairs = [
+            float(np.dot(u[i], u[j]))
+            for i, j in itertools.combinations(range(n), 2)
+        ]
+        expect = sum(pairs) * 2 / (n * (n - 1))
+        assert abs(r.mean_pairwise_cos - expect) < 1e-5

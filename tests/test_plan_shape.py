@@ -435,3 +435,35 @@ def test_hysteresis_episodes_windows_are_bucket_stitched(spark):
     assert not re.search(
         r"windowspecdefinition\(event_type#\d+, (ts|us|__us)#", plan
     ), "found a channel-global window over the decisive table"
+
+
+def test_rle_profile_windows_are_bucket_stitched(spark):
+    """q63's default path: run detection and numbering at (channel,
+    __bkt) parallelism; no channel-global window over the fact
+    table."""
+    import re
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        rle_profile,
+    )
+
+    plan = _plan(rle_profile(load_table(spark, SF_SMOKE, "events")))
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, __bkt#\d+L, ts#", plan
+    )
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, (ts|us|__us)#", plan
+    )
+
+
+def test_label_dispersion_no_pairs_join(spark):
+    """x71 must close from per-dimension sums: no join of any kind in
+    the plan (a pairs-table formulation would need a self-join or a
+    cartesian product)."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["x71_label_dispersion"].build(spark, SF_SMOKE))
+    for bad in ("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"x71 plan contains {bad}"
+    assert "HashAggregate" in plan
