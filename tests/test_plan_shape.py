@@ -353,6 +353,7 @@ def test_rank_filters_get_window_group_limit(spark):
     from etsd_time_series_database_spark.plans import catalog
 
     for name in (
+        "q09_topk_per_channel",
         "x04_stratified_sample",
         "x26_tfidf_topterms",
         "x36_source_token_topk",
