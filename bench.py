@@ -291,7 +291,10 @@ def _skew_compare(spark) -> dict:
     from etsd_time_series_database_spark.operators.sampling import (
         epoch_shuffle,
     )
-    from etsd_time_series_database_spark.operators.range_stats import rate
+    from etsd_time_series_database_spark.operators.range_stats import (
+        hysteresis_episodes,
+        rate,
+    )
     from etsd_time_series_database_spark.operators.scalable_window import (
         rate_scalable,
     )
@@ -327,6 +330,15 @@ def _skew_compare(spark) -> dict:
         ),
         "asof_scalable_s": lambda: asof_join_scalable(
             df, right, on="event_type", value_cols=["value"]
+        ),
+        # q62's state machine on 3 keys: ~20% decisive rows (hi/lo at
+        # the synthetic value cycle's tails), stitched lag+prefix-sum
+        # vs plain channel-global windows
+        "episodes_global_s": lambda: hysteresis_episodes(
+            df, hi=90000.0, lo=10000.0, scalable=False
+        ),
+        "episodes_scalable_s": lambda: hysteresis_episodes(
+            df, hi=90000.0, lo=10000.0
         ),
         "shuffle_global_s": lambda: df.select(
             "event_id",

@@ -62,6 +62,10 @@ def test_bench_stdout_line_stays_compact():
             "rate_scalable_s": 9999.9999,
             "asof_global_s": 9999.9999,
             "asof_scalable_s": 9999.9999,
+            "episodes_global_s": 9999.9999,
+            "episodes_scalable_s": 9999.9999,
+            "shuffle_global_s": 9999.9999,
+            "shuffle_scalable_s": 9999.9999,
         },
     }
     line = json.dumps(payload)
