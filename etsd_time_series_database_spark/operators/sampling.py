@@ -464,3 +464,58 @@ def mixture_plan(
         F.round(take / F.col("n_tokens"), 6).alias("sampling_rate"),
         (F.col("__cap") == F.col("__nstar")).cast("int").alias("limiting"),
     ).orderBy(source)
+
+
+def integrity_audit(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    key: str = "doc_id",
+    vec_key: str = "vec_id",
+    source: str = "source",
+) -> DataFrame:
+    """Referential-integrity audit between the text corpus and its
+    embedding table: per source, how many documents exist, how many
+    have an embedding row, and the coverage fraction; vectors with no
+    document at all report under the ``__dangling__`` pseudo-source —
+    the join-health check every two-table pipeline (text + vectors,
+    text + scores, ...) runs before training, because a silent 3%
+    embedding gap skews every downstream similarity dedup.
+
+    One full-outer equi-join on the 8-byte id (ids only — neither
+    text nor vectors travel) and one hash-agg; output cardinality =
+    sources + 1. The ANSI divide guard emits NULL coverage for the
+    dangling row instead of raising.
+    """
+    d = documents.select(F.col(key).alias("__id"), F.col(source))
+    e = embeddings.select(F.col(vec_key).alias("__vid"))
+    j = d.join(e, d["__id"] == e["__vid"], "full_outer")
+    grp = F.coalesce(F.col(source), F.lit("__dangling__"))
+    n_docs = F.count("__id")
+    return (
+        j.groupBy(grp.alias(source))
+        .agg(
+            n_docs.cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("__id").isNotNull()
+                           & F.col("__vid").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_with_vec"),
+            F.count(F.when(F.col("__vid").isNull(), 1))
+            .cast("bigint")
+            .alias("n_missing_vec"),
+            F.count(F.when(F.col("__id").isNull(), 1))
+            .cast("bigint")
+            .alias("n_dangling_vec"),
+            F.when(
+                n_docs > 0,
+                F.round(
+                    F.count(
+                        F.when(F.col("__id").isNotNull()
+                               & F.col("__vid").isNotNull(), 1)
+                    ).cast("double")
+                    / n_docs,
+                    6,
+                ),
+            ).alias("coverage_pct"),
+        )
+        .orderBy(source)
+    )

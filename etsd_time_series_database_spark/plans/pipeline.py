@@ -3142,3 +3142,45 @@ def p71(spark, sf_dir):
     )
 
     return label_dispersion(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "x72_integrity_audit",
+    "audit",
+    """
+    WITH j AS (
+      SELECT d.doc_id AS id, d.source, e.vec_id AS vid
+      FROM documents d FULL OUTER JOIN embeddings e
+        ON d.doc_id = e.vec_id
+    )
+    SELECT coalesce(source, '__dangling__') AS source,
+           CAST(count(id) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN id IS NOT NULL AND vid IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_with_vec,
+           CAST(count(CASE WHEN vid IS NULL THEN 1 END) AS BIGINT)
+             AS n_missing_vec,
+           CAST(count(CASE WHEN id IS NULL THEN 1 END) AS BIGINT)
+             AS n_dangling_vec,
+           CASE WHEN count(id) > 0 THEN
+             round(CAST(count(CASE WHEN id IS NOT NULL
+                                    AND vid IS NOT NULL THEN 1 END)
+                        AS DOUBLE) / count(id), 6)
+           END AS coverage_pct
+    FROM j GROUP BY coalesce(source, '__dangling__')
+    ORDER BY source
+    """,
+    doc="Referential-integrity audit documents <-> embeddings: per "
+    "source the embedding coverage fraction, missing-vector and "
+    "dangling-vector counts (dangling under '__dangling__'). One "
+    "id-only full-outer join (text and vectors never travel) + one "
+    "hash-agg; the pre-training join-health gate.",
+)
+def p72(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        integrity_audit,
+    )
+
+    return integrity_audit(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

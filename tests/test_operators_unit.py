@@ -1363,3 +1363,27 @@ def test_label_dispersion_closed_form_matches_pairs(spark):
         ]
         expect = sum(pairs) * 2 / (n * (n - 1))
         assert abs(r.mean_pairwise_cos - expect) < 1e-5
+
+
+def test_integrity_audit_missing_and_dangling(spark):
+    """x72: per-source coverage, missing vectors, and dangling vectors
+    under the __dangling__ pseudo-source with NULL coverage."""
+    from etsd_time_series_database_spark.operators.sampling import (
+        integrity_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s2")], ["doc_id", "source"]
+    )
+    embs = spark.createDataFrame(
+        [(1, [0.1]), (3, [0.2]), (9, [0.3])], ["vec_id", "embedding"]
+    )
+    out = {r.source: r for r in integrity_audit(docs, embs).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_with_vec, s1.n_missing_vec) == (2, 1, 1)
+    assert s1.coverage_pct == 0.5
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.n_with_vec, s2.coverage_pct) == (1, 1, 1.0)
+    d = out["__dangling__"]
+    assert (d.n_docs, d.n_dangling_vec) == (0, 1)
+    assert d.coverage_pct is None
