@@ -1049,3 +1049,87 @@ def rle_profile(
         )
         .orderBy(channel)
     )
+
+
+def freshness_report(
+    df: DataFrame,
+    channel: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+    overdue_factor: float = 3.0,
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Per-channel data-freshness report: last/first sample, sample
+    count, the channel's MEDIAN inter-sample gap (its empirical
+    cadence — exact, via the q33 rank-lerp percentile on the gap
+    table), staleness against the dataset's now (the global max
+    timestamp), and an overdue flag when staleness exceeds
+    ``overdue_factor`` x the median cadence — the "which feeds have
+    silently stopped" operational view (the reference's MissedUpdate
+    accounting, code/etsdSave.c:451-454, generalized to a cadence-
+    relative judgment).
+
+    Gaps come from the stitched (channel, bucket) lag (q51's
+    machinery); the median runs the q33 exact-percentile shape over
+    the GAP table (one row per sample — same cardinality class as the
+    input, per-channel rank window as documented for q33); everything
+    else is two tiny aggregates joined back (global now is ONE row,
+    AQE-broadcast). Channels with < 2 samples report NULL cadence and
+    NULL overdue.
+    """
+    us = epoch_us(ts)
+    base = df.select(F.col(channel), F.col(ts), us.alias("__us"), F.col(seq))
+    if scalable:
+        from etsd_time_series_database_spark.operators.scalable_window import (
+            lag_stitched,
+        )
+
+        lagged = lag_stitched(
+            base, ["__us"], channel=channel, ts=ts, seq=seq,
+            bucket_s=bucket_s,
+        )
+        prev = F.col("__lag___us")
+    else:
+        w = Window.partitionBy(channel).orderBy(F.col(ts), F.col(seq))
+        lagged = base.withColumn("__lag___us", F.lag("__us").over(w))
+        prev = F.col("__lag___us")
+    gaps = (
+        lagged.filter(prev.isNotNull())
+        .select(
+            F.col(channel),
+            (F.col("__us") - prev).alias("gap_us"),
+            F.col("__us").alias("__tie"),
+        )
+    )
+    med = exact_percentiles(
+        gaps, ps=(0.5,), channel=channel, value="gap_us", seq="__tie"
+    ).select(F.col(channel), F.col("pct_value").alias("__med"))
+    stats = base.groupBy(channel).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.min("__us").alias("first_us"),
+        F.max("__us").alias("last_us"),
+    )
+    now = stats.agg(F.max("last_us").alias("__now"))
+    return (
+        stats.join(med, channel, "left")
+        .join(F.broadcast(now))
+        .select(
+            F.col(channel),
+            "n_samples",
+            "first_us",
+            "last_us",
+            F.round("__med", 6).alias("median_gap_us"),
+            (F.col("__now") - F.col("last_us"))
+            .cast("bigint")
+            .alias("staleness_us"),
+            F.when(
+                F.col("__med").isNotNull(),
+                (
+                    (F.col("__now") - F.col("last_us"))
+                    > F.lit(overdue_factor) * F.col("__med")
+                ).cast("int"),
+            ).alias("overdue"),
+        )
+        .orderBy(channel)
+    )

@@ -1089,3 +1089,73 @@ def q63(spark, sf_dir):
     )
 
     return rle_profile(_events(spark, sf_dir))
+
+
+@register(
+    "q64_freshness_report",
+    "monitoring",
+    """
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             us - lag(us) OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS gap_us,
+             us AS tie
+      FROM base
+    ),
+    gaps AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+    ranked AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, tie) AS rn
+      FROM gaps
+    ),
+    counts AS (
+      SELECT event_type, max(rn) AS n FROM ranked GROUP BY event_type
+    ),
+    targets AS (
+      SELECT event_type,
+             CAST(floor(0.5 * (n - 1)) AS INT) AS lo,
+             0.5 * (n - 1) - floor(0.5 * (n - 1)) AS frac,
+             least(CAST(floor(0.5 * (n - 1)) AS INT) + 1, n - 1) AS hi
+      FROM counts
+    ),
+    med AS (
+      SELECT t.event_type,
+             l.gap_us + (h.gap_us - l.gap_us) * t.frac AS med_gap
+      FROM targets t
+      JOIN ranked l ON t.event_type = l.event_type AND t.lo + 1 = l.rn
+      JOIN ranked h ON t.event_type = h.event_type AND t.hi + 1 = h.rn
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_samples,
+             min(us) AS first_us, max(us) AS last_us
+      FROM base GROUP BY event_type
+    ),
+    now_t AS (SELECT max(last_us) AS now_us FROM stats)
+    SELECT s.event_type, s.n_samples, s.first_us, s.last_us,
+           round(CAST(m.med_gap AS DOUBLE), 6) AS median_gap_us,
+           CAST(n.now_us - s.last_us AS BIGINT) AS staleness_us,
+           CASE WHEN m.med_gap IS NOT NULL THEN
+             CAST(n.now_us - s.last_us > 3.0 * m.med_gap AS INT)
+           END AS overdue
+    FROM stats s
+    LEFT JOIN med m USING (event_type)
+    CROSS JOIN now_t n
+    ORDER BY s.event_type
+    """,
+    doc="Per-channel freshness: last/first sample, exact MEDIAN "
+    "inter-sample gap (empirical cadence, q33 rank-lerp over the "
+    "stitched-lag gap table), staleness vs the dataset's now, and an "
+    "overdue flag at 3x the median cadence — the 'which feeds have "
+    "silently stopped' view (the reference's MissedUpdate accounting "
+    "made cadence-relative).",
+)
+def q64(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        freshness_report,
+    )
+
+    return freshness_report(_events(spark, sf_dir))

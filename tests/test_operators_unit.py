@@ -1387,3 +1387,43 @@ def test_integrity_audit_missing_and_dangling(spark):
     d = out["__dangling__"]
     assert (d.n_docs, d.n_dangling_vec) == (0, 1)
     assert d.coverage_pct is None
+
+
+def test_freshness_report_cadence_and_overdue(spark):
+    """q64: exact median gap, staleness vs the dataset now, overdue at
+    3x cadence; singleton channel reports NULL cadence; stitched ==
+    plain."""
+    from datetime import datetime, timedelta, timezone
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        freshness_report,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    rows = [
+        # a: 10s cadence, last at 40s -> stale 60s vs now=100s, overdue
+        *[(f"a{i}", "a", t(i * 10), 1.0) for i in range(5)],
+        # b: 50s cadence, last at 100s (the dataset now) -> fresh
+        ("b0", "b", t(0), 1.0), ("b1", "b", t(50), 1.0),
+        ("b2", "b", t(100), 1.0),
+        # c: singleton
+        ("c0", "c", t(30), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    out = {r.event_type: r for r in freshness_report(df).collect()}
+    a = out["a"]
+    assert a.median_gap_us == 10_000_000.0
+    assert a.staleness_us == 60 * 1_000_000 and a.overdue == 1
+    b = out["b"]
+    assert b.median_gap_us == 50_000_000.0
+    assert b.staleness_us == 0 and b.overdue == 0
+    c = out["c"]
+    assert c.median_gap_us is None and c.overdue is None
+    assert c.staleness_us == 70 * 1_000_000
+    plain = freshness_report(df, scalable=False).collect()
+    stitched = freshness_report(df, scalable=True, bucket_s=35).collect()
+    assert [tuple(x) for x in stitched] == [tuple(x) for x in plain]
