@@ -190,6 +190,12 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # measurement regime, so the record is self-describing:
+                # "isolated_jvm" (per-query cold subprocess, >= r7) is
+                # NOT wall-comparable to "shared_jvm" (<= r6 warm
+                # session) — task-time and shuffle-byte SQLMetrics in
+                # the side file are the cross-regime-stable signals
+                "regime": "isolated_jvm" if isolate else "shared_jvm",
                 "queries": timings,
                 "sf": sf,
                 "skew_compare": _skew_compare_isolated(),

@@ -768,6 +768,114 @@ def alarm_episodes(
     )
 
 
+def _interval_union_stitched(
+    eps: DataFrame,
+    channel: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Distributed interval union over an episode table
+    (``start_us``/``end_us`` + a ``channel`` tiebreak column): returns
+    one row per merged interval (``i_start``, ``i_end``, ``i_eps``)
+    without ever globally sorting the episode table.
+
+    Two-level union: (1) split every episode at ``bucket_s``-wide
+    boundaries so each segment lies inside one bucket, then merge
+    touching/overlapping segments with a window PARTITIONED by bucket
+    (per-task sort state = one bucket's segments, however chattery the
+    data); (2) after the merge, at most one interval per bucket can
+    touch each bucket edge (two touching intervals would already have
+    merged), so intervals that reach an edge form a boundary table of
+    <= 2 rows per bucket — bounded by time-span / bucket_s, not by
+    data volume — and the classic one-level union over THAT table
+    coalesces chains that cross bucket(s). Interior intervals (touching
+    neither edge) cannot touch anything outside their bucket and pass
+    through unchanged. Splitting preserves coverage and endpoints
+    (pieces of one episode touch at the cut and re-merge by the
+    touch-merges rule) and episode counts (only the FIRST segment of
+    each episode carries weight 1).
+    """
+    w_us = int(bucket_s) * 1_000_000
+    seg = eps.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us DIV {w_us}"),
+                F.expr(f"end_us DIV {w_us}"),
+            )
+        ),
+    ).select(
+        F.col("__b"),
+        F.greatest(F.col("start_us"), F.col("__b") * w_us).alias("__s"),
+        F.least(
+            F.col("end_us"), (F.col("__b") + F.lit(1)) * w_us
+        ).alias("__e"),
+        F.when(
+            F.col("__b") == F.expr(f"start_us DIV {w_us}"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("__w"),
+        F.col(channel),
+    )
+    order = [F.col("__s"), F.col("__e"), F.col(channel)]
+    wb_prev = (
+        Window.partitionBy("__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wb_run = (
+        Window.partitionBy("__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    opened = F.when(
+        F.max("__e").over(wb_prev).isNull()
+        | (F.col("__s") > F.max("__e").over(wb_prev)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    merged = (
+        seg.withColumn("__iv", F.sum(opened).over(wb_run))
+        .groupBy("__b", "__iv")
+        .agg(
+            F.min("__s").alias("m_s"),
+            F.max("__e").alias("m_e"),
+            F.sum("__w").alias("m_eps"),
+        )
+        .withColumn("__lt", F.col("m_s") == F.col("__b") * w_us)
+        .withColumn(
+            "__rt", F.col("m_e") == (F.col("__b") + F.lit(1)) * w_us
+        )
+    )
+    interior = merged.filter(~F.col("__lt") & ~F.col("__rt")).select(
+        F.col("m_s").alias("i_start"),
+        F.col("m_e").alias("i_end"),
+        F.col("m_eps").alias("i_eps"),
+    )
+    boundary = merged.filter(F.col("__lt") | F.col("__rt"))
+    g_order = [F.col("m_s"), F.col("m_e"), F.col("__b")]
+    g_prev = Window.orderBy(*g_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g_run = Window.orderBy(*g_order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g_opened = F.when(
+        F.max("m_e").over(g_prev).isNull()
+        | (F.col("m_s") > F.max("m_e").over(g_prev)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    stitched = (
+        boundary.withColumn("__giv", F.sum(g_opened).over(g_run))
+        .groupBy("__giv")
+        .agg(
+            F.min("m_s").alias("i_start"),
+            F.max("m_e").alias("i_end"),
+            F.sum("m_eps").alias("i_eps"),
+        )
+        .select("i_start", "i_end", "i_eps")
+    )
+    return interior.unionByName(stitched)
+
+
 def alarm_coverage(
     df: DataFrame,
     threshold: float,
@@ -792,10 +900,25 @@ def alarm_coverage(
     episode count, merged-interval count, total covered microseconds,
     the longest merged interval, and the overall first/last bounds.
 
-    Scale shape: the raw scan reduces to the episode table first (one
-    row per episode — a full groupBy reduction, orders of magnitude
-    smaller than the sample count); only that table rides the global
-    ordered window, and the result is a single row. Single-sample
+    Scale shape (default, ``scalable=True``): the raw scan reduces to
+    the episode table first (one row per episode); episodes are then
+    SPLIT at coarse time-bucket boundaries (``bucket_s``) and the
+    union runs per bucket — a window partitioned by bucket, never a
+    global sort, so a channel chattering around the threshold (every
+    sample its own episode) still spreads across time buckets instead
+    of funnelling into one sort task. Merged per-bucket intervals are
+    then stitched across boundaries: after the within-bucket merge at
+    most ONE interval per bucket touches each bucket edge, so the
+    boundary table is <= 2 rows per bucket — its cardinality is set
+    by the time span / bucket_s, INDEPENDENT of data volume or skew —
+    and only that tiny table rides a global ordered window (interval
+    chains crossing many buckets coalesce there). Splitting leaves
+    coverage/endpoints unchanged because the pieces of one episode
+    touch at the boundary and touching intervals merge by definition;
+    episode counting survives splitting by weighting only the FIRST
+    segment of each episode. ``scalable=False`` selects the one-level
+    global-window formulation (the DuckDB oracle's shape; equivalence
+    is pytest-pinned at multiple bucket widths). Single-sample
     episodes cover zero microseconds by construction (span = 0).
     All outputs are integers — engine/oracle hashing is exact.
     """
@@ -809,30 +932,33 @@ def alarm_coverage(
         scalable=scalable,
         bucket_s=bucket_s,
     )
-    order = [F.col("start_us"), F.col("end_us"), F.col(channel)]
-    w_prev = (
-        Window.orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    # the very first episode has a NULL running max over the empty
-    # preceding frame — it still opens interval #1
-    opened = F.when(
-        F.max("end_us").over(w_prev).isNull()
-        | (F.col("start_us") > F.max("end_us").over(w_prev)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    merged = (
-        eps.withColumn("__interval", F.sum(opened).over(w_run))
-        .groupBy("__interval")
-        .agg(
-            F.min("start_us").alias("i_start"),
-            F.max("end_us").alias("i_end"),
-            F.count(F.lit(1)).alias("i_eps"),
+    if scalable:
+        merged = _interval_union_stitched(eps, channel, bucket_s)
+    else:
+        order = [F.col("start_us"), F.col("end_us"), F.col(channel)]
+        w_prev = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-    )
+        w_run = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        # the very first episode has a NULL running max over the
+        # empty preceding frame — it still opens interval #1
+        opened = F.when(
+            F.max("end_us").over(w_prev).isNull()
+            | (F.col("start_us") > F.max("end_us").over(w_prev)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        merged = (
+            eps.withColumn("__interval", F.sum(opened).over(w_run))
+            .groupBy("__interval")
+            .agg(
+                F.min("start_us").alias("i_start"),
+                F.max("end_us").alias("i_end"),
+                F.count(F.lit(1)).alias("i_eps"),
+            )
+        )
     return merged.agg(
         F.sum("i_eps").cast("bigint").alias("n_episodes"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),

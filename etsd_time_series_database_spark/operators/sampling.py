@@ -420,9 +420,13 @@ def mixture_plan(
     All sizing is 64-bit integer math (engine/oracle exact); only the
     reported shares/rates are rounded doubles.
 
-    ``weight`` defaults to ``(int(source[3:]) % 4) + 1`` — a
-    deterministic 1..4 spread over the testdata's ``srcN`` names;
-    pass any integer Column to encode real mixture targets.
+    ``weight`` defaults to ``lit(1)`` — the natural mix (every source
+    weighted equally); pass any integer Column to encode real mixture
+    targets. A weight that evaluates to NULL for some source raises at
+    runtime instead of silently producing a NULL plan (the catalog's
+    x67 entry derives a 1..4 spread from the testdata's ``srcN``
+    naming and passes it explicitly — that coupling lives with the
+    fixture, not in the library default).
 
     Scale shape: one map-side-combinable hash-agg over the corpus
     (token counting is a scan-side expression; text never shuffles),
@@ -430,9 +434,17 @@ def mixture_plan(
     source) via unpartitioned windows — KB-sized by construction.
     """
     if weight is None:
-        weight = (
-            F.substring(F.col(source), 4, 10).cast("bigint") % 4 + 1
-        )
+        weight = F.lit(1)
+    # coalesce is lazy: raise_error fires only for NULL weights
+    weight = F.coalesce(
+        weight.cast("bigint"),
+        F.raise_error(
+            F.concat(
+                F.lit("mixture_plan: weight is NULL for source "),
+                F.col(source),
+            )
+        ).cast("bigint"),
+    )
     n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
     per_src = (
         df.groupBy(source)

@@ -2974,7 +2974,13 @@ def p66(spark, sf_dir):
 def p67(spark, sf_dir):
     from etsd_time_series_database_spark.operators.sampling import mixture_plan
 
-    return mixture_plan(load_table(spark, sf_dir, "documents"))
+    # the 1..4 weight spread is derived from the testdata's srcN
+    # naming — fixture-coupled, so it is passed HERE, explicitly;
+    # the library default is lit(1) (natural mix)
+    srcn_weight = F.substring(F.col("source"), 4, 10).cast("bigint") % 4 + 1
+    return mixture_plan(
+        load_table(spark, sf_dir, "documents"), weight=srcn_weight
+    )
 
 
 @register(

@@ -974,6 +974,73 @@ def test_alarm_coverage_merges_overlaps(spark):
     assert tuple(r) == tuple(r2)
 
 
+def test_alarm_coverage_bucket_stitch_equivalence(spark):
+    """q57 stitched union == plain global union on the corner cases
+    the split-at-boundary design must survive: an interval chain
+    crossing MANY buckets (full-span middle buckets), episodes whose
+    endpoints land EXACTLY on a bucket boundary (touch-merge across
+    the cut), point episodes (span 0) sitting exactly on a boundary,
+    and chatter (many single-sample episodes in one bucket)."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_coverage,
+    )
+
+    rows = [
+        # one long episode 00:00:30 - 00:05:30 (crosses 5 one-minute
+        # boundaries; middle buckets are full-span after splitting)
+        ("2026-01-01 00:00:30", "a", 99, 1),
+        ("2026-01-01 00:05:30", "a", 99, 2),
+        # b's episode ends EXACTLY on the 00:07:00 boundary...
+        ("2026-01-01 00:06:30", "b", 99, 3),
+        ("2026-01-01 00:07:00", "b", 99, 4),
+        # ...and c's starts EXACTLY there: they must touch-merge
+        ("2026-01-01 00:07:00", "c", 99, 5),
+        ("2026-01-01 00:07:20", "c", 99, 6),
+        # a point episode (single sample) exactly on a boundary,
+        # disjoint from everything
+        ("2026-01-01 00:10:00", "a", 99, 7),
+        ("2026-01-01 00:10:30", "a", 1, 8),
+        # chatter: alternating above/below inside one bucket
+        ("2026-01-01 00:12:01", "b", 99, 9),
+        ("2026-01-01 00:12:02", "b", 1, 10),
+        ("2026-01-01 00:12:03", "b", 99, 11),
+        ("2026-01-01 00:12:04", "b", 1, 12),
+        ("2026-01-01 00:12:05", "b", 99, 13),
+    ]
+    df = _series(spark, rows)
+    plain = alarm_coverage(df, 20.0, scalable=False).collect()[0]
+    for bucket_s in (60, 30, 7):
+        st = alarm_coverage(
+            df, 20.0, scalable=True, bucket_s=bucket_s
+        ).collect()[0]
+        assert tuple(st) == tuple(plain), f"bucket_s={bucket_s}"
+    # sanity of the plain baseline itself: per channel, consecutive
+    # above-samples form ONE episode — a: [00:00:30,00:10:00];
+    # b: [00:06:30,00:12:01], [00:12:03], [00:12:05]; c: [00:07:00,
+    # 00:07:20]. a/b1/c overlap into one merged interval
+    # [00:00:30,00:12:01]; the two chatter points stand alone.
+    assert plain.n_episodes == 5
+    assert plain.n_intervals == 3
+    assert plain.covered_us == 691 * 1_000_000
+
+
+def test_alarm_coverage_equivalence_on_events(spark):
+    """q57 stitched == plain on the real events table at a threshold
+    low enough to create long overlapping cross-bucket episodes."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_coverage,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = load_table(spark, SF_SMOKE, "events")
+    plain = alarm_coverage(df, 100.0, scalable=False).collect()[0]
+    st = alarm_coverage(
+        df, 100.0, scalable=True, bucket_s=3600
+    ).collect()[0]
+    assert tuple(st) == tuple(plain)
+
+
 def test_mixture_plan_integer_sizing(spark):
     """x67: the limiting source caps the corpus; takes follow the
     weights; no source is upsampled (rate <= 1)."""
@@ -987,21 +1054,43 @@ def test_mixture_plan_integer_sizing(spark):
         (2, " ".join(["w"] * 600), "src2"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
-    out = {r.source: r for r in mixture_plan(df).collect()}
+    srcn_w = F.substring(F.col("source"), 4, 10).cast("bigint") % 4 + 1
+    out = {r.source: r for r in mixture_plan(df, weight=srcn_w).collect()}
     # W=5; caps: src1 100*5//2=250, src2 600*5//3=1000 -> N*=250
     assert out["src1"].limiting == 1 and out["src2"].limiting == 0
     assert out["src1"].take_tokens == 100   # 2*250//5
     assert out["src2"].take_tokens == 150   # 3*250//5
     assert out["src1"].sampling_rate == 1.0
     assert out["src2"].sampling_rate == 0.25
-    # custom weights column
-    out2 = {
-        r.source: r
-        for r in mixture_plan(df, weight=F.lit(1)).collect()
-    }
+    # default = natural mix (lit(1)), NOT fixture-name parsing
+    out2 = {r.source: r for r in mixture_plan(df).collect()}
     # equal weights: caps 200 / 1200 -> N*=200, takes 100/100
     assert out2["src1"].take_tokens == 100
     assert out2["src2"].take_tokens == 100
+
+
+def test_mixture_plan_rejects_null_weight(spark):
+    """x67 guard: a weight expression that yields NULL for some source
+    (e.g. name parsing applied to unexpected names) must raise, not
+    silently emit a NULL plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "w w w", "web"), (2, "w w", "books")],
+        ["doc_id", "text", "source"],
+    )
+    # the old fixture-coupled default, applied to non-srcN names
+    # (try_cast: NULL instead of an ANSI cast error, so the operator's
+    # own guard is what trips)
+    bad_w = F.expr("try_cast(substring(source, 4, 10) AS bigint) % 4 + 1")
+    with pytest.raises(Exception, match="weight is NULL"):
+        mixture_plan(df, weight=bad_w).collect()
+    # default (natural mix) still works on any naming
+    ok = {r.source: r for r in mixture_plan(df).collect()}
+    assert ok["books"].weight == 1 and ok["web"].weight == 1
 
 
 def test_median_filter_stitched_matches_plain_and_flags_spikes(spark):

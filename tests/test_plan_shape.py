@@ -457,6 +457,28 @@ def test_rle_profile_windows_are_bucket_stitched(spark):
     )
 
 
+def test_alarm_coverage_union_window_is_bucket_partitioned(spark):
+    """q57's default path must never globally sort the episode table:
+    the interval-union window partitions by the time bucket __b (a
+    chattering channel makes every sample its own episode — the union
+    input is data-dependent, so the global window that used to ride
+    it was the one unstitched sort left in the catalog). Unpartitioned
+    windows are legal only on the boundary table, whose spec orders by
+    (m_s, m_e, __b) and whose cardinality is <= 2 rows per bucket —
+    set by time-span / bucket_s, independent of data volume."""
+    import re
+
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q57_alarm_coverage"].build(spark, SF_SMOKE))
+    assert re.search(
+        r"windowspecdefinition\(__b#\d+L, __s#\d+L", plan
+    ), "no bucket-partitioned union window over the segment table"
+    assert not re.search(
+        r"windowspecdefinition\(start_us#\d+L", plan
+    ), "found the unpartitioned global window over the episode table"
+
+
 def test_label_dispersion_no_pairs_join(spark):
     """x71 must close from per-dimension sums: no join of any kind in
     the plan (a pairs-table formulation would need a self-join or a
