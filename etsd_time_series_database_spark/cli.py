@@ -291,6 +291,57 @@ def cmd_probe(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_dedup_index(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.dedup import (
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(args.source)
+    write_minhash_index(
+        docs, args.path, text=args.text, key=args.key, n=args.n,
+        rows_per_band=args.rows_per_band, hash_mode=args.hash_mode,
+        mode=args.mode,
+    )
+    print(f"wrote MinHash dedup index {args.path} (mode={args.mode})")
+    return 0
+
+
+def cmd_dedup_append(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_index_append,
+    )
+
+    minhash_index_append(spark.read.parquet(args.source), args.path,
+                         text=args.text)
+    print(f"appended {args.source} into dedup index {args.path}")
+    return 0
+
+
+def cmd_dedup_probe(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_probe_new,
+    )
+
+    new = spark.read.parquet(args.source)
+    if args.survivors_out:
+        survivors = incremental_dedup(
+            new, args.path, text=args.text,
+            append_survivors=not args.dry_run,
+        )
+        survivors.write.mode("overwrite").parquet(args.survivors_out)
+        n = spark.read.parquet(args.survivors_out).count()
+        print(
+            f"kept {n} of {new.count()} docs -> {args.survivors_out}"
+            + (" (dry run: index unchanged)" if args.dry_run else "")
+        )
+    else:
+        minhash_probe_new(new, args.path, text=args.text).show(
+            n=args.limit, truncate=False
+        )
+    return 0
+
+
 def cmd_recover(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.streaming.ingest import replay
 
@@ -402,6 +453,54 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--key", default="vec_id")
     pr.add_argument("--vec", default="embedding")
     pr.set_defaults(fn=cmd_probe)
+
+    di = sub.add_parser(
+        "dedup-index",
+        help="materialize a MinHash band table as a persisted dedup "
+        "index (cross-run near-dup state; shards append in O(batch))",
+    )
+    di.add_argument("source", help="documents parquet (key + text columns)")
+    di.add_argument("path", help="destination index directory")
+    di.add_argument("--text", default="text")
+    di.add_argument("--key", default="doc_id")
+    di.add_argument("--n", type=int, default=3, help="shingle width")
+    di.add_argument("--rows-per-band", type=int, default=2)
+    di.add_argument(
+        "--hash-mode", default="hash64", choices=["hash64", "poly", "dict"]
+    )
+    di.add_argument("--mode", default="overwrite", choices=["overwrite", "error"])
+    di.set_defaults(fn=cmd_dedup_index)
+
+    da = sub.add_parser(
+        "dedup-append",
+        help="sign a new shard with the index's pinned recipe and "
+        "append into the existing band dirs (O(shard) maintenance)",
+    )
+    da.add_argument("source", help="parquet with the new documents")
+    da.add_argument("path", help="existing dedup index directory")
+    da.add_argument("--text", default="text")
+    da.set_defaults(fn=cmd_dedup_append)
+
+    dp = sub.add_parser(
+        "dedup-probe",
+        help="probe a new shard against a dedup index: print colliding "
+        "(new, indexed) pairs, or with --survivors-out run the full "
+        "drop+append workflow",
+    )
+    dp.add_argument("source", help="parquet with the new documents")
+    dp.add_argument("path", help="dedup index directory")
+    dp.add_argument("--text", default="text")
+    dp.add_argument(
+        "--survivors-out", default=None,
+        help="write surviving docs here and append their signatures "
+        "to the index",
+    )
+    dp.add_argument(
+        "--dry-run", action="store_true",
+        help="with --survivors-out: keep the index unchanged",
+    )
+    dp.add_argument("--limit", type=int, default=20)
+    dp.set_defaults(fn=cmd_dedup_probe)
 
     cat = sub.add_parser("catalog", help="list every catalog query")
     cat.add_argument("--category", default=None)

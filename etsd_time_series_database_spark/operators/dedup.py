@@ -173,7 +173,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     df: DataFrame,
     text: str = "text",
     key: str = "doc_id",
@@ -181,12 +181,15 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     hash_mode: str = "hash64",
 ) -> DataFrame:
-    """LSH banding: documents sharing any (band, band-signature) bucket
-    are near-duplicate candidates. Output (doc_a, doc_b,
-    n_shared_bands); the bucket join is the ONLY pairwise step, so cost
-    is bounded by real collisions, not n^2."""
+    """Per-document LSH band signatures: (key, band, sig) with one row
+    per (document, band), ``sig`` the comma-joined MinHash values of
+    the band's rows. Documents sharing any (band, sig) bucket are
+    near-duplicate candidates. This table IS the dedup index — both
+    the in-run self-join (:func:`minhash_lsh_candidates`) and the
+    persisted cross-run index (:func:`write_minhash_index` /
+    :func:`minhash_probe_new`) are joins over it."""
     mh = minhash_signatures(df, text, key, n, hash_mode)
-    bands = (
+    return (
         mh.withColumn("band", F.expr(f"j div {rows_per_band}"))
         .groupBy(key, "band")
         .agg(
@@ -199,6 +202,21 @@ def minhash_lsh_candidates(
             ).alias("sig")
         )
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    rows_per_band: int = 2,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """LSH banding: documents sharing any (band, band-signature) bucket
+    are near-duplicate candidates. Output (doc_a, doc_b,
+    n_shared_bands); the bucket join is the ONLY pairwise step, so cost
+    is bounded by real collisions, not n^2."""
+    bands = minhash_band_table(df, text, key, n, rows_per_band, hash_mode)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -213,6 +231,178 @@ def minhash_lsh_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    rows_per_band: int = 2,
+    hash_mode: str = "hash64",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the MinHash band table as a PERSISTED dedup index —
+    the cross-run path a 100 TB pipeline needs: signatures are computed
+    once per document, daily shards append in O(batch), and each new
+    batch dedups against the full history without recomputing the
+    corpus (the dedup analog of the IVF serving layout's
+    write/append/probe lifecycle; reference analog: the append-only
+    ingest contract, code/etsdSave.c:339-472).
+
+    Layout: parquet partitioned by ``band`` (the join is always
+    per-band, so one probe band never reads another band's files),
+    plus a one-row ``{path}/_meta`` table pinning (n, rows_per_band,
+    hash_mode) — underscore paths are invisible to Spark's listing, so
+    index scans are unaffected, and append/probe re-derive the exact
+    signature recipe from the layout itself instead of trusting
+    callers to repeat it (a mismatched shingle width would silently
+    produce garbage candidates).
+    """
+    bands = minhash_band_table(df, text, key, n, rows_per_band, hash_mode)
+    bands.repartition(F.col("band")).write.mode(mode).partitionBy(
+        "band"
+    ).parquet(path)
+    meta = df.sparkSession.createDataFrame(
+        [(int(n), int(rows_per_band), hash_mode, key)],
+        "n int, rows_per_band int, hash_mode string, key string",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a :func:`write_minhash_index` layout: the (key, band, sig)
+    band table plus its pinned signature recipe."""
+    meta = spark.read.parquet(path + "/_meta").collect()[0].asDict()
+    return spark.read.parquet(path), meta
+
+
+def minhash_index_append(new_df: DataFrame, path: str, text: str = "text") -> None:
+    """Incremental index maintenance: sign a NEW shard with the
+    layout's own pinned recipe and append into the existing band
+    directories. Only the new shard is scanned and shuffled; existing
+    band files are untouched (dynamic partition append), so
+    maintenance cost is O(shard), not O(corpus) — probes see the union
+    immediately."""
+    _, meta = read_minhash_index(new_df.sparkSession, path)
+    bands = minhash_band_table(
+        new_df,
+        text=text,
+        key=meta["key"],
+        n=meta["n"],
+        rows_per_band=meta["rows_per_band"],
+        hash_mode=meta["hash_mode"],
+    )
+    bands.repartition(F.col("band")).write.mode("append").partitionBy(
+        "band"
+    ).parquet(path)
+
+
+def new_vs_index_candidates(
+    new_bands: DataFrame,
+    index_bands: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs between a NEW batch's band table and an
+    index band table: (new_id, index_id, n_shared_bands) — one
+    equi-join on (band, sig), never new x corpus.
+
+    Scale shape: the new batch is the small side — AQE broadcasts it,
+    so the corpus-sized index NEVER shuffles (it streams through its
+    scan); with runtime Bloom-filter join injection the index scan
+    itself is pre-filtered to colliding signatures. Self-collisions
+    within the new batch are the in-run :func:`minhash_lsh_candidates`
+    join, deliberately separate."""
+    x = new_bands.select(
+        F.col(key).alias("new_id"), "band", "sig"
+    ).alias("x")
+    y = index_bands.select(
+        F.col(key).alias("index_id"), "band", "sig"
+    ).alias("y")
+    return (
+        x.join(y, on=["band", "sig"])
+        .groupBy("new_id", "index_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("new_id", "index_id")
+    )
+
+
+def minhash_probe_new(
+    new_df: DataFrame, path: str, text: str = "text"
+) -> DataFrame:
+    """Probe a new shard against a persisted index: which incoming
+    documents near-dup-collide with ANY already-indexed document
+    (new_id, index_id, n_shared_bands). Signature recipe comes from
+    the layout's ``_meta``; the join shape is
+    :func:`new_vs_index_candidates`."""
+    spark = new_df.sparkSession
+    index_bands, meta = read_minhash_index(spark, path)
+    new_bands = minhash_band_table(
+        new_df,
+        text=text,
+        key=meta["key"],
+        n=meta["n"],
+        rows_per_band=meta["rows_per_band"],
+        hash_mode=meta["hash_mode"],
+    )
+    return new_vs_index_candidates(new_bands, index_bands, key=meta["key"])
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    path: str,
+    text: str = "text",
+    append_survivors: bool = True,
+) -> DataFrame:
+    """The daily-shard dedup workflow in one call: drop incoming
+    documents that collide with the persisted index (cross-run
+    near-dups) OR with an earlier-keyed collider inside the shard
+    itself (in-run near-dups, keep-lowest-key), then append the
+    SURVIVORS' signatures to the index so tomorrow's shard dedups
+    against today's. Returns the surviving documents (all input
+    columns).
+
+    Both anti-join sides reduce to a distinct id list before touching
+    ``new_df`` (ids only — text never shuffles); the index is read
+    once. ``append_survivors=False`` gives a dry run."""
+    spark = new_df.sparkSession
+    index_bands, meta = read_minhash_index(spark, path)
+    key = meta["key"]
+    new_bands = minhash_band_table(
+        new_df,
+        text=text,
+        key=key,
+        n=meta["n"],
+        rows_per_band=meta["rows_per_band"],
+        hash_mode=meta["hash_mode"],
+    )
+    cross_hits = (
+        new_vs_index_candidates(new_bands, index_bands, key=key)
+        .select(F.col("new_id").alias(key))
+        .distinct()
+    )
+    x, y = new_bands.alias("x"), new_bands.alias("y")
+    in_run_hits = (
+        x.join(
+            y,
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{key}") > F.col(f"y.{key}")),
+        )
+        .select(F.col(f"x.{key}").alias(key))
+        .distinct()
+    )
+    drop = cross_hits.unionByName(in_run_hits).distinct()
+    survivors = new_df.join(drop, on=key, how="left_anti")
+    if append_survivors:
+        # survivors' signatures = the shard band table minus dropped
+        # ids (no re-shingling; the recipe is identical by construction)
+        surviving_bands = new_bands.join(drop, on=key, how="left_anti")
+        surviving_bands.repartition(F.col("band")).write.mode(
+            "append"
+        ).partitionBy("band").parquet(path)
+    return survivors
 
 
 def cluster_pairs(

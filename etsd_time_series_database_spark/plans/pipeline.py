@@ -3190,3 +3190,129 @@ def p72(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+def _band_cte(docs_filter: str) -> str:
+    """The x06 MinHash band pipeline as a reusable CTE body, over a
+    filtered slice of documents (portable poly-hash shingle ids)."""
+    hp_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    sid = _DUCK_POLY_FP.format(col="sh.shingle")
+    return f"""
+      SELECT doc_id, j // 2 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM (
+        SELECT sh.doc_id, hp.j,
+               MIN((hp.a * ({sid}) + hp.b) % {MINHASH_P}) AS h
+        FROM (
+          SELECT DISTINCT doc_id, shingle
+          FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                      WHERE {docs_filter}))
+        ) sh CROSS JOIN (VALUES {hp_rows}) hp(j, a, b)
+        GROUP BY sh.doc_id, hp.j
+      ) mh GROUP BY doc_id, band
+    """
+
+
+@register(
+    "x73_incremental_dedup_probe",
+    "dedup",
+    f"""
+    WITH idx AS ({_band_cte("doc_id % 3 != 0")}),
+    newb AS ({_band_cte("doc_id % 3 = 0")})
+    SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM newb n JOIN idx i ON n.band = i.band AND n.sig = i.sig
+    GROUP BY n.doc_id, i.doc_id
+    ORDER BY new_id, index_id
+    """,
+    doc="Cross-run dedup probe: a NEW shard's MinHash band table "
+    "joined against the persisted corpus index (here simulated as a "
+    "doc_id split: corpus = id%3!=0, shard = id%3=0) — which incoming "
+    "docs near-dup-collide with history, without recomputing corpus "
+    "signatures. One (band, sig) equi-join; the shard side broadcasts "
+    "so the corpus-sized index never shuffles. The persisted layout "
+    "(write/append/probe under a band-partitioned parquet index) is "
+    "CLI- and pytest-driven; this entry pins the join semantics.",
+)
+def p73(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_band_table,
+        new_vs_index_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = minhash_band_table(
+        docs.filter(F.col("doc_id") % 3 != 0), hash_mode="poly"
+    )
+    new = minhash_band_table(
+        docs.filter(F.col("doc_id") % 3 == 0), hash_mode="poly"
+    )
+    return new_vs_index_candidates(new, idx)
+
+
+@register(
+    "x74_incremental_dedup_survivors",
+    "dedup",
+    f"""
+    WITH idx AS ({_band_cte("doc_id % 3 != 0")}),
+    newb AS ({_band_cte("doc_id % 3 = 0")}),
+    cross_hits AS (
+      SELECT DISTINCT n.doc_id
+      FROM newb n JOIN idx i ON n.band = i.band AND n.sig = i.sig
+    ),
+    in_run_hits AS (
+      SELECT DISTINCT x.doc_id
+      FROM newb x JOIN newb y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id > y.doc_id
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM cross_hits)
+      AND d.doc_id NOT IN (SELECT doc_id FROM in_run_hits)
+    ORDER BY d.doc_id
+    """,
+    headline=True,
+    doc="The full incremental-dedup decision for a shard: drop docs "
+    "that collide with the persisted index OR with an earlier-keyed "
+    "doc inside the shard (keep-lowest-key), emit the survivors that "
+    "would be appended to the index. Ids-only anti-joins; text never "
+    "shuffles. Same simulated corpus/shard split as x73.",
+)
+def p74(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_band_table,
+        new_vs_index_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = minhash_band_table(
+        docs.filter(F.col("doc_id") % 3 != 0), hash_mode="poly"
+    )
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    new = minhash_band_table(shard, hash_mode="poly")
+    cross_hits = (
+        new_vs_index_candidates(new, idx)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    x, y = new.alias("x"), new.alias("y")
+    in_run_hits = (
+        x.join(
+            y,
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") > F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    drop = cross_hits.unionByName(in_run_hits).distinct()
+    return (
+        shard.join(drop, on="doc_id", how="left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

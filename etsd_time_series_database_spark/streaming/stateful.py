@@ -264,3 +264,226 @@ def hysteresis_alarm_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FRESH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("source", StringType()),
+        StructField("channel", StringType()),
+        StructField("status", StringType()),
+        StructField("last_ts_us", LongType()),
+        StructField("silent_us", LongType()),
+    ]
+)
+
+FRESH_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("is_stale", IntegerType()),
+    ]
+)
+
+
+def _make_freshness_fn(stale_after_s: float):
+    stale_after_ms = int(stale_after_s * 1000)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        source, channel = key
+        if state.hasTimedOut:
+            last, _ = state.get
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            yield pd.DataFrame(
+                {
+                    "ts_us": pd.array([last + stale_after_ms * 1000],
+                                      dtype="int64"),
+                    "source": source,
+                    "channel": channel,
+                    "status": ["stale"],
+                    "last_ts_us": pd.array([last], dtype="int64"),
+                    "silent_us": pd.array([max(0, wm_us - last)],
+                                          dtype="int64"),
+                }
+            )
+            # emit once; no re-arm — the next arrival recovers the feed
+            state.update((last, 1))
+            return
+        out = {k: [] for k in
+               ("ts_us", "status", "last_ts_us", "silent_us")}
+        prev_last, was_stale = (
+            state.get if state.exists else (None, 0)
+        )
+        for pdf in pdfs:
+            ts = pdf["ts_us"].dropna()
+            if ts.empty:
+                continue
+            first, last = int(ts.min()), int(ts.max())
+            if prev_last is None:
+                out["ts_us"].append(first)
+                out["status"].append("first_seen")
+                out["last_ts_us"].append(first)
+                out["silent_us"].append(0)
+            elif was_stale:
+                out["ts_us"].append(first)
+                out["status"].append("recovered")
+                out["last_ts_us"].append(prev_last)
+                out["silent_us"].append(max(0, first - prev_last))
+            prev_last = last if prev_last is None else max(prev_last, last)
+            was_stale = 0
+        if prev_last is not None:
+            state.update((prev_last, was_stale))
+            # a late batch can put last+SLA behind the watermark, and
+            # Spark rejects a timeout at/before it — clamp forward so
+            # the (already overdue) timeout fires at the next batch
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(prev_last // 1000 + stale_after_ms, wm_ms + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "ts_us": pd.array(out["ts_us"], dtype="int64"),
+                "source": source,
+                "channel": channel,
+                "status": out["status"],
+                "last_ts_us": pd.array(out["last_ts_us"], dtype="int64"),
+                "silent_us": pd.array(out["silent_us"], dtype="int64"),
+            }
+        )
+
+    return fn
+
+
+def freshness_stream(
+    stream: DataFrame,
+    stale_after_s: float,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Live feed-freshness monitor: which (source, channel) feeds have
+    gone SILENT — the streaming dual of the q64 batch freshness report
+    (there, staleness is judged against each channel's historical
+    cadence; here, against an operational ``stale_after_s`` SLA).
+
+    Emits a row only on STATE CHANGES, never per sample: ``first_seen``
+    when a key appears, ``stale`` when the event-time watermark passes
+    ``last_ts + stale_after_s`` with no new data (fired by a group
+    timeout — no poller, no per-key scan), and ``recovered`` (with the
+    silence span) when a stale feed speaks again. The reference
+    forwards live per-interval data to an external monitor
+    (code/edd.c:333-346); this is the Spark-native equivalent of the
+    "is anything down" half of that view.
+
+    State is two scalars per key, sharded by key hash; output volume
+    is proportional to feed outages, not traffic. Uses event-time
+    timeouts, so silence is judged by the data's own clock (replays
+    behave identically), not wall-clock.
+    """
+    from pyspark.sql import functions as F
+
+    rows = stream.withWatermark("ts", watermark_delay).select(
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        "source",
+        "channel",
+    )
+    return rows.groupBy("source", "channel").applyInPandasWithState(
+        _make_freshness_fn(stale_after_s),
+        outputStructType=FRESH_OUTPUT_SCHEMA,
+        stateStructType=FRESH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+SITE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("open_channels", IntegerType()),
+        StructField("site_in_alarm", IntegerType()),
+        StructField("covered_us", LongType()),
+    ]
+)
+
+SITE_STATE_SCHEMA = StructType(
+    [
+        StructField("open_count", IntegerType()),
+        StructField("since_us", LongType()),
+        StructField("covered_us", LongType()),
+    ]
+)
+
+
+def _site_alarm_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    count, since, covered = state.get if state.exists else (0, None, 0)
+    for pdf in pdfs:
+        # opens before closes at equal ts: touching intervals merge
+        # (the q57 touch-merge rule), so coverage never splits on a
+        # zero-length gap
+        pdf = pdf.sort_values(
+            ["ts_us", "event"], ascending=[True, False]
+        )
+        out = {k: [] for k in
+               ("ts_us", "open_channels", "site_in_alarm", "covered_us")}
+        for ts_us, ev in zip(pdf["ts_us"], pdf["event"]):
+            ts_us = int(ts_us)
+            if ev == "open":
+                count += 1
+                if count == 1:
+                    since = ts_us
+            elif ev == "close" and count > 0:
+                count -= 1
+                if count == 0:
+                    covered += ts_us - since
+                    since = None
+            running = covered + (ts_us - since if since is not None else 0)
+            out["ts_us"].append(ts_us)
+            out["open_channels"].append(count)
+            out["site_in_alarm"].append(1 if count > 0 else 0)
+            out["covered_us"].append(running)
+        yield pd.DataFrame(
+            {
+                "ts_us": pd.array(out["ts_us"], dtype="int64"),
+                "open_channels": pd.array(out["open_channels"],
+                                          dtype="int32"),
+                "site_in_alarm": pd.array(out["site_in_alarm"],
+                                          dtype="int32"),
+                "covered_us": pd.array(out["covered_us"], dtype="int64"),
+            }
+        )
+    state.update((count, since, covered))
+
+
+def site_alarm_stream(transitions: DataFrame) -> DataFrame:
+    """Live fleet-level alarm coverage: the streaming dual of the q57
+    batch interval union ("is the site in alarm NOW, and how much
+    wall-clock has been covered so far"). Consumes the open/close
+    TRANSITION stream that :func:`hysteresis_alarm_stream` emits —
+    the standard two-query topology (transitions persist to a sink
+    between queries; Structured Streaming does not allow two chained
+    applyInPandasWithState operators in one query) and exactly the
+    reference's shape of forwarding interval events to a monitor
+    process (code/edd.c:333-346, code/plugins/edoRRD.c:44-74).
+
+    A running count of currently-open channels (+1 per open, -1 per
+    close) IS the interval union: the site is in alarm while the count
+    is positive, and covered time accrues from each 0->1 crossing to
+    the matching 1->0. Single-group state (three scalars) is safe
+    BECAUSE the input is transitions, not samples — hysteresis already
+    reduced volume to state changes, so one group sees alarms, not
+    traffic. Emits one row per transition with the running union view.
+    """
+    from pyspark.sql import functions as F
+
+    rows = transitions.select(
+        "ts_us", "event", F.lit(1).alias("__site")
+    )
+    return rows.groupBy("__site").applyInPandasWithState(
+        _site_alarm_fn,
+        outputStructType=SITE_OUTPUT_SCHEMA,
+        stateStructType=SITE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

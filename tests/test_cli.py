@@ -214,3 +214,39 @@ def test_write_pq_and_probe_pq(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "adc_d2" in out
+
+
+def test_dedup_index_lifecycle_cli(spark, tmp_path, capsys):
+    """dedup-index / dedup-append / dedup-probe drive the persisted
+    MinHash index end-to-end, including the --survivors-out workflow."""
+    import pyspark.sql.functions as F
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    base = str(tmp_path / "base.parquet")
+    shard = str(tmp_path / "shard.parquet")
+    docs = spark.read.parquet(docs_path)
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(base)
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(shard)
+    idx = str(tmp_path / "mh_idx")
+
+    rc = cli.main(["dedup-index", base, idx], spark=spark)
+    assert rc == 0 and "wrote MinHash dedup index" in capsys.readouterr().out
+
+    rc = cli.main(["dedup-append", shard, idx], spark=spark)
+    assert rc == 0 and "appended" in capsys.readouterr().out
+
+    # probe print mode (shard now indexed -> it collides with itself)
+    rc = cli.main(["dedup-probe", shard, idx], spark=spark)
+    assert rc == 0 and "new_id" in capsys.readouterr().out
+
+    # survivors workflow on a fresh index without the shard
+    idx2 = str(tmp_path / "mh_idx2")
+    rc = cli.main(["dedup-index", base, idx2], spark=spark)
+    capsys.readouterr()
+    out = str(tmp_path / "kept.parquet")
+    rc = cli.main(
+        ["dedup-probe", shard, idx2, "--survivors-out", out], spark=spark
+    )
+    assert rc == 0 and "kept" in capsys.readouterr().out
+    kept = spark.read.parquet(out)
+    assert 0 < kept.count() <= docs.filter(F.col("doc_id") % 3 == 0).count()

@@ -369,3 +369,124 @@ def test_pq_codes_layout_probe_matches_live_and_reads_no_vectors(
     code_scans = [ln for ln in scans if "cent_id" in ln or "pqidx" in ln]
     assert code_scans, plan
     assert all("embedding" not in ln for ln in scans), scans
+
+
+def test_minhash_index_lifecycle(spark, tmp_path):
+    """Cross-run dedup index: write on a base corpus, append a shard
+    (old band files untouched), probe a new batch — candidates equal
+    the in-run LSH join restricted to (new x indexed) pairs, and the
+    signature recipe is pinned by the layout's _meta."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_lsh_candidates,
+        minhash_probe_new,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 1)
+    shard = docs.filter(F.col("doc_id") % 3 == 2)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(base, path, hash_mode="poly")
+
+    def files(p):
+        out = set()
+        for d in os.listdir(p):
+            if d.startswith("band="):
+                for f in os.listdir(os.path.join(p, d)):
+                    if f.endswith(".parquet"):
+                        out.add(os.path.join(d, f))
+        return out
+
+    before = files(path)
+    minhash_index_append(shard, path)
+    after = files(path)
+    # append-only: existing band files untouched, new ones added
+    assert before <= after and len(after) > len(before)
+
+    # recipe roundtrip
+    _, meta = read_minhash_index(spark, path)
+    assert (meta["n"], meta["rows_per_band"], meta["hash_mode"]) == (
+        3, 2, "poly",
+    )
+
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in minhash_probe_new(new, path).collect()
+    }
+    # oracle: the in-run LSH self-join over the FULL corpus, keeping
+    # only pairs that cross the (new, indexed) boundary
+    all_pairs = minhash_lsh_candidates(docs, hash_mode="poly").collect()
+    want = set()
+    for r in all_pairs:
+        a_new, b_new = r["doc_a"] % 3 == 0, r["doc_b"] % 3 == 0
+        if a_new and not b_new:
+            want.add((r["doc_a"], r["doc_b"]))
+        elif b_new and not a_new:
+            want.add((r["doc_b"], r["doc_a"]))
+    assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_drops_and_appends_survivors(spark, tmp_path):
+    """incremental_dedup: shard docs colliding with the index or with
+    an earlier-keyed in-shard collider are dropped; survivors come
+    back with all columns and their signatures land in the index so a
+    RE-RUN of the same shard drops everything."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_probe_new,
+        write_minhash_index,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mh_inc")
+    write_minhash_index(base, path, hash_mode="poly")
+
+    cross_ids = {
+        r["new_id"] for r in minhash_probe_new(shard, path).collect()
+    }
+    survivors = incremental_dedup(shard, path)
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert survivors.columns == shard.columns
+    assert ids.isdisjoint(cross_ids)
+    assert len(ids) > 0
+    # idempotence: the survivors are now indexed, so re-running the
+    # same shard keeps nothing (every doc collides with itself)
+    again = incremental_dedup(shard, path, append_survivors=False)
+    assert again.count() == 0
+
+
+def test_minhash_probe_broadcasts_new_side(spark, tmp_path):
+    """Probing a shard against the persisted index must broadcast the
+    shard's band table: the corpus-sized index streams through its
+    scan with NO shuffle (no SortMergeJoin anywhere in the probe
+    plan) — the property that keeps daily-dedup cost O(shard) at
+    100 TB."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_probe_new,
+        write_minhash_index,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "mh_plan")
+    write_minhash_index(docs.filter(F.col("doc_id") % 3 != 0), path)
+    probe = minhash_probe_new(docs.filter(F.col("doc_id") % 3 == 0), path)
+    probe.collect()  # let AQE finalize the physical plan
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

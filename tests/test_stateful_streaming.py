@@ -122,3 +122,163 @@ def test_hysteresis_alarm_spans_micro_batches(spark, tmp_path):
         ("open", 260.0, None),
         ("close", 40.0, 30 * 1_000_000),
     ]
+
+
+@pytest.mark.slow
+def test_freshness_stream_detects_stale_and_recovery(spark, tmp_path):
+    """q64's live dual: channel b goes silent after batch 1; once the
+    watermark passes b's last_ts + SLA (advanced by later batches of
+    channel a), the group timeout fires a single 'stale' row; when b
+    speaks again it emits 'recovered' with the silence span."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        freshness_stream,
+    )
+
+    src = str(tmp_path / "fresh_src")
+    now = time.time()
+    _write_batch(
+        spark,
+        os.path.join(src, "b1"),
+        [("2026-01-01 00:00:00", "a", 1.0), ("2026-01-01 00:00:00", "b", 1.0)],
+        now - 100,
+    )
+    # only a keeps speaking: advances the watermark past b's SLA
+    _write_batch(
+        spark, os.path.join(src, "b2"),
+        [("2026-01-01 00:10:00", "a", 1.0)], now - 80,
+    )
+    _write_batch(
+        spark, os.path.join(src, "b3"),
+        [("2026-01-01 00:20:00", "a", 1.0)], now - 60,
+    )
+    # b recovers
+    _write_batch(
+        spark, os.path.join(src, "b4"),
+        [("2026-01-01 00:30:00", "b", 1.0)], now - 40,
+    )
+    _write_batch(
+        spark, os.path.join(src, "b5"),
+        [("2026-01-01 00:40:00", "a", 1.0)], now - 20,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = freshness_stream(stream, stale_after_s=60.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("freshness")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 4
+    rows = spark.sql("select * from freshness").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.source, r.channel), []).append(r)
+    a_events = [r.status for r in sorted(by_key[("s", "a")], key=lambda r: r.ts_us)]
+    b_rows = sorted(by_key[("s", "b")], key=lambda r: r.ts_us)
+    b_events = [r.status for r in b_rows]
+    # a never went silent for >60s relative to the final watermark? it
+    # DID stop after 00:40 but the watermark never passes 00:41, so no
+    # stale fires for a
+    assert a_events == ["first_seen"]
+    # b re-arms its SLA on recovery at 00:30, then goes silent AGAIN;
+    # batch 5 (a at 00:40) pushes the watermark past 00:31, so a
+    # second stale fires — each silence is its own incident
+    assert b_events == ["first_seen", "stale", "recovered", "stale"]
+    base_us = 1767225600000000  # 2026-01-01 00:00:00 UTC in micros
+    stale = b_rows[1]
+    assert stale.last_ts_us == base_us
+    assert stale.ts_us == base_us + 60_000_000  # last + SLA
+    assert stale.silent_us > 0
+    rec = b_rows[2]
+    assert rec.silent_us == 30 * 60 * 1_000_000  # silent 00:00 -> 00:30
+    assert b_rows[3].last_ts_us == base_us + 30 * 60 * 1_000_000
+
+
+@pytest.mark.slow
+def test_site_alarm_stream_unions_transitions(spark, tmp_path):
+    """q57's live dual: overlapping per-channel episodes union via the
+    open-count; covered time accrues only while ANY channel is open,
+    across micro-batch boundaries, and touching close/open at the same
+    ts does not split coverage."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.streaming.stateful import (
+        site_alarm_stream,
+    )
+
+    def write_transitions(path, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "ts_us bigint, source string, channel string, "
+                  "event string, value double, span_us bigint",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    src = str(tmp_path / "site_src")
+    now = time.time()
+    M = 1_000_000
+    # batch 1: a opens at t=100, b opens at t=200 (overlap)
+    write_transitions(
+        os.path.join(src, "b1"),
+        [(100 * M, "s", "a", "open", 300.0, None),
+         (200 * M, "s", "b", "open", 310.0, None)],
+        now - 100,
+    )
+    # batch 2: a closes at t=300 (b still open), b closes at t=400;
+    # c opens at t=400 touching b's close -> coverage must not split
+    write_transitions(
+        os.path.join(src, "b2"),
+        [(300 * M, "s", "a", "close", 10.0, 200 * M),
+         (400 * M, "s", "b", "close", 20.0, 200 * M),
+         (400 * M, "s", "c", "open", 400.0, None)],
+        now - 50,
+    )
+    # batch 3: c closes at t=500
+    write_transitions(
+        os.path.join(src, "b3"),
+        [(500 * M, "s", "c", "close", 5.0, 100 * M)],
+        now - 20,
+    )
+    stream = (
+        spark.readStream.schema(
+            "ts_us bigint, source string, channel string, "
+            "event string, value double, span_us bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = site_alarm_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("site_alarm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3
+    rows = sorted(
+        spark.sql("select * from site_alarm").collect(),
+        key=lambda r: (r.ts_us, -r.open_channels),
+    )
+    got = [(r.ts_us // M, r.open_channels, r.site_in_alarm, r.covered_us // M)
+           for r in rows]
+    # one continuous alarm interval [100, 500]: open at 100 (a), 200
+    # (b), a closes 300, at 400 open-before-close keeps the union
+    # unbroken (c opens, then b closes), c closes 500 -> covered 400s
+    assert got == [
+        (100, 1, 1, 0),
+        (200, 2, 1, 100),
+        (300, 1, 1, 200),
+        (400, 2, 1, 300),
+        (400, 1, 1, 300),
+        (500, 0, 0, 400),
+    ]
