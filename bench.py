@@ -293,7 +293,13 @@ def _skew_compare(spark) -> dict:
     (c) seeded epoch shuffle of the N keys — the naive global ordinal
     (row_number over an unpartitioned window: ONE sort task for the
     whole corpus) vs epoch_shuffle's order-aligned hash buckets
-    (bounded offset table + per-bucket ranks, parallelism = 1024).
+    (bounded offset table + per-bucket ranks, parallelism = 1024);
+    (d) q57's cross-channel interval union under CHATTER (values
+    alternate above/below every sample, so EVERY above-sample is its
+    own episode — N/2 episodes ride the union) — the one-level
+    global-window union (one sort task over all episodes) vs the
+    bucket-split + boundary-stitch form (union window partitioned by
+    day bucket; only <= 2 rows/bucket reach the global stitch).
     Warm-up pass each, then one timed pass to a noop sink (full JVM
     evaluation, no driver materialization).
     $SPARK_GRAFT_BENCH_SKEW_ROWS overrides N (0 skips)."""
@@ -308,6 +314,7 @@ def _skew_compare(spark) -> dict:
         epoch_shuffle,
     )
     from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_coverage,
         hysteresis_episodes,
         rate,
     )
@@ -355,6 +362,24 @@ def _skew_compare(spark) -> dict:
         ),
         "episodes_scalable_s": lambda: hysteresis_episodes(
             df, hi=90000.0, lo=10000.0
+        ),
+        # q57's union under chatter: (event_id % 2) alternates per
+        # consecutive id and ids interleave round-robin over the 3
+        # channels, so every above-sample is an isolated episode —
+        # N/2 episodes hit the union (a lazy projection over the
+        # frozen df; both forms pay it identically)
+        "coverage_global_s": lambda: alarm_coverage(
+            df.withColumn(
+                "value", (F.col("event_id") % 2 * 100).cast("double")
+            ),
+            50.0,
+            scalable=False,
+        ),
+        "coverage_scalable_s": lambda: alarm_coverage(
+            df.withColumn(
+                "value", (F.col("event_id") % 2 * 100).cast("double")
+            ),
+            50.0,
         ),
         "shuffle_global_s": lambda: df.select(
             "event_id",

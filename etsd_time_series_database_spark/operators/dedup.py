@@ -233,6 +233,91 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_estimate_audit(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    rows_per_band: int = 2,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """Quality audit of the MinHash sketch itself: for every LSH
+    candidate pair, the SIGNATURE-estimated Jaccard (fraction of the
+    MinHash values that agree — the estimator whose expectation is the
+    true Jaccard) next to the EXACT shingle Jaccard and the absolute
+    error. This is the dedup family's completeness critic: it
+    quantifies, on real data, how trustworthy the sketch that drives
+    x06/x73/x74 is, and whether band parameters need retuning.
+
+    Scale shape: everything is restricted to the candidate pairs
+    (bounded by real collisions, never n^2). The estimate joins the
+    8-row-per-doc signature table twice on (pair, j); the exact
+    Jaccard semi-joins the shingle table down to candidate docs before
+    the shared-shingle join. Estimates are exact multiples of 1/k and
+    the exact Jaccard is one integer division — both engines fold
+    identical doubles.
+    """
+    cand = minhash_lsh_candidates(
+        df, text, key, n, rows_per_band, hash_mode
+    ).select("doc_a", "doc_b")
+    mh = minhash_signatures(df, text, key, n, hash_mode)
+    ma = mh.select(
+        F.col(key).alias("doc_a"), "j", F.col("h").alias("h_a")
+    )
+    mb = mh.select(
+        F.col(key).alias("doc_b"), "j", F.col("h").alias("h_b")
+    )
+    est = (
+        cand.join(ma, "doc_a")
+        .join(mb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.avg((F.col("h_a") == F.col("h_b")).cast("int")).alias(
+                "est_jaccard"
+            )
+        )
+    )
+    sh = doc_shingles(df, text, key, n)
+    involved = (
+        cand.select(F.col("doc_a").alias(key))
+        .unionByName(cand.select(F.col("doc_b").alias(key)))
+        .distinct()
+    )
+    sh = sh.join(involved, key, "left_semi")
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle")))
+        .select(
+            F.col(f"a.{key}").alias("doc_a"),
+            F.col(f"b.{key}").alias("doc_b"),
+        )
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(key).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(key).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    true_j = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce(true_j, F.lit(0.0)).alias("true_jaccard"),
+            F.abs(
+                F.col("est_jaccard") - F.coalesce(true_j, F.lit(0.0))
+            ).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def write_minhash_index(
     df: DataFrame,
     path: str,

@@ -768,32 +768,20 @@ def alarm_episodes(
     )
 
 
-def _interval_union_stitched(
+def _bucket_merged_segments(
     eps: DataFrame,
     channel: str,
     bucket_s: int,
 ) -> DataFrame:
-    """Distributed interval union over an episode table
-    (``start_us``/``end_us`` + a ``channel`` tiebreak column): returns
-    one row per merged interval (``i_start``, ``i_end``, ``i_eps``)
-    without ever globally sorting the episode table.
-
-    Two-level union: (1) split every episode at ``bucket_s``-wide
-    boundaries so each segment lies inside one bucket, then merge
-    touching/overlapping segments with a window PARTITIONED by bucket
-    (per-task sort state = one bucket's segments, however chattery the
-    data); (2) after the merge, at most one interval per bucket can
-    touch each bucket edge (two touching intervals would already have
-    merged), so intervals that reach an edge form a boundary table of
-    <= 2 rows per bucket — bounded by time-span / bucket_s, not by
-    data volume — and the classic one-level union over THAT table
-    coalesces chains that cross bucket(s). Interior intervals (touching
-    neither edge) cannot touch anything outside their bucket and pass
-    through unchanged. Splitting preserves coverage and endpoints
-    (pieces of one episode touch at the cut and re-merge by the
-    touch-merges rule) and episode counts (only the FIRST segment of
-    each episode carries weight 1).
-    """
+    """Shared first stage of the distributed interval union: split
+    episodes at ``bucket_s`` boundaries, merge touching/overlapping
+    segments per bucket (window PARTITIONED by bucket). Returns one
+    row per merged within-bucket interval: (__b, m_s, m_e, m_eps
+    [episodes whose FIRST segment lies in it], __lt/__rt [touches the
+    bucket's left/right edge]). After the merge at most one interval
+    per bucket touches each edge — the property both consumers
+    (:func:`_interval_union_stitched`'s cross-bucket stitch and
+    :func:`coverage_timeline`'s per-bucket rollup) rely on."""
     w_us = int(bucket_s) * 1_000_000
     seg = eps.withColumn(
         "__b",
@@ -832,7 +820,7 @@ def _interval_union_stitched(
         | (F.col("__s") > F.max("__e").over(wb_prev)),
         F.lit(1),
     ).otherwise(F.lit(0))
-    merged = (
+    return (
         seg.withColumn("__iv", F.sum(opened).over(wb_run))
         .groupBy("__b", "__iv")
         .agg(
@@ -845,6 +833,35 @@ def _interval_union_stitched(
             "__rt", F.col("m_e") == (F.col("__b") + F.lit(1)) * w_us
         )
     )
+
+
+def _interval_union_stitched(
+    eps: DataFrame,
+    channel: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Distributed interval union over an episode table
+    (``start_us``/``end_us`` + a ``channel`` tiebreak column): returns
+    one row per merged interval (``i_start``, ``i_end``, ``i_eps``)
+    without ever globally sorting the episode table.
+
+    Two-level union: (1) split every episode at ``bucket_s``-wide
+    boundaries so each segment lies inside one bucket, then merge
+    touching/overlapping segments with a window PARTITIONED by bucket
+    (per-task sort state = one bucket's segments, however chattery the
+    data); (2) after the merge, at most one interval per bucket can
+    touch each bucket edge (two touching intervals would already have
+    merged), so intervals that reach an edge form a boundary table of
+    <= 2 rows per bucket — bounded by time-span / bucket_s, not by
+    data volume — and the classic one-level union over THAT table
+    coalesces chains that cross bucket(s). Interior intervals (touching
+    neither edge) cannot touch anything outside their bucket and pass
+    through unchanged. Splitting preserves coverage and endpoints
+    (pieces of one episode touch at the cut and re-merge by the
+    touch-merges rule) and episode counts (only the FIRST segment of
+    each episode carries weight 1).
+    """
+    merged = _bucket_merged_segments(eps, channel, bucket_s)
     interior = merged.filter(~F.col("__lt") & ~F.col("__rt")).select(
         F.col("m_s").alias("i_start"),
         F.col("m_e").alias("i_end"),
@@ -970,6 +987,172 @@ def alarm_coverage(
         ),
         F.min("i_start").alias("first_start_us"),
         F.max("i_end").alias("last_end_us"),
+    )
+
+
+def coverage_timeline(
+    df: DataFrame,
+    threshold: float,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Fleet alarm-coverage TIMELINE: per time bucket (default: day),
+    how many microseconds ANY channel was above ``threshold`` — the
+    downsampled health series behind q57's single-row total ("which
+    days were bad", chartable). Per bucket: covered microseconds, the
+    covered fraction of the bucket, the number of distinct alarm
+    stretches intersecting it (a stretch crossing midnight counts in
+    each day it touches), and the number of episodes STARTING in it.
+    Sparse: alarm-free buckets emit no row.
+
+    This is the q57 machinery stopped one stage early: episodes split
+    at bucket boundaries and merge per bucket
+    (:func:`_bucket_merged_segments` — window partitioned by bucket,
+    never a global sort), then a per-bucket hash-agg closes the
+    rollup; no cross-bucket stitch is needed because the timeline
+    WANTS per-bucket clipping. Output cardinality <= time-span /
+    bucket_s. All counts/sums integer; the fraction is one division.
+    """
+    eps = episode_table(
+        df,
+        threshold,
+        channel=channel,
+        value=value,
+        ts=ts,
+        seq=seq,
+        scalable=scalable,
+        bucket_s=bucket_s,
+    )
+    merged = _bucket_merged_segments(eps, channel, bucket_s)
+    w_us = int(bucket_s) * 1_000_000
+    return (
+        merged.groupBy("__b")
+        .agg(
+            F.sum(F.col("m_e") - F.col("m_s")).cast("bigint").alias(
+                "covered_us"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_stretches"),
+            F.sum("m_eps").cast("bigint").alias("n_episode_starts"),
+        )
+        .select(
+            (F.col("__b") * w_us).cast("bigint").alias("bucket_start_us"),
+            "covered_us",
+            F.round(F.col("covered_us") / F.lit(w_us), 6).alias(
+                "pct_covered"
+            ),
+            "n_stretches",
+            "n_episode_starts",
+        )
+        .orderBy("bucket_start_us")
+    )
+
+
+def co_alarm_matrix(
+    df: DataFrame,
+    threshold: float,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Pairwise co-alarm accounting: for every channel pair, how many
+    episode pairs overlap in time and for how many total microseconds
+    — "which feeds fail TOGETHER", the correlation view q57's union
+    (any-channel coverage) and q56's per-channel rollup both erase.
+    An episode pair counts when the intervals strictly straddle each
+    other (``a.start < b.end AND b.start < a.end``); touching
+    endpoints share zero microseconds and do not count.
+
+    Scale shape (default): per-channel episodes are already DISJOINT
+    (islands are separated by below-threshold rows), so no union pass
+    is needed — episodes split at ``bucket_s`` boundaries (the q57
+    machinery) and the overlap join becomes an EQUI-join on the
+    bucket: only segments in the same time bucket ever meet, so the
+    shuffle key is time, never a channel, and per-task join work is
+    one bucket's segments across channels. Split pieces of one
+    episode pair re-aggregate by (island_a, island_b) before the
+    per-pair rollup, so overlap sums exactly and pairs never double
+    count. ``scalable=False`` is the direct episode-level theta-join
+    (the oracle's formulation; equivalence pytest-pinned). Outputs
+    are integers — engine/oracle hashing exact.
+    """
+    eps = episode_table(
+        df,
+        threshold,
+        channel=channel,
+        value=value,
+        ts=ts,
+        seq=seq,
+        scalable=scalable,
+        bucket_s=bucket_s,
+    ).select(channel, "__island", "start_us", "end_us")
+    if scalable:
+        w_us = int(bucket_s) * 1_000_000
+        seg = eps.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_us DIV {w_us}"),
+                    F.expr(f"end_us DIV {w_us}"),
+                )
+            ),
+        ).select(
+            "__b",
+            F.col(channel),
+            F.col("__island"),
+            F.greatest(F.col("start_us"), F.col("__b") * w_us).alias("__s"),
+            F.least(
+                F.col("end_us"), (F.col("__b") + F.lit(1)) * w_us
+            ).alias("__e"),
+        )
+        a, b = seg.alias("a"), seg.alias("b")
+        pieces = a.join(
+            b,
+            on=(F.col("a.__b") == F.col("b.__b"))
+            & (F.col(f"a.{channel}") < F.col(f"b.{channel}"))
+            & (F.col("a.__s") < F.col("b.__e"))
+            & (F.col("b.__s") < F.col("a.__e")),
+        ).select(
+            F.col(f"a.{channel}").alias("channel_a"),
+            F.col(f"b.{channel}").alias("channel_b"),
+            F.col("a.__island").alias("ia"),
+            F.col("b.__island").alias("ib"),
+            (
+                F.least(F.col("a.__e"), F.col("b.__e"))
+                - F.greatest(F.col("a.__s"), F.col("b.__s"))
+            ).alias("ov"),
+        )
+        pairs = pieces.groupBy("channel_a", "channel_b", "ia", "ib").agg(
+            F.sum("ov").alias("pair_ov")
+        )
+    else:
+        a, b = eps.alias("a"), eps.alias("b")
+        pairs = a.join(
+            b,
+            on=(F.col(f"a.{channel}") < F.col(f"b.{channel}"))
+            & (F.col("a.start_us") < F.col("b.end_us"))
+            & (F.col("b.start_us") < F.col("a.end_us")),
+        ).select(
+            F.col(f"a.{channel}").alias("channel_a"),
+            F.col(f"b.{channel}").alias("channel_b"),
+            (
+                F.least(F.col("a.end_us"), F.col("b.end_us"))
+                - F.greatest(F.col("a.start_us"), F.col("b.start_us"))
+            ).alias("pair_ov"),
+        )
+    return (
+        pairs.groupBy("channel_a", "channel_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copairs"),
+            F.sum("pair_ov").cast("bigint").alias("overlap_us"),
+        )
+        .orderBy("channel_a", "channel_b")
     )
 
 

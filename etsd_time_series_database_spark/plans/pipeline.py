@@ -3316,3 +3316,80 @@ def p74(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+def _x75_oracle() -> str:
+    hp_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    sid = _DUCK_POLY_FP.format(col="sh.shingle")
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+    ),
+    hp(j, a, b) AS (VALUES {hp_rows}),
+    mh AS (
+      SELECT sh.doc_id, hp.j, MIN((hp.a * ({sid}) + hp.b) % {MINHASH_P}) AS h
+      FROM sh CROSS JOIN hp GROUP BY sh.doc_id, hp.j
+    ),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             avg(CASE WHEN a.h = b.h THEN 1.0 ELSE 0.0 END) AS est_jaccard
+      FROM cand c
+      JOIN mh a ON a.doc_id = c.doc_a
+      JOIN mh b ON b.doc_id = c.doc_b AND b.j = a.j
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           coalesce(n_common / (sa.n_sh + sb.n_sh - n_common), 0.0)
+             AS true_jaccard,
+           abs(e.est_jaccard
+               - coalesce(n_common / (sa.n_sh + sb.n_sh - n_common), 0.0))
+             AS abs_err
+    FROM est e
+    LEFT JOIN common USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """
+
+
+@register(
+    "x75_minhash_estimate_audit",
+    "dedup",
+    _x75_oracle(),
+    doc="Sketch-quality audit: for every LSH candidate pair, the "
+    "signature-estimated Jaccard (fraction of agreeing MinHash "
+    "values) vs the EXACT shingle Jaccard and the absolute error — "
+    "quantifies on real data how trustworthy the sketch driving "
+    "x06/x73/x74 is. Everything is candidate-bounded: signatures "
+    "join 8 rows/doc, shingle tables semi-join down to candidate "
+    "docs before the shared-shingle join.",
+)
+def p75(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    return minhash_estimate_audit(
+        load_table(spark, sf_dir, "documents"), hash_mode="poly"
+    )

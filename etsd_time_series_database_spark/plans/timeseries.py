@@ -1159,3 +1159,128 @@ def q64(spark, sf_dir):
     )
 
     return freshness_report(_events(spark, sf_dir))
+
+
+CO_ALARM_T = 100.0  # lower than ALARM_T: episodes must be long
+# enough to overlap across channels, or the matrix is trivially empty
+
+
+@register(
+    "q65_co_alarm_matrix",
+    "anomaly",
+    f"""
+    WITH m AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             value > {CO_ALARM_T} AS above,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY event_type, value > {CO_ALARM_T}
+                                  ORDER BY ts, event_id) AS island
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT event_type, island,
+             min(us) AS start_us, max(us) AS end_us
+      FROM m WHERE above GROUP BY event_type, island
+    ),
+    p AS (
+      SELECT a.event_type AS channel_a, b.event_type AS channel_b,
+             least(a.end_us, b.end_us)
+             - greatest(a.start_us, b.start_us) AS pair_ov
+      FROM e a JOIN e b
+        ON a.event_type < b.event_type
+       AND a.start_us < b.end_us AND b.start_us < a.end_us
+    )
+    SELECT channel_a, channel_b,
+           CAST(count(*) AS BIGINT) AS n_copairs,
+           CAST(sum(pair_ov) AS BIGINT) AS overlap_us
+    FROM p GROUP BY channel_a, channel_b
+    ORDER BY channel_a, channel_b
+    """,
+    doc="Pairwise co-alarm matrix: for every channel pair, how many "
+    "alarm episodes overlap in time and for how many total "
+    "microseconds — which feeds fail TOGETHER (the correlation view "
+    "q56's per-channel rollup and q57's any-channel union both "
+    "erase). Default path splits episodes at time buckets so the "
+    "overlap theta-join becomes a bucket EQUI-join (shuffle key is "
+    "time, never a channel); split pieces re-aggregate per episode "
+    "pair so overlaps sum exactly.",
+)
+def q65(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        co_alarm_matrix,
+    )
+
+    return co_alarm_matrix(_events(spark, sf_dir), CO_ALARM_T)
+
+
+@register(
+    "q66_coverage_timeline",
+    "anomaly",
+    f"""
+    WITH m AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             value > {CO_ALARM_T} AS above,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY event_type, value > {CO_ALARM_T}
+                                  ORDER BY ts, event_id) AS island
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT event_type, island,
+             min(us) AS start_us, max(us) AS end_us
+      FROM m WHERE above GROUP BY event_type, island
+    ),
+    seg AS (
+      SELECT b, event_type,
+             greatest(start_us, b * 86400000000) AS s,
+             least(end_us, (b + 1) * 86400000000) AS e2,
+             CASE WHEN b = start_us // 86400000000 THEN 1 ELSE 0 END AS w
+      FROM (SELECT e.*, unnest(range(start_us // 86400000000,
+                                     end_us // 86400000000 + 1)) AS b
+            FROM e)
+    ),
+    o AS (
+      SELECT *, CASE WHEN max(e2) OVER w_prev IS NULL
+                     OR s > max(e2) OVER w_prev
+                THEN 1 ELSE 0 END AS opened
+      FROM seg
+      WINDOW w_prev AS (PARTITION BY b ORDER BY s, e2, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    iv AS (
+      SELECT b, s, e2, w,
+             sum(opened) OVER (PARTITION BY b
+                               ORDER BY s, e2, event_type
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ivid
+      FROM o
+    ),
+    g AS (
+      SELECT b, ivid, min(s) AS m_s, max(e2) AS m_e, sum(w) AS m_eps
+      FROM iv GROUP BY b, ivid
+    )
+    SELECT CAST(b * 86400000000 AS BIGINT) AS bucket_start_us,
+           CAST(sum(m_e - m_s) AS BIGINT) AS covered_us,
+           round(CAST(sum(m_e - m_s) AS DOUBLE) / 86400000000, 6)
+             AS pct_covered,
+           CAST(count(*) AS BIGINT) AS n_stretches,
+           CAST(sum(m_eps) AS BIGINT) AS n_episode_starts
+    FROM g GROUP BY b ORDER BY bucket_start_us
+    """,
+    doc="Fleet alarm-coverage timeline: per DAY, microseconds any "
+    "channel was above threshold, the covered fraction, distinct "
+    "alarm stretches intersecting the day, and episodes starting in "
+    "it — q57's single-row union unrolled into the chartable health "
+    "series. The q57 split-and-merge machinery stopped one stage "
+    "early: per-bucket union windows (never a global sort), one "
+    "hash-agg rollup; output <= days in range. Totals cross-check "
+    "q57 exactly (pytest-pinned).",
+)
+def q66(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        coverage_timeline,
+    )
+
+    return coverage_timeline(_events(spark, sf_dir), CO_ALARM_T)

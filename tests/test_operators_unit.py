@@ -1516,3 +1516,103 @@ def test_freshness_report_cadence_and_overdue(spark):
     plain = freshness_report(df, scalable=False).collect()
     stitched = freshness_report(df, scalable=True, bucket_s=35).collect()
     assert [tuple(x) for x in stitched] == [tuple(x) for x in plain]
+
+
+def test_co_alarm_matrix_counts_overlaps(spark):
+    """q65: overlapping episodes across channel pairs count once with
+    the exact shared microseconds; touching endpoints (zero shared
+    time) do not count; stitched == plain at narrow buckets."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        co_alarm_matrix,
+    )
+
+    rows = [
+        # a: [00:10, 00:30]
+        ("2026-01-01 00:10:00", "a", 99, 1),
+        ("2026-01-01 00:30:00", "a", 99, 2),
+        # b: [00:20, 00:40] — overlaps a by 10 min
+        ("2026-01-01 00:20:00", "b", 99, 3),
+        ("2026-01-01 00:40:00", "b", 99, 4),
+        # c: [00:30, 00:35] — touches a's end (no shared time),
+        # overlaps b by 5 min
+        ("2026-01-01 00:30:00", "c", 99, 5),
+        ("2026-01-01 00:35:00", "c", 99, 6),
+        # second b episode [01:00, 01:05], disjoint from everything
+        ("2026-01-01 00:50:00", "b", 1, 7),
+        ("2026-01-01 01:00:00", "b", 99, 8),
+        ("2026-01-01 01:05:00", "b", 99, 9),
+    ]
+    df = _series(spark, rows)
+    plain = co_alarm_matrix(df, 20.0, scalable=False).collect()
+    want = {
+        ("a", "b"): (1, 10 * 60 * 1_000_000),
+        ("b", "c"): (1, 5 * 60 * 1_000_000),
+    }
+    got = {(r.channel_a, r.channel_b): (r.n_copairs, r.overlap_us)
+           for r in plain}
+    assert got == want  # (a, c) touches only: excluded
+    for bucket_s in (60, 7):
+        st = co_alarm_matrix(
+            df, 20.0, scalable=True, bucket_s=bucket_s
+        ).collect()
+        got_st = {(r.channel_a, r.channel_b): (r.n_copairs, r.overlap_us)
+                  for r in st}
+        assert got_st == want, f"bucket_s={bucket_s}"
+
+
+def test_minhash_estimate_audit_identical_and_near(spark):
+    """x75: identical docs estimate Jaccard 1.0 with zero error; a
+    near-dup pair's estimate is a multiple of 1/8 and the exact
+    Jaccard sits in (0, 1)."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"
+    rows = [(1, base, "s"), (2, base, "s"), (3, near, "s"),
+            (4, "completely unrelated text about spark physical plans "
+                "and shuffle boundaries everywhere", "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.doc_a, r.doc_b): r
+           for r in minhash_estimate_audit(df, hash_mode="poly").collect()}
+    assert (1, 2) in out
+    ident = out[(1, 2)]
+    assert ident.est_jaccard == 1.0
+    assert ident.true_jaccard == 1.0 and ident.abs_err == 0.0
+    for r in out.values():
+        assert abs(r.est_jaccard * 8 - round(r.est_jaccard * 8)) < 1e-9
+        assert 0.0 <= r.true_jaccard <= 1.0
+    assert (1, 4) not in out and (2, 4) not in out  # unrelated: no collision
+
+
+def test_coverage_timeline_totals_match_union(spark):
+    """q66 x q57 cross-invariant: summing the per-day timeline over
+    all days must reproduce the single-row union's covered_us and
+    n_episodes exactly (splitting at midnight repartitions time, it
+    never creates or destroys coverage); a midnight-crossing stretch
+    counts once per day it touches."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_coverage,
+        coverage_timeline,
+    )
+
+    rows = [
+        # one episode crossing midnight: covers 23:50 -> 00:10
+        ("2026-01-01 23:50:00", "a", 99, 1),
+        ("2026-01-02 00:10:00", "a", 99, 2),
+        # disjoint same-day episode on day 2
+        ("2026-01-02 12:00:00", "b", 99, 3),
+        ("2026-01-02 12:30:00", "b", 99, 4),
+    ]
+    df = _series(spark, rows)
+    tl = {r.bucket_start_us: r for r in coverage_timeline(df, 20.0).collect()}
+    cov = alarm_coverage(df, 20.0).collect()[0]
+    assert sum(r.covered_us for r in tl.values()) == cov.covered_us
+    assert sum(r.n_episode_starts for r in tl.values()) == cov.n_episodes
+    assert len(tl) == 2
+    day1, day2 = (tl[k] for k in sorted(tl))
+    assert day1.covered_us == 10 * 60 * 1_000_000
+    assert day2.covered_us == (10 + 30) * 60 * 1_000_000
+    assert day1.n_stretches == 1 and day2.n_stretches == 2
+    assert day1.n_episode_starts == 1 and day2.n_episode_starts == 1

@@ -490,3 +490,35 @@ def test_label_dispersion_no_pairs_join(spark):
                 "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
         assert bad not in plan, f"x71 plan contains {bad}"
     assert "HashAggregate" in plan
+
+
+def test_co_alarm_matrix_overlap_join_is_bucket_equi(spark):
+    """q65's overlap theta-join must hash on the time bucket, never
+    degrade to a nested-loop/cartesian over the episode tables: the
+    equality on __b makes it a real equi-join with the range predicate
+    as a residual filter."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q65_co_alarm_matrix"].build(spark, SF_SMOKE))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"q65 plan contains {bad}"
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_coverage_timeline_union_window_is_bucket_partitioned(spark):
+    """q66 shares q57's split-and-merge stage: the union window must
+    partition by the day bucket, and with no cross-bucket stitch
+    needed there must be NO unpartitioned window anywhere in the
+    plan."""
+    import re
+
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q66_coverage_timeline"].build(spark, SF_SMOKE))
+    assert re.search(r"windowspecdefinition\(__b#\d+L, __s#\d+L", plan)
+    assert not re.search(r"windowspecdefinition\(start_us#\d+L", plan)
+    assert not re.search(r"windowspecdefinition\(m_s#\d+L", plan)
