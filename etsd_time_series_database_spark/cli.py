@@ -342,6 +342,52 @@ def cmd_dedup_probe(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_watch(args, spark: SparkSession) -> int:
+    """Live monitor over a growing ingest directory (the reference's
+    edd daemon analog, code/edd.c): 'freshness' emits
+    first_seen/stale/recovered per feed, 'alarms' emits hysteresis
+    open/close transitions, 'site' folds a transitions directory
+    (written by a prior `watch --mode alarms --out ...`) into the live
+    cross-channel union. Default trigger is availableNow (catch up on
+    everything present, then exit — replay-deterministic); --follow
+    keeps the query running on a processing-time trigger."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        freshness_stream,
+        hysteresis_alarm_stream,
+        site_alarm_stream,
+    )
+
+    schema = spark.read.parquet(args.source).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files)
+        .parquet(args.source)
+    )
+    if args.mode == "freshness":
+        out = freshness_stream(stream, stale_after_s=args.stale_after)
+    elif args.mode == "alarms":
+        out = hysteresis_alarm_stream(stream, hi=args.hi, lo=args.lo)
+    else:
+        out = site_alarm_stream(stream)
+    writer = out.writeStream.outputMode("append")
+    if args.out:
+        writer = writer.format("parquet").option("path", args.out).option(
+            "checkpointLocation", args.out + "_checkpoint"
+        )
+    else:
+        writer = writer.format("console").option("truncate", "false")
+    if args.follow:
+        q = writer.trigger(processingTime=f"{args.interval} seconds").start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(args.timeout)
+        n = len(q.recentProgress)
+        print(f"watch[{args.mode}]: caught up in {n} micro-batch(es)"
+              + (f" -> {args.out}" if args.out else ""))
+    return 0
+
+
 def cmd_recover(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.streaming.ingest import replay
 
@@ -453,6 +499,36 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--key", default="vec_id")
     pr.add_argument("--vec", default="embedding")
     pr.set_defaults(fn=cmd_probe)
+
+    w = sub.add_parser(
+        "watch",
+        help="live monitor over a growing ingest directory (the edd "
+        "daemon analog): feed freshness, hysteresis alarm "
+        "transitions, or the site-wide alarm union",
+    )
+    w.add_argument("source", help="parquet directory to monitor")
+    w.add_argument(
+        "--mode", default="freshness",
+        choices=["freshness", "alarms", "site"],
+    )
+    w.add_argument("--stale-after", type=float, default=60.0,
+                   help="freshness SLA seconds (event-time)")
+    w.add_argument("--hi", type=float, default=250.0)
+    w.add_argument("--lo", type=float, default=50.0)
+    w.add_argument(
+        "--out", default=None,
+        help="write events to this parquet path instead of the console",
+    )
+    w.add_argument("--follow", action="store_true",
+                   help="keep running (processing-time trigger) instead "
+                   "of catching up and exiting")
+    w.add_argument("--interval", type=int, default=10,
+                   help="--follow trigger seconds")
+    w.add_argument("--max-files", type=int, default=1000,
+                   help="files per micro-batch")
+    w.add_argument("--timeout", type=int, default=300,
+                   help="availableNow catch-up wait seconds")
+    w.set_defaults(fn=cmd_watch)
 
     di = sub.add_parser(
         "dedup-index",

@@ -490,6 +490,98 @@ def incremental_dedup(
     return survivors
 
 
+def dedup_funnel(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    source: str = "source",
+    n: int = 3,
+    rows_per_band: int = 2,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """Per-source dedup FUNNEL report: how many documents (and tokens)
+    survive each stage of the standard pipeline — exact dedup
+    (keep-lowest-key per identical text), then near dedup over the
+    exact winners (drop a doc that shares any LSH band bucket with a
+    lower-keyed winner — x74's keep-lowest rule, one hop, not
+    transitive closure) — the data card a pipeline owner reads before
+    committing a training mix (what did dedup cost each source?).
+
+    Scale shape: the exact stage groups on xxhash64(text) in the
+    default mode so bodies never shuffle (the x11 discipline; 'poly'
+    selects the portable fingerprint for oracle parity); the near
+    stage is the x74 band self-join (collision-bounded); all rollups
+    are per-source hash-aggs; token counting is a scan-side
+    expression. Drop decisions are GLOBAL (dedup is corpus-wide);
+    only the reporting is per source.
+    """
+    if hash_mode == "poly":
+        from etsd_time_series_database_spark.functions.exprs import (
+            poly_fingerprint,
+        )
+
+        tfp = poly_fingerprint(F.col(text))
+    else:
+        tfp = F.xxhash64(F.col(text))
+    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    base = df.select(
+        F.col(key), F.col(source), F.col(text), tfp.alias("__tfp"),
+        n_tok.alias("__ntok"),
+    )
+    winners_ids = (
+        base.groupBy("__tfp")
+        .agg(F.min(key).alias(key))
+        .select(key)
+    )
+    winners = base.join(winners_ids, key, "left_semi")
+    bands = minhash_band_table(
+        winners, text, key, n, rows_per_band, hash_mode
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    near_drop = (
+        x.join(
+            y,
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{key}") > F.col(f"y.{key}")),
+        )
+        .select(F.col(f"x.{key}").alias(key))
+        .distinct()
+    )
+    kept = winners.join(near_drop, key, "left_anti")
+    all_s = base.groupBy(source).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__ntok").cast("bigint").alias("n_tokens"),
+    )
+    win_s = winners.groupBy(source).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_kept")
+    )
+    kept_s = kept.groupBy(source).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("__ntok").cast("bigint").alias("tokens_kept"),
+    )
+    return (
+        all_s.join(win_s, source, "left")
+        .join(kept_s, source, "left")
+        .select(
+            source,
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_exact_kept", F.lit(0)).cast("bigint").alias(
+                "n_exact_kept"
+            ),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias(
+                "tokens_kept"
+            ),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("pct_docs_kept"),
+        )
+        .orderBy(source)
+    )
+
+
 def cluster_pairs(
     pairs: DataFrame,
     a: str = "doc_a",

@@ -1156,6 +1156,94 @@ def co_alarm_matrix(
     )
 
 
+def alarm_reliability(
+    df: DataFrame,
+    threshold: float,
+    channel: str = "event_type",
+    value: str = "value",
+    ts: str = "ts",
+    seq: str = "event_id",
+    scalable: bool = True,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Per-channel reliability report over the alarm episodes: MTTR
+    (mean episode span — how long incidents last), MTBF (mean gap from
+    one episode's end to the next one's start — how long the channel
+    stays healthy), total alarm time, the observed span, and
+    availability (fraction of observed time NOT in alarm) — the
+    MTBF/MTTR/availability triple every ops review asks for,
+    completing q56 (worst incident) and q64 (freshness).
+
+    Scale shape: the raw scan reduces to the episode table
+    (:func:`episode_table`) and to one per-channel min/max hash-agg
+    for the observed bounds; the only window (the between-episode lag)
+    rides the EPISODE table per channel — cardinality = incidents,
+    not samples (the q56 defense). MTBF is NULL for channels with a
+    single episode (no between-gap exists); channels that never alarm
+    don't appear (they have no episodes to report on). Averages are
+    one integer-sum / count division, rounded at 6 — both engines
+    fold identically.
+    """
+    us = epoch_us(ts)
+    eps = episode_table(
+        df,
+        threshold,
+        channel=channel,
+        value=value,
+        ts=ts,
+        seq=seq,
+        scalable=scalable,
+        bucket_s=bucket_s,
+    )
+    w = Window.partitionBy(channel).orderBy("start_us", "end_us")
+    gap = F.col("start_us") - F.lag("end_us").over(w)
+    per_ch = (
+        eps.withColumn("__gap", gap)
+        .groupBy(channel)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+            F.sum("span_us").cast("bigint").alias("alarm_us"),
+            # NOT avg(): at 1e10 us a double's ulp (~2e-6) exceeds the
+            # 6-decimal rounding step, so engine round() lands on
+            # ADJACENT doubles — integer division of exact bigint sums
+            # is deterministic, and sub-microsecond mean precision is
+            # meaningless anyway
+            F.expr("sum(span_us) DIV count(span_us)").alias("mttr_us"),
+            F.when(
+                F.count("__gap") > 0,
+                F.expr("sum(__gap) DIV count(__gap)"),
+            ).alias("mtbf_us"),
+        )
+    )
+    bounds = (
+        df.filter(F.col(value).isNotNull())
+        .select(F.col(channel), us.alias("__us"))
+        .groupBy(channel)
+        .agg(
+            (F.max("__us") - F.min("__us")).cast("bigint").alias(
+                "observed_us"
+            )
+        )
+    )
+    avail = F.when(
+        F.col("observed_us") > 0,
+        F.round(1.0 - F.col("alarm_us") / F.col("observed_us"), 6),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        per_ch.join(bounds, channel)
+        .select(
+            channel,
+            "n_episodes",
+            "alarm_us",
+            "mttr_us",
+            "mtbf_us",
+            "observed_us",
+            avail.alias("availability"),
+        )
+        .orderBy(channel)
+    )
+
+
 def hysteresis_episodes(
     df: DataFrame,
     hi: float,

@@ -3393,3 +3393,70 @@ def p75(spark, sf_dir):
     return minhash_estimate_audit(
         load_table(spark, sf_dir, "documents"), hash_mode="poly"
     )
+
+
+def _x76_oracle() -> str:
+    fp = _DUCK_POLY_FP.format(col="text")
+    winner_filter = (
+        f"doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {fp})"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, len({_TOKS}) AS ntok, {fp} AS tfp
+      FROM documents
+    ),
+    w AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY tfp),
+    winners AS (SELECT b.* FROM base b JOIN w USING (doc_id)),
+    bands AS ({_band_cte(winner_filter)}),
+    nd AS (
+      SELECT DISTINCT x.doc_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id > y.doc_id
+    ),
+    kept AS (
+      SELECT * FROM winners WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+    ),
+    all_s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM base GROUP BY source
+    ),
+    win_s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_exact_kept
+      FROM winners GROUP BY source
+    ),
+    kept_s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(ntok) AS BIGINT) AS tokens_kept
+      FROM kept GROUP BY source
+    )
+    SELECT a.source, a.n_docs, a.n_tokens,
+           CAST(coalesce(w.n_exact_kept, 0) AS BIGINT) AS n_exact_kept,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / a.n_docs, 6)
+             AS pct_docs_kept
+    FROM all_s a
+    LEFT JOIN win_s w USING (source)
+    LEFT JOIN kept_s k USING (source)
+    ORDER BY a.source
+    """
+
+
+@register(
+    "x76_dedup_funnel",
+    "dedup",
+    _x76_oracle(),
+    doc="Per-source dedup funnel data card: documents and tokens "
+    "surviving exact dedup (keep-lowest per identical text, "
+    "fingerprint-keyed so bodies never shuffle) and then near dedup "
+    "over the winners (x74's keep-lowest band-collision rule) — what "
+    "dedup costs each source before a training mix is committed. "
+    "Drop decisions are corpus-global; reporting is per source.",
+)
+def p76(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import dedup_funnel
+
+    return dedup_funnel(
+        load_table(spark, sf_dir, "documents"), hash_mode="poly"
+    )

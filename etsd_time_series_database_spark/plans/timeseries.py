@@ -1284,3 +1284,66 @@ def q66(spark, sf_dir):
     )
 
     return coverage_timeline(_events(spark, sf_dir), CO_ALARM_T)
+
+
+@register(
+    "q67_alarm_reliability",
+    "anomaly",
+    f"""
+    WITH m AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             value > {CO_ALARM_T} AS above,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY event_type, value > {CO_ALARM_T}
+                                  ORDER BY ts, event_id) AS island
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT event_type, island,
+             min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS span_us
+      FROM m WHERE above GROUP BY event_type, island
+    ),
+    g AS (
+      SELECT *, start_us - lag(end_us) OVER (PARTITION BY event_type
+                                             ORDER BY start_us, end_us)
+               AS gap
+      FROM e
+    ),
+    per_ch AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_episodes,
+             CAST(sum(span_us) AS BIGINT) AS alarm_us,
+             CAST(sum(span_us) // count(span_us) AS BIGINT) AS mttr_us,
+             CASE WHEN count(gap) > 0
+                  THEN CAST(sum(gap) // count(gap) AS BIGINT)
+             END AS mtbf_us
+      FROM g GROUP BY event_type
+    ),
+    bounds AS (
+      SELECT event_type,
+             CAST(max(us) - min(us) AS BIGINT) AS observed_us
+      FROM m GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_episodes, p.alarm_us, p.mttr_us, p.mtbf_us,
+           b.observed_us,
+           CASE WHEN b.observed_us > 0
+                THEN round(1.0 - CAST(p.alarm_us AS DOUBLE) / b.observed_us, 6)
+           END AS availability
+    FROM per_ch p JOIN bounds b USING (event_type)
+    ORDER BY p.event_type
+    """,
+    doc="Per-channel reliability report: MTTR (mean incident span), "
+    "MTBF (mean healthy gap between incidents, NULL for single-"
+    "episode channels), total alarm time, observed span, and "
+    "availability — the ops triple completing q56 (worst incident) "
+    "and q64 (freshness). Windows ride the episode table (cardinality "
+    "= incidents, never samples); bounds are one per-channel hash-agg.",
+)
+def q67(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_reliability,
+    )
+
+    return alarm_reliability(_events(spark, sf_dir), CO_ALARM_T)

@@ -250,3 +250,54 @@ def test_dedup_index_lifecycle_cli(spark, tmp_path, capsys):
     assert rc == 0 and "kept" in capsys.readouterr().out
     kept = spark.read.parquet(out)
     assert 0 < kept.count() <= docs.filter(F.col("doc_id") % 3 == 0).count()
+
+
+def test_watch_alarms_then_site_cli(spark, tmp_path, capsys):
+    """watch --mode alarms writes hysteresis transitions to parquet;
+    watch --mode site folds that directory into the live union — the
+    two-query monitor topology end-to-end through the CLI."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ingest")
+    rows = [
+        ("2026-01-01 00:00:00", "s", "a", 100.0, 0),
+        ("2026-01-01 00:00:10", "s", "a", 260.0, 0),   # open
+        ("2026-01-01 00:00:40", "s", "a", 40.0, 0),    # close (span 30s)
+        ("2026-01-01 00:00:20", "s", "b", 300.0, 0),   # open (overlaps a)
+        ("2026-01-01 00:01:00", "s", "b", 10.0, 0),    # close
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, source string, channel string, value double, "
+              "status int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(src)
+
+    trans = str(tmp_path / "transitions")
+    rc = cli.main(
+        ["watch", src, "--mode", "alarms", "--out", trans], spark=spark
+    )
+    assert rc == 0 and "caught up" in capsys.readouterr().out
+    tr = spark.read.parquet(trans)
+    assert {r.event for r in tr.collect()} == {"open", "close"}
+    assert tr.count() == 4
+
+    site_out = str(tmp_path / "site")
+    rc = cli.main(
+        ["watch", trans, "--mode", "site", "--out", site_out], spark=spark
+    )
+    assert rc == 0 and "caught up" in capsys.readouterr().out
+    site = sorted(
+        spark.read.parquet(site_out).collect(), key=lambda r: r.ts_us
+    )
+    # union of [00:10, 00:40] and [00:20, 01:00] -> one interval, 50 s
+    assert site[-1].covered_us == 50 * 1_000_000
+    assert site[-1].open_channels == 0
+
+    # freshness mode on the raw dir runs and reports first_seen rows
+    fr_out = str(tmp_path / "fresh")
+    rc = cli.main(
+        ["watch", src, "--mode", "freshness", "--out", fr_out], spark=spark
+    )
+    assert rc == 0
+    fr = spark.read.parquet(fr_out)
+    assert {r.status for r in fr.collect()} == {"first_seen"}

@@ -1616,3 +1616,67 @@ def test_coverage_timeline_totals_match_union(spark):
     assert day2.covered_us == (10 + 30) * 60 * 1_000_000
     assert day1.n_stretches == 1 and day2.n_stretches == 2
     assert day1.n_episode_starts == 1 and day2.n_episode_starts == 1
+
+
+def test_alarm_reliability_mtbf_mttr(spark):
+    """q67: MTTR = mean episode span, MTBF = mean end->next-start gap
+    (NULL with a single episode), availability = 1 - alarm/observed."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        alarm_reliability,
+    )
+
+    rows = [
+        # a observed 00:00 -> 01:40 (6000 s); two episodes:
+        # [00:10, 00:20] (600 s) and [00:50, 01:00] (600 s);
+        # between-gap 00:20 -> 00:50 = 1800 s
+        ("2026-01-01 00:00:00", "a", 1, 1),
+        ("2026-01-01 00:10:00", "a", 99, 2),
+        ("2026-01-01 00:20:00", "a", 99, 3),
+        ("2026-01-01 00:30:00", "a", 1, 4),
+        ("2026-01-01 00:50:00", "a", 99, 5),
+        ("2026-01-01 01:00:00", "a", 99, 6),
+        ("2026-01-01 01:40:00", "a", 1, 7),
+        # b: single episode -> MTBF NULL
+        ("2026-01-01 00:00:00", "b", 99, 8),
+        ("2026-01-01 00:10:00", "b", 99, 9),
+        ("2026-01-01 00:20:00", "b", 1, 10),
+    ]
+    df = _series(spark, rows)
+    out = {r.event_type: r for r in alarm_reliability(df, 20.0).collect()}
+    a = out["a"]
+    M = 1_000_000
+    assert a.n_episodes == 2
+    assert a.alarm_us == 1200 * M
+    assert a.mttr_us == 600 * M
+    assert a.mtbf_us == 1800 * M
+    assert a.observed_us == 6000 * M
+    assert a.availability == 0.8  # 1 - 1200/6000
+    b = out["b"]
+    assert b.n_episodes == 1 and b.mtbf_us is None
+    assert b.mttr_us == 600 * M
+
+
+def test_dedup_funnel_stages(spark):
+    """x76: exact stage drops identical texts (keep-lowest), near
+    stage drops band colliders among winners; counts and kept tokens
+    roll up per source while decisions stay corpus-global."""
+    from etsd_time_series_database_spark.operators.dedup import dedup_funnel
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "srcA"),
+        (2, base, "srcB"),            # exact dup of 1 (cross-source)
+        (3, base + " tail", "srcA"),  # near dup of 1
+        (4, "completely different text about spark shuffle "
+            "boundaries and physical plans", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in dedup_funnel(df, hash_mode="poly").collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_docs, b.n_docs) == (2, 2)
+    # doc 2 falls in the exact stage (same text as doc 1)
+    assert (a.n_exact_kept, b.n_exact_kept) == (2, 1)
+    # doc 3 falls in the near stage (band-collides with doc 1)
+    assert (a.n_kept, b.n_kept) == (1, 1)
+    assert a.pct_docs_kept == 0.5 and b.pct_docs_kept == 0.5
+    assert a.tokens_kept == 12
