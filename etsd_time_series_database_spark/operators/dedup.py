@@ -1029,6 +1029,69 @@ def source_overlap(
     )
 
 
+def source_near_overlap(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    source: str = "source",
+    n: int = 3,
+    rows_per_band: int = 2,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """Cross-source NEAR-duplication matrix: for every source pair,
+    how many document pairs LSH band-collide across the boundary and
+    how many distinct documents on each side are involved — the
+    near-dup complement of x59's exact shingle overlap (x59 says two
+    feeds share phrasing; this says they share near-identical
+    DOCUMENTS, the provenance signal that actually drives
+    decontamination and down-weighting decisions).
+
+    Shape: one band table (the x06 reduction), doc→source attached by
+    an id-only join (text never travels), then the collision-bounded
+    (band, sig) self-equi-join and one hash-agg per source pair.
+    Within-source pairs are excluded (that is x06's job); the matrix
+    is sparse (pairs with no collision are absent).
+    """
+    bands = minhash_band_table(df, text, key, n, rows_per_band, hash_mode)
+    labeled = bands.join(
+        df.select(F.col(key), F.col(source).alias("__src")), key
+    )
+    x, y = labeled.alias("x"), labeled.alias("y")
+    pairs = (
+        x.join(
+            y,
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{key}") < F.col(f"y.{key}")),
+        )
+        .filter(F.col("x.__src") != F.col("y.__src"))
+        .select(
+            F.least("x.__src", "y.__src").alias("source_a"),
+            F.greatest("x.__src", "y.__src").alias("source_b"),
+            F.when(
+                F.col("x.__src") < F.col("y.__src"), F.col(f"x.{key}")
+            )
+            .otherwise(F.col(f"y.{key}"))
+            .alias("doc_a"),
+            F.when(
+                F.col("x.__src") < F.col("y.__src"), F.col(f"y.{key}")
+            )
+            .otherwise(F.col(f"x.{key}"))
+            .alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_a").cast("bigint").alias("n_docs_a"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_docs_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def keep_best_canonical(
     df: DataFrame,
     pairs: DataFrame,

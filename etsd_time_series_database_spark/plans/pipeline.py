@@ -3460,3 +3460,49 @@ def p76(spark, sf_dir):
     return dedup_funnel(
         load_table(spark, sf_dir, "documents"), hash_mode="poly"
     )
+
+
+@register(
+    "x77_source_near_overlap",
+    "dedup",
+    f"""
+    WITH bands AS ({_band_cte("TRUE")}),
+    lab AS (
+      SELECT b.doc_id, b.band, b.sig, d.source AS src
+      FROM bands b JOIN documents d USING (doc_id)
+    ),
+    p AS (
+      SELECT DISTINCT
+             least(x.src, y.src) AS source_a,
+             greatest(x.src, y.src) AS source_b,
+             CASE WHEN x.src < y.src THEN x.doc_id ELSE y.doc_id END
+               AS doc_a,
+             CASE WHEN x.src < y.src THEN y.doc_id ELSE x.doc_id END
+               AS doc_b
+      FROM lab x JOIN lab y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      WHERE x.src != y.src
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+    FROM p GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Cross-source NEAR-dup matrix: per source pair, the LSH "
+    "band-colliding document pairs crossing the boundary and the "
+    "distinct docs involved on each side — x59's exact shingle "
+    "overlap says two feeds share phrasing; this says they share "
+    "near-identical documents (the decontamination/down-weighting "
+    "signal). One band table + id-only source join + the "
+    "collision-bounded self-join; text never travels.",
+)
+def p77(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        source_near_overlap,
+    )
+
+    return source_near_overlap(
+        load_table(spark, sf_dir, "documents"), hash_mode="poly"
+    )

@@ -1680,3 +1680,30 @@ def test_dedup_funnel_stages(spark):
     assert (a.n_kept, b.n_kept) == (1, 1)
     assert a.pct_docs_kept == 0.5 and b.pct_docs_kept == 0.5
     assert a.tokens_kept == 12
+
+
+def test_source_near_overlap_counts_cross_source_pairs(spark):
+    """x77: near-identical docs across sources count as pairs with
+    per-side distinct doc counts; within-source collisions and
+    unrelated docs don't appear."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        source_near_overlap,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "web"),
+        (2, base + " tail", "books"),       # near-dup of 1, cross-source
+        (3, base, "web"),                   # near-dup of 1, SAME source
+        (4, "entirely different content about shuffle partitions "
+            "and broadcast joins in query planning", "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = source_near_overlap(df, hash_mode="poly").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("books", "web")
+    # pairs crossing the boundary: (1,2) and (3,2) -> docs_a (books
+    # side) = {2}, docs_b (web side) = {1, 3}
+    assert r.n_pairs == 2
+    assert r.n_docs_a == 1 and r.n_docs_b == 2
