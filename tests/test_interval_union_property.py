@@ -72,3 +72,48 @@ def test_stitched_union_equals_global_union(spark, eps, bucket_s):
     got = _run_union(spark, eps, bucket_s, scalable=True)
     want = _run_union(spark, eps, bucket_s, scalable=False)
     assert got == want
+
+
+def _run_co_alarm(spark, eps_rows, bucket_s, scalable):
+    """Drive co_alarm_matrix's two join paths on a synthetic episode
+    table by monkey-building events that produce exactly these
+    episodes: one sample at start and one at end of each episode
+    (values above threshold), separated by below-threshold samples."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        co_alarm_matrix,
+    )
+
+    rows, seq = [], 0
+    for s, d, ch in eps_rows:
+        # an above sample at start and end; a below sample right after
+        # the end closes the island
+        rows.append((s * 1_000_000, ch, 99.0, seq)); seq += 1
+        rows.append(((s + d) * 1_000_000, ch, 99.0, seq)); seq += 1
+        rows.append(((s + d) * 1_000_000 + 1, ch, 1.0, seq)); seq += 1
+    df = spark.createDataFrame(
+        [(ts, ch, v, sq) for ts, ch, v, sq in rows],
+        "us bigint, event_type string, value double, event_id bigint",
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    out = co_alarm_matrix(
+        df, 20.0, scalable=scalable, bucket_s=bucket_s
+    ).collect()
+    return sorted(
+        (r.channel_a, r.channel_b, r.n_copairs, r.overlap_us) for r in out
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    eps=st.lists(episode, min_size=1, max_size=15),
+    bucket_s=st.sampled_from([7, 60, 250]),
+)
+def test_co_alarm_stitched_equals_plain(spark, eps, bucket_s):
+    got = _run_co_alarm(spark, eps, bucket_s, scalable=True)
+    want = _run_co_alarm(spark, eps, bucket_s, scalable=False)
+    assert got == want
