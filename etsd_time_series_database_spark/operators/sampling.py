@@ -478,6 +478,91 @@ def mixture_plan(
     ).orderBy(source)
 
 
+def waterfill_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Cap-aware token budgeting across sources (water-filling): given
+    a TOTAL token budget, allocate every source the same level L,
+    except sources whose whole supply fits under L, which contribute
+    everything — the max-min-fair allocation (no source is favored
+    beyond its supply) that :func:`mixture_plan`'s proportional
+    weights cannot express. Small sources saturate; the budget left
+    over raises the level for the rest.
+
+    Closed form on the per-source table sorted by supply ascending:
+    at the first rank k where ``prefix(k-1) + (n-k+1) * T_k`` reaches
+    the budget, the level is ``(budget - prefix(k-1)) DIV (n-k+1)``
+    (integer floor; the sub-token remainder is deliberately left
+    unallocated rather than tie-broken — deterministic on any
+    engine). take = min(supply, L); ``saturated`` marks sources that
+    contribute everything. If total supply <= budget, every source
+    saturates. A non-positive budget allocates zero everywhere.
+
+    Scale shape: ONE map-side-combinable hash-agg over the corpus
+    (token counting is a scan-side expression; text never shuffles);
+    everything after runs on the per-source table (one row per
+    source) via unpartitioned windows — KB-sized by construction
+    (the x67 shape).
+    """
+    budget = int(budget_tokens)
+    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    per_src = df.groupBy(source).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
+    w_ord = Window.orderBy("n_tokens", source)
+    w_all = Window.partitionBy()
+    ranked = (
+        per_src.withColumn("__k", F.row_number().over(w_ord))
+        .withColumn(
+            "__prefix",
+            F.sum("n_tokens").over(
+                Window.orderBy("n_tokens", source).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    # the level comes from the FIRST rank k where filling every
+    # remaining source to T_k meets the budget (the water line lands
+    # in (T_{k-1}, T_k] there); later ranks also satisfy the
+    # inequality but their candidates undershoot — taking any of them
+    # would underallocate
+    prefix = F.coalesce(F.col("__prefix"), F.lit(0))
+    slots = F.col("__n") - F.col("__k") + 1
+    feasible = prefix + slots * F.col("n_tokens") >= F.lit(budget)
+    ranked = ranked.withColumn(
+        "__first_k", F.min(F.when(feasible, F.col("__k"))).over(w_all)
+    )
+    cand = F.when(
+        F.col("__k") == F.col("__first_k"),
+        F.expr(f"({budget} - coalesce(__prefix, 0)) div (__n - __k + 1)"),
+    )
+    level = F.max(cand).over(w_all)
+    leveled = ranked.withColumn(
+        "__level",
+        F.coalesce(level, F.greatest(F.max("n_tokens").over(w_all), F.lit(0))),
+    )
+    take = F.when(F.lit(budget) <= 0, F.lit(0)).otherwise(
+        F.least(F.col("n_tokens"), F.col("__level"))
+    )
+    return leveled.select(
+        source,
+        "n_docs",
+        "n_tokens",
+        take.cast("bigint").alias("take_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(take / F.col("n_tokens"), 6),
+        ).alias("sampling_rate"),
+        (take >= F.col("n_tokens")).cast("int").alias("saturated"),
+    ).orderBy(source)
+
+
 def integrity_audit(
     documents: DataFrame,
     embeddings: DataFrame,

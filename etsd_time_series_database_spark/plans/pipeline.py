@@ -3506,3 +3506,70 @@ def p77(spark, sf_dir):
     return source_near_overlap(
         load_table(spark, sf_dir, "documents"), hash_mode="poly"
     )
+
+
+WATERFILL_BUDGET = 25_000  # < sf0.01's ~27k total supply, so the
+# level lands between the source supplies and both regimes (saturated
+# small sources, level-capped large ones) appear at the oracle scale
+
+
+@register(
+    "x78_waterfill_budget",
+    "sampling",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY n_tokens, source) AS k,
+             coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS pfx,
+             count(*) OVER () AS n
+      FROM s
+    ),
+    fk AS (
+      SELECT min(CASE WHEN pfx + (n - k + 1) * n_tokens
+                           >= {WATERFILL_BUDGET}
+                 THEN k END) AS first_k
+      FROM r
+    ),
+    lvl AS (
+      SELECT coalesce(
+               max(CASE WHEN r.k = fk.first_k
+                   THEN ({WATERFILL_BUDGET} - r.pfx) // (r.n - r.k + 1)
+                   END),
+               greatest((SELECT max(n_tokens) FROM s), 0)) AS l
+      FROM r, fk
+    )
+    SELECT r.source, r.n_docs, r.n_tokens,
+           CAST(least(r.n_tokens, lvl.l) AS BIGINT) AS take_tokens,
+           CASE WHEN r.n_tokens > 0
+                THEN round(CAST(least(r.n_tokens, lvl.l) AS DOUBLE)
+                           / r.n_tokens, 6)
+           END AS sampling_rate,
+           CAST(least(r.n_tokens, lvl.l) >= r.n_tokens AS INT)
+             AS saturated
+    FROM r, lvl ORDER BY r.source
+    """,
+    doc="Cap-aware token budgeting (water-filling): allocate a total "
+    "budget max-min-fairly — every source gets the same level except "
+    "those whose whole supply fits under it (they saturate and the "
+    "leftover raises the level for the rest) — the constrained "
+    "counterpart of x67's proportional mixture. Closed form on the "
+    "supply-sorted per-source table: level = (budget - prefix) DIV "
+    "slots at the first feasible rank; integer floor, remainder "
+    "deliberately unallocated (deterministic on any engine). One "
+    "corpus hash-agg, then KB-sized planning windows (the x67 shape).",
+)
+def p78(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        waterfill_budget,
+    )
+
+    return waterfill_budget(
+        load_table(spark, sf_dir, "documents"), WATERFILL_BUDGET
+    )

@@ -1707,3 +1707,34 @@ def test_source_near_overlap_counts_cross_source_pairs(spark):
     # side) = {2}, docs_b (web side) = {1, 3}
     assert r.n_pairs == 2
     assert r.n_docs_a == 1 and r.n_docs_b == 2
+
+
+def test_waterfill_budget_levels_and_saturation(spark):
+    """x78: the water line lands at the first feasible rank, small
+    sources saturate and raise the level for the rest, overgenerous
+    budgets saturate everyone, non-positive budgets allocate zero."""
+    from etsd_time_series_database_spark.operators.sampling import (
+        waterfill_budget,
+    )
+
+    def mk(supplies):
+        rows = [(i, " ".join(["w"] * t), f"s{i}")
+                for i, t in enumerate(supplies)]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    # [30, 40] budget 50 -> level 25 (NOT the rank-2 candidate 20:
+    # later feasible ranks undershoot)
+    out = {r.source: r for r in waterfill_budget(mk([30, 40]), 50).collect()}
+    assert out["s0"].take_tokens == 25 and out["s1"].take_tokens == 25
+    assert out["s0"].saturated == 0
+    # [10, 100] budget 50 -> s0 saturates at 10, s1 takes the rest
+    out = {r.source: r for r in waterfill_budget(mk([10, 100]), 50).collect()}
+    assert (out["s0"].take_tokens, out["s0"].saturated) == (10, 1)
+    assert (out["s1"].take_tokens, out["s1"].saturated) == (40, 0)
+    assert out["s1"].sampling_rate == 0.4
+    # budget beyond supply: everyone saturates
+    out = {r.source: r for r in waterfill_budget(mk([10, 20]), 999).collect()}
+    assert all(v.saturated == 1 for v in out.values())
+    # zero budget: zero takes
+    out = {r.source: r for r in waterfill_budget(mk([10, 20]), 0).collect()}
+    assert all(v.take_tokens == 0 for v in out.values())
