@@ -325,18 +325,30 @@ def cmd_dedup_probe(args, spark: SparkSession) -> int:
 
     new = spark.read.parquet(args.source)
     if args.survivors_out:
+        from etsd_time_series_database_spark.operators.dedup import (
+            minhash_index_append,
+        )
+
+        # write the survivors FIRST and append their signatures from
+        # the written file: appending before the write could lose the
+        # shard on a crash in between (a retry would see the shard's
+        # own signatures in the index and keep nothing)
         survivors = incremental_dedup(
-            new, args.path, text=args.text,
-            append_survivors=not args.dry_run,
+            new, args.path, text=args.text, append_survivors=False
         )
         survivors.write.mode("overwrite").parquet(args.survivors_out)
-        n = spark.read.parquet(args.survivors_out).count()
+        kept = spark.read.parquet(args.survivors_out)
+        if not args.dry_run:
+            minhash_index_append(kept, args.path, text=args.text)
         print(
-            f"kept {n} of {new.count()} docs -> {args.survivors_out}"
+            f"kept {kept.count()} of {new.count()} docs -> "
+            f"{args.survivors_out}"
             + (" (dry run: index unchanged)" if args.dry_run else "")
         )
     else:
-        minhash_probe_new(new, args.path, text=args.text).show(
+        minhash_probe_new(new, args.path, text=args.text).orderBy(
+            "new_id", "index_id"
+        ).show(
             n=args.limit, truncate=False
         )
     return 0

@@ -149,16 +149,10 @@ def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
     return sh.join(dict_df, "shingle")
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text: str = "text",
-    key: str = "doc_id",
-    n: int = 3,
-    hash_mode: str = "hash64",
-) -> DataFrame:
-    """Per-document MinHash signature: (key, j, h) with
-    h = min over shingles of (a_j*sid + b_j) mod P."""
-    sh = _shingle_ids(doc_shingles(df, text, key, n), hash_mode)
+def _signatures_from_shingles(sh: DataFrame, key: str) -> DataFrame:
+    """(key, j, h) MinHash signatures from a shingle-id table —
+    factored out so consumers that already hold the shingle table
+    (e.g. :func:`minhash_estimate_audit`) don't re-shingle."""
     params = F.array(
         *[
             F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -171,6 +165,38 @@ def minhash_signatures(
             (F.col("p.a") * F.col("sid") + F.col("p.b")) % F.lit(MINHASH_P)
         ).alias("h")
     )
+
+
+def _bands_from_signatures(
+    mh: DataFrame, key: str, rows_per_band: int
+) -> DataFrame:
+    """(key, band, sig) LSH band table from a signature table."""
+    return (
+        mh.withColumn("band", F.expr(f"j div {rows_per_band}"))
+        .groupBy(key, "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "h"))),
+                    lambda s: s["h"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """Per-document MinHash signature: (key, j, h) with
+    h = min over shingles of (a_j*sid + b_j) mod P."""
+    sh = _shingle_ids(doc_shingles(df, text, key, n), hash_mode)
+    return _signatures_from_shingles(sh, key)
 
 
 def minhash_band_table(
@@ -189,19 +215,7 @@ def minhash_band_table(
     persisted cross-run index (:func:`write_minhash_index` /
     :func:`minhash_probe_new`) are joins over it."""
     mh = minhash_signatures(df, text, key, n, hash_mode)
-    return (
-        mh.withColumn("band", F.expr(f"j div {rows_per_band}"))
-        .groupBy(key, "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "h"))),
-                    lambda s: s["h"].cast("string"),
-                ),
-            ).alias("sig")
-        )
-    )
+    return _bands_from_signatures(mh, key, rows_per_band)
 
 
 def minhash_lsh_candidates(
@@ -250,17 +264,33 @@ def minhash_estimate_audit(
     x06/x73/x74 is, and whether band parameters need retuning.
 
     Scale shape: everything is restricted to the candidate pairs
-    (bounded by real collisions, never n^2). The estimate joins the
+    (bounded by real collisions, never n^2). The shingle table is
+    built ONCE (cached) and feeds all three consumers — the signature
+    table, the LSH candidate join, and the exact-Jaccard side (the
+    ngram_jaccard_pairs discipline); the estimate joins the
     8-row-per-doc signature table twice on (pair, j); the exact
-    Jaccard semi-joins the shingle table down to candidate docs before
-    the shared-shingle join. Estimates are exact multiples of 1/k and
-    the exact Jaccard is one integer division — both engines fold
+    Jaccard semi-joins the shingles down to candidate docs before the
+    shared-shingle join. Estimates are exact multiples of 1/k and the
+    exact Jaccard is one integer division — both engines fold
     identical doubles.
     """
-    cand = minhash_lsh_candidates(
-        df, text, key, n, rows_per_band, hash_mode
-    ).select("doc_a", "doc_b")
-    mh = minhash_signatures(df, text, key, n, hash_mode)
+    raw_sh = doc_shingles(df, text, key, n).cache()
+    mh = _signatures_from_shingles(_shingle_ids(raw_sh, hash_mode), key)
+    bands = _bands_from_signatures(mh, key, rows_per_band)
+    bx, by = bands.alias("bx"), bands.alias("by")
+    cand = (
+        bx.join(
+            by,
+            on=(F.col("bx.band") == F.col("by.band"))
+            & (F.col("bx.sig") == F.col("by.sig"))
+            & (F.col(f"bx.{key}") < F.col(f"by.{key}")),
+        )
+        .select(
+            F.col(f"bx.{key}").alias("doc_a"),
+            F.col(f"by.{key}").alias("doc_b"),
+        )
+        .distinct()
+    )
     ma = mh.select(
         F.col(key).alias("doc_a"), "j", F.col("h").alias("h_a")
     )
@@ -277,13 +307,12 @@ def minhash_estimate_audit(
             )
         )
     )
-    sh = doc_shingles(df, text, key, n)
     involved = (
         cand.select(F.col("doc_a").alias(key))
         .unionByName(cand.select(F.col("doc_b").alias(key)))
         .distinct()
     )
-    sh = sh.join(involved, key, "left_semi")
+    sh = raw_sh.join(involved, key, "left_semi")
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -405,11 +434,13 @@ def new_vs_index_candidates(
     y = index_bands.select(
         F.col(key).alias("index_id"), "band", "sig"
     ).alias("y")
+    # no presentation orderBy here: programmatic consumers
+    # (incremental_dedup's distinct/anti-join) would pay a useless
+    # global sort — display paths order at their own edge
     return (
         x.join(y, on=["band", "sig"])
         .groupBy("new_id", "index_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .orderBy("new_id", "index_id")
     )
 
 
@@ -478,7 +509,11 @@ def incremental_dedup(
         .select(F.col(f"x.{key}").alias(key))
         .distinct()
     )
-    drop = cross_hits.unionByName(in_run_hits).distinct()
+    # materialize the (tiny, ids-only) drop set once: without this,
+    # the whole probe pipeline — shard signatures, index scan, both
+    # joins — re-executes for the index append AND again when the
+    # caller materializes the lazy survivors frame
+    drop = cross_hits.unionByName(in_run_hits).distinct().localCheckpoint()
     survivors = new_df.join(drop, on=key, how="left_anti")
     if append_survivors:
         # survivors' signatures = the shard band table minus dropped

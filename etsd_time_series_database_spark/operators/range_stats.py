@@ -781,7 +781,13 @@ def _bucket_merged_segments(
     bucket's left/right edge]). After the merge at most one interval
     per bucket touches each edge — the property both consumers
     (:func:`_interval_union_stitched`'s cross-bucket stitch and
-    :func:`coverage_timeline`'s per-bucket rollup) rely on."""
+    :func:`coverage_timeline`'s per-bucket rollup) rely on.
+
+    Domain note: bucket assignment uses integer ``DIV`` (truncation
+    toward zero), which equals floor division only for NON-NEGATIVE
+    microsecond epochs — the system's domain (the reference stores
+    unix epochs, code/etsd.h). Pre-1970 timestamps would mis-bucket
+    here and in the DuckDB oracles' ``//`` (floor) inconsistently."""
     w_us = int(bucket_s) * 1_000_000
     seg = eps.withColumn(
         "__b",
@@ -1028,6 +1034,14 @@ def coverage_timeline(
         bucket_s=bucket_s,
     )
     merged = _bucket_merged_segments(eps, channel, bucket_s)
+    # drop split ARTIFACTS: an episode ending exactly on a boundary
+    # leaves a zero-length piece at the next bucket's start (needed by
+    # q57's cross-bucket stitch, phantom here) — zero length AND no
+    # episode starting in it means pure artifact; genuine point
+    # episodes keep their bucket via m_eps > 0
+    merged = merged.filter(
+        ~((F.col("m_e") == F.col("m_s")) & (F.col("m_eps") == 0))
+    )
     w_us = int(bucket_s) * 1_000_000
     return (
         merged.groupBy("__b")
@@ -1094,6 +1108,16 @@ def co_alarm_matrix(
     ).select(channel, "__island", "start_us", "end_us")
     if scalable:
         w_us = int(bucket_s) * 1_000_000
+        # pieces carry the ORIGINAL episode bounds: the straddle test
+        # must run on originals, not pieces — a point episode sitting
+        # exactly on a bucket boundary inside another channel's
+        # episode yields pieces that never strictly straddle each
+        # other even though the episodes do (the cut lands exactly on
+        # the only intersection point). Piece overlaps then clamp at
+        # zero: buckets where the pair's pieces coexist without
+        # intersecting contribute nothing, and the per-bucket clamped
+        # sums add up to the exact total (bucket cuts partition the
+        # intersection).
         seg = eps.withColumn(
             "__b",
             F.explode(
@@ -1106,6 +1130,8 @@ def co_alarm_matrix(
             "__b",
             F.col(channel),
             F.col("__island"),
+            F.col("start_us"),
+            F.col("end_us"),
             F.greatest(F.col("start_us"), F.col("__b") * w_us).alias("__s"),
             F.least(
                 F.col("end_us"), (F.col("__b") + F.lit(1)) * w_us
@@ -1116,16 +1142,17 @@ def co_alarm_matrix(
             b,
             on=(F.col("a.__b") == F.col("b.__b"))
             & (F.col(f"a.{channel}") < F.col(f"b.{channel}"))
-            & (F.col("a.__s") < F.col("b.__e"))
-            & (F.col("b.__s") < F.col("a.__e")),
+            & (F.col("a.start_us") < F.col("b.end_us"))
+            & (F.col("b.start_us") < F.col("a.end_us")),
         ).select(
             F.col(f"a.{channel}").alias("channel_a"),
             F.col(f"b.{channel}").alias("channel_b"),
             F.col("a.__island").alias("ia"),
             F.col("b.__island").alias("ib"),
-            (
+            F.greatest(
+                F.lit(0),
                 F.least(F.col("a.__e"), F.col("b.__e"))
-                - F.greatest(F.col("a.__s"), F.col("b.__s"))
+                - F.greatest(F.col("a.__s"), F.col("b.__s")),
             ).alias("ov"),
         )
         pairs = pieces.groupBy("channel_a", "channel_b", "ia", "ib").agg(

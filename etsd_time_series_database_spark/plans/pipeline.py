@@ -3250,7 +3250,7 @@ def p73(spark, sf_dir):
     new = minhash_band_table(
         docs.filter(F.col("doc_id") % 3 == 0), hash_mode="poly"
     )
-    return new_vs_index_candidates(new, idx)
+    return new_vs_index_candidates(new, idx).orderBy("new_id", "index_id")
 
 
 @register(

@@ -1260,6 +1260,7 @@ def q65(spark, sf_dir):
     g AS (
       SELECT b, ivid, min(s) AS m_s, max(e2) AS m_e, sum(w) AS m_eps
       FROM iv GROUP BY b, ivid
+      HAVING NOT (max(e2) = min(s) AND sum(w) = 0)
     )
     SELECT CAST(b * 86400000000 AS BIGINT) AS bucket_start_us,
            CAST(sum(m_e - m_s) AS BIGINT) AS covered_us,

@@ -315,10 +315,14 @@ def _make_freshness_fn(stale_after_s: float):
         prev_last, was_stale = (
             state.get if state.exists else (None, 0)
         )
-        for pdf in pdfs:
-            ts = pdf["ts_us"].dropna()
-            if ts.empty:
-                continue
+        # concat the batch's Arrow chunks before taking min/max: a
+        # key whose batch spans chunks could otherwise report a
+        # first_seen/recovered timestamp from whichever chunk came
+        # first, not the batch's true earliest sample
+        parts = [pdf["ts_us"].dropna() for pdf in pdfs]
+        parts = [p for p in parts if not p.empty]
+        if parts:
+            ts = pd.concat(parts, ignore_index=True)
             first, last = int(ts.min()), int(ts.max())
             if prev_last is None:
                 out["ts_us"].append(first)
@@ -418,41 +422,48 @@ def _site_alarm_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     count, since, covered = state.get if state.exists else (0, None, 0)
-    for pdf in pdfs:
-        # opens before closes at equal ts: touching intervals merge
-        # (the q57 touch-merge rule), so coverage never splits on a
-        # zero-length gap
-        pdf = pdf.sort_values(
-            ["ts_us", "event"], ascending=[True, False]
-        )
-        out = {k: [] for k in
-               ("ts_us", "open_channels", "site_in_alarm", "covered_us")}
-        for ts_us, ev in zip(pdf["ts_us"], pdf["event"]):
-            ts_us = int(ts_us)
-            if ev == "open":
-                count += 1
-                if count == 1:
-                    since = ts_us
-            elif ev == "close" and count > 0:
-                count -= 1
-                if count == 0:
-                    covered += ts_us - since
-                    since = None
-            running = covered + (ts_us - since if since is not None else 0)
-            out["ts_us"].append(ts_us)
-            out["open_channels"].append(count)
-            out["site_in_alarm"].append(1 if count > 0 else 0)
-            out["covered_us"].append(running)
-        yield pd.DataFrame(
-            {
-                "ts_us": pd.array(out["ts_us"], dtype="int64"),
-                "open_channels": pd.array(out["open_channels"],
-                                          dtype="int32"),
-                "site_in_alarm": pd.array(out["site_in_alarm"],
-                                          dtype="int32"),
-                "covered_us": pd.array(out["covered_us"], dtype="int64"),
-            }
-        )
+    # a micro-batch arrives as MULTIPLE Arrow chunks; sorting each
+    # chunk independently would fold transitions out of time order
+    # whenever a batch spans chunks (any catch-up replay) — concat
+    # the whole batch, sort ONCE, fold once
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame({"ts_us": [], "event": []})
+    )
+    # opens before closes at equal ts: touching intervals merge
+    # (the q57 touch-merge rule), so coverage never splits on a
+    # zero-length gap
+    pdf = pdf.sort_values(["ts_us", "event"], ascending=[True, False])
+    out = {k: [] for k in
+           ("ts_us", "open_channels", "site_in_alarm", "covered_us")}
+    for ts_us, ev in zip(pdf["ts_us"], pdf["event"]):
+        ts_us = int(ts_us)
+        if ev == "open":
+            count += 1
+            if count == 1:
+                since = ts_us
+        elif ev == "close" and count > 0:
+            count -= 1
+            if count == 0:
+                covered += ts_us - since
+                since = None
+        running = covered + (ts_us - since if since is not None else 0)
+        out["ts_us"].append(ts_us)
+        out["open_channels"].append(count)
+        out["site_in_alarm"].append(1 if count > 0 else 0)
+        out["covered_us"].append(running)
+    yield pd.DataFrame(
+        {
+            "ts_us": pd.array(out["ts_us"], dtype="int64"),
+            "open_channels": pd.array(out["open_channels"],
+                                      dtype="int32"),
+            "site_in_alarm": pd.array(out["site_in_alarm"],
+                                      dtype="int32"),
+            "covered_us": pd.array(out["covered_us"], dtype="int64"),
+        }
+    )
     state.update((count, since, covered))
 
 

@@ -1738,3 +1738,62 @@ def test_waterfill_budget_levels_and_saturation(spark):
     # zero budget: zero takes
     out = {r.source: r for r in waterfill_budget(mk([10, 20]), 0).collect()}
     assert all(v.take_tokens == 0 for v in out.values())
+
+
+def test_co_alarm_point_on_bucket_boundary(spark):
+    """Regression (r8 review): a single-sample episode sitting EXACTLY
+    on a bucket boundary inside another channel's episode must count
+    as a co-alarm pair (zero shared microseconds) in the stitched path
+    too — the straddle test runs on ORIGINAL episode bounds, not on
+    split pieces, whose cut lands exactly on the intersection point."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        co_alarm_matrix,
+    )
+
+    rows = [
+        (10_000_000, "a", 99.0, 1), (130_000_000, "a", 99.0, 2),
+        (60_000_000, "b", 99.0, 3), (61_000_000, "b", 1.0, 4),
+    ]
+    df = spark.createDataFrame(
+        [(ts, ch, v, sq) for ts, ch, v, sq in rows],
+        "us bigint, event_type string, value double, event_id bigint",
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    want = [("a", "b", 1, 0)]
+    plain = [tuple(r) for r in co_alarm_matrix(df, 20.0, scalable=False).collect()]
+    st = [tuple(r) for r in co_alarm_matrix(
+        df, 20.0, scalable=True, bucket_s=60).collect()]
+    assert plain == want and st == want
+
+
+def test_coverage_timeline_no_phantom_boundary_bucket(spark):
+    """Regression (r8 review): an episode ending exactly on a bucket
+    boundary must NOT emit a zero-length stretch row for the next
+    bucket (split artifact); a genuine point episode ON a boundary
+    still reports its bucket."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        coverage_timeline,
+    )
+
+    rows = [
+        # episode [00:00:10, 00:01:00] — ends exactly at the 60 s cut
+        ("2026-01-01 00:00:10", "a", 99, 1),
+        ("2026-01-01 00:01:00", "a", 99, 2),
+        ("2026-01-01 00:01:05", "a", 1, 3),
+        # genuine point episode exactly on the 00:03:00 boundary
+        ("2026-01-01 00:03:00", "b", 99, 4),
+        ("2026-01-01 00:03:30", "b", 1, 5),
+    ]
+    df = _series(spark, rows)
+    tl = {r.bucket_start_us: r
+          for r in coverage_timeline(df, 20.0, bucket_s=60).collect()}
+    base = 1767225600000000
+    # bucket 0 holds the 50 s episode; bucket 1 must NOT appear
+    # (phantom); bucket 3 holds b's genuine point episode
+    assert set(tl) == {base, base + 180 * 1_000_000}
+    assert tl[base].covered_us == 50 * 1_000_000
+    point = tl[base + 180 * 1_000_000]
+    assert point.covered_us == 0 and point.n_episode_starts == 1

@@ -282,3 +282,60 @@ def test_site_alarm_stream_unions_transitions(spark, tmp_path):
         (400, 1, 1, 300),
         (500, 0, 0, 400),
     ]
+
+
+@pytest.mark.slow
+def test_site_alarm_sorts_across_arrow_chunks(spark, tmp_path):
+    """Regression (r8 review): a micro-batch delivered as MULTIPLE
+    Arrow chunks must fold in global time order — per-chunk sorting
+    corrupted open-count and covered time whenever unordered
+    transitions spanned chunks (any catch-up replay). Forced here
+    with maxRecordsPerBatch=2 and a deliberately unordered file."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        site_alarm_stream,
+    )
+
+    M = 1_000_000
+    # one batch, written in SHUFFLED order: a[100,200], b[300,400] —
+    # disjoint intervals, correct union = 200 s, never 2 channels open
+    rows = [
+        (400 * M, "s", "b", "close", 1.0, 100 * M),
+        (100 * M, "s", "a", "open", 99.0, None),
+        (300 * M, "s", "b", "open", 99.0, None),
+        (200 * M, "s", "a", "close", 1.0, 100 * M),
+    ]
+    src = str(tmp_path / "chunked")
+    spark.createDataFrame(
+        rows, "ts_us bigint, source string, channel string, "
+              "event string, value double, span_us bigint",
+    ).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "ts_us bigint, source string, channel string, "
+                "event string, value double, span_us bigint"
+            ).parquet(src)
+        )
+        q = (
+            site_alarm_stream(stream)
+            .writeStream.format("memory")
+            .queryName("site_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = sorted(
+        (r.ts_us // M, r.open_channels, r.covered_us // M)
+        for r in spark.sql("select * from site_chunks").collect()
+    )
+    assert got == [
+        (100, 1, 0), (200, 0, 100), (300, 1, 100), (400, 0, 200),
+    ]
