@@ -58,6 +58,20 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _concat_batch(
+    pdfs: Iterable[pd.DataFrame], sort_cols: list[str] | None = None
+) -> pd.DataFrame:
+    """A micro-batch arrives as MULTIPLE Arrow chunks; sorting each
+    chunk independently folds rows out of time order whenever a batch
+    spans chunks (any catch-up replay) — concat the whole batch, sort
+    ONCE, fold once. Same pattern as _site_alarm_fn below."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return pd.DataFrame()
+    pdf = pd.concat(chunks, ignore_index=True)
+    return pdf.sort_values(sort_cols or ["ts_us"]) if len(pdf) else pdf
+
+
 def _carry_forward_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
@@ -65,8 +79,8 @@ def _carry_forward_fn(
         state.get if state.exists else (None, None, 0)
     )
     source, channel = key
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts_us")
+    pdf = _concat_batch(pdfs)
+    if len(pdf):
         filled = []
         missed = []
         for v in pdf["value"]:
@@ -80,8 +94,7 @@ def _carry_forward_fn(
                 last_value, n_missed = float(v), 0
                 filled.append(last_value)
             missed.append(n_missed)
-        if len(pdf):
-            last_ts = int(pdf["ts_us"].iloc[-1])
+        last_ts = int(pdf["ts_us"].iloc[-1])
         yield pd.DataFrame(
             {
                 "ts_us": pdf["ts_us"],
@@ -118,8 +131,8 @@ def _rate_fn(
 ) -> Iterable[pd.DataFrame]:
     last_ts, last_value = state.get if state.exists else (None, None)
     source, channel = key
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts_us")
+    pdf = _concat_batch(pdfs)
+    if len(pdf):
         rates = []
         for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
             if pd.isna(v) or last_value is None or last_ts is None:
@@ -204,9 +217,9 @@ def _make_hysteresis_fn(hi: float, lo: float):
     ) -> Iterable[pd.DataFrame]:
         active, opened = state.get if state.exists else (0, None)
         source, channel = key
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_us")
-            out = {k: [] for k in ("ts_us", "event", "value", "span_us")}
+        pdf = _concat_batch(pdfs)
+        out = {k: [] for k in ("ts_us", "event", "value", "span_us")}
+        if len(pdf):
             for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
                 if pd.isna(v):
                     continue
@@ -223,16 +236,16 @@ def _make_hysteresis_fn(hi: float, lo: float):
                     out["value"].append(v)
                     out["span_us"].append(int(ts_us) - opened)
                     active, opened = 0, None
-            yield pd.DataFrame(
-                {
-                    "ts_us": pd.array(out["ts_us"], dtype="int64"),
-                    "source": source,
-                    "channel": channel,
-                    "event": out["event"],
-                    "value": pd.array(out["value"], dtype="float64"),
-                    "span_us": pd.array(out["span_us"], dtype="Int64"),
-                }
-            )
+        yield pd.DataFrame(
+            {
+                "ts_us": pd.array(out["ts_us"], dtype="int64"),
+                "source": source,
+                "channel": channel,
+                "event": out["event"],
+                "value": pd.array(out["value"], dtype="float64"),
+                "span_us": pd.array(out["span_us"], dtype="Int64"),
+            }
+        )
         state.update((active, opened))
 
     return fn
@@ -438,6 +451,11 @@ def _site_alarm_fn(
     pdf = pdf.sort_values(["ts_us", "event"], ascending=[True, False])
     out = {k: [] for k in
            ("ts_us", "open_channels", "site_in_alarm", "covered_us")}
+    # Ordering is guaranteed WITHIN a micro-batch (the sort above), not
+    # across batches: a transition arriving in a later batch with an
+    # earlier event time folds late. Accruals are clamped at 0 so a
+    # late close can never drive covered_us backwards; the exact batch
+    # reconciliation for replayed history is q57 alarm_coverage.
     for ts_us, ev in zip(pdf["ts_us"], pdf["event"]):
         ts_us = int(ts_us)
         if ev == "open":
@@ -447,9 +465,11 @@ def _site_alarm_fn(
         elif ev == "close" and count > 0:
             count -= 1
             if count == 0:
-                covered += ts_us - since
+                covered += max(0, ts_us - since)
                 since = None
-        running = covered + (ts_us - since if since is not None else 0)
+        running = covered + (
+            max(0, ts_us - since) if since is not None else 0
+        )
         out["ts_us"].append(ts_us)
         out["open_channels"].append(count)
         out["site_in_alarm"].append(1 if count > 0 else 0)

@@ -339,3 +339,121 @@ def test_site_alarm_sorts_across_arrow_chunks(spark, tmp_path):
     assert got == [
         (100, 1, 0), (200, 0, 100), (300, 1, 100), (400, 0, 200),
     ]
+
+
+def _run_chunked_stream(spark, src_rows, schema, src, make_query, name):
+    """Write one deliberately-unordered parquet batch, stream it with
+    Arrow chunks forced to 2 rows, return the memory-sink rows."""
+    spark.createDataFrame(src_rows, schema).coalesce(1).write.parquet(src)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            make_query(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    return spark.sql(f"select * from {name}").collect()
+
+
+@pytest.mark.slow
+def test_rate_stream_sorts_across_arrow_chunks(spark, tmp_path):
+    """Regression (r8 verdict #1): _rate_fn sorted each Arrow chunk
+    independently, so a batch spanning chunks folded readings out of
+    time order — negative dt masked to None and stale last_value.
+    Values are non-linear so a wrong pairing cannot coincide."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        counter_rate_stream,
+    )
+
+    base = "2026-01-01 00:00:"
+    # true order t=10..40 with values 0,10,40,90 -> rates None,1,3,5
+    rows = [
+        (base + "30", "s", "a", 40.0, 0),
+        (base + "10", "s", "a", 0.0, 0),
+        (base + "40", "s", "a", 90.0, 0),
+        (base + "20", "s", "a", 10.0, 0),
+    ]
+    got = _run_chunked_stream(
+        spark,
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "ts string, source string, channel string, value double, status int",
+        str(tmp_path / "rate_chunks"),
+        lambda s: counter_rate_stream(s.withColumn("ts", F.to_timestamp("ts"))),
+        "rate_chunks",
+    )
+    by_time = sorted((r.ts_us, r.rate_per_s) for r in got)
+    assert [r for _, r in by_time] == [None, 1.0, 3.0, 5.0]
+
+
+@pytest.mark.slow
+def test_carry_forward_sorts_across_arrow_chunks(spark, tmp_path):
+    """Regression (r8 verdict #1): _carry_forward_fn's per-chunk sort
+    filled NULLs from the wrong carried value and inflated the miss
+    counter when a batch spanned Arrow chunks."""
+    base = "2026-01-01 00:00:"
+    # true order: 5.0, NULL(fill 5), 7.0, NULL(fill 7); per-chunk fold
+    # of shuffled chunks fills t=20 with 7 and double-counts misses
+    rows = [
+        (base + "30", "s", "a", 7.0, 0),
+        (base + "10", "s", "a", 5.0, 0),
+        (base + "40", "s", "a", None, 0),
+        (base + "20", "s", "a", None, 0),
+    ]
+    got = _run_chunked_stream(
+        spark,
+        rows,
+        "ts string, source string, channel string, value double, status int",
+        str(tmp_path / "cf_chunks"),
+        lambda s: carry_forward_stream(s.withColumn("ts", F.to_timestamp("ts"))),
+        "cf_chunks",
+    )
+    by_time = sorted((r.ts_us, r.value_filled, r.n_missed) for r in got)
+    assert [(f, m) for _, f, m in by_time] == [
+        (5.0, 0), (5.0, 1), (7.0, 0), (7.0, 1),
+    ]
+
+
+@pytest.mark.slow
+def test_hysteresis_sorts_across_arrow_chunks(spark, tmp_path):
+    """Regression (r8 verdict #1): _make_hysteresis_fn's per-chunk sort
+    could merge two episodes into one (the second open lands in an
+    earlier-sorted chunk while state is already active), corrupting the
+    transition stream that feeds site_alarm_stream."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        hysteresis_alarm_stream,
+    )
+
+    base = "2026-01-01 00:00:"
+    # true order: open@10, close@20, open@30, close@40 (two episodes);
+    # per-chunk fold sees [10,30] then [20,40] and drops episode two
+    rows = [
+        (base + "30", "s", "a", 150.0, 0),
+        (base + "10", "s", "a", 150.0, 0),
+        (base + "40", "s", "a", -5.0, 0),
+        (base + "20", "s", "a", -5.0, 0),
+    ]
+    got = _run_chunked_stream(
+        spark,
+        rows,
+        "ts string, source string, channel string, value double, status int",
+        str(tmp_path / "hyst_chunks"),
+        lambda s: hysteresis_alarm_stream(
+            s.withColumn("ts", F.to_timestamp("ts")), hi=100.0, lo=0.0
+        ),
+        "hyst_chunks",
+    )
+    events = [(r.event, r.span_us) for r in sorted(got, key=lambda r: r.ts_us)]
+    assert events == [
+        ("open", None),
+        ("close", 10 * 1_000_000),
+        ("open", None),
+        ("close", 10 * 1_000_000),
+    ]
