@@ -16,7 +16,8 @@ headline queries now get the same treatment. Cost: ~6-8 s JVM startup
 per query, NOT counted in the reported timings (each child warms up,
 then times min-of-N collects exactly as before).
 
-Within a child: one warm-up pass (JVM/JIT/code-cache, not counted),
+Within a child: warm-up passes (JVM/JIT/code-cache, not counted;
+default 3, $SPARK_GRAFT_BENCH_WARMUPS),
 then N timed passes (default 3, $SPARK_GRAFT_BENCH_RUNS) of which the
 MINIMUM is reported — the steady-state cost, insulated from one-off
 scheduler/GC noise. The timed action is a full collect() of the query

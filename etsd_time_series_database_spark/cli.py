@@ -325,21 +325,19 @@ def cmd_dedup_probe(args, spark: SparkSession) -> int:
 
     new = spark.read.parquet(args.source)
     if args.survivors_out:
-        from etsd_time_series_database_spark.operators.dedup import (
-            minhash_index_append,
-        )
-
-        # write the survivors FIRST and append their signatures from
-        # the written file: appending before the write could lose the
-        # shard on a crash in between (a retry would see the shard's
-        # own signatures in the index and keep nothing)
-        survivors = incremental_dedup(
-            new, args.path, text=args.text, append_survivors=False
-        )
-        survivors.write.mode("overwrite").parquet(args.survivors_out)
-        kept = spark.read.parquet(args.survivors_out)
-        if not args.dry_run:
-            minhash_index_append(kept, args.path, text=args.text)
+        if args.dry_run:
+            survivors = incremental_dedup(new, args.path, text=args.text)
+            survivors.write.mode("overwrite").parquet(args.survivors_out)
+            kept = spark.read.parquet(args.survivors_out)
+        else:
+            # crash-safe ordering lives in the library: survivors are
+            # persisted (temp + rename) BEFORE the index append, and a
+            # retry after a successful append reproduces the same
+            # survivor set (self-matches are excluded in the probe)
+            kept = incremental_dedup(
+                new, args.path, text=args.text,
+                survivors_path=args.survivors_out,
+            )
         print(
             f"kept {kept.count()} of {new.count()} docs -> "
             f"{args.survivors_out}"

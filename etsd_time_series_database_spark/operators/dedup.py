@@ -330,7 +330,7 @@ def minhash_estimate_audit(
     true_j = F.col("n_common") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
+    out = (
         est.join(common, ["doc_a", "doc_b"], "left")
         .join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -345,6 +345,14 @@ def minhash_estimate_audit(
         )
         .orderBy("doc_a", "doc_b")
     )
+    # materialize the (candidate-bounded, tiny) report once so the
+    # shingle cache can be released here instead of lingering for the
+    # session — repeated audits in a long-lived driver must not
+    # accumulate cached blocks until LRU eviction (what remains
+    # persisted is only the few-row checkpointed report)
+    out = out.localCheckpoint()
+    raw_sh.unpersist()
+    return out
 
 
 def write_minhash_index(
@@ -417,6 +425,7 @@ def new_vs_index_candidates(
     new_bands: DataFrame,
     index_bands: DataFrame,
     key: str = "doc_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs between a NEW batch's band table and an
     index band table: (new_id, index_id, n_shared_bands) — one
@@ -427,7 +436,15 @@ def new_vs_index_candidates(
     scan); with runtime Bloom-filter join injection the index scan
     itself is pre-filtered to colliding signatures. Self-collisions
     within the new batch are the in-run :func:`minhash_lsh_candidates`
-    join, deliberately separate."""
+    join, deliberately separate.
+
+    ``exclude_self`` drops ``new_id == index_id`` pairs: a document is
+    not a duplicate of its own indexed signatures, so a crash-retry
+    that re-probes a shard whose survivors were already appended
+    reproduces the SAME survivor set instead of dropping everything
+    (keys must be unique and stable corpus-wide — the standing
+    assumption of any persisted dedup index). Set False to surface
+    already-indexed keys, e.g. to detect an accidental double-feed."""
     x = new_bands.select(
         F.col(key).alias("new_id"), "band", "sig"
     ).alias("x")
@@ -437,21 +454,26 @@ def new_vs_index_candidates(
     # no presentation orderBy here: programmatic consumers
     # (incremental_dedup's distinct/anti-join) would pay a useless
     # global sort — display paths order at their own edge
-    return (
-        x.join(y, on=["band", "sig"])
-        .groupBy("new_id", "index_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    joined = x.join(y, on=["band", "sig"])
+    if exclude_self:
+        joined = joined.filter(F.col("new_id") != F.col("index_id"))
+    return joined.groupBy("new_id", "index_id").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
 def minhash_probe_new(
-    new_df: DataFrame, path: str, text: str = "text"
+    new_df: DataFrame,
+    path: str,
+    text: str = "text",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Probe a new shard against a persisted index: which incoming
     documents near-dup-collide with ANY already-indexed document
     (new_id, index_id, n_shared_bands). Signature recipe comes from
     the layout's ``_meta``; the join shape is
-    :func:`new_vs_index_candidates`."""
+    :func:`new_vs_index_candidates`. ``exclude_self=False`` surfaces
+    already-indexed keys (double-feed detection)."""
     spark = new_df.sparkSession
     index_bands, meta = read_minhash_index(spark, path)
     new_bands = minhash_band_table(
@@ -462,14 +484,17 @@ def minhash_probe_new(
         rows_per_band=meta["rows_per_band"],
         hash_mode=meta["hash_mode"],
     )
-    return new_vs_index_candidates(new_bands, index_bands, key=meta["key"])
+    return new_vs_index_candidates(
+        new_bands, index_bands, key=meta["key"], exclude_self=exclude_self
+    )
 
 
 def incremental_dedup(
     new_df: DataFrame,
     path: str,
     text: str = "text",
-    append_survivors: bool = True,
+    survivors_path: str | None = None,
+    append_survivors: bool = False,
 ) -> DataFrame:
     """The daily-shard dedup workflow in one call: drop incoming
     documents that collide with the persisted index (cross-run
@@ -479,9 +504,28 @@ def incremental_dedup(
     against today's. Returns the surviving documents (all input
     columns).
 
+    Index maintenance requires ``survivors_path``: survivors are
+    PERSISTED there first and signatures appended after (the CLI
+    ``dedup-probe --survivors-out`` ordering) — appending before the
+    caller persists survivors would, on a crash in between, leave the
+    index claiming documents that were never kept, and a retry would
+    then drop the whole shard as "already seen". A retry after a
+    SUCCESSFUL append is also safe: probes ignore ``new_id ==
+    index_id`` self-matches (see :func:`new_vs_index_candidates`), so
+    the same shard reproduces the same survivors. With neither
+    ``survivors_path`` nor ``append_survivors`` this is a dry run
+    (the default). ``append_survivors=True`` without a path is
+    refused — that is exactly the unsafe ordering.
+
     Both anti-join sides reduce to a distinct id list before touching
     ``new_df`` (ids only — text never shuffles); the index is read
-    once. ``append_survivors=False`` gives a dry run."""
+    once."""
+    if append_survivors and survivors_path is None:
+        raise ValueError(
+            "append_survivors=True requires survivors_path: appending "
+            "index signatures before the survivors are persisted is "
+            "not crash-safe (see docstring / CLI dedup-probe)"
+        )
     spark = new_df.sparkSession
     index_bands, meta = read_minhash_index(spark, path)
     key = meta["key"]
@@ -515,13 +559,31 @@ def incremental_dedup(
     # caller materializes the lazy survivors frame
     drop = cross_hits.unionByName(in_run_hits).distinct().localCheckpoint()
     survivors = new_df.join(drop, on=key, how="left_anti")
-    if append_survivors:
+    if survivors_path is not None:
+        # persist survivors FIRST (temp dir + rename via the Hadoop
+        # FileSystem API so HDFS paths work too; a torn write can
+        # never be mistaken for output), THEN append their
+        # signatures — the crash-safe ordering
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(survivors_path)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            survivors_path.rstrip("/") + ".__tmp__"
+        )
+        fs = dst.getFileSystem(hconf)
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        survivors.write.mode("overwrite").parquet(tmp.toString())
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(tmp, dst)
         # survivors' signatures = the shard band table minus dropped
         # ids (no re-shingling; the recipe is identical by construction)
         surviving_bands = new_bands.join(drop, on=key, how="left_anti")
         surviving_bands.repartition(F.col("band")).write.mode(
             "append"
         ).partitionBy("band").parquet(path)
+        return spark.read.parquet(survivors_path)
     return survivors
 
 

@@ -437,8 +437,9 @@ def test_minhash_index_lifecycle(spark, tmp_path):
 def test_incremental_dedup_drops_and_appends_survivors(spark, tmp_path):
     """incremental_dedup: shard docs colliding with the index or with
     an earlier-keyed in-shard collider are dropped; survivors come
-    back with all columns and their signatures land in the index so a
-    RE-RUN of the same shard drops everything."""
+    back with all columns, get persisted to survivors_path BEFORE the
+    index append, and a RE-RUN of the same shard reproduces the SAME
+    survivor set (self-matches excluded — retry-idempotent)."""
     import pyspark.sql.functions as F
 
     from etsd_time_series_database_spark.operators.dedup import (
@@ -452,20 +453,83 @@ def test_incremental_dedup_drops_and_appends_survivors(spark, tmp_path):
     base = docs.filter(F.col("doc_id") % 3 != 0)
     shard = docs.filter(F.col("doc_id") % 3 == 0)
     path = str(tmp_path / "mh_inc")
+    out = str(tmp_path / "survivors")
     write_minhash_index(base, path, hash_mode="poly")
 
     cross_ids = {
         r["new_id"] for r in minhash_probe_new(shard, path).collect()
     }
-    survivors = incremental_dedup(shard, path)
+    survivors = incremental_dedup(shard, path, survivors_path=out)
     ids = {r["doc_id"] for r in survivors.collect()}
     assert survivors.columns == shard.columns
     assert ids.isdisjoint(cross_ids)
     assert len(ids) > 0
-    # idempotence: the survivors are now indexed, so re-running the
-    # same shard keeps nothing (every doc collides with itself)
-    again = incremental_dedup(shard, path, append_survivors=False)
-    assert again.count() == 0
+    # persisted output matches the returned frame
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == ids
+    # retry AFTER a successful append: self-matches are excluded, so
+    # the same shard reproduces the same survivors instead of
+    # colliding with its own indexed signatures and emptying the set
+    again = incremental_dedup(shard, path)
+    assert {r["doc_id"] for r in again.collect()} == ids
+    # an accidental double-feed IS detectable when asked for:
+    # exclude_self=False surfaces the survivors' self-matches that the
+    # default (retry-idempotent) probe hides
+    self_hits = {
+        r["new_id"]
+        for r in minhash_probe_new(
+            shard, path, exclude_self=False
+        ).collect()
+        if r["new_id"] == r["index_id"]
+    }
+    assert self_hits == ids
+    default_hits = {
+        (r["new_id"], r["index_id"])
+        for r in minhash_probe_new(shard, path).collect()
+    }
+    assert all(a != b for a, b in default_hits)
+
+
+def test_incremental_dedup_crash_retry_keeps_shard(spark, tmp_path):
+    """Crash-safety (r8 verdict #2): survivors are persisted BEFORE
+    the index append. Simulate a crash between the two steps (the old
+    eager-append window, inverted): run the dry-run probe, persist
+    survivors, 'crash' before append, then RETRY with the full call —
+    the retry must keep the shard (same survivors), not drop it as
+    'already seen'. Eager append without a survivors_path is refused
+    outright."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        incremental_dedup,
+        write_minhash_index,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mh_crash")
+    out = str(tmp_path / "survivors")
+    write_minhash_index(base, path, hash_mode="poly")
+
+    # the unsafe ordering is no longer expressible
+    with pytest.raises(ValueError, match="survivors_path"):
+        incremental_dedup(shard, path, append_survivors=True)
+
+    # step 1 of the crash-safe ordering: survivors written, no append
+    first = incremental_dedup(shard, path)
+    first.write.mode("overwrite").parquet(out)
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert len(ids) > 0
+    # --- crash here: index never saw the shard ---
+    # retry the full workflow: must reproduce the same survivor set
+    retried = incremental_dedup(shard, path, survivors_path=out)
+    assert {r["doc_id"] for r in retried.collect()} == ids
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == ids
+    # and a SECOND full retry (crash after append) is also stable
+    retried2 = incremental_dedup(shard, path, survivors_path=out)
+    assert {r["doc_id"] for r in retried2.collect()} == ids
 
 
 def test_minhash_probe_broadcasts_new_side(spark, tmp_path):
