@@ -298,13 +298,54 @@ FRESH_STATE_SCHEMA = StructType(
 )
 
 
-def _make_freshness_fn(stale_after_s: float):
-    stale_after_ms = int(stale_after_s * 1000)
+def cadence_slas(
+    history: DataFrame,
+    overdue_factor: float = 3.0,
+    channel: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> dict:
+    """Derive per-channel staleness SLAs from HISTORY: each feed's SLA
+    is ``overdue_factor`` x its median inter-sample gap — exactly the
+    q64 batch freshness_report judgment, packaged for the live
+    monitor (pass the dict as :func:`freshness_stream`'s
+    ``stale_after_s``). The collect is one row per channel — a
+    driver-side KB, not a data path."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        freshness_report,
+    )
+
+    rep = freshness_report(
+        history,
+        channel=channel,
+        ts=ts,
+        seq=seq,
+        overdue_factor=overdue_factor,
+    )
+    return {
+        r[channel]: r["median_gap_us"] * overdue_factor / 1e6
+        for r in rep.collect()
+        if r["median_gap_us"] is not None
+    }
+
+
+def _make_freshness_fn(stale_after_s, default_stale_after_s=None):
+    from collections.abc import Mapping
+
+    def _sla_ms(source, channel):
+        if isinstance(stale_after_s, Mapping):
+            v = stale_after_s.get(
+                (source, channel),
+                stale_after_s.get(channel, default_stale_after_s),
+            )
+            return None if v is None else int(float(v) * 1000)
+        return int(float(stale_after_s) * 1000)
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         source, channel = key
+        stale_after_ms = _sla_ms(source, channel)
         if state.hasTimedOut:
             last, _ = state.get
             wm_us = state.getCurrentWatermarkMs() * 1000
@@ -353,11 +394,14 @@ def _make_freshness_fn(stale_after_s: float):
             state.update((prev_last, was_stale))
             # a late batch can put last+SLA behind the watermark, and
             # Spark rejects a timeout at/before it — clamp forward so
-            # the (already overdue) timeout fires at the next batch
-            wm_ms = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(
-                max(prev_last // 1000 + stale_after_ms, wm_ms + 1)
-            )
+            # the (already overdue) timeout fires at the next batch.
+            # A key with no SLA (mapping mode, no entry, no default)
+            # never times out — it is monitored for first_seen only.
+            if stale_after_ms is not None:
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(prev_last // 1000 + stale_after_ms, wm_ms + 1)
+                )
         yield pd.DataFrame(
             {
                 "ts_us": pd.array(out["ts_us"], dtype="int64"),
@@ -374,13 +418,21 @@ def _make_freshness_fn(stale_after_s: float):
 
 def freshness_stream(
     stream: DataFrame,
-    stale_after_s: float,
+    stale_after_s,
     watermark_delay: str = "10 seconds",
+    default_stale_after_s: float | None = None,
 ) -> DataFrame:
     """Live feed-freshness monitor: which (source, channel) feeds have
-    gone SILENT — the streaming dual of the q64 batch freshness report
-    (there, staleness is judged against each channel's historical
-    cadence; here, against an operational ``stale_after_s`` SLA).
+    gone SILENT — the streaming dual of the q64 batch freshness report.
+
+    ``stale_after_s`` is either one operational SLA in seconds for
+    every feed, or a mapping (``{channel: seconds}`` or ``{(source,
+    channel): seconds}``; unmapped keys fall back to
+    ``default_stale_after_s``, or never time out when that is None).
+    The cadence-derived mode — :func:`cadence_slas` over history —
+    makes this judge staleness exactly the way q64 does: a feed is
+    stale when silent for ``overdue_factor`` x its own median
+    inter-sample gap.
 
     Emits a row only on STATE CHANGES, never per sample: ``first_seen``
     when a key appears, ``stale`` when the event-time watermark passes
@@ -405,7 +457,7 @@ def freshness_stream(
         "channel",
     )
     return rows.groupBy("source", "channel").applyInPandasWithState(
-        _make_freshness_fn(stale_after_s),
+        _make_freshness_fn(stale_after_s, default_stale_after_s),
         outputStructType=FRESH_OUTPUT_SCHEMA,
         stateStructType=FRESH_STATE_SCHEMA,
         outputMode="append",

@@ -457,3 +457,158 @@ def test_hysteresis_sorts_across_arrow_chunks(spark, tmp_path):
         ("open", None),
         ("close", 10 * 1_000_000),
     ]
+
+
+@pytest.mark.slow
+def test_site_alarm_stream_equals_batch_interval_union(spark, tmp_path):
+    """Operator-to-operator dual pin (r8 verdict #4): the streaming
+    site-alarm fold over open/close transitions must accrue EXACTLY
+    the covered time the q57 batch interval-union machinery computes
+    over the same episode table — not a hand-computed expectation."""
+    import random
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        _interval_union_stitched,
+    )
+    from etsd_time_series_database_spark.streaming.stateful import (
+        site_alarm_stream,
+    )
+
+    M = 1_000_000
+    rng = random.Random(42)
+    episodes = []  # (channel, start_us, end_us), non-overlapping per channel
+    for ch in ("a", "b", "c"):
+        t = rng.randint(0, 50)
+        for _ in range(15):
+            start = t + rng.randint(1, 40)
+            end = start + rng.randint(1, 60)
+            episodes.append((ch, start * M, end * M))
+            t = end
+    transitions = []
+    for ch, s, e in episodes:
+        transitions.append((s, "s", ch, "open", 99.0, None))
+        transitions.append((e, "s", ch, "close", 1.0, e - s))
+    transitions.sort()  # event-time order, the documented stream contract
+    # three time-ordered micro-batches
+    src = str(tmp_path / "dual_src")
+    now = time.time()
+    cut = len(transitions) // 3
+    schema = ("ts_us bigint, source string, channel string, "
+              "event string, value double, span_us bigint")
+    for i, chunk in enumerate(
+        (transitions[:cut], transitions[cut:2 * cut], transitions[2 * cut:])
+    ):
+        df = spark.createDataFrame(chunk, schema)
+        p = os.path.join(src, f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 100 + i, now - 100 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        site_alarm_stream(stream)
+        .writeStream.format("memory")
+        .queryName("site_dual")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3
+    out = spark.sql("select * from site_dual").collect()
+    stream_covered = max(r.covered_us for r in out)
+
+    eps = spark.createDataFrame(
+        [(c, s, e) for c, s, e in episodes],
+        "channel string, start_us bigint, end_us bigint",
+    )
+    union = _interval_union_stitched(eps, "channel", bucket_s=60)
+    batch_covered = union.agg(
+        F.sum(F.col("i_end") - F.col("i_start"))
+    ).collect()[0][0]
+    assert stream_covered == batch_covered
+    # the union's merged-interval count equals the stream's number of
+    # closing 1->0 transitions (each merged interval closes exactly
+    # once; touching open-at-close keeps the count open, so no close
+    # row is emitted at a merge point)
+    closings = sum(1 for r in out if r.open_channels == 0)
+    assert closings == union.count() >= 1
+
+
+@pytest.mark.slow
+def test_freshness_stream_cadence_mode_matches_q64(spark, tmp_path):
+    """Operator-to-operator dual pin (r8 verdict #4): with cadence-
+    derived SLAs (overdue_factor x median gap, from cadence_slas over
+    the SAME history), the channels the stream flags 'stale' are
+    exactly the channels q64's freshness_report flags overdue."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        freshness_report,
+    )
+    from etsd_time_series_database_spark.streaming.stateful import (
+        cadence_slas,
+        freshness_stream,
+    )
+
+    rows = []  # (ts_str, channel)
+    # a: every 60s through minute 40 (never silent)
+    for m in range(0, 41):
+        rows.append((f"2026-01-01 00:{m:02d}:00", "a"))
+    # b: every 60s, stops at minute 10 (silent 30 min >> 3x60s SLA)
+    for m in range(0, 11):
+        rows.append((f"2026-01-01 00:{m:02d}:00", "b"))
+    # c: every 30s, stops at minute 39 (silent 60s <= 3x30s SLA)
+    for m in range(0, 39):
+        rows.append((f"2026-01-01 00:{m:02d}:00", "c"))
+        rows.append((f"2026-01-01 00:{m:02d}:30", "c"))
+    rows.append(("2026-01-01 00:39:00", "c"))
+
+    history = spark.createDataFrame(
+        [(ts, ch, float(i), i) for i, (ts, ch) in enumerate(sorted(rows))],
+        "ts string, event_type string, value double, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rep = {
+        r["event_type"]: r["overdue"]
+        for r in freshness_report(history, overdue_factor=3.0).collect()
+    }
+    assert rep == {"a": False, "b": True, "c": False}
+    slas = cadence_slas(history, overdue_factor=3.0)
+    assert slas["a"] == 180.0 and slas["c"] == 90.0
+
+    # stream the same rows, four time-ordered files
+    src = str(tmp_path / "cad_src")
+    now = time.time()
+    ordered = sorted(rows)
+    cuts = [len(ordered) * i // 4 for i in range(5)]
+    for i in range(4):
+        _write_batch(
+            spark,
+            os.path.join(src, f"b{i}"),
+            [(ts, ch, 1.0) for ts, ch in ordered[cuts[i]:cuts[i + 1]]],
+            now - 100 + i,
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        freshness_stream(stream, slas, watermark_delay="0 seconds")
+        .writeStream.format("memory")
+        .queryName("cad_fresh")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from cad_fresh").collect()
+    stale_channels = {r.channel for r in out if r.status == "stale"}
+    overdue_channels = {ch for ch, o in rep.items() if o}
+    assert stale_channels == overdue_channels == {"b"}
+    assert {r.channel for r in out if r.status == "first_seen"} == {
+        "a", "b", "c",
+    }
