@@ -264,7 +264,9 @@ def _skew_compare_isolated() -> dict:
             [sys.executable, __file__, "--skew-only"],
             capture_output=True,
             text=True,
-            timeout=1800,
+            # 1800 was near the r8 ceiling; the r9 co-alarm chatter
+            # pair adds ~3 passes of a deliberately-quadratic form
+            timeout=2400,
             env=env,
         )
         if proc.returncode != 0:
@@ -300,7 +302,11 @@ def _skew_compare(spark) -> dict:
     own episode — N/2 episodes ride the union) — the one-level
     global-window union (one sort task over all episodes) vs the
     bucket-split + boundary-stitch form (union window partitioned by
-    day bucket; only <= 2 rows/bucket reach the global stitch).
+    day bucket; only <= 2 rows/bucket reach the global stitch);
+    (e) q65's pairwise co-alarm join under the same chatter at N/10
+    rows — the fixed daily join bucket (within-bucket cross-channel
+    join quadratic in a hot day's segments) vs bucket_s='auto'
+    (join bucket narrowed from measured episode density).
     Warm-up pass each, then one timed pass to a noop sink (full JVM
     evaluation, no driver materialization).
     $SPARK_GRAFT_BENCH_SKEW_ROWS overrides N (0 skips)."""
@@ -316,6 +322,7 @@ def _skew_compare(spark) -> dict:
     )
     from etsd_time_series_database_spark.operators.range_stats import (
         alarm_coverage,
+        co_alarm_matrix,
         hysteresis_episodes,
         rate,
     )
@@ -345,6 +352,20 @@ def _skew_compare(spark) -> dict:
     df = synth(n, 1).localCheckpoint()
     # right side: 10x sparser rows over the same time span / 3 keys
     right = synth(n // 10, 10).localCheckpoint()
+    # co-alarm chatter pair (q65's hot-bucket quadratic): alternating
+    # above/below so every above-sample is its own point episode — at
+    # the fixed daily join bucket each day holds ~43k segments and the
+    # within-bucket cross-channel join is quadratic in them;
+    # bucket_s='auto' narrows the join bucket from measured density.
+    # Capped at 200k rows: per-bucket cost is DENSITY-driven (samples
+    # per second), not volume-driven, so the fixed-day pathology costs
+    # the same per bucket at any N — more rows would only add buckets
+    # (measured: 57 s day-bucket vs 1.6 s auto already at 200k).
+    chat = (
+        synth(min(n // 10, 200_000), 1)
+        .withColumn("value", (F.col("event_id") % 2 * 100).cast("double"))
+        .localCheckpoint()
+    )
 
     forms = {
         "rate_global_s": lambda: rate(df, scalable=False),
@@ -381,6 +402,10 @@ def _skew_compare(spark) -> dict:
                 "value", (F.col("event_id") % 2 * 100).cast("double")
             ),
             50.0,
+        ),
+        "coalarm_day_s": lambda: co_alarm_matrix(chat, 50.0),
+        "coalarm_auto_s": lambda: co_alarm_matrix(
+            chat, 50.0, bucket_s="auto"
         ),
         "shuffle_global_s": lambda: df.select(
             "event_id",

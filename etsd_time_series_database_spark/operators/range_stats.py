@@ -1073,7 +1073,8 @@ def co_alarm_matrix(
     ts: str = "ts",
     seq: str = "event_id",
     scalable: bool = True,
-    bucket_s: int = 86400,
+    bucket_s=86400,
+    auto_target: int = 256,
 ) -> DataFrame:
     """Pairwise co-alarm accounting: for every channel pair, how many
     episode pairs overlap in time and for how many total microseconds
@@ -1095,7 +1096,19 @@ def co_alarm_matrix(
     count. ``scalable=False`` is the direct episode-level theta-join
     (the oracle's formulation; equivalence pytest-pinned). Outputs
     are integers — engine/oracle hashing exact.
+
+    Within one bucket the cross-channel segment join is quadratic in
+    that bucket's segments, so a channel CHATTERING around the
+    threshold (every sample its own episode) makes a hot bucket the
+    bottleneck at a fixed ``bucket_s``. ``bucket_s="auto"`` sizes the
+    join bucket from the data instead: one tiny rollup of the episode
+    table (per-day episode counts + mean span) picks the width so the
+    HOTTEST day's episodes spread to ~``auto_target`` per bucket,
+    floored at the mean episode span (finer would only multiply split
+    segments) and clamped to [1 s, 86400 s]. Episode DETECTION keeps
+    the daily stitch either way; only the join split narrows.
     """
+    detect_bucket_s = 86400 if bucket_s == "auto" else bucket_s
     eps = episode_table(
         df,
         threshold,
@@ -1104,8 +1117,31 @@ def co_alarm_matrix(
         ts=ts,
         seq=seq,
         scalable=scalable,
-        bucket_s=bucket_s,
+        bucket_s=detect_bucket_s,
     ).select(channel, "__island", "start_us", "end_us")
+    if scalable and bucket_s == "auto":
+        # freeze the episode table: the density rollup + both join
+        # sides would otherwise each recompute the full detection scan
+        eps = eps.localCheckpoint()
+        st = (
+            eps.groupBy(F.expr("start_us DIV 86400000000").alias("__d"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.col("end_us") - F.col("start_us")).alias("l"),
+            )
+            .agg(
+                F.max("c").alias("mx"),
+                F.sum("c").alias("n"),
+                F.sum("l").alias("tot_len"),
+            )
+            .collect()[0]
+        )
+        if not st["n"]:
+            bucket_s = 86400  # no episodes: width is irrelevant
+        else:
+            mean_len_s = int(st["tot_len"] // st["n"] // 1_000_000)
+            density_s = int(86400 * auto_target // st["mx"])
+            bucket_s = min(86400, max(1, density_s, mean_len_s))
     if scalable:
         w_us = int(bucket_s) * 1_000_000
         # pieces carry the ORIGINAL episode bounds: the straddle test

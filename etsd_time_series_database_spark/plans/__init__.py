@@ -8,5 +8,6 @@ from etsd_time_series_database_spark.plans import timeseries as _ts  # noqa: F40
 from etsd_time_series_database_spark.plans import relational as _rel  # noqa: F401
 from etsd_time_series_database_spark.plans import pipeline as _pipe  # noqa: F401
 from etsd_time_series_database_spark.plans import analytics as _an  # noqa: F401
+from etsd_time_series_database_spark.plans import streaming_replay as _sr  # noqa: F401
 
 __all__ = ["CatalogQuery", "catalog", "register"]

@@ -1,0 +1,248 @@
+"""Streaming-replay catalog entries: the stateful streaming operators
+(streaming/stateful.py) driven over the driver's ``events`` table as a
+one-shot availableNow replay, oracle-gated like every batch entry.
+
+A replay's FINAL output is deterministic and batch-equivalent (the
+reference's recovery contract: replaying the saved stream reproduces
+the live fold, code/etsdSave.c:396-458 + the recover path), so the
+same DuckDB gate that pins batch entries pins the streaming layer:
+s01/s02 inject NULLs deterministically (event_id % 7) so the
+carry-forward fill/miss-counter and rate state machines actually
+exercise their NULL paths on this data (the raw table has none).
+
+Memory-sink note: the replay sink here is the in-memory table the
+oracle compare reads — the CORRECTNESS harness, not the deployment
+topology. Production streams run the file-sink/foreachBatch paths
+(streaming/ingest.py, CLI ``watch``); state size per key is 2-3
+scalars either way, so the replay exercises exactly the code that
+runs live.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etsd_time_series_database_spark.plans.registry import register
+
+# q62's hysteresis thresholds (plans/timeseries.py) — same comparator.
+HYST_HI = 250.0
+HYST_LO = 50.0
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+# Deterministic NULL injection shared by s01/s02 and their oracles.
+_NULL_EVERY = 7
+_V = f"CASE WHEN event_id % {_NULL_EVERY} = 0 THEN NULL ELSE value END"
+
+
+def _replay(spark: SparkSession, sf_dir: str, make, name: str,
+            inject_nulls: bool) -> DataFrame:
+    """Stream events.parquet through ``make`` with an availableNow
+    trigger into a memory sink and return the sink table. The ts
+    column is read as raw int64 and floor-truncated to micros exactly
+    as the batch loader and DuckDB do — the physical unit (nanos vs
+    naive micros) is probed from the footer the same way
+    sources/store.load_table decides its conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    probe = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"].dataType.simpleString()
+    )
+    # bigint == TIMESTAMP(NANOS) via nanosAsLong; timestamp_ntz /
+    # timestamp == micros precision, so the raw int64 IS epoch micros
+    div = 1000 if probe == "bigint" else 1
+    # the file stream source requires a DIRECTORY base path; select
+    # the one table out of the sf dir with a glob filter
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    value = (
+        F.when(F.col("event_id") % _NULL_EVERY == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        if inject_nulls
+        else F.col("value")
+    )
+    rows = raw.select(
+        F.timestamp_micros(F.expr(f"ts DIV {div}")).alias("ts"),
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("channel"),
+        value.cast("double").alias("value"),
+        F.lit(0).alias("status"),
+    )
+    q = (
+        make(rows)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+@register(
+    "s01_carry_forward_replay",
+    "streaming",
+    f"""
+    WITH base AS (
+      SELECT event_type, ts, epoch_us(ts) AS us, event_id,
+             {_V} AS v
+      FROM events
+    ),
+    g AS (
+      SELECT *, count(v) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS grp
+      FROM base
+    ),
+    p AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY event_type, grp
+                                     ORDER BY ts, event_id) AS BIGINT)
+               - CASE WHEN grp > 0 THEN 1 ELSE 0 END AS pos,
+             max(v) OVER (PARTITION BY event_type, grp) AS base_v
+      FROM g
+    )
+    SELECT us AS ts_us, 'events' AS source, event_type AS channel,
+           v AS value,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pos <= 255 THEN base_v
+           END AS value_filled,
+           CAST(CASE WHEN v IS NOT NULL THEN 0
+                     ELSE pos % 256 END AS INTEGER) AS n_missed
+    FROM p ORDER BY channel, ts_us
+    """,
+    doc="The carry-forward stateful stream (reference LastReading/"
+    "MissedUpdate arrays, code/etsdSave.c:396-458) replayed over the "
+    "events table with every 7th reading NULLed: fills carry the last "
+    "value, the miss counter mirrors the >=256 reset "
+    "(code/etsdSave.c:451-454). Oracle = the gaps-and-islands LOCF "
+    "with the same reset arithmetic. Pins the REAL "
+    "applyInPandasWithState operator end-to-end on the oracle gate.",
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.stateful import (
+        carry_forward_stream,
+    )
+
+    out = _replay(
+        spark, sf_dir, carry_forward_stream, "s01_sink", inject_nulls=True
+    )
+    return out.orderBy("channel", "ts_us")
+
+
+@register(
+    "s02_rate_replay",
+    "streaming",
+    f"""
+    WITH base AS (
+      SELECT event_type, ts, epoch_us(ts) AS us, event_id,
+             {_V} AS v
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, us, v,
+             lag(v IGNORE NULLS) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS pv,
+             lag(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+               OVER (PARTITION BY event_type
+                     ORDER BY ts, event_id) AS pus
+      FROM base
+    )
+    SELECT us AS ts_us, 'events' AS source, event_type AS channel,
+           v AS value,
+           CASE WHEN v IS NULL OR pv IS NULL THEN NULL
+                WHEN us - pus <= 0 THEN NULL
+                ELSE (v - pv) / ((us - pus) / 1000000.0)
+           END AS rate_per_s
+    FROM w ORDER BY channel, ts_us
+    """,
+    doc="The streaming counter-rate operator (ingest-side delta, "
+    "reference code/etsdSave.c:396-398) replayed with every 7th "
+    "reading NULLed: NULL readings emit NULL and do NOT advance the "
+    "(last_ts, last_value) state, so the next real reading rates "
+    "against the last REAL one. Oracle = lag IGNORE NULLS with the "
+    "identical (v-pv)/((us-pus)/1e6) double expression.",
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.stateful import (
+        counter_rate_stream,
+    )
+
+    out = _replay(
+        spark, sf_dir, counter_rate_stream, "s02_sink", inject_nulls=True
+    )
+    return out.orderBy("channel", "ts_us")
+
+
+@register(
+    "s03_hysteresis_replay",
+    "streaming",
+    f"""
+    WITH dec AS (
+      SELECT event_type, ts, epoch_us(ts) AS us, event_id, value,
+             CASE WHEN value >= {HYST_HI} THEN 1 ELSE 0 END AS s
+      FROM events
+      WHERE value IS NOT NULL
+        AND (value >= {HYST_HI} OR value <= {HYST_LO})
+    ),
+    m AS (
+      SELECT *, CASE WHEN s = 1 AND coalesce(
+               lag(s) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id), 0) = 0
+             THEN 1 ELSE 0 END AS st
+      FROM dec
+    ),
+    k AS (
+      SELECT *, sum(st) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS kk
+      FROM m
+    ),
+    ep AS (
+      SELECT event_type, kk,
+             min(us) AS open_us,
+             arg_min(value, us) AS open_v,
+             min(CASE WHEN s = 0 THEN us END) AS close_us,
+             arg_min(value, us) FILTER (WHERE s = 0) AS close_v
+      FROM k WHERE kk >= 1
+      GROUP BY event_type, kk
+    )
+    SELECT open_us AS ts_us, 'events' AS source,
+           event_type AS channel, 'open' AS event, open_v AS value,
+           CAST(NULL AS BIGINT) AS span_us
+    FROM ep
+    UNION ALL
+    SELECT close_us, 'events', event_type, 'close', close_v,
+           close_us - open_us
+    FROM ep WHERE close_us IS NOT NULL
+    ORDER BY channel, ts_us, event
+    """,
+    doc="The live two-threshold alarm stream (q62's alerting dual) "
+    "replayed over events at the q62 thresholds: one 'open' per "
+    "episode at the crossing sample, one 'close' with the exact span "
+    "at the reset sample; in-band samples emit nothing. Oracle = the "
+    "q62 island machinery reshaped to transition rows. Integer spans "
+    "and pass-through doubles — hash-exact.",
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.stateful import (
+        hysteresis_alarm_stream,
+    )
+
+    out = _replay(
+        spark,
+        sf_dir,
+        lambda rows: hysteresis_alarm_stream(rows, hi=HYST_HI, lo=HYST_LO),
+        "s03_sink",
+        inject_nulls=False,
+    )
+    return out.orderBy("channel", "ts_us", "event")

@@ -117,3 +117,34 @@ def test_co_alarm_stitched_equals_plain(spark, eps, bucket_s):
     got = _run_co_alarm(spark, eps, bucket_s, scalable=True)
     want = _run_co_alarm(spark, eps, bucket_s, scalable=False)
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(eps=st.lists(episode, min_size=1, max_size=15))
+def test_co_alarm_auto_bucket_equals_plain(spark, eps):
+    """bucket_s='auto' (density-derived join bucket) must be a pure
+    physical choice: identical output to the plain theta-join on
+    random episode sets, including point episodes and touch chains."""
+    got = _run_co_alarm(spark, eps, "auto", scalable=True)
+    want = _run_co_alarm(spark, eps, 60, scalable=False)
+    assert got == want
+
+
+def test_co_alarm_auto_bucket_no_episodes(spark):
+    """auto mode on data that never crosses the threshold: no episodes,
+    empty matrix, no division-by-zero in the density rollup."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        co_alarm_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 1_000_000, "a", 1.0, i) for i in range(5)],
+        "us bigint, event_type string, value double, event_id bigint",
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    assert co_alarm_matrix(df, 20.0, bucket_s="auto").count() == 0

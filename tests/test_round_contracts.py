@@ -64,6 +64,10 @@ def test_bench_stdout_line_stays_compact():
             "asof_scalable_s": 9999.9999,
             "episodes_global_s": 9999.9999,
             "episodes_scalable_s": 9999.9999,
+            "coverage_global_s": 9999.9999,
+            "coverage_scalable_s": 9999.9999,
+            "coalarm_day_s": 9999.9999,
+            "coalarm_auto_s": 9999.9999,
             "shuffle_global_s": 9999.9999,
             "shuffle_scalable_s": 9999.9999,
         },
