@@ -317,6 +317,22 @@ def cmd_dedup_append(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_dedup_compact(args, spark: SparkSession) -> int:
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_index_compact,
+    )
+
+    stats = minhash_index_compact(
+        spark, args.path, files_per_band=args.files_per_band
+    )
+    print(
+        f"compacted dedup index {args.path}: "
+        f"{stats['files_before']} -> {stats['files_after']} files "
+        f"({stats['rows']} signature rows)"
+    )
+    return 0
+
+
 def cmd_dedup_probe(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.operators.dedup import (
         incremental_dedup,
@@ -566,6 +582,16 @@ def build_parser() -> argparse.ArgumentParser:
     da.add_argument("path", help="existing dedup index directory")
     da.add_argument("--text", default="text")
     da.set_defaults(fn=cmd_dedup_append)
+
+    dc = sub.add_parser(
+        "dedup-compact",
+        help="rewrite a dedup index's band partitions at a bounded "
+        "file count (append-heavy layouts accumulate one small file "
+        "per band per shard); signatures and probe results unchanged",
+    )
+    dc.add_argument("path", help="existing dedup index directory")
+    dc.add_argument("--files-per-band", type=int, default=1)
+    dc.set_defaults(fn=cmd_dedup_compact)
 
     dp = sub.add_parser(
         "dedup-probe",

@@ -421,6 +421,81 @@ def minhash_index_append(new_df: DataFrame, path: str, text: str = "text") -> No
     ).parquet(path)
 
 
+def minhash_index_compact(
+    spark, path: str, files_per_band: int = 1
+) -> dict:
+    """Compact a :func:`write_minhash_index` layout: every daily
+    append adds one file per band partition, so a year of shards
+    turns each band directory into ~365 small files and probe scans
+    pay per-file open/footer cost instead of bandwidth — the classic
+    small-files failure of append-heavy partitioned layouts. Rewrite
+    the band table at ``files_per_band`` files per partition
+    (repartition on band, still partitionBy(band) so probes keep
+    partition pruning), swap directories via the Hadoop FileSystem
+    rename (works on HDFS too), and leave ``_meta`` untouched —
+    signatures, recipe and probe results are byte-identical, only the
+    file layout changes. Returns {files_before, files_after, rows}.
+
+    The swap is crash-safe in the same way the survivors write is:
+    the compacted copy is fully written to a sibling temp dir first;
+    a crash before the final rename leaves the live index untouched.
+    Run it from the index's single writer (the append job owner) —
+    it is a maintenance pass, not a concurrent-writer protocol."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(path)
+    fs = live.getFileSystem(hconf)
+
+    def _count_files(p):
+        n = 0
+        for band_dir in fs.listStatus(p):
+            nm = band_dir.getPath().getName()
+            if band_dir.isDirectory() and nm.startswith("band="):
+                for f in fs.listStatus(band_dir.getPath()):
+                    if f.getPath().getName().endswith(".parquet"):
+                        n += 1
+        return n
+
+    before = _count_files(live)
+    bands = spark.read.parquet(path)
+    rows = bands.count()
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + ".__compact__"
+    )
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    if int(files_per_band) <= 1:
+        compacted = bands.repartition(F.col("band"))
+    else:
+        # deterministic sig-hash salt: at most files_per_band writer
+        # tasks (hence files) per band, for bands too big for one file
+        compacted = bands.repartition(
+            F.col("band"),
+            F.pmod(F.xxhash64(F.col("sig")), F.lit(int(files_per_band))),
+        )
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp.toString())
+    )
+    # carry the recipe table over unchanged
+    meta = spark.read.parquet(path + "/_meta")
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        tmp.toString() + "/_meta"
+    )
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, True)
+    return {
+        "files_before": before,
+        "files_after": _count_files(live),
+        "rows": rows,
+    }
+
+
 def new_vs_index_candidates(
     new_bands: DataFrame,
     index_bands: DataFrame,

@@ -246,3 +246,131 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False,
     )
     return out.orderBy("channel", "ts_us", "event")
+
+
+@register(
+    "s04_site_alarm_replay",
+    "streaming",
+    f"""
+    WITH dec AS (
+      SELECT event_type, ts, epoch_us(ts) AS us, event_id,
+             CASE WHEN value >= {HYST_HI} THEN 1 ELSE 0 END AS s
+      FROM events
+      WHERE value IS NOT NULL
+        AND (value >= {HYST_HI} OR value <= {HYST_LO})
+    ),
+    m AS (
+      SELECT *, CASE WHEN s = 1 AND coalesce(
+               lag(s) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id), 0) = 0
+             THEN 1 ELSE 0 END AS st
+      FROM dec
+    ),
+    k AS (
+      SELECT *, sum(st) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS kk
+      FROM m
+    ),
+    ep AS (
+      SELECT event_type, kk,
+             min(us) AS open_us,
+             min(CASE WHEN s = 0 THEN us END) AS close_us
+      FROM k WHERE kk >= 1
+      GROUP BY event_type, kk
+    ),
+    tr AS (
+      SELECT open_us AS us, 1 AS delta FROM ep
+      UNION ALL
+      SELECT close_us, -1 FROM ep WHERE close_us IS NOT NULL
+    ),
+    counts AS (
+      -- per-transition running open count, opens before closes at a
+      -- tie (the stream's touch-merge fold order)
+      SELECT us,
+             CAST(sum(delta) OVER (ORDER BY us, delta DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS INTEGER)
+               AS open_channels
+      FROM tr
+    ),
+    us_level AS (
+      -- covered time only moves between DISTINCT timestamps: accrue
+      -- (us - prev_us) when the count AFTER processing prev_us was
+      -- positive; every transition row at one us shares the value
+      SELECT us, sum(delta) AS d FROM tr GROUP BY us
+    ),
+    cov AS (
+      SELECT us,
+             CAST(coalesce(sum(
+               CASE WHEN end_cnt - d > 0 THEN us - prev_us ELSE 0 END)
+               OVER (ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS BIGINT) AS covered_us
+      FROM (
+        SELECT us, d,
+               sum(d) OVER (ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS end_cnt,
+               lag(us) OVER (ORDER BY us) AS prev_us
+        FROM us_level
+      )
+    )
+    SELECT c.us AS ts_us, c.open_channels,
+           CASE WHEN c.open_channels > 0 THEN 1 ELSE 0 END
+             AS site_in_alarm,
+           v.covered_us
+    FROM counts c JOIN cov v ON c.us = v.us
+    ORDER BY ts_us, open_channels DESC
+    """,
+    doc="The FULL live-monitor topology on the oracle gate: query 1 "
+    "replays events through the hysteresis alarm stream and persists "
+    "the open/close transitions (the reference's monitor hand-off, "
+    "code/edd.c:333-346); query 2 streams those transitions through "
+    "site_alarm_stream — the running open-count IS the interval "
+    "union, covered time accrues over every 0->1..1->0 span. Oracle = "
+    "q62 island episodes reshaped to +1/-1 transition deltas, folded "
+    "with one global window (transitions, not samples — tiny by "
+    "construction). Integer outputs — hash-exact.",
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etsd_time_series_database_spark.streaming.stateful import (
+        hysteresis_alarm_stream,
+        site_alarm_stream,
+    )
+
+    transitions = _replay(
+        spark,
+        sf_dir,
+        lambda rows: hysteresis_alarm_stream(rows, hi=HYST_HI, lo=HYST_LO),
+        "s04_transitions",
+        inject_nulls=False,
+    )
+    # two-query topology: chained applyInPandasWithState in one query
+    # is illegal, so transitions persist to a sink between queries —
+    # exactly the production hand-off (CLI watch uses the same shape)
+    hand_off = tempfile.mkdtemp(prefix="s04_transitions_")
+    transitions.write.mode("overwrite").parquet(hand_off)
+    stream2 = (
+        spark.readStream.schema(
+            "ts_us long, source string, channel string, "
+            "event string, value double, span_us long"
+        ).parquet(hand_off)
+    )
+    q = (
+        site_alarm_stream(stream2)
+        .writeStream.format("memory")
+        .queryName("s04_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # the memory sink holds the rows; the parquet hand-off is spent
+    import shutil
+
+    shutil.rmtree(hand_off, ignore_errors=True)
+    return spark.table("s04_sink").orderBy(
+        "ts_us", F.col("open_channels").desc()
+    )

@@ -554,3 +554,55 @@ def test_minhash_probe_broadcasts_new_side(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_index_compact_preserves_probe(spark, tmp_path):
+    """Compaction must be invisible to semantics: after several
+    appends (one small file per band per shard), compacting to one
+    file per band leaves the recipe, the signature multiset, and the
+    probe result identical while strictly reducing the file count."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_compact,
+        minhash_probe_new,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "mh_compact")
+    write_minhash_index(docs.filter(F.col("doc_id") % 4 == 1), path,
+                        hash_mode="poly")
+    minhash_index_append(docs.filter(F.col("doc_id") % 4 == 2), path)
+    minhash_index_append(docs.filter(F.col("doc_id") % 4 == 3), path)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    before_probe = sorted(
+        map(tuple, minhash_probe_new(new, path).collect())
+    )
+    _, before_meta = read_minhash_index(spark, path)
+
+    stats = minhash_index_compact(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == len(before_rows)
+
+    # one file per band partition after compaction
+    for d in os.listdir(path):
+        if d.startswith("band="):
+            pq = [f for f in os.listdir(os.path.join(path, d))
+                  if f.endswith(".parquet")]
+            assert len(pq) == 1, (d, pq)
+    assert sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    ) == before_rows
+    assert sorted(
+        map(tuple, minhash_probe_new(new, path).collect())
+    ) == before_probe
+    _, after_meta = read_minhash_index(spark, path)
+    assert after_meta == before_meta
