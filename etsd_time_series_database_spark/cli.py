@@ -341,19 +341,16 @@ def cmd_dedup_probe(args, spark: SparkSession) -> int:
 
     new = spark.read.parquet(args.source)
     if args.survivors_out:
-        if args.dry_run:
-            survivors = incremental_dedup(new, args.path, text=args.text)
-            survivors.write.mode("overwrite").parquet(args.survivors_out)
-            kept = spark.read.parquet(args.survivors_out)
-        else:
-            # crash-safe ordering lives in the library: survivors are
-            # persisted (temp + rename) BEFORE the index append, and a
-            # retry after a successful append reproduces the same
-            # survivor set (self-matches are excluded in the probe)
-            kept = incremental_dedup(
-                new, args.path, text=args.text,
-                survivors_path=args.survivors_out,
-            )
+        # crash-safe ordering lives in the library: survivors are
+        # persisted (temp + rename) BEFORE the index append, and a
+        # retry after a successful append reproduces the same
+        # survivor set (self-matches are excluded in the probe);
+        # --dry-run persists the survivors but skips the append
+        kept = incremental_dedup(
+            new, args.path, text=args.text,
+            survivors_path=args.survivors_out,
+            append_survivors=False if args.dry_run else None,
+        )
         print(
             f"kept {kept.count()} of {new.count()} docs -> "
             f"{args.survivors_out}"

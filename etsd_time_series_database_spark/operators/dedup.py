@@ -438,9 +438,13 @@ def minhash_index_compact(
 
     The swap is crash-safe in the same way the survivors write is:
     the compacted copy is fully written to a sibling temp dir first;
-    a crash before the final rename leaves the live index untouched.
-    Run it from the index's single writer (the append job owner) —
-    it is a maintenance pass, not a concurrent-writer protocol."""
+    a crash before the swap leaves the live index untouched. The swap
+    itself (rename live -> ``.__old__``, rename temp -> live) has a
+    brief window where the live path is absent; a crash there leaves
+    a complete copy at ``.__old__`` (and the compacted one at
+    ``.__compact__``) — rename either back to recover. Run it from
+    the index's single writer (the append job owner) — it is a
+    maintenance pass, not a concurrent-writer protocol."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     live = jvm.org.apache.hadoop.fs.Path(path)
@@ -569,7 +573,7 @@ def incremental_dedup(
     path: str,
     text: str = "text",
     survivors_path: str | None = None,
-    append_survivors: bool = False,
+    append_survivors: bool | None = None,
 ) -> DataFrame:
     """The daily-shard dedup workflow in one call: drop incoming
     documents that collide with the persisted index (cross-run
@@ -589,8 +593,11 @@ def incremental_dedup(
     index_id`` self-matches (see :func:`new_vs_index_candidates`), so
     the same shard reproduces the same survivors. With neither
     ``survivors_path`` nor ``append_survivors`` this is a dry run
-    (the default). ``append_survivors=True`` without a path is
-    refused — that is exactly the unsafe ordering.
+    (the default); ``append_survivors`` defaults to "append iff
+    survivors_path is given", an explicit ``False`` persists the
+    survivors but leaves the index untouched (a dry run with output),
+    and ``True`` without a path is refused — that is exactly the
+    unsafe ordering.
 
     Both anti-join sides reduce to a distinct id list before touching
     ``new_df`` (ids only — text never shuffles); the index is read
@@ -634,6 +641,11 @@ def incremental_dedup(
     # caller materializes the lazy survivors frame
     drop = cross_hits.unionByName(in_run_hits).distinct().localCheckpoint()
     survivors = new_df.join(drop, on=key, how="left_anti")
+    do_append = (
+        append_survivors
+        if append_survivors is not None
+        else survivors_path is not None
+    )
     if survivors_path is not None:
         # persist survivors FIRST (temp dir + rename via the Hadoop
         # FileSystem API so HDFS paths work too; a torn write can
@@ -652,12 +664,14 @@ def incremental_dedup(
         if fs.exists(dst):
             fs.delete(dst, True)
         fs.rename(tmp, dst)
-        # survivors' signatures = the shard band table minus dropped
-        # ids (no re-shingling; the recipe is identical by construction)
-        surviving_bands = new_bands.join(drop, on=key, how="left_anti")
-        surviving_bands.repartition(F.col("band")).write.mode(
-            "append"
-        ).partitionBy("band").parquet(path)
+        if do_append:
+            # survivors' signatures = the shard band table minus
+            # dropped ids (no re-shingling; the recipe is identical
+            # by construction)
+            surviving_bands = new_bands.join(drop, on=key, how="left_anti")
+            surviving_bands.repartition(F.col("band")).write.mode(
+                "append"
+            ).partitionBy("band").parquet(path)
         return spark.read.parquet(survivors_path)
     return survivors
 

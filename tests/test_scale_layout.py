@@ -606,3 +606,42 @@ def test_minhash_index_compact_preserves_probe(spark, tmp_path):
     ) == before_probe
     _, after_meta = read_minhash_index(spark, path)
     assert after_meta == before_meta
+
+
+def test_incremental_dedup_dry_run_with_output(spark, tmp_path):
+    """append_survivors=False + survivors_path: persist the survivor
+    set but leave the index byte-untouched (a dry run with output)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        incremental_dedup,
+        write_minhash_index,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "mh_dry")
+    out = str(tmp_path / "survivors")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 3 != 0), path, hash_mode="poly"
+    )
+
+    def band_files():
+        files = []
+        for d in sorted(os.listdir(path)):
+            if d.startswith("band="):
+                for f in sorted(os.listdir(os.path.join(path, d))):
+                    p = os.path.join(path, d, f)
+                    files.append((p, os.path.getsize(p)))
+        return files
+
+    before = band_files()
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    kept = incremental_dedup(
+        shard, path, survivors_path=out, append_survivors=False
+    )
+    assert kept.count() > 0
+    assert os.path.exists(out)
+    assert band_files() == before  # index untouched
