@@ -612,3 +612,49 @@ def test_freshness_stream_cadence_mode_matches_q64(spark, tmp_path):
     assert {r.channel for r in out if r.status == "first_seen"} == {
         "a", "b", "c",
     }
+
+
+@pytest.mark.slow
+def test_carry_forward_miss_reset_at_256(spark, tmp_path):
+    """The >=256-miss reset (reference code/etsdSave.c:451-454): after
+    255 carried fills the carried value is DROPPED — fill #256 onward
+    is NULL and the miss counter restarts — exactly the arithmetic the
+    s01 oracle encodes (filled = base while pos <= 255, n_missed =
+    pos % 256). sf data never has runs that long, so this pins the
+    reset on synthetic data."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        MISS_RESET,
+    )
+
+    n_nulls = 300
+    rows = [("2026-01-01 00:00:00", "a", 42.0)] + [
+        (f"2026-01-01 {1 + i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+         "a", None)
+        for i in range(n_nulls)
+    ]
+    src = str(tmp_path / "reset_src")
+    _write_batch(spark, os.path.join(src, "b1"), rows, time.time() - 50)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        carry_forward_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cf_reset")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = sorted(
+        spark.sql("select * from cf_reset").collect(),
+        key=lambda r: r.ts_us,
+    )
+    assert len(out) == n_nulls + 1
+    assert (out[0].value_filled, out[0].n_missed) == (42.0, 0)
+    for p in range(1, n_nulls + 1):
+        r = out[p]
+        want_fill = 42.0 if p <= MISS_RESET - 1 else None
+        assert r.value_filled == want_fill, (p, r.value_filled)
+        assert r.n_missed == p % MISS_RESET, (p, r.n_missed)
