@@ -462,7 +462,6 @@ def minhash_index_compact(
 
     before = _count_files(live)
     bands = spark.read.parquet(path)
-    rows = bands.count()
     tmp = jvm.org.apache.hadoop.fs.Path(
         path.rstrip("/") + ".__compact__"
     )
@@ -487,11 +486,24 @@ def minhash_index_compact(
     meta.coalesce(1).write.mode("overwrite").parquet(
         tmp.toString() + "/_meta"
     )
+    # count the COMPACTED copy (not a second scan of the old index):
+    # the stat doubles as a readability check of the new files before
+    # anything destructive happens
+    rows = spark.read.parquet(tmp.toString()).count()
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
     if fs.exists(old):
         fs.delete(old, True)
-    fs.rename(live, old)
-    fs.rename(tmp, live)
+    # Hadoop rename signals most failures by returning FALSE, not by
+    # raising — every step before a destructive delete must be checked
+    # or a silently failed swap destroys the only complete copy
+    if not fs.rename(live, old):
+        raise IOError(f"compact: rename {live} -> {old} failed; "
+                      "live index untouched")
+    if not fs.rename(tmp, live):
+        # put the live index back before reporting
+        fs.rename(old, live)
+        raise IOError(f"compact: rename {tmp} -> {live} failed; "
+                      "original index restored")
     fs.delete(old, True)
     return {
         "files_before": before,
@@ -591,7 +603,9 @@ def incremental_dedup(
     then drop the whole shard as "already seen". A retry after a
     SUCCESSFUL append is also safe: probes ignore ``new_id ==
     index_id`` self-matches (see :func:`new_vs_index_candidates`), so
-    the same shard reproduces the same survivors. With neither
+    the same shard reproduces the same survivors, and keys the index
+    already holds are skipped by the append, so the index gains no
+    duplicate signature rows either. With neither
     ``survivors_path`` nor ``append_survivors`` this is a dry run
     (the default); ``append_survivors`` defaults to "append iff
     survivors_path is given", an explicit ``False`` persists the
@@ -619,8 +633,21 @@ def incremental_dedup(
         rows_per_band=meta["rows_per_band"],
         hash_mode=meta["hash_mode"],
     )
+    # ONE probe scan yields both decisions: collisions with OTHER
+    # indexed documents (the drop set) and keys already indexed under
+    # their own id (a retry after a successful append — those must
+    # not be appended again or every retry duplicates the shard's
+    # signature rows). The pairs table is candidate-bounded and tiny.
+    pairs = new_vs_index_candidates(
+        new_bands, index_bands, key=key, exclude_self=False
+    ).localCheckpoint()
     cross_hits = (
-        new_vs_index_candidates(new_bands, index_bands, key=key)
+        pairs.filter(F.col("new_id") != F.col("index_id"))
+        .select(F.col("new_id").alias(key))
+        .distinct()
+    )
+    already_indexed = (
+        pairs.filter(F.col("new_id") == F.col("index_id"))
         .select(F.col("new_id").alias(key))
         .distinct()
     )
@@ -663,12 +690,25 @@ def incremental_dedup(
         survivors.write.mode("overwrite").parquet(tmp.toString())
         if fs.exists(dst):
             fs.delete(dst, True)
-        fs.rename(tmp, dst)
+        # Hadoop rename signals most failures by returning FALSE —
+        # appending after a silently failed survivors write would be
+        # exactly the unsafe ordering this function exists to prevent
+        if not fs.rename(tmp, dst):
+            raise IOError(
+                f"incremental_dedup: rename {tmp} -> {dst} failed; "
+                "index NOT appended"
+            )
         if do_append:
             # survivors' signatures = the shard band table minus
-            # dropped ids (no re-shingling; the recipe is identical
-            # by construction)
-            surviving_bands = new_bands.join(drop, on=key, how="left_anti")
+            # dropped ids minus keys the index already holds (retry
+            # after a successful append must not re-append them —
+            # duplicate signature rows would double n_shared_bands
+            # for future probes); no re-shingling, the recipe is
+            # identical by construction
+            surviving_bands = (
+                new_bands.join(drop, on=key, how="left_anti")
+                .join(already_indexed, on=key, how="left_anti")
+            )
             surviving_bands.repartition(F.col("band")).write.mode(
                 "append"
             ).partitionBy("band").parquet(path)

@@ -46,18 +46,19 @@ def _replay(spark: SparkSession, sf_dir: str, make, name: str,
     """Stream events.parquet through ``make`` with an availableNow
     trigger into a memory sink and return the sink table. The ts
     column is read as raw int64 and floor-truncated to micros exactly
-    as the batch loader and DuckDB do — the physical unit (nanos vs
-    naive micros) is probed from the footer the same way
-    sources/store.load_table decides its conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    probe = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .schema["ts"].dataType.simpleString()
+    as the batch loader and DuckDB do — the unit divisor comes from
+    the SAME probe load_table uses
+    (:func:`sources.store.raw_ts_micros_divisor`), so the two read
+    paths cannot drift. ``event_id`` rides along as the ``seq``
+    tie-break column the stateful folds use for equal timestamps —
+    the registry's determinism contract."""
+    from etsd_time_series_database_spark.sources.store import (
+        raw_ts_micros_divisor,
     )
-    # bigint == TIMESTAMP(NANOS) via nanosAsLong; timestamp_ntz /
-    # timestamp == micros precision, so the raw int64 IS epoch micros
-    div = 1000 if probe == "bigint" else 1
+
+    div = raw_ts_micros_divisor(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
     # the file stream source requires a DIRECTORY base path; select
     # the one table out of the sf dir with a glob filter
     raw = (
@@ -77,6 +78,7 @@ def _replay(spark: SparkSession, sf_dir: str, make, name: str,
         F.col("event_type").alias("channel"),
         value.cast("double").alias("value"),
         F.lit(0).alias("status"),
+        F.col("event_id").alias("seq"),
     )
     q = (
         make(rows)
@@ -86,8 +88,21 @@ def _replay(spark: SparkSession, sf_dir: str, make, name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await(q, name)
     return spark.table(name)
+
+
+def _await(q, name: str, timeout_s: int = 600) -> None:
+    """awaitTermination returns FALSE on timeout without raising — a
+    timed-out replay would otherwise hand the oracle gate a partial
+    memory-sink table (and leave a zombie query squatting on the
+    queryName). Fail loudly instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay {name!r} did not finish within "
+            f"{timeout_s}s; partial results discarded"
+        )
 
 
 @register(
@@ -184,11 +199,12 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("channel", "ts_us")
 
 
-@register(
-    "s03_hysteresis_replay",
-    "streaming",
-    f"""
-    WITH dec AS (
+
+# Shared q62-style hysteresis episode detection (decisive rows ->
+# island numbering -> one row per episode), interpolated into both the
+# s03 and s04 oracles so the two cannot silently diverge.
+_EPISODES_CTE = f"""
+    dec AS (
       SELECT event_type, ts, epoch_us(ts) AS us, event_id, value,
              CASE WHEN value >= {HYST_HI} THEN 1 ELSE 0 END AS s
       FROM events
@@ -216,6 +232,13 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM k WHERE kk >= 1
       GROUP BY event_type, kk
     )
+"""
+
+@register(
+    "s03_hysteresis_replay",
+    "streaming",
+    f"""
+    WITH {_EPISODES_CTE}
     SELECT open_us AS ts_us, 'events' AS source,
            event_type AS channel, 'open' AS event, open_v AS value,
            CAST(NULL AS BIGINT) AS span_us
@@ -252,32 +275,7 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s04_site_alarm_replay",
     "streaming",
     f"""
-    WITH dec AS (
-      SELECT event_type, ts, epoch_us(ts) AS us, event_id,
-             CASE WHEN value >= {HYST_HI} THEN 1 ELSE 0 END AS s
-      FROM events
-      WHERE value IS NOT NULL
-        AND (value >= {HYST_HI} OR value <= {HYST_LO})
-    ),
-    m AS (
-      SELECT *, CASE WHEN s = 1 AND coalesce(
-               lag(s) OVER (PARTITION BY event_type
-                            ORDER BY ts, event_id), 0) = 0
-             THEN 1 ELSE 0 END AS st
-      FROM dec
-    ),
-    k AS (
-      SELECT *, sum(st) OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id) AS kk
-      FROM m
-    ),
-    ep AS (
-      SELECT event_type, kk,
-             min(us) AS open_us,
-             min(CASE WHEN s = 0 THEN us END) AS close_us
-      FROM k WHERE kk >= 1
-      GROUP BY event_type, kk
-    ),
+    WITH {_EPISODES_CTE},
     tr AS (
       SELECT open_us AS us, 1 AS delta FROM ep
       UNION ALL
@@ -366,7 +364,7 @@ def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await(q, "s04_sink")
     # the memory sink holds the rows; the parquet hand-off is spent
     import shutil
 

@@ -70,6 +70,29 @@ def _epoch_us(literal: str) -> int:
     )
 
 
+def raw_ts_micros_divisor(spark: SparkSession, path: str) -> int:
+    """Probe a parquet file's ``ts`` physical unit and return the
+    divisor that turns the RAW int64 column into epoch micros — the
+    same decision :func:`load_table` makes for its conversion, shared
+    so other readers (e.g. the streaming replay entries, which must
+    declare an explicit int64 schema) cannot drift from it. Sets the
+    same session confs load_table requires: TIMESTAMP(NANOS) surfaces
+    as bigint under ``nanosAsLong`` (divide by 1000); naive
+    micro-precision timestamps surface as TIMESTAMP_NTZ (the raw
+    int64 IS epoch micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    kind = next(
+        (
+            f.dataType.simpleString()
+            for f in spark.read.parquet(path).schema.fields
+            if f.name == "ts"
+        ),
+        None,
+    )
+    return 1000 if kind == "bigint" else 1
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,

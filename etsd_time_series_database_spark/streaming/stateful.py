@@ -64,12 +64,25 @@ def _concat_batch(
     """A micro-batch arrives as MULTIPLE Arrow chunks; sorting each
     chunk independently folds rows out of time order whenever a batch
     spans chunks (any catch-up replay) — concat the whole batch, sort
-    ONCE, fold once. Same pattern as _site_alarm_fn below."""
+    ONCE, fold once. Same pattern as _site_alarm_fn below.
+
+    When the input carries a ``__seq`` tie-break column (the stream
+    builders forward an optional ``seq`` column from the source),
+    equal timestamps fold in (ts_us, __seq) order — the registry's
+    determinism contract ("ties broken by unique columns"). Without
+    it, equal-timestamp order is unspecified (sort_values is not a
+    stable sort)."""
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
         return pd.DataFrame()
     pdf = pd.concat(chunks, ignore_index=True)
-    return pdf.sort_values(sort_cols or ["ts_us"]) if len(pdf) else pdf
+    if not len(pdf):
+        return pdf
+    if sort_cols is None:
+        sort_cols = (
+            ["ts_us", "__seq"] if "__seq" in pdf.columns else ["ts_us"]
+        )
+    return pdf.sort_values(sort_cols)
 
 
 def _carry_forward_fn(
@@ -154,6 +167,21 @@ def _rate_fn(
     state.update((last_ts, last_value))
 
 
+def _row_cols(stream: DataFrame) -> list:
+    """Canonical stateful-fold input columns; an optional ``seq``
+    source column rides along as the ``__seq`` equal-timestamp
+    tie-break (see _concat_batch)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.unix_micros("ts").alias("ts_us"), F.col("source"),
+        F.col("channel"), F.col("value"),
+    ]
+    if "seq" in stream.columns:
+        cols.append(F.col("seq").alias("__seq"))
+    return cols
+
+
 def counter_rate_stream(stream: DataFrame) -> DataFrame:
     """Streaming counter -> rate: the ingest-side delta computation of
     the reference (code/etsdSave.c:396-398) as stateful streaming —
@@ -161,9 +189,7 @@ def counter_rate_stream(stream: DataFrame) -> DataFrame:
     persisted last reading; the batch equivalent is operators.rate."""
     from pyspark.sql import functions as F
 
-    rows = stream.select(
-        F.unix_micros("ts").alias("ts_us"), "source", "channel", "value"
-    )
+    rows = stream.select(*_row_cols(stream))
     return rows.groupBy("source", "channel").applyInPandasWithState(
         _rate_fn,
         outputStructType=RATE_OUTPUT_SCHEMA,
@@ -180,9 +206,7 @@ def carry_forward_stream(stream: DataFrame) -> DataFrame:
     DataFrame; grouping key is (source, channel)."""
     from pyspark.sql import functions as F
 
-    rows = stream.select(
-        F.unix_micros("ts").alias("ts_us"), "source", "channel", "value"
-    )
+    rows = stream.select(*_row_cols(stream))
     return rows.groupBy("source", "channel").applyInPandasWithState(
         _carry_forward_fn,
         outputStructType=OUTPUT_SCHEMA,
@@ -267,9 +291,7 @@ def hysteresis_alarm_stream(
     """
     from pyspark.sql import functions as F
 
-    rows = stream.select(
-        F.unix_micros("ts").alias("ts_us"), "source", "channel", "value"
-    )
+    rows = stream.select(*_row_cols(stream))
     return rows.groupBy("source", "channel").applyInPandasWithState(
         _make_hysteresis_fn(hi, lo),
         outputStructType=ALARM_OUTPUT_SCHEMA,

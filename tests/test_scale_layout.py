@@ -527,9 +527,12 @@ def test_incremental_dedup_crash_retry_keeps_shard(spark, tmp_path):
     retried = incremental_dedup(shard, path, survivors_path=out)
     assert {r["doc_id"] for r in retried.collect()} == ids
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == ids
-    # and a SECOND full retry (crash after append) is also stable
+    index_rows = spark.read.parquet(path).count()
+    # and a SECOND full retry (crash after append) is also stable —
+    # same survivors AND no duplicate signature rows in the index
     retried2 = incremental_dedup(shard, path, survivors_path=out)
     assert {r["doc_id"] for r in retried2.collect()} == ids
+    assert spark.read.parquet(path).count() == index_rows
 
 
 def test_minhash_probe_broadcasts_new_side(spark, tmp_path):
