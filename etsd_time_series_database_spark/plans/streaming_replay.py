@@ -372,3 +372,122 @@ def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("s04_sink").orderBy(
         "ts_us", F.col("open_channels").desc()
     )
+
+
+def _ingest_replay(spark: SparkSession, sf_dir: str):
+    """Drain events.parquet through the foreachBatch ingest sink
+    (availableNow) into a temp layout and return (raw_path, ds_path).
+    Exercises the exactly-once epoch-partitioned write path (O18/O22)
+    end-to-end; results are localCheckpointed by the callers so the
+    temp layout's lifetime doesn't outlive the entry."""
+    import tempfile
+
+    from etsd_time_series_database_spark.sources.store import (
+        raw_ts_micros_divisor,
+    )
+    from etsd_time_series_database_spark.streaming.ingest import (
+        ingest_to_parquet,
+    )
+
+    div = raw_ts_micros_divisor(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    rows = raw.select(
+        F.timestamp_micros(F.expr(f"ts DIV {div}")).alias("ts"),
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("channel"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(0).alias("status"),
+        F.col("event_id").alias("seq"),
+    )
+    base = tempfile.mkdtemp(prefix="s_ingest_")
+    raw_p = os.path.join(base, "raw")
+    ds_p = os.path.join(base, "ds")
+    q = ingest_to_parquet(
+        rows,
+        raw_p,
+        os.path.join(base, "ck"),
+        available_now=True,
+        downsample_to=ds_p,
+        downsample_width_s=60,
+    )
+    _await(q, "ingest_replay")
+    return raw_p, ds_p
+
+
+@register(
+    "s05_ingest_sink_replay",
+    "streaming",
+    """
+    SELECT epoch_us(ts) AS ts_us, 'events' AS source,
+           event_type AS channel, value, event_id AS seq
+    FROM events
+    ORDER BY channel, ts_us, seq
+    """,
+    doc="The ingest sink path (reference block-commit write, "
+    "code/etsd.c:153-160) on the oracle gate: drain the events table "
+    "through the foreachBatch epoch-partitioned exactly-once writer "
+    "(ingest_to_parquet, availableNow) and read the raw sink back — "
+    "every row must land exactly once with values intact. Oracle = "
+    "identity SELECT.",
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.ingest import (
+        read_ingest_table,
+    )
+
+    raw_p, _ = _ingest_replay(spark, sf_dir)
+    out = (
+        read_ingest_table(spark, raw_p)
+        .select(
+            F.unix_micros("ts").alias("ts_us"),
+            "source",
+            "channel",
+            "value",
+            F.col("seq"),
+        )
+        .localCheckpoint()
+    )
+    return out.orderBy("channel", "ts_us", "seq")
+
+
+@register(
+    "s06_ingest_downsample_replay",
+    "streaming",
+    """
+    SELECT 'events' AS source, event_type AS channel,
+           epoch_us(ts) // 60000000 * 60000000 AS bucket_us,
+           CAST(count(value) AS BIGINT) AS n,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY channel, bucket_us
+    """,
+    doc="The ingest-time downsample side-sink (the reference's RRA/edo "
+    "external-output path, code/plugins/edoRRD.c:44-74, maintained in "
+    "the same foreachBatch as the raw commit) on the oracle gate: "
+    "60-second consolidation buckets with count/min/max. avg_value is "
+    "deliberately excluded from the compare — a double mean is "
+    "fold-order-dependent, the classic cross-engine hash trap; the "
+    "exact-aggregation downsample for queries is q17.",
+)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ds_p = _ingest_replay(spark, sf_dir)
+    out = (
+        spark.read.parquet(ds_p)
+        .select(
+            "source",
+            "channel",
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            F.col("n").cast("bigint").alias("n"),
+            "min_value",
+            "max_value",
+        )
+        .localCheckpoint()
+    )
+    return out.orderBy("channel", "bucket_us")

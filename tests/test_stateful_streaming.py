@@ -658,3 +658,54 @@ def test_carry_forward_miss_reset_at_256(spark, tmp_path):
         want_fill = 42.0 if p <= MISS_RESET - 1 else None
         assert r.value_filled == want_fill, (p, r.value_filled)
         assert r.n_missed == p % MISS_RESET, (p, r.n_missed)
+
+
+@pytest.mark.slow
+def test_carry_forward_seq_tiebreak_on_equal_timestamps(spark, tmp_path):
+    """Equal timestamps fold in seq order when the source provides a
+    seq column (registry determinism contract: ties broken by unique
+    columns). Two same-(channel, ts) rows — NULL first by seq — must
+    fill from the PREVIOUS value, then the non-null row resets;
+    nothing in sf data pins this (it has no ts ties), so pin it here."""
+    rows = [
+        ("2026-01-01 00:00:00", "a", 10.0, 1),
+        ("2026-01-01 00:00:10", "a", None, 2),   # tie, seq 2: fill 10
+        ("2026-01-01 00:00:10", "a", 30.0, 3),   # tie, seq 3: reset
+        ("2026-01-01 00:00:20", "a", None, 4),   # fills 30, not 10
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ts string, channel string, value double, seq long",
+    ).selectExpr(
+        "to_timestamp(ts) AS ts", "'s' AS source", "channel",
+        "value", "0 AS status", "seq",
+    )
+    src = str(tmp_path / "tie_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, source string, channel string, value double, "
+        "status int, seq long"
+    ).parquet(src)
+    q = (
+        carry_forward_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cf_ties")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.ts_us, r.value, r.value_filled, r.n_missed)
+        for r in sorted(
+            spark.sql("select * from cf_ties").collect(),
+            key=lambda r: (r.ts_us, r.value is not None),
+        )
+    ]
+    base = 1767225600000000
+    assert got == [
+        (base, 10.0, 10.0, 0),
+        (base + 10_000_000, None, 10.0, 1),
+        (base + 10_000_000, 30.0, 30.0, 0),
+        (base + 20_000_000, None, 30.0, 1),
+    ]
