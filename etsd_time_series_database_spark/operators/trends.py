@@ -870,6 +870,67 @@ def seasonal_profile(
     )
 
 
+def burstiness_profile(
+    df: DataFrame,
+    bucket_s: int = 3600,
+    channel: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Traffic-burstiness profile per channel: bucket the stream into
+    fixed windows, count arrivals per bucket, and report the Fano
+    factor (variance-to-mean of bucket counts — 1.0 for a Poisson
+    process, >1 bursty, <1 metronomic) and the coefficient of
+    variation, plus the raw ingredients (total events, active vs
+    total buckets, peak bucket). The capacity-planning view of the
+    reference's fixed-interval ingest contract (code/etsdSave.c: one
+    reading per interval per channel gives Fano ~ 0): which feeds
+    arrive on a clock and which arrive in bursts.
+
+    Scale shape: ONE hash-agg reduces the scan to (channel, bucket)
+    counts; everything after rides that tiny table (per-channel
+    integer sums + a one-row global bucket-span join that AQE
+    broadcasts). Moments come from exact integer sums folded through
+    an identical double expression on both engines, rounded at 6;
+    empty buckets inside the observed span count as zeros via the
+    span length, never materialized.
+    """
+    bk = F.expr("__us DIV " + str(int(bucket_s) * 1_000_000))
+    base = df.select(F.col(channel), epoch_us(ts).alias("__us"))
+    counts = (
+        base.select(F.col(channel), bk.alias("__bk"))
+        .groupBy(channel, "__bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = base.select(bk.alias("__bk")).agg(
+        (F.max("__bk") - F.min("__bk") + F.lit(1)).alias("nb")
+    )
+    per = counts.groupBy(channel).agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("active_buckets"),
+        F.max("c").cast("bigint").alias("peak_bucket"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nb")
+    # population variance over ALL span buckets (absent buckets are
+    # exact zeros); clamp at 0 against float round-off before sqrt
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("nb") - mean * mean, F.lit(0.0)
+    )
+    return (
+        per.crossJoin(bounds)
+        .select(
+            F.col(channel),
+            F.col("nb").alias("n_buckets"),
+            F.col("s1").alias("n_events"),
+            "active_buckets",
+            "peak_bucket",
+            F.round(var / mean, 6).alias("fano"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+        .orderBy(channel)
+    )
+
+
 def mad_anomaly(
     df: DataFrame,
     k: float = 3.5,

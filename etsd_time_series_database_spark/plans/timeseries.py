@@ -1348,3 +1348,55 @@ def q67(spark, sf_dir):
     )
 
     return alarm_reliability(_events(spark, sf_dir), CO_ALARM_T)
+
+
+@register(
+    "q68_burstiness",
+    "analytics",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS bk,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT max(epoch_us(ts) // 3600000000)
+           - min(epoch_us(ts) // 3600000000) + 1 AS nb
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS active_buckets,
+             CAST(max(c) AS BIGINT) AS peak_bucket
+      FROM b GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(nb AS BIGINT) AS n_buckets,
+           s1 AS n_events, active_buckets, peak_bucket,
+           round(greatest(CAST(s2 AS DOUBLE) / nb
+                          - (CAST(s1 AS DOUBLE) / nb)
+                            * (CAST(s1 AS DOUBLE) / nb), 0)
+                 / (CAST(s1 AS DOUBLE) / nb), 6) AS fano,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / nb
+                               - (CAST(s1 AS DOUBLE) / nb)
+                                 * (CAST(s1 AS DOUBLE) / nb), 0))
+                 / (CAST(s1 AS DOUBLE) / nb), 6) AS cv
+    FROM per, bounds ORDER BY event_type
+    """,
+    doc="Traffic-burstiness profile: Fano factor (variance/mean of "
+    "hourly arrival counts; 1.0 = Poisson, >1 bursty, <1 metronomic) "
+    "and CV per channel, with total/active/peak bucket ingredients — "
+    "which feeds arrive on a clock (the reference's fixed-interval "
+    "ingest contract) and which in bursts. One hash-agg reduces the "
+    "scan to (channel, bucket) counts; absent buckets inside the "
+    "observed span count as exact zeros via the span length, never "
+    "materialized; moments fold exact integer sums through an "
+    "identical double expression on both engines.",
+)
+def q68(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        burstiness_profile,
+    )
+
+    return burstiness_profile(_events(spark, sf_dir), bucket_s=3600)
