@@ -700,15 +700,26 @@ def incremental_dedup(
             )
         if do_append:
             # survivors' signatures = the shard band table minus
-            # dropped ids minus keys the index already holds (retry
-            # after a successful append must not re-append them —
-            # duplicate signature rows would double n_shared_bands
-            # for future probes); no re-shingling, the recipe is
-            # identical by construction
-            surviving_bands = (
-                new_bands.join(drop, on=key, how="left_anti")
-                .join(already_indexed, on=key, how="left_anti")
-            )
+            # dropped ids minus ROWS the index already holds. The
+            # row-level (key, band, sig) exclusion matters on retry: a
+            # crash DURING a previous append can leave a key with only
+            # SOME of its band rows committed — excluding the whole
+            # key would leave those bands missing forever, excluding
+            # exact rows completes the torn append without duplicating
+            # the committed ones. The index-side rows are first
+            # semi-joined down to the retry keys (tiny — AQE
+            # broadcasts them), so the corpus-sized index still never
+            # shuffles; with no retry keys this branch reduces to the
+            # plain append.
+            surviving_bands = new_bands.join(drop, on=key, how="left_anti")
+            if already_indexed.limit(1).count() > 0:
+                idx_retry_rows = index_bands.join(
+                    already_indexed, on=key, how="left_semi"
+                ).select(key, "band", "sig")
+                surviving_bands = surviving_bands.join(
+                    idx_retry_rows, on=[key, "band", "sig"],
+                    how="left_anti",
+                )
             surviving_bands.repartition(F.col("band")).write.mode(
                 "append"
             ).partitionBy("band").parquet(path)

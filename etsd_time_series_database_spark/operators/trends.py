@@ -901,14 +901,24 @@ def burstiness_profile(
         .groupBy(channel, "__bk")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bounds = base.select(bk.alias("__bk")).agg(
-        (F.max("__bk") - F.min("__bk") + F.lit(1)).alias("nb")
-    )
+    # span bounds ride the (channel, bucket) COUNTS pipeline, never a
+    # second raw scan: per-channel bk min/max fold in the same hash-agg
+    # as the moments (a bare counts.agg(min/max) would be collapsed by
+    # Catalyst into a separate scan of the source), then one global agg
+    # over the channels-sized table yields the span
     per = counts.groupBy(channel).agg(
         F.sum("c").cast("bigint").alias("s1"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
         F.count(F.lit(1)).cast("bigint").alias("active_buckets"),
         F.max("c").cast("bigint").alias("peak_bucket"),
+        F.min("__bk").alias("__bk_min"),
+        F.max("__bk").alias("__bk_max"),
+    )
+    # per feeds both the span agg and the final join; checkpoint the
+    # channels-sized table so the scan + two shuffles run exactly once
+    per = per.localCheckpoint()
+    bounds = per.agg(
+        (F.max("__bk_max") - F.min("__bk_min") + F.lit(1)).alias("nb")
     )
     mean = F.col("s1").cast("double") / F.col("nb")
     # population variance over ALL span buckets (absent buckets are

@@ -41,17 +41,15 @@ _NULL_EVERY = 7
 _V = f"CASE WHEN event_id % {_NULL_EVERY} = 0 THEN NULL ELSE value END"
 
 
-def _replay(spark: SparkSession, sf_dir: str, make, name: str,
-            inject_nulls: bool) -> DataFrame:
-    """Stream events.parquet through ``make`` with an availableNow
-    trigger into a memory sink and return the sink table. The ts
-    column is read as raw int64 and floor-truncated to micros exactly
-    as the batch loader and DuckDB do — the unit divisor comes from
-    the SAME probe load_table uses
-    (:func:`sources.store.raw_ts_micros_divisor`), so the two read
-    paths cannot drift. ``event_id`` rides along as the ``seq``
-    tie-break column the stateful folds use for equal timestamps —
-    the registry's determinism contract."""
+def _source_rows(
+    spark: SparkSession, sf_dir: str, inject_nulls: bool
+) -> DataFrame:
+    """The one canonical streaming source over events.parquet: raw
+    int64 ts converted with the SAME footer probe the batch loader
+    uses (:func:`sources.store.raw_ts_micros_divisor`), event_id
+    forwarded as the ``seq`` tie-break, optional deterministic NULL
+    injection. Every replay entry reads through here so the source
+    contract cannot drift between entries."""
     from etsd_time_series_database_spark.sources.store import (
         raw_ts_micros_divisor,
     )
@@ -72,7 +70,7 @@ def _replay(spark: SparkSession, sf_dir: str, make, name: str,
         if inject_nulls
         else F.col("value")
     )
-    rows = raw.select(
+    return raw.select(
         F.timestamp_micros(F.expr(f"ts DIV {div}")).alias("ts"),
         F.lit("events").alias("source"),
         F.col("event_type").alias("channel"),
@@ -80,6 +78,20 @@ def _replay(spark: SparkSession, sf_dir: str, make, name: str,
         F.lit(0).alias("status"),
         F.col("event_id").alias("seq"),
     )
+
+
+def _replay(spark: SparkSession, sf_dir: str, make, name: str,
+            inject_nulls: bool) -> DataFrame:
+    """Stream events.parquet through ``make`` with an availableNow
+    trigger into a memory sink and return the sink table. The ts
+    column is read as raw int64 and floor-truncated to micros exactly
+    as the batch loader and DuckDB do — the unit divisor comes from
+    the SAME probe load_table uses
+    (:func:`sources.store.raw_ts_micros_divisor`), so the two read
+    paths cannot drift. ``event_id`` rides along as the ``seq``
+    tie-break column the stateful folds use for equal timestamps —
+    the registry's determinism contract."""
+    rows = _source_rows(spark, sf_dir, inject_nulls)
     q = (
         make(rows)
         .writeStream.format("memory")
@@ -376,35 +388,26 @@ def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ingest_replay(spark: SparkSession, sf_dir: str):
     """Drain events.parquet through the foreachBatch ingest sink
-    (availableNow) into a temp layout and return (raw_path, ds_path).
-    Exercises the exactly-once epoch-partitioned write path (O18/O22)
-    end-to-end; results are localCheckpointed by the callers so the
-    temp layout's lifetime doesn't outlive the entry."""
+    (availableNow) ONCE per (application, sf_dir) and return the two
+    read-backs as localCheckpointed DataFrames — s05 and s06 share one
+    drain instead of each paying a full stream + two sink writes. The
+    temp sink layout is deleted as soon as both read-backs are
+    checkpointed, so nothing outlives the call. Exercises the
+    exactly-once epoch-partitioned write path (O18/O22) end-to-end."""
+    import shutil
     import tempfile
 
-    from etsd_time_series_database_spark.sources.store import (
-        raw_ts_micros_divisor,
-    )
     from etsd_time_series_database_spark.streaming.ingest import (
         ingest_to_parquet,
+        read_ingest_table,
     )
 
-    div = raw_ts_micros_divisor(
-        spark, os.path.join(sf_dir, "events.parquet")
-    )
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    rows = raw.select(
-        F.timestamp_micros(F.expr(f"ts DIV {div}")).alias("ts"),
-        F.lit("events").alias("source"),
-        F.col("event_type").alias("channel"),
-        F.col("value").cast("double").alias("value"),
-        F.lit(0).alias("status"),
-        F.col("event_id").alias("seq"),
-    )
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _INGEST_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+
+    rows = _source_rows(spark, sf_dir, inject_nulls=False)
     base = tempfile.mkdtemp(prefix="s_ingest_")
     raw_p = os.path.join(base, "raw")
     ds_p = os.path.join(base, "ds")
@@ -417,7 +420,47 @@ def _ingest_replay(spark: SparkSession, sf_dir: str):
         downsample_width_s=60,
     )
     _await(q, "ingest_replay")
-    return raw_p, ds_p
+    raw_df = (
+        read_ingest_table(spark, raw_p)
+        .select(
+            F.unix_micros("ts").alias("ts_us"),
+            "source",
+            "channel",
+            "value",
+            F.col("seq"),
+        )
+        .localCheckpoint()
+    )
+    # the side-sink aggregates PER MICRO-BATCH and partitions by
+    # __epoch: consolidate across epochs on read-back so a drain that
+    # splits into several batches (multiple source files, a
+    # maxFilesPerTrigger setting) still yields one row per bucket —
+    # sums/mins/maxes compose exactly; the per-batch avg does not and
+    # is excluded from the gate
+    ds_df = (
+        spark.read.parquet(ds_p)
+        .groupBy("source", "channel", "bucket_ts")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "source",
+            "channel",
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            "n",
+            "min_value",
+            "max_value",
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    _INGEST_MEMO[memo_key] = (raw_df, ds_df)
+    return raw_df, ds_df
+
+
+_INGEST_MEMO: dict = {}
 
 
 @register(
@@ -437,23 +480,8 @@ def _ingest_replay(spark: SparkSession, sf_dir: str):
     "identity SELECT.",
 )
 def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etsd_time_series_database_spark.streaming.ingest import (
-        read_ingest_table,
-    )
-
-    raw_p, _ = _ingest_replay(spark, sf_dir)
-    out = (
-        read_ingest_table(spark, raw_p)
-        .select(
-            F.unix_micros("ts").alias("ts_us"),
-            "source",
-            "channel",
-            "value",
-            F.col("seq"),
-        )
-        .localCheckpoint()
-    )
-    return out.orderBy("channel", "ts_us", "seq")
+    raw_df, _ = _ingest_replay(spark, sf_dir)
+    return raw_df.orderBy("channel", "ts_us", "seq")
 
 
 @register(
@@ -477,17 +505,5 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-aggregation downsample for queries is q17.",
 )
 def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, ds_p = _ingest_replay(spark, sf_dir)
-    out = (
-        spark.read.parquet(ds_p)
-        .select(
-            "source",
-            "channel",
-            F.unix_micros("bucket_ts").alias("bucket_us"),
-            F.col("n").cast("bigint").alias("n"),
-            "min_value",
-            "max_value",
-        )
-        .localCheckpoint()
-    )
-    return out.orderBy("channel", "bucket_us")
+    _, ds_df = _ingest_replay(spark, sf_dir)
+    return ds_df.orderBy("channel", "bucket_us")

@@ -70,26 +70,48 @@ def _epoch_us(literal: str) -> int:
     )
 
 
-def raw_ts_micros_divisor(spark: SparkSession, path: str) -> int:
-    """Probe a parquet file's ``ts`` physical unit and return the
-    divisor that turns the RAW int64 column into epoch micros — the
-    same decision :func:`load_table` makes for its conversion, shared
-    so other readers (e.g. the streaming replay entries, which must
-    declare an explicit int64 schema) cannot drift from it. Sets the
-    same session confs load_table requires: TIMESTAMP(NANOS) surfaces
-    as bigint under ``nanosAsLong`` (divide by 1000); naive
-    micro-precision timestamps surface as TIMESTAMP_NTZ (the raw
-    int64 IS epoch micros)."""
+def _ensure_ts_confs(spark: SparkSession) -> None:
+    """Session confs every ts-bearing parquet read in this repo
+    relies on. Harness portability: TIMESTAMP(NANOS) files are
+    rejected by Spark 4.x unless nanosAsLong is on, and callers hand
+    us arbitrary SparkSessions — the repo's own get_spark() is NOT the
+    only entry point. Naive (isAdjustedToUTC=false) timestamps must
+    surface as TIMESTAMP_NTZ: with inferTimestampNTZ disabled they
+    would arrive as plain TimestampType and fall into a
+    session-timezone cast, silently breaking UTC/DuckDB epoch
+    parity."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    kind = next(
+
+
+def _ts_kind(df: DataFrame) -> str | None:
+    """The ``ts`` column's surfaced type name (None when absent):
+    'bigint' == TIMESTAMP(NANOS) under nanosAsLong, 'timestamp_ntz'
+    == naive micros. THE single probe both the batch loader and the
+    streaming replays decide their conversion from."""
+    return next(
         (
             f.dataType.simpleString()
-            for f in spark.read.parquet(path).schema.fields
+            for f in df.schema.fields
             if f.name == "ts"
         ),
         None,
     )
+
+
+def raw_ts_micros_divisor(spark: SparkSession, path: str) -> int:
+    """Divisor that turns ``path``'s RAW int64 ts into epoch micros —
+    the same :func:`_ts_kind` probe :func:`load_table` converts with,
+    shared so other readers (e.g. the streaming replay entries, which
+    must declare an explicit int64 schema) cannot drift from it:
+    nanos divide by 1000; naive micros pass through."""
+    _ensure_ts_confs(spark)
+    kind = _ts_kind(spark.read.parquet(path))
+    if kind is None:
+        raise ValueError(
+            f"{path} has no 'ts' column — cannot derive a timestamp "
+            "unit for a raw int64 read"
+        )
     return 1000 if kind == "bigint" else 1
 
 
@@ -119,22 +141,9 @@ def load_table(
     code/etsdRead.c:300-353). Callers keep their exact filter on the
     converted column; this prefilter is a superset.
     """
-    # Harness portability: events.parquet carries TIMESTAMP(NANOS), which
-    # Spark 4.x rejects unless this (runtime-settable) conf is on. Callers
-    # hand us arbitrary SparkSessions — the repo's own get_spark() is NOT
-    # the only entry point — so the loader must not assume session setup.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Same contract for naive (isAdjustedToUTC=false) parquet timestamps:
-    # the NTZ branch below only fires when they surface as TIMESTAMP_NTZ.
-    # A caller session with inferTimestampNTZ disabled would surface them
-    # as plain TimestampType and fall into the session-timezone cast
-    # branch, silently breaking UTC/DuckDB epoch parity.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    _ensure_ts_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    ts_kind = next(
-        (f.dataType.simpleString() for f in df.schema.fields if f.name == "ts"),
-        None,
-    )
+    ts_kind = _ts_kind(df)
     raw_ns = ts_kind == "bigint"
     # Naive parquet timestamps (isAdjustedToUTC=false) surface as
     # TIMESTAMP_NTZ in Spark 4; DuckDB reads the same file as a naive

@@ -648,3 +648,56 @@ def test_incremental_dedup_dry_run_with_output(spark, tmp_path):
     assert kept.count() > 0
     assert os.path.exists(out)
     assert band_files() == before  # index untouched
+
+
+def test_incremental_dedup_completes_torn_append(spark, tmp_path):
+    """A crash DURING the signature append can commit only SOME of a
+    key's band rows. The retry must COMPLETE the torn rows (write the
+    missing bands) without duplicating the committed ones — key-level
+    exclusion would leave the missing bands absent forever."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_table,
+        write_minhash_index,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mh_torn")
+    out = str(tmp_path / "survivors")
+    write_minhash_index(base, path, hash_mode="poly")
+
+    # full run to learn the TRUE post-append index content
+    survivors = incremental_dedup(shard, path, survivors_path=out)
+    ids = {r["doc_id"] for r in survivors.collect()}
+    want_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # rebuild the index, then simulate a TORN append: only band 0 of
+    # the survivors' signatures got committed before the crash
+    write_minhash_index(base, path, hash_mode="poly")
+    torn = (
+        minhash_band_table(
+            shard.join(
+                spark.createDataFrame(
+                    [(i,) for i in ids], "doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            ),
+            hash_mode="poly",
+        ).filter(F.col("band") == 0)
+    )
+    torn.repartition(F.col("band")).write.mode("append").partitionBy(
+        "band"
+    ).parquet(path)
+
+    # retry: same survivors, and the index must end up EXACTLY as a
+    # clean run leaves it — missing bands completed, band 0 not doubled
+    retried = incremental_dedup(shard, path, survivors_path=out)
+    assert {r["doc_id"] for r in retried.collect()} == ids
+    got_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got_rows == want_rows
