@@ -507,3 +507,55 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, ds_df = _ingest_replay(spark, sf_dir)
     return ds_df.orderBy("channel", "bucket_us")
+
+
+@register(
+    "s07_windowed_aggregate_replay",
+    "streaming",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    agg AS (
+      SELECT 'events' AS source, event_type AS channel,
+             epoch_us(ts) // 60000000 * 60000000 AS bucket_us,
+             CAST(count(value) AS BIGINT) AS n,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT source, channel, bucket_us, n, min_value, max_value
+    FROM agg, mx
+    WHERE bucket_us + 60000000 <= m - 120000000
+    ORDER BY channel, bucket_us
+    """,
+    doc="The watermarked streaming consolidation (windowed_aggregate — "
+    "the reference's RRA path under event-time lateness bounds) on "
+    "the oracle gate: append-mode tumbling 60s windows per channel "
+    "emit exactly when the event-time watermark (max ts - 2 min) "
+    "passes the window end, so the replay's final output is the "
+    "deterministic set of CLOSED windows — the oracle reproduces the "
+    "same cutoff arithmetic (bucket end <= max - delay). Windows "
+    "still open at end-of-stream stay in state, exactly as a live "
+    "deployment would hold them; avg_value is excluded (double mean "
+    "is fold-order-dependent).",
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.ingest import (
+        windowed_aggregate,
+    )
+
+    out = _replay(
+        spark,
+        sf_dir,
+        lambda rows: windowed_aggregate(
+            rows, width_s=60, watermark="2 minutes"
+        ).select(
+            "source",
+            "channel",
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            F.col("n").cast("bigint").alias("n"),
+            "min_value",
+            "max_value",
+        ),
+        "s07_sink",
+        inject_nulls=False,
+    )
+    return out.orderBy("channel", "bucket_us")
