@@ -559,3 +559,70 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False,
     )
     return out.orderBy("channel", "bucket_us")
+
+
+@register(
+    "s08_session_window_replay",
+    "streaming",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    g AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id)
+                       >= 300 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, ts,
+             SUM(new_session) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g
+    ),
+    sess AS (
+      SELECT 'events' AS source, event_type AS channel,
+             MIN(epoch_us(ts)) AS session_start_us,
+             MAX(epoch_us(ts)) + 300 * 1000000 AS session_end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY event_type, session_id
+    )
+    SELECT source, channel, session_start_us, session_end_us, n_events
+    FROM sess, mx
+    WHERE session_end_us <= m - 120000000
+    ORDER BY channel, session_start_us
+    """,
+    doc="Streaming sessionization (session_window — the stateful gap "
+    "split whose batch lag/cumsum equivalent is q29) on the oracle "
+    "gate. Semantics mirrored exactly: the stream splits at >= 300 s "
+    "of silence (an event exactly at the window edge starts a NEW "
+    "session — note q29's batch formulation splits strictly >), a "
+    "session's window end is last event + gap, and append mode emits "
+    "a session only once the watermark (max ts - 2 min) passes that "
+    "end. The oracle reproduces the >= split and the cutoff "
+    "arithmetic; integer outputs — hash-exact.",
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.ingest import (
+        session_gaps,
+    )
+
+    out = _replay(
+        spark,
+        sf_dir,
+        lambda rows: session_gaps(
+            rows, gap_s=300, watermark="2 minutes"
+        ).select(
+            "source",
+            "channel",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        ),
+        "s08_sink",
+        inject_nulls=False,
+    )
+    return out.orderBy("channel", "session_start_us")
