@@ -626,3 +626,42 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False,
     )
     return out.orderBy("channel", "session_start_us")
+
+
+@register(
+    "s09_dedup_stream_replay",
+    "streaming",
+    """
+    SELECT epoch_us(ts) AS ts_us, 'events' AS source,
+           event_type AS channel, value
+    FROM events
+    ORDER BY channel, ts_us, value
+    """,
+    doc="Exactly-once-by-key ingestion under duplicate delivery: the "
+    "source is unioned with ITSELF (every reading arrives twice — the "
+    "at-least-once upstream retry scenario), streamed through "
+    "dedup_stream (dropDuplicatesWithinWatermark on (source, channel, "
+    "ts) — the streaming analog of the reference's write-once block "
+    "guarantee, code/etsd.c:153-160), and the surviving rows must be "
+    "exactly the original table. Oracle = plain SELECT (events has "
+    "unique (channel, ts) by construction).",
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.ingest import (
+        dedup_stream,
+    )
+
+    def duplicated_then_deduped(rows: DataFrame) -> DataFrame:
+        doubled = rows.union(rows)
+        return dedup_stream(doubled).select(
+            F.unix_micros("ts").alias("ts_us"),
+            "source",
+            "channel",
+            "value",
+        )
+
+    out = _replay(
+        spark, sf_dir, duplicated_then_deduped, "s09_sink",
+        inject_nulls=False,
+    )
+    return out.orderBy("channel", "ts_us", "value")
