@@ -42,14 +42,19 @@ _V = f"CASE WHEN event_id % {_NULL_EVERY} = 0 THEN NULL ELSE value END"
 
 
 def _source_rows(
-    spark: SparkSession, sf_dir: str, inject_nulls: bool
+    spark: SparkSession,
+    sf_dir: str,
+    inject_nulls: bool,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The one canonical streaming source over events.parquet: raw
     int64 ts converted with the SAME footer probe the batch loader
     uses (:func:`sources.store.raw_ts_micros_divisor`), event_id
     forwarded as the ``seq`` tie-break, optional deterministic NULL
     injection. Every replay entry reads through here so the source
-    contract cannot drift between entries."""
+    contract cannot drift between entries. ``extra_cols`` forwards
+    additional raw columns (e.g. ``user_id`` for the stream-static
+    enrichment entry) without widening the canonical schema."""
     from etsd_time_series_database_spark.sources.store import (
         raw_ts_micros_divisor,
     )
@@ -77,11 +82,13 @@ def _source_rows(
         value.cast("double").alias("value"),
         F.lit(0).alias("status"),
         F.col("event_id").alias("seq"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
 def _replay(spark: SparkSession, sf_dir: str, make, name: str,
-            inject_nulls: bool) -> DataFrame:
+            inject_nulls: bool,
+            extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stream events.parquet through ``make`` with an availableNow
     trigger into a memory sink and return the sink table. The ts
     column is read as raw int64 and floor-truncated to micros exactly
@@ -91,7 +98,7 @@ def _replay(spark: SparkSession, sf_dir: str, make, name: str,
     paths cannot drift. ``event_id`` rides along as the ``seq``
     tie-break column the stateful folds use for equal timestamps —
     the registry's determinism contract."""
-    rows = _source_rows(spark, sf_dir, inject_nulls)
+    rows = _source_rows(spark, sf_dir, inject_nulls, extra_cols)
     q = (
         make(rows)
         .writeStream.format("memory")
@@ -665,3 +672,130 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False,
     )
     return out.orderBy("channel", "ts_us", "value")
+
+
+# s10 alert-band parameters, shared by engine and oracle.
+_S10_THR = 150.0
+_S10_BAND_S = 600
+
+
+@register(
+    "s10_stream_stream_join_replay",
+    "streaming",
+    f"""
+    SELECT 'events' AS source, r.event_type AS channel,
+           epoch_us(r.ts) AS ts_us, r.value AS value,
+           epoch_us(a.ts) AS ann_ts_us, a.value AS ann_value
+    FROM events r JOIN events a
+      ON r.event_type = a.event_type
+     AND a.value >= {_S10_THR}
+     AND epoch_us(a.ts) <= epoch_us(r.ts)
+     AND epoch_us(a.ts) >= epoch_us(r.ts) - {_S10_BAND_S} * 1000000
+    ORDER BY channel, ts_us, ann_ts_us
+    """,
+    doc="The stream-stream interval join (enrich_join_stream) on the "
+    "oracle gate: every reading is tagged with the same-channel "
+    "high-value readings ('alerts', value >= 150) from the 600 s "
+    "before it — the live enrichment a monitoring pipeline runs, and "
+    "the streaming dual of the batch as-of/band joins (q23/q34). Both "
+    "sides are the SAME file stream (a stream self-join) with "
+    "watermarks bounding join state on each side; inner join in "
+    "append mode emits every matched pair exactly once, so the replay "
+    "output equals the batch interval join the oracle states. Rows "
+    "with no alert in the band drop (inner) — the keep-all shape is "
+    "the batch as-of join.",
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.ingest import (
+        enrich_join_stream,
+    )
+
+    def alert_band_join(rows: DataFrame) -> DataFrame:
+        alerts = rows.filter(F.col("value") >= _S10_THR)
+        return enrich_join_stream(
+            rows, alerts, band_s=_S10_BAND_S
+        ).select(
+            "source",
+            "channel",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            F.unix_micros("ann_ts").alias("ann_ts_us"),
+            "ann_value",
+        )
+
+    out = _replay(
+        spark, sf_dir, alert_band_join, "s10_sink", inject_nulls=False
+    )
+    # (channel, ts) is unique by construction, so (channel, ts_us,
+    # ann_ts_us) is a total order over the emitted pairs
+    return out.orderBy("channel", "ts_us", "ann_ts_us")
+
+
+# s11 hot-reading threshold, shared by engine and oracle.
+_S11_THR = 200.0
+
+
+@register(
+    "s11_stream_static_enrich_replay",
+    "streaming",
+    f"""
+    SELECT epoch_us(e.ts) AS ts_us, e.event_type AS channel,
+           e.value AS value, CAST(e.user_id AS BIGINT) AS owner_id,
+           c.c_mktsegment AS segment, n.n_name AS nation
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.value >= {_S11_THR}
+    ORDER BY channel, ts_us
+    """,
+    doc="Stream-static enrichment (enrich_static_stream) on the oracle "
+    "gate: hot readings (value >= 200) in the live stream resolve "
+    "their owner against the STATIC customer->nation dimension — the "
+    "reference's static channel-name/label resolution "
+    "(code/etsdQuery.c:192-208) as a per-micro-batch broadcast-hash "
+    "join. The dim side (customer x nation, KBs vs the stream's "
+    "firehose) is joined batch-side first so the stream side meets "
+    "ONE prejoined dimension; stream-static inner join is stateless "
+    "(no watermark, no buffered state), so the replay output is the "
+    "plain three-way join the oracle states.",
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.sources.store import load_table
+    from etsd_time_series_database_spark.streaming.ingest import (
+        enrich_static_stream,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = cust.join(
+        nat, cust.c_nationkey == nat.n_nationkey
+    ).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+    )
+
+    def owner_resolve(rows: DataFrame) -> DataFrame:
+        hot = rows.filter(F.col("value") >= _S11_THR).withColumn(
+            "owner_id", F.col("user_id").cast("long")
+        )
+        return enrich_static_stream(
+            hot, dim, on="owner_id", dim_key="c_custkey"
+        ).select(
+            F.unix_micros("ts").alias("ts_us"),
+            "channel",
+            "value",
+            "owner_id",
+            "segment",
+            "nation",
+        )
+
+    out = _replay(
+        spark, sf_dir, owner_resolve, "s11_sink",
+        inject_nulls=False, extra_cols=("user_id",),
+    )
+    return out.orderBy("channel", "ts_us")

@@ -465,3 +465,29 @@ def enrich_join_stream(
         F.col("a.a_ts").alias("ann_ts"),
         F.col("a.a_value").alias("ann_value"),
     )
+
+
+def enrich_static_stream(
+    readings: DataFrame, dim: DataFrame, on: str, dim_key: str
+) -> DataFrame:
+    """Stream-static enrichment join: attach a STATIC dimension row to
+    every streaming reading — the live analog of the reference's
+    config-file channel-name resolution (labels resolved against a
+    static table at read time, code/etsdQuery.c:192-208), generalized
+    to any dimension (owner, site, asset metadata).
+
+    The static side is re-evaluated per micro-batch and, being a
+    dimension table, planned as a broadcast-hash join by AQE /
+    ``autoBroadcastJoinThreshold`` while it fits — per batch the
+    stream side never shuffles, which is exactly the property that
+    matters when the stream side is the 100 TB firehose and the dim is
+    KBs of metadata. No watermark is needed: a stream-static inner
+    join is stateless (nothing is buffered waiting for the other
+    side), so this composes freely before stateful stages.
+
+    Every ``dim`` column except ``dim_key`` rides along; the key is
+    dropped after the match (it duplicates ``on``).
+    """
+    return readings.join(
+        dim.withColumnRenamed(dim_key, on), on, "inner"
+    )

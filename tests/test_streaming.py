@@ -196,3 +196,120 @@ def test_enrich_join_stream_true_streaming_smoke(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     assert len(rows) == 1 and rows[0].ann_value == 99.0
+
+
+def test_enrich_static_stream_batch_semantics(spark):
+    readings = _events(
+        spark,
+        [
+            ("2026-01-01 00:01:00", "a", 10, 0),
+            ("2026-01-01 00:02:00", "b", 20, 0),
+            ("2026-01-01 00:03:00", "c", 30, 0),
+        ],
+    ).withColumn(
+        "owner_id",
+        F.when(F.col("channel") == "a", 1)
+        .when(F.col("channel") == "b", 2)
+        .otherwise(99),  # no dim row -> dropped (inner)
+    )
+    dim = spark.createDataFrame(
+        [(1, "GOLD"), (2, "SILVER")], "cust_id int, tier string"
+    )
+    out = {
+        r.channel: r.tier
+        for r in ingest.enrich_static_stream(
+            readings, dim, on="owner_id", dim_key="cust_id"
+        ).collect()
+    }
+    assert out == {"a": "GOLD", "b": "SILVER"}
+
+
+def test_enrich_static_stream_true_streaming(spark, tmp_path):
+    """The REAL stream-static join: file stream x in-memory dim,
+    availableNow trigger, memory sink. Stateless, so no watermark."""
+    import uuid
+
+    rdir = tmp_path / "r"
+    rdir.mkdir()
+    _events(
+        spark,
+        [
+            ("2026-01-01 00:01:00", "a", 10, 0),
+            ("2026-01-01 00:02:00", "b", 20, 0),
+        ],
+    ).withColumn(
+        "owner_id", F.when(F.col("channel") == "a", 1).otherwise(7)
+    ).write.parquet(str(rdir / "p"))
+    schema = (
+        "ts timestamp, source string, channel string, value double, "
+        "status int, owner_id int"
+    )
+    rs = spark.readStream.schema(schema).parquet(str(rdir / "p"))
+    dim = spark.createDataFrame([(1, "GOLD")], "cust_id int, tier string")
+    joined = ingest.enrich_static_stream(
+        rs, dim, on="owner_id", dim_key="cust_id"
+    )
+    name = f"static_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # channel b's owner 7 has no dim row: inner join drops it
+    assert len(rows) == 1
+    assert (rows[0].channel, rows[0].tier) == ("a", "GOLD")
+
+
+def test_enrich_static_stream_broadcasts_dim(spark):
+    """Plan shape: the KB-sized static dim must build a broadcast-hash
+    join — the stream side never shuffles per micro-batch. Uses the
+    s11 shapes (parquet-backed customer dim, so the optimizer has real
+    size stats, exactly as in the replay entry)."""
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    readings = load_table(spark, SF_SMOKE, "events").select(
+        F.col("ts"),
+        F.col("event_type").alias("channel"),
+        F.col("value"),
+        F.col("user_id").cast("long").alias("owner_id"),
+    )
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = ingest.enrich_static_stream(
+        readings, dim, on="owner_id", dim_key="c_custkey"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stream_stream_join_is_symmetric_hash(spark):
+    """s10's physical shape: a real StreamingSymmetricHashJoin keyed on
+    (source, channel), with per-side state-cleanup predicates derived
+    from watermark + band — state stays bounded by the time horizon,
+    not stream length."""
+    from etsd_time_series_database_spark.plans.streaming_replay import (
+        _S10_BAND_S,
+        _S10_THR,
+        _source_rows,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _source_rows(spark, SF_SMOKE, inject_nulls=False)
+    alerts = rows.filter(F.col("value") >= _S10_THR)
+    joined = ingest.enrich_join_stream(rows, alerts, band_s=_S10_BAND_S)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(True)
+    plan = buf.getvalue()
+    assert "StreamingSymmetricHashJoin" in plan, plan
+    assert "state cleanup" in plan, plan
