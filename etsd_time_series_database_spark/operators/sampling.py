@@ -616,3 +616,71 @@ def integrity_audit(
         )
         .orderBy(source)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_tokens: int = 100_000,
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture reweighting: resample sources with
+    probability proportional to ``p_s ** alpha`` (``p_s`` = natural
+    token share) — the standard multilingual/LLM data-mixing move
+    (alpha < 1 flattens the mix toward small sources, alpha = 1 is
+    the natural mix). Unlike :func:`mixture_plan`, which computes the
+    largest NO-upsampling corpus, temperature sampling deliberately
+    upsamples small sources (epochs > 1), which is why both planners
+    exist.
+
+    Per source: natural share, temperature share, boost (temperature
+    share / natural share), token take toward ``budget_tokens``, and
+    the implied epochs over the source's supply.
+
+    Determinism: for ``alpha == 0.5`` the power is computed with
+    ``sqrt`` (IEEE-exact, bit-identical on any engine — the catalog
+    entry pins this) rather than ``pow`` (libm-dependent by a ulp);
+    the weight is then quantized to integer micro-units
+    (``floor(sqrt(p) * 1e12)``) so every share/take downstream is
+    integer or identical-operand double arithmetic. Other alphas use
+    ``pow`` and carry the cross-engine ulp caveat.
+
+    Scale shape: ONE map-side-combinable hash-agg over the corpus
+    (token counting is a scan-side expression; text never shuffles);
+    everything after runs on the one-row-per-source table via
+    unpartitioned windows — KB-sized by construction (the x67 shape).
+    """
+    budget = float(int(budget_tokens))
+    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    per_src = df.groupBy(source).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    p_nat = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
+    raw_w = (
+        F.sqrt(p_nat) if float(alpha) == 0.5 else F.pow(p_nat, F.lit(alpha))
+    )
+    staged = (
+        per_src.withColumn("__t", F.sum("n_tokens").over(w_all))
+        .withColumn(
+            "__micro",
+            F.floor(raw_w * F.lit(1e12)).cast("bigint"),
+        )
+        .withColumn("__w", F.sum("__micro").over(w_all))
+    )
+    micro_d = F.col("__micro").cast("double")
+    w_d = F.col("__w").cast("double")
+    take = F.floor(F.lit(budget) * micro_d / w_d)
+    return staged.select(
+        source,
+        "n_docs",
+        "n_tokens",
+        F.round(p_nat, 6).alias("natural_share"),
+        F.round(micro_d / w_d, 6).alias("temp_share"),
+        F.round((micro_d / w_d) / p_nat, 6).alias("boost"),
+        take.cast("bigint").alias("take_tokens"),
+        F.round(take.cast("double") / F.col("n_tokens").cast("double"), 6)
+        .alias("epochs"),
+    ).orderBy(source)

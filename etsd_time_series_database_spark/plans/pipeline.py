@@ -3573,3 +3573,68 @@ def p78(spark, sf_dir):
     return waterfill_budget(
         load_table(spark, sf_dir, "documents"), WATERFILL_BUDGET
     )
+
+
+# x79's parameters, shared by engine and oracle. Alpha is PINNED at
+# 0.5: the power is then sqrt — IEEE-exact on both engines — while a
+# general pow() differs by a ulp between libms (the library supports
+# any alpha; only the gated entry needs bit-exactness).
+TEMP_MIX_BUDGET = 100_000
+
+
+@register(
+    "x79_temperature_mixture",
+    "sampling",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT *, sum(n_tokens) OVER () AS t_all FROM s),
+    m AS (
+      SELECT *,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                             / CAST(t_all AS DOUBLE)) * 1e12)
+                  AS BIGINT) AS micro
+      FROM t
+    ),
+    w AS (SELECT *, sum(micro) OVER () AS w_all FROM m)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(t_all AS DOUBLE), 6)
+             AS natural_share,
+           round(CAST(micro AS DOUBLE) / CAST(w_all AS DOUBLE), 6)
+             AS temp_share,
+           round((CAST(micro AS DOUBLE) / CAST(w_all AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(t_all AS DOUBLE)), 6)
+             AS boost,
+           CAST(floor(CAST({TEMP_MIX_BUDGET} AS DOUBLE)
+                      * CAST(micro AS DOUBLE)
+                      / CAST(w_all AS DOUBLE)) AS BIGINT) AS take_tokens,
+           round(CAST(floor(CAST({TEMP_MIX_BUDGET} AS DOUBLE)
+                            * CAST(micro AS DOUBLE)
+                            / CAST(w_all AS DOUBLE)) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM w ORDER BY source
+    """,
+    doc="Temperature-based mixture reweighting (sample sources "
+    "proportional to p^alpha, alpha=0.5): the standard "
+    "multilingual/LLM data-mixing move that flattens the mix toward "
+    "small sources and — unlike x67's largest no-upsampling corpus "
+    "or x78's max-min-fair cap — deliberately upsamples them "
+    "(epochs > 1). Determinism: alpha=0.5 makes the power an "
+    "IEEE-exact sqrt, and the weight is quantized to integer "
+    "micro-units so every downstream share/take is integer or "
+    "identical-operand double arithmetic. One corpus hash-agg, then "
+    "KB-sized planning windows (the x67 shape).",
+)
+def p79(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(
+        load_table(spark, sf_dir, "documents"),
+        alpha=0.5,
+        budget_tokens=TEMP_MIX_BUDGET,
+    )

@@ -1797,3 +1797,44 @@ def test_coverage_timeline_no_phantom_boundary_bucket(spark):
     assert tl[base].covered_us == 50 * 1_000_000
     point = tl[base + 180 * 1_000_000]
     assert point.covered_us == 0 and point.n_episode_starts == 1
+
+
+def test_temperature_mixture_flattens_and_budgets(spark):
+    """x79: alpha=0.5 flattens toward small sources (boost > 1 for the
+    small one, < 1 for the big one), takes sum to ~budget (floor slack
+    < n_sources), and the shares follow sqrt(p) exactly."""
+    import math
+
+    from etsd_time_series_database_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    def mk(supplies):
+        rows = [(i, " ".join(["w"] * t), f"s{i}")
+                for i, t in enumerate(supplies)]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    out = {
+        r.source: r
+        for r in temperature_mixture(
+            mk([100, 900]), alpha=0.5, budget_tokens=1000
+        ).collect()
+    }
+    # natural shares 0.1 / 0.9 -> temperature shares sqrt-flattened
+    assert out["s0"].natural_share == 0.1
+    exp_small = math.sqrt(0.1) / (math.sqrt(0.1) + math.sqrt(0.9))
+    assert abs(out["s0"].temp_share - exp_small) < 1e-6
+    assert out["s0"].boost > 1.0 > out["s1"].boost
+    total = out["s0"].take_tokens + out["s1"].take_tokens
+    assert 1000 - 2 <= total <= 1000
+    # the small source is upsampled past its supply: epochs > 1
+    assert out["s0"].epochs > 1.0
+    # alpha=1 (pow path) reproduces the natural mix
+    nat = {
+        r.source: r
+        for r in temperature_mixture(
+            mk([100, 900]), alpha=1.0, budget_tokens=1000
+        ).collect()
+    }
+    assert abs(nat["s0"].temp_share - 0.1) < 1e-6
+    assert abs(nat["s0"].boost - 1.0) < 1e-6
