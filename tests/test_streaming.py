@@ -313,3 +313,63 @@ def test_stream_stream_join_is_symmetric_hash(spark):
     plan = buf.getvalue()
     assert "StreamingSymmetricHashJoin" in plan, plan
     assert "state cleanup" in plan, plan
+
+
+@pytest.mark.slow
+def test_stream_stream_join_state_is_watermark_bounded(spark, tmp_path):
+    """The scale property that makes s10 deployable on an unbounded
+    stream: join state is evicted past watermark + band, so the state
+    row count tracks the TIME HORIZON, not the stream length. Replays
+    a month of events in 8 chronological micro-batches and asserts
+    the final state holds a small fraction of the rows seen."""
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = (
+        "ts timestamp, source string, channel string, value double, "
+        "status int"
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.col("ts"),
+            F.lit("events").alias("source"),
+            F.col("event_type").alias("channel"),
+            F.col("value").cast("double").alias("value"),
+            F.lit(0).alias("status"),
+        )
+        .withColumn("__b", F.ntile(8).over(Window.orderBy("ts")))
+    )
+    for i in range(1, 9):  # chronological arrival, one file per batch
+        ev.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    rs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    alerts = rs.filter(F.col("value") >= 150.0)
+    joined = ingest.enrich_join_stream(rs, alerts, band_s=600)
+    name = f"bounded_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progress, "no stateful progress recorded"
+    n_in = sum(p["numInputRows"] for p in q.recentProgress)
+    final_state = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert n_in >= 900  # the whole table streamed through
+    # a month of data, a ~12.6 min state horizon (2 min watermark +
+    # 600 s band): final state must be a small fraction of the stream
+    assert final_state < 0.10 * n_in, (final_state, n_in)
