@@ -760,7 +760,11 @@ def dedup_funnel(
         tfp = poly_fingerprint(F.col(text))
     else:
         tfp = F.xxhash64(F.col(text))
-    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    from etsd_time_series_database_spark.operators.sampling import (
+        whitespace_token_count,
+    )
+
+    n_tok = whitespace_token_count(text)
     base = df.select(
         F.col(key), F.col(source), F.col(text), tfp.alias("__tfp"),
         n_tok.alias("__ntok"),

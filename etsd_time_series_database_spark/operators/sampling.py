@@ -41,6 +41,15 @@ LCG_C = 12345
 LCG_M = 2_147_483_648
 
 
+def whitespace_token_count(text: str = "text") -> Column:
+    """Whitespace-split non-empty token count — the engine half of the
+    shared ``_TOKS`` oracle fragment (plans/pipeline.py); every
+    operator that sizes sources in tokens MUST use this one helper so
+    the tokenization cannot drift between engine copies and the
+    DuckDB oracle."""
+    return F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+
+
 def key_hash(key: Column | str, hash_mode: str = "lcg") -> Column:
     """Deterministic per-row hash of an integer key column.
 
@@ -131,14 +140,14 @@ def shard_balance(
     usable (loader throughput is gated by the largest shard).
     One map-side-combinable hash-agg on the shard id.
     """
-    toks = F.filter(F.split(F.col(text), " "), lambda x: x != "")
     return (
         shard_assign(df, n_shards, key, hash_mode)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length(text)).cast("bigint").alias("total_chars"),
-            F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+            F.sum(whitespace_token_count(text)).cast("bigint")
+            .alias("total_tokens"),
             F.min(key).alias("min_key"),
             F.max(key).alias("max_key"),
         )
@@ -445,7 +454,7 @@ def mixture_plan(
             )
         ).cast("bigint"),
     )
-    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    n_tok = whitespace_token_count(text)
     per_src = (
         df.groupBy(source)
         .agg(
@@ -508,7 +517,7 @@ def waterfill_budget(
     (the x67 shape).
     """
     budget = int(budget_tokens)
-    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    n_tok = whitespace_token_count(text)
     per_src = df.groupBy(source).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(n_tok).cast("bigint").alias("n_tokens"),
@@ -652,7 +661,7 @@ def temperature_mixture(
     unpartitioned windows — KB-sized by construction (the x67 shape).
     """
     budget = float(int(budget_tokens))
-    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda x: x != ""))
+    n_tok = whitespace_token_count(text)
     per_src = df.groupBy(source).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(n_tok).cast("bigint").alias("n_tokens"),

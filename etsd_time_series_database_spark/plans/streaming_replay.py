@@ -530,6 +530,9 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, channel, bucket_us, n, min_value, max_value
     FROM agg, mx
+    -- no ms-truncation of m needed here (cf. s08): window ends are
+    -- minute-aligned, and no whole-ms value can land inside the
+    -- sub-ms gap between the truncated and untruncated cutoffs
     WHERE bucket_us + 60000000 <= m - 120000000
     ORDER BY channel, bucket_us
     """,
@@ -574,7 +577,7 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
     g AS (
-      SELECT event_type, ts, event_id,
+      SELECT event_type, ts, value, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                        OVER (PARTITION BY event_type
                              ORDER BY ts, event_id)
@@ -583,7 +586,7 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     s AS (
-      SELECT event_type, ts,
+      SELECT event_type, ts, value,
              SUM(new_session) OVER
                (PARTITION BY event_type ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -594,12 +597,17 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'events' AS source, event_type AS channel,
              MIN(epoch_us(ts)) AS session_start_us,
              MAX(epoch_us(ts)) + 300 * 1000000 AS session_end_us,
-             CAST(count(*) AS BIGINT) AS n_events
+             CAST(count(value) AS BIGINT) AS n_events
       FROM s GROUP BY event_type, session_id
     )
     SELECT source, channel, session_start_us, session_end_us, n_events
     FROM sess, mx
-    WHERE session_end_us <= m - 120000000
+    -- Spark truncates the event-time watermark to WHOLE MILLISECONDS
+    -- (max_event_time_ms - delay_ms), so the eviction cutoff must be
+    -- ms-truncated here too: a session ending inside the sub-ms gap
+    -- (m DIV 1000 * 1000, m] - 120 s is held in state by Spark but
+    -- would pass an untruncated micro-precision cutoff.
+    WHERE session_end_us <= m // 1000 * 1000 - 120000000
     ORDER BY channel, session_start_us
     """,
     doc="Streaming sessionization (session_window — the stateful gap "
@@ -610,7 +618,10 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session's window end is last event + gap, and append mode emits "
     "a session only once the watermark (max ts - 2 min) passes that "
     "end. The oracle reproduces the >= split and the cutoff "
-    "arithmetic; integer outputs — hash-exact.",
+    "arithmetic — including Spark's whole-millisecond watermark "
+    "truncation, which matters here because session ends inherit the "
+    "data's sub-ms micros (unlike s07's minute-aligned window ends); "
+    "integer outputs — hash-exact.",
 )
 def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etsd_time_series_database_spark.streaming.ingest import (

@@ -304,6 +304,9 @@ def test_stream_stream_join_is_symmetric_hash(spark):
     rows = _source_rows(spark, SF_SMOKE, inject_nulls=False)
     alerts = rows.filter(F.col("value") >= _S10_THR)
     joined = ingest.enrich_join_stream(rows, alerts, band_s=_S10_BAND_S)
+    # NB: queryExecution().toString() does NOT render the streaming
+    # physical plan (incremental planning happens at query start);
+    # explain(True) does — capture its stdout.
     import contextlib
     import io
 
