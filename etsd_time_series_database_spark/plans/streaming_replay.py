@@ -810,3 +810,67 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False, extra_cols=("user_id",),
     )
     return out.orderBy("channel", "ts_us")
+
+
+# s12 running z-score parameters, shared by engine and oracle.
+_S12_Z = 3
+_S12_MIN_N = 30
+_S12_QUANT = 1000
+
+
+@register(
+    "s12_running_zscore_replay",
+    "streaming",
+    f"""
+    WITH b AS (
+      SELECT event_type AS channel, ts, event_id, value,
+             CAST(floor(value * {_S12_QUANT}) AS BIGINT) AS q
+      FROM events
+    ),
+    p AS (
+      SELECT channel, ts, value, q,
+             count(q) OVER w AS n_prev,
+             coalesce(sum(q) OVER w, 0) AS s1,
+             coalesce(sum(q * q) OVER w, 0) AS s2
+      FROM b
+      WINDOW w AS (PARTITION BY channel ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT epoch_us(ts) AS ts_us, 'events' AS source, channel, value,
+           CAST(n_prev AS BIGINT) AS n_prev
+    FROM p
+    WHERE n_prev >= {_S12_MIN_N}
+      AND CAST(q * n_prev - s1 AS HUGEINT)
+          * CAST(q * n_prev - s1 AS HUGEINT)
+          * CAST(n_prev - 1 AS HUGEINT)
+          > {_S12_Z * _S12_Z} * CAST(n_prev AS HUGEINT)
+            * (CAST(n_prev AS HUGEINT) * CAST(s2 AS HUGEINT)
+               - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+    ORDER BY channel, ts_us
+    """,
+    doc="The live running z-score anomaly monitor "
+    "(running_zscore_stream) on the oracle gate: each reading is "
+    "judged against its channel's strictly-PRECEDING mean/stddev — "
+    "the causal dual of the batch full-history z-score (q37). "
+    "Bit-exact by construction: readings quantize to integer "
+    "milli-units and the 3-sigma test is the cross-multiplied "
+    "all-integer comparison (no division/sqrt/float accumulation), "
+    "so the engine's Python-int fold and the oracle's HUGEINT window "
+    "arithmetic decide identically on every row. Channels warm up "
+    "for 30 readings before flagging.",
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    out = _replay(
+        spark,
+        sf_dir,
+        lambda rows: running_zscore_stream(
+            rows, z=_S12_Z, min_n=_S12_MIN_N, quant=_S12_QUANT
+        ),
+        "s12_sink",
+        inject_nulls=False,
+    )
+    return out.orderBy("channel", "ts_us")

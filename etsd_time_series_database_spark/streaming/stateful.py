@@ -592,3 +592,110 @@ def site_alarm_stream(transitions: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("source", StringType()),
+        StructField("channel", StringType()),
+        StructField("value", DoubleType()),
+        StructField("n_prev", LongType()),
+    ]
+)
+
+ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s1", LongType()),
+        StructField("s2", LongType()),
+    ]
+)
+
+
+def _make_running_z_fn(z: int, min_n: int, quant: int):
+    import math
+
+    z2 = z * z
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        # Python ints: the comparison below is EXACT big-int
+        # arithmetic — (q*n - s1)^2 overflows int64 but never a
+        # Python int (the oracle side uses HUGEINT for the same
+        # products)
+        n, s1, s2 = int(n), int(s1), int(s2)
+        source, channel = key
+        pdf = _concat_batch(pdfs)
+        out = {k: [] for k in ("ts_us", "value", "n_prev")}
+        if len(pdf):
+            for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
+                if pd.isna(v):
+                    continue  # NULL readings join neither stats nor flags
+                q = math.floor(float(v) * quant)
+                if n >= min_n:
+                    d = q * n - s1
+                    if d * d * (n - 1) > z2 * n * (n * s2 - s1 * s1):
+                        out["ts_us"].append(int(ts_us))
+                        out["value"].append(float(v))
+                        out["n_prev"].append(n)
+                n += 1
+                s1 += q
+                s2 += q * q
+        yield pd.DataFrame(
+            {
+                "ts_us": pd.array(out["ts_us"], dtype="int64"),
+                "source": source,
+                "channel": channel,
+                "value": pd.array(out["value"], dtype="float64"),
+                "n_prev": pd.array(out["n_prev"], dtype="int64"),
+            }
+        )
+        state.update((n, s1, s2))
+
+    return fn
+
+
+def running_zscore_stream(
+    stream: DataFrame, z: int = 3, min_n: int = 30, quant: int = 1000
+) -> DataFrame:
+    """Live anomaly monitor: flag each reading more than ``z`` standard
+    deviations from its channel's RUNNING (strictly preceding) mean —
+    the causal dual of the batch z-score scan (q37), which judges
+    every point against full-history stats a live monitor cannot see.
+    The reference streams per-interval values to its monitor daemon
+    (code/edd.c:333-346); this is the "is this reading wild" judgment
+    on that feed.
+
+    Bit-exact across engines by construction: readings quantize to
+    integer ``1/quant`` units (``floor(value * quant)`` — floor of a
+    double product, identical on any IEEE engine), state is the
+    integer prefix (count, sum, sum-of-squares) per (source, channel),
+    and the z-test is the cross-multiplied ALL-INTEGER comparison
+
+        (q*n - s1)^2 * (n-1)  >  z^2 * n * (n*s2 - s1^2)
+
+    — no division, no sqrt, no float accumulation, so the DuckDB
+    oracle (HUGEINT arithmetic) matches hash-exactly (Python ints
+    never overflow engine-side). Warm-up: a channel flags nothing
+    until ``min_n`` prior readings exist. NULL readings join neither
+    the statistics nor the flags.
+
+    State is three 64-bit scalars per key, sharded by key hash;
+    output volume is proportional to anomalies, not traffic. The
+    int64 state bounds the supported volume: |value| * quant < ~1e15
+    and n * (value * quant)^2 < 2^63 — at quant=1000 and |value| <=
+    1e6 that is ~9e6 readings per channel; production deployments
+    with bigger channels should widen the accumulators to
+    DecimalType(38,0) (same fold, wider state schema).
+    """
+    rows = stream.select(*_row_cols(stream))
+    return rows.groupBy("source", "channel").applyInPandasWithState(
+        _make_running_z_fn(z, min_n, quant),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -709,3 +709,122 @@ def test_carry_forward_seq_tiebreak_on_equal_timestamps(spark, tmp_path):
         (base + 10_000_000, 30.0, 30.0, 0),
         (base + 20_000_000, None, 30.0, 1),
     ]
+
+
+@pytest.mark.slow
+def test_running_zscore_flags_only_past_3_sigma(spark, tmp_path):
+    """s12 semantics: after a 30-reading warm-up (15x9, 15x11 -> mean
+    10, std ~1.017), a reading at 20 flags (~9.8 sigma), 13 does not
+    (~2.95 sigma), and nothing inside the warm-up flags. The exact
+    integer inequality decides the boundary — the same arithmetic the
+    DuckDB oracle runs."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append(
+            (f"2026-01-01 00:{i:02d}:00", "s", "a",
+             9.0 if i % 2 == 0 else 11.0, 0)
+        )
+    rows.append(("2026-01-01 00:30:00", "s", "a", 20.0, 0))  # ~9.8 sigma
+    rows.append(("2026-01-01 00:31:00", "s", "a", 13.0, 0))  # ~2.95 sigma
+    src = str(tmp_path / "z")
+    spark.createDataFrame(
+        rows,
+        "ts string, source string, channel string, value double, status int",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts string, source string, channel string, value double, status int"
+    ).parquet(src)
+    q = (
+        running_zscore_stream(
+            stream.withColumn("ts", F.to_timestamp("ts"))
+        )
+        .writeStream.format("memory")
+        .queryName("z_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("select * from z_flags").collect()
+    assert len(got) == 1
+    assert (got[0].value, got[0].n_prev) == (20.0, 30)
+
+
+@pytest.mark.slow
+def test_running_zscore_sorts_across_arrow_chunks(spark, tmp_path):
+    """Chunk-ordering regression for the new fold: prefix statistics
+    are order-dependent, so folding shuffled Arrow chunks out of time
+    order flags the wrong rows. True order 10,10,10,100 with min_n=2
+    must flag exactly the trailing 100."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    base = "2026-01-01 00:00:"
+    rows = [
+        (base + "40", "s", "a", 100.0, 0),
+        (base + "10", "s", "a", 10.0, 0),
+        (base + "30", "s", "a", 10.0, 0),
+        (base + "20", "s", "a", 10.0, 0),
+    ]
+    got = _run_chunked_stream(
+        spark,
+        rows,
+        "ts string, source string, channel string, value double, status int",
+        str(tmp_path / "z_chunks"),
+        lambda s: running_zscore_stream(
+            s.withColumn("ts", F.to_timestamp("ts")), min_n=2
+        ),
+        "z_chunks",
+    )
+    assert [(r.value, r.n_prev) for r in got] == [(100.0, 3)]
+
+
+@pytest.mark.slow
+def test_running_zscore_state_carries_across_batches(spark, tmp_path):
+    """The warm-up accumulated in micro-batch 1 must judge the outlier
+    arriving in micro-batch 2 (integer prefix state persists in the
+    state store across batches)."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    schema = (
+        "ts string, source string, channel string, value double, "
+        "status int"
+    )
+    src = tmp_path / "z_batches"
+    src.mkdir()
+    warm = [
+        (f"2026-01-01 00:{i:02d}:00", "s", "a",
+         9.0 if i % 2 == 0 else 11.0, 0)
+        for i in range(30)
+    ]
+    spark.createDataFrame(warm, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(
+        [("2026-01-01 00:30:00", "s", "a", 20.0, 0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        running_zscore_stream(
+            stream.withColumn("ts", F.to_timestamp("ts"))
+        )
+        .writeStream.format("memory")
+        .queryName("z_batches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("select * from z_batches").collect()
+    assert [(r.value, r.n_prev) for r in got] == [(20.0, 30)]
