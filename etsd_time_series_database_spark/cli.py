@@ -369,14 +369,17 @@ def cmd_watch(args, spark: SparkSession) -> int:
     """Live monitor over a growing ingest directory (the reference's
     edd daemon analog, code/edd.c): 'freshness' emits
     first_seen/stale/recovered per feed, 'alarms' emits hysteresis
-    open/close transitions, 'site' folds a transitions directory
-    (written by a prior `watch --mode alarms --out ...`) into the live
+    open/close transitions, 'anomalies' emits readings past --z
+    running standard deviations of their channel's own history
+    (s12's operator), 'site' folds a transitions directory (written
+    by a prior `watch --mode alarms --out ...`) into the live
     cross-channel union. Default trigger is availableNow (catch up on
     everything present, then exit — replay-deterministic); --follow
     keeps the query running on a processing-time trigger."""
     from etsd_time_series_database_spark.streaming.stateful import (
         freshness_stream,
         hysteresis_alarm_stream,
+        running_zscore_stream,
         site_alarm_stream,
     )
 
@@ -390,6 +393,8 @@ def cmd_watch(args, spark: SparkSession) -> int:
         out = freshness_stream(stream, stale_after_s=args.stale_after)
     elif args.mode == "alarms":
         out = hysteresis_alarm_stream(stream, hi=args.hi, lo=args.lo)
+    elif args.mode == "anomalies":
+        out = running_zscore_stream(stream, z=args.z, min_n=args.min_n)
     else:
         out = site_alarm_stream(stream)
     writer = out.writeStream.outputMode("append")
@@ -527,17 +532,22 @@ def build_parser() -> argparse.ArgumentParser:
         "watch",
         help="live monitor over a growing ingest directory (the edd "
         "daemon analog): feed freshness, hysteresis alarm "
-        "transitions, or the site-wide alarm union",
+        "transitions, running z-score anomalies, or the site-wide "
+        "alarm union",
     )
     w.add_argument("source", help="parquet directory to monitor")
     w.add_argument(
         "--mode", default="freshness",
-        choices=["freshness", "alarms", "site"],
+        choices=["freshness", "alarms", "anomalies", "site"],
     )
     w.add_argument("--stale-after", type=float, default=60.0,
                    help="freshness SLA seconds (event-time)")
     w.add_argument("--hi", type=float, default=250.0)
     w.add_argument("--lo", type=float, default=50.0)
+    w.add_argument("--z", type=int, default=3,
+                   help="anomalies mode: running-sigma threshold")
+    w.add_argument("--min-n", type=int, default=30,
+                   help="anomalies mode: per-channel warm-up readings")
     w.add_argument(
         "--out", default=None,
         help="write events to this parquet path instead of the console",

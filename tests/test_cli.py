@@ -301,3 +301,30 @@ def test_watch_alarms_then_site_cli(spark, tmp_path, capsys):
     assert rc == 0
     fr = spark.read.parquet(fr_out)
     assert {r.status for r in fr.collect()} == {"first_seen"}
+
+
+def test_watch_anomalies_cli(spark, tmp_path, capsys):
+    """watch --mode anomalies drives the running z-score monitor over
+    an ingest directory: a stable channel's wild reading flags, the
+    warm-up does not."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ingest_z")
+    rows = [
+        (f"2026-01-01 00:{i:02d}:00", "s", "a",
+         9.0 if i % 2 == 0 else 11.0, 0)
+        for i in range(10)
+    ] + [("2026-01-01 00:10:00", "s", "a", 500.0, 0)]
+    spark.createDataFrame(
+        rows, "ts string, source string, channel string, value double, "
+              "status int",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "anomalies")
+    rc = cli.main(
+        ["watch", src, "--mode", "anomalies", "--min-n", "5", "--out", out],
+        spark=spark,
+    )
+    assert rc == 0 and "caught up" in capsys.readouterr().out
+    got = spark.read.parquet(out).collect()
+    assert [(r.value, r.n_prev) for r in got] == [(500.0, 10)]
