@@ -130,3 +130,72 @@ def domain_mix(
         )
         .orderBy(source)
     )
+
+
+def context_length_plan(
+    df: DataFrame,
+    lengths: tuple[int, ...] = (32, 64, 128),
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Context-length planning sweep: for each candidate training
+    context length L, per source — documents truncated (tok > L),
+    tokens kept/lost under truncate-at-L, the padding utilization of
+    the naive one-doc-per-sequence layout (kept / (n_docs * L)), and
+    the ideal packed-bin lower bound (ceil(kept / L)) — the table a
+    pipeline reads to pick L before committing to a packing run
+    (:func:`pack_sequences` then executes the chosen L).
+
+    Scale shape: ONE map-side-combinable hash-agg over the corpus
+    computing per-L conditional aggregates as parallel columns
+    (token counting is a scan-side expression; text never shuffles),
+    then the L dimension is unpivoted with ``stack`` on the
+    one-row-per-source result — the corpus is NEVER exploded
+    len(lengths)-fold. Everything integer except utilization
+    (integer-operand division, rounded — cross-engine exact).
+    """
+    from etsd_time_series_database_spark.operators.sampling import (
+        whitespace_token_count,
+    )
+
+    tok = whitespace_token_count(text)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(tok).cast("bigint").alias("n_tokens"),
+    ]
+    for L in lengths:
+        aggs += [
+            F.count(F.when(tok > L, 1)).cast("bigint").alias(f"__tr_{L}"),
+            F.sum(F.least(tok, F.lit(L))).cast("bigint").alias(f"__kp_{L}"),
+            F.sum(F.greatest(tok - F.lit(L), F.lit(0)))
+            .cast("bigint")
+            .alias(f"__ls_{L}"),
+        ]
+    per_src = df.groupBy(source).agg(*aggs)
+    stack_args = ", ".join(
+        f"{L}, __tr_{L}, __kp_{L}, __ls_{L}" for L in lengths
+    )
+    unpivoted = per_src.selectExpr(
+        source,
+        "n_docs",
+        "n_tokens",
+        f"stack({len(lengths)}, {stack_args}) AS "
+        "(ctx_len, n_truncated, tokens_kept, tokens_lost)",
+    )
+    return unpivoted.select(
+        F.col("ctx_len").cast("bigint").alias("ctx_len"),
+        source,
+        "n_docs",
+        "n_tokens",
+        "n_truncated",
+        "tokens_kept",
+        "tokens_lost",
+        F.round(
+            F.col("tokens_kept").cast("double")
+            / (F.col("n_docs") * F.col("ctx_len")).cast("double"),
+            6,
+        ).alias("pad_utilization"),
+        F.expr("(tokens_kept + ctx_len - 1) div ctx_len")
+        .cast("bigint")
+        .alias("packed_bins"),
+    ).orderBy("ctx_len", source)

@@ -3638,3 +3638,52 @@ def p79(spark, sf_dir):
         alpha=0.5,
         budget_tokens=TEMP_MIX_BUDGET,
     )
+
+
+# x80's candidate context lengths, shared by engine and oracle —
+# chosen to straddle the testdata's token distribution (10..99,
+# median ~56) so truncation and padding both bite.
+CTX_LENGTHS = (32, 64, 128)
+
+
+@register(
+    "x80_context_length_plan",
+    "packing",
+    f"""
+    WITH d AS (
+      SELECT source, len({_TOKS}) AS tok FROM documents
+    ),
+    l AS (SELECT * FROM (VALUES (32), (64), (128)) t(ctx_len)),
+    j AS (SELECT l.ctx_len, d.source, d.tok FROM d CROSS JOIN l)
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN tok > ctx_len THEN 1 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(least(tok, ctx_len)) AS BIGINT) AS tokens_kept,
+           CAST(sum(greatest(tok - ctx_len, 0)) AS BIGINT)
+             AS tokens_lost,
+           round(CAST(sum(least(tok, ctx_len)) AS DOUBLE)
+                 / CAST(count(*) * ctx_len AS DOUBLE), 6)
+             AS pad_utilization,
+           CAST((sum(least(tok, ctx_len)) + ctx_len - 1) // ctx_len
+                AS BIGINT) AS packed_bins
+    FROM j GROUP BY ctx_len, source ORDER BY ctx_len, source
+    """,
+    doc="Context-length planning sweep: per candidate L and source, "
+    "documents truncated, tokens kept/lost at truncate-at-L, naive "
+    "padding utilization, and the ideal packed-bin lower bound — the "
+    "table read to pick a training context length before committing "
+    "to the x28 packing run. Engine shape: ONE corpus hash-agg with "
+    "per-L conditional columns, L unpivoted via stack on the "
+    "per-source result (the corpus is never exploded |L|-fold; the "
+    "oracle's CROSS JOIN is the semantic statement, not the plan).",
+)
+def p80(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.packing import (
+        context_length_plan,
+    )
+
+    return context_length_plan(
+        load_table(spark, sf_dir, "documents"), lengths=CTX_LENGTHS
+    )

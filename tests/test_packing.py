@@ -173,3 +173,39 @@ def test_pack_sequences_default_shards_is_cluster_parallelism(spark):
     explicit = pack_sequences(df, ctx_tokens=7, n_shards=dp).collect()
     assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))
     assert {r.shard for r in default} == set(range(dp))
+
+
+def test_context_length_plan_semantics_and_shape(spark):
+    """x80: known token counts -> exact truncation/kept/lost/bins per
+    L, and the plan must aggregate the corpus ONCE (L unpivoted after
+    the agg — no Generate/explode of the corpus)."""
+    from etsd_time_series_database_spark.operators.packing import (
+        context_length_plan,
+    )
+
+    rows = [
+        (1, " ".join(["w"] * 10), "s0"),   # 10 tokens
+        (2, " ".join(["w"] * 50), "s0"),   # 50 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r.ctx_len: r
+        for r in context_length_plan(df, lengths=(32, 64)).collect()
+    }
+    r32 = out[32]
+    # doc2 truncates at 32: kept 10+32=42, lost 18, util 42/64, bins 2
+    assert (r32.n_truncated, r32.tokens_kept, r32.tokens_lost) == (1, 42, 18)
+    assert r32.pad_utilization == round(42 / 64, 6)
+    assert r32.packed_bins == 2
+    r64 = out[64]
+    assert (r64.n_truncated, r64.tokens_kept, r64.tokens_lost) == (0, 60, 0)
+    assert r64.packed_bins == 1
+
+    plan = (
+        context_length_plan(df, lengths=(32, 64))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # stack() on the aggregated table may plan as Generate/Expand, but
+    # it must sit ABOVE the single aggregate, never below it — assert
+    # exactly one aggregation pair (partial+final) and one scan
+    assert plan.count("Scan ExistingRDD") == 1, plan
