@@ -274,3 +274,34 @@ def test_linear_trend_slope_invariant_under_time_shift(spark, values, shift_s):
             # classes this property exists for (origin leakage into
             # the fit) move r² by O(1), not O(quantum)
             assert abs(a.r_squared - b.r_squared) < 0.02
+
+
+@given(
+    qs=st.lists(st.integers(min_value=-10_000, max_value=10_000),
+                min_size=4, max_size=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_running_zscore_integer_test_equals_float_sigma(qs):
+    """s12's cross-multiplied all-integer inequality
+    (q*n - s1)^2 * (n-1) > z^2 * n * (n*s2 - s1^2)
+    must agree with the textbook two-sided sample z-test
+    |q - mean| > z * stddev at every prefix, away from exact-boundary
+    ties (where the integer form is the spec). Pure-Python property —
+    no Spark job per example, so hypothesis can explore widely."""
+    import math
+
+    z = 3
+    n = s1 = s2 = 0
+    for q in qs:
+        if n >= 2:
+            d = q * n - s1
+            int_flag = d * d * (n - 1) > z * z * n * (n * s2 - s1 * s1)
+            mean = s1 / n
+            var = (s2 - s1 * s1 / n) / (n - 1)
+            var = max(var, 0.0)
+            lhs, rhs = abs(q - mean), z * math.sqrt(var)
+            if abs(lhs - rhs) > 1e-9 * max(1.0, rhs):
+                assert int_flag == (lhs > rhs), (q, n, s1, s2)
+        n += 1
+        s1 += q
+        s2 += q * q
