@@ -140,6 +140,52 @@ def value_histogram(
     )
 
 
+def value_heatmap(
+    df: DataFrame,
+    bucket_s: int = 86_400,
+    bin_width: float = 25.0,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Time x value heatmap: per channel, per time bucket, per
+    fixed-width value bin, the sample count — the 2-D density a
+    monitoring dashboard renders to show a distribution DRIFTING over
+    time (the cross of the q36 static histogram and the q6/q17 time
+    buckets; q54 compares two windows, this shows every window).
+
+    One map-side-combinable hash-agg keyed by (channel, bucket,
+    bin) — output cardinality is channels x time-span/bucket x
+    occupied bins, bounded by the time span and value range, never by
+    data volume. Empty cells never materialize (render-side zeros).
+    Bucket index is integer DIV on epoch micros; bin index is
+    ``floor(value / width)`` in double then BIGINT (the q36
+    determinism note).
+    """
+    bucket_us = F.lit(int(bucket_s) * 1_000_000)
+    bucket = F.expr(
+        f"unix_micros({ts}) div {int(bucket_s) * 1_000_000}"
+    ) * bucket_us
+    bin_idx = F.floor(F.col(value) / F.lit(bin_width)).cast("bigint")
+    return (
+        df.select(
+            F.col(channel),
+            bucket.alias("bucket_us"),
+            bin_idx.alias("bin_idx"),
+        )
+        .groupBy(channel, "bucket_us", "bin_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            channel,
+            "bucket_us",
+            "bin_idx",
+            (F.col("bin_idx") * F.lit(bin_width)).alias("bin_lo"),
+            "n",
+        )
+        .orderBy(channel, "bucket_us", "bin_idx")
+    )
+
+
 def zscore_anomalies(
     df: DataFrame,
     z: float = 3.0,

@@ -1534,3 +1534,42 @@ def q61(spark, sf_dir):
     )
 
     return sax_transitions(load_table(spark, sf_dir, "events"), bucket_s=SAX_W)
+
+
+HEATMAP_BUCKET_S = 86_400  # daily rows, q36's HIST_BIN value bins
+
+
+@register(
+    "q69_value_heatmap",
+    "consolidation",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {HEATMAP_BUCKET_S * 1_000_000})
+               * {HEATMAP_BUCKET_S * 1_000_000} AS bucket_us,
+             CAST(floor(value / {HIST_BIN}) AS BIGINT) AS bin_idx
+      FROM events
+    )
+    SELECT event_type, bucket_us, bin_idx,
+           bin_idx * CAST({HIST_BIN} AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket_us, bin_idx
+    ORDER BY event_type, bucket_us, bin_idx
+    """,
+    doc="Time x value heatmap (daily buckets x 25-unit value bins "
+    "per channel): the 2-D density a dashboard renders to watch a "
+    "distribution drift — q36's histogram crossed with the time "
+    "axis; q54 compares two windows, this shows every window. ONE "
+    "map-side-combinable hash-agg keyed by (channel, bucket, bin); "
+    "output cardinality is bounded by span x occupied bins, never "
+    "data volume; empty cells never materialize.",
+)
+def q69(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        value_heatmap,
+    )
+
+    return value_heatmap(
+        _events(spark, sf_dir), bucket_s=HEATMAP_BUCKET_S,
+        bin_width=HIST_BIN,
+    )

@@ -708,3 +708,40 @@ def test_lag_estimate_close_pearsons_pick_true_peak(spark):
     # internal consistency: best_lag is the argmax of the CCF
     assert r.best_lag == 1
     assert r.peak_pearson == pytest.approx(ccf[1], abs=1e-9)
+
+
+def test_value_heatmap_counts_cells(spark):
+    """q69: (channel, time bucket, value bin) counts — two readings in
+    the same cell aggregate, a reading past the bucket edge and one in
+    a different bin land in their own cells; empty cells absent."""
+    from etsd_time_series_database_spark.operators.trends import (
+        value_heatmap,
+    )
+
+    df = _events(
+        spark,
+        [
+            (1, "a", _t(0, 10), 10.0),   # bucket 0, bin 0
+            (2, "a", _t(0, 20), 20.0),   # bucket 0, bin 0 (same cell)
+            (3, "a", _t(0, 30), 30.0),   # bucket 0, bin 1
+            (4, "a", _t(2, 0), 10.0),    # bucket 2, bin 0 (60s buckets)
+        ],
+    )
+    out = value_heatmap(df, bucket_s=60, bin_width=25.0)
+    base_us = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    rows = {
+        ((r.bucket_us - base_us) // 60_000_000, r.bin_idx): (r.n, r.bin_lo)
+        for r in out.collect()
+    }
+    assert rows == {
+        (0, 0): (2, 0.0),
+        (0, 1): (1, 25.0),
+        (2, 0): (1, 0.0),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # pure hash-agg pipeline: no window, no join anywhere in the plan
+    # (AQE renders the plan twice, so counting operators is unstable)
+    assert "HashAggregate" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
