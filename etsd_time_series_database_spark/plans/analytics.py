@@ -1563,6 +1563,7 @@ HEATMAP_BUCKET_S = 86_400  # daily rows, q36's HIST_BIN value bins
     "map-side-combinable hash-agg keyed by (channel, bucket, bin); "
     "output cardinality is bounded by span x occupied bins, never "
     "data volume; empty cells never materialize.",
+    headline=True,
 )
 def q69(spark, sf_dir):
     from etsd_time_series_database_spark.operators.trends import (
