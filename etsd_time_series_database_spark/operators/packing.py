@@ -158,7 +158,10 @@ def context_length_plan(
         whitespace_token_count,
     )
 
-    tok = whitespace_token_count(text)
+    # NULL text counts as a zero-token document; without the coalesce,
+    # least(NULL, L) returns L on BOTH engines (least skips NULLs), so
+    # a NULL-text doc would be credited L phantom kept tokens
+    tok = F.coalesce(whitespace_token_count(text), F.lit(0))
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(tok).cast("bigint").alias("n_tokens"),

@@ -3644,6 +3644,7 @@ def p79(spark, sf_dir):
 # chosen to straddle the testdata's token distribution (10..99,
 # median ~56) so truncation and padding both bite.
 CTX_LENGTHS = (32, 64, 128)
+_CTX_VALUES = ", ".join(f"({L})" for L in CTX_LENGTHS)
 
 
 @register(
@@ -3651,9 +3652,9 @@ CTX_LENGTHS = (32, 64, 128)
     "packing",
     f"""
     WITH d AS (
-      SELECT source, len({_TOKS}) AS tok FROM documents
+      SELECT source, coalesce(len({_TOKS}), 0) AS tok FROM documents
     ),
-    l AS (SELECT * FROM (VALUES (32), (64), (128)) t(ctx_len)),
+    l AS (SELECT * FROM (VALUES {_CTX_VALUES}) t(ctx_len)),
     j AS (SELECT l.ctx_len, d.source, d.tok FROM d CROSS JOIN l)
     SELECT CAST(ctx_len AS BIGINT) AS ctx_len, source,
            CAST(count(*) AS BIGINT) AS n_docs,

@@ -632,8 +632,12 @@ def _make_running_z_fn(z: int, min_n: int, quant: int):
         out = {k: [] for k in ("ts_us", "value", "n_prev")}
         if len(pdf):
             for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
-                if pd.isna(v):
-                    continue  # NULL readings join neither stats nor flags
+                # NULL and non-finite readings join neither stats nor
+                # flags (math.floor(inf) would raise and kill the
+                # query; a live feed CAN deliver inf — sensor faults,
+                # upstream divide-by-zero)
+                if pd.isna(v) or not math.isfinite(float(v)):
+                    continue
                 q = math.floor(float(v) * quant)
                 if n >= min_n:
                     d = q * n - s1

@@ -201,11 +201,36 @@ def test_context_length_plan_semantics_and_shape(spark):
     assert (r64.n_truncated, r64.tokens_kept, r64.tokens_lost) == (0, 60, 0)
     assert r64.packed_bins == 1
 
+    # the scale contract: ONE Aggregate over the corpus, and the
+    # stack's Generate sits ABOVE it (tree prints parents first) — a
+    # refactor to explode(lengths)-then-groupBy would print Generate
+    # BELOW the Aggregate and still scan once, so counting scans
+    # cannot catch it
     plan = (
         context_length_plan(df, lengths=(32, 64))
-        ._jdf.queryExecution().executedPlan().toString()
+        ._jdf.queryExecution().optimizedPlan().toString()
     )
-    # stack() on the aggregated table may plan as Generate/Expand, but
-    # it must sit ABOVE the single aggregate, never below it — assert
-    # exactly one aggregation pair (partial+final) and one scan
-    assert plan.count("Scan ExistingRDD") == 1, plan
+    assert plan.count("Aggregate [") == 1, plan
+    assert "Generate" in plan, plan
+    assert plan.index("Generate") < plan.index("Aggregate ["), plan
+
+
+def test_context_length_plan_null_text_is_zero_tokens(spark):
+    """Regression (review): least(NULL, L) returns L on both engines
+    (least skips NULLs), so an unguarded NULL-text doc was credited L
+    phantom kept tokens; with the coalesce it counts as a zero-token
+    document — kept/lost 0, not truncated, still in n_docs."""
+    from etsd_time_series_database_spark.operators.packing import (
+        context_length_plan,
+    )
+
+    rows = [
+        (1, " ".join(["w"] * 10), "s0"),
+        (2, None, "s0"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = context_length_plan(df, lengths=(32,)).collect()
+    r = out[0]
+    assert (r.n_docs, r.n_tokens) == (2, 10)
+    assert (r.n_truncated, r.tokens_kept, r.tokens_lost) == (0, 10, 0)
+    assert r.packed_bins == 1

@@ -828,3 +828,45 @@ def test_running_zscore_state_carries_across_batches(spark, tmp_path):
     assert q.awaitTermination(120)
     got = spark.sql("select * from z_batches").collect()
     assert [(r.value, r.n_prev) for r in got] == [(20.0, 30)]
+
+
+@pytest.mark.slow
+def test_running_zscore_skips_nonfinite_readings(spark, tmp_path):
+    """Regression (review): math.floor(inf) raises OverflowError —
+    an infinite reading from a faulty feed must be SKIPPED (like
+    NULL), not kill the monitor query."""
+    from etsd_time_series_database_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    rows = [
+        ("2026-01-01 00:00:00", "s", "a", 10.0, 0),
+        ("2026-01-01 00:01:00", "s", "a", 10.0, 0),
+        ("2026-01-01 00:02:00", "s", "a", float("inf"), 0),
+        ("2026-01-01 00:03:00", "s", "a", float("-inf"), 0),
+        ("2026-01-01 00:04:00", "s", "a", 10.0, 0),
+        ("2026-01-01 00:05:00", "s", "a", 99.0, 0),
+    ]
+    src = str(tmp_path / "z_inf")
+    spark.createDataFrame(
+        rows,
+        "ts string, source string, channel string, value double, status int",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts string, source string, channel string, value double, status int"
+    ).parquet(src)
+    q = (
+        running_zscore_stream(
+            stream.withColumn("ts", F.to_timestamp("ts")), min_n=3
+        )
+        .writeStream.format("memory")
+        .queryName("z_inf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("select * from z_inf").collect()
+    # the infs are invisible: stats are the three 10.0 readings
+    # (variance 0), so only the 99.0 deviates
+    assert [(r.value, r.n_prev) for r in got] == [(99.0, 3)]
