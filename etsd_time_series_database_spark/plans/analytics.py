@@ -1574,3 +1574,53 @@ def q69(spark, sf_dir):
         _events(spark, sf_dir), bucket_s=HEATMAP_BUCKET_S,
         bin_width=HIST_BIN,
     )
+
+
+@register(
+    "q70_json_props_profile",
+    "scan",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type, k // 10 AS k_decade,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM e GROUP BY event_type, k_decade
+    ORDER BY event_type, k_decade
+    """,
+    doc="Semi-structured property extraction: pull the integer 'k' "
+    "out of the events table's JSON props column (the reference's "
+    "xData extended-payload lane, code/etsdSave.c xData paths / "
+    "streaming.ingest.write_xdata_epoch) and profile it per channel "
+    "and k-decade — the query every pipeline with a JSON side-channel "
+    "runs. Engine side uses get_json_object (JVM-side JSON path, "
+    "whole-stage codegen — no Python in the loop); extraction is "
+    "scan-side so only (channel, k) reach the single "
+    "map-side-combinable hash-agg; all-integer outputs, hash-exact. "
+    "Missing/malformed JSON degrades to NULL k identically on both "
+    "engines (counted by n but not n_with_k).",
+)
+def q70(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select(F.col("event_type"), k.alias("k"))
+        .withColumn("k_decade", F.expr("k div 10"))
+        .groupBy("event_type", "k_decade")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type", "k_decade")
+    )

@@ -745,3 +745,37 @@ def test_value_heatmap_counts_cells(spark):
     # (AQE renders the plan twice, so counting operators is unstable)
     assert "HashAggregate" in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_json_props_profile_null_degradation(spark):
+    """q70: missing key, malformed JSON, and NULL props all degrade to
+    NULL k — counted in n, excluded from n_with_k and the stats."""
+    from etsd_time_series_database_spark.plans import catalog
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "a", '{"k": 7}'),
+        (2, "a", '{"k": 13}'),
+        (3, "a", '{"other": 1}'),   # missing key
+        (4, "a", "not json"),       # malformed
+        (5, "a", None),             # NULL props
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    )
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    got = (
+        df.select("event_type", k.alias("k"))
+        .withColumn("k_decade", F.expr("k div 10"))
+        .groupBy("event_type", "k_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .collect()
+    )
+    by_dec = {r.k_decade: (r.n, r.n_with_k, r.sum_k) for r in got}
+    assert by_dec[0] == (1, 1, 7)
+    assert by_dec[1] == (1, 1, 13)
+    assert by_dec[None] == (3, 0, None)
