@@ -2181,3 +2181,87 @@ def sax_transitions(
         )
         .orderBy(channel, "from_symbol", "to_symbol")
     )
+
+
+def running_zscore_batch(
+    df: DataFrame,
+    z: int = 3,
+    min_n: int = 30,
+    quant: int = 1000,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Batch (bulk-replay) form of the live running z-score monitor
+    (streaming.stateful.running_zscore_stream / s12): flag each
+    reading more than ``z`` running standard deviations from its
+    channel's strictly-PRECEDING mean — same quantization, same
+    all-integer decision, executed as JVM window functions instead of
+    a per-key Python fold (the throughput path for history: scales
+    with cores, not channel count).
+
+    Exactness: readings quantize to ``floor(value * quant)`` BIGINT;
+    prefix (count, sum, sum-of-squares) come from one window; and the
+    z-test ``(q*n - s1)^2 * (n-1) > z^2 * n * (n*s2 - s1^2)`` runs in
+    DECIMAL(38,0) — every operand is an integer < 1e26, scale stays
+    0, so no rounding ever occurs and the decision is bit-identical
+    to the streaming fold's Python-int arithmetic and the oracle's
+    HUGEINT. Non-finite readings are nulled out (join neither stats
+    nor flags), mirroring the stream.
+
+    Scale: one shuffle on the channel key; the prefix window is
+    sequential per channel (same profile as the plain q07 rate —
+    chain-dependent state; the bucket-stitched decomposition applies
+    if a single channel dominates).
+    """
+    from pyspark.sql import Window
+
+    from etsd_time_series_database_spark.functions.exprs import epoch_us
+
+    v = F.col(value)
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < float("inf"))
+    q = F.when(finite, F.floor(v * F.lit(quant)).cast("bigint"))
+    base = df.select(
+        epoch_us(F.col(ts)).alias("ts_us"),
+        F.col(channel).alias("channel"),
+        v.alias("value"),
+        F.col(tie).alias("__tie"),
+        q.alias("__q"),
+    )
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("ts_us", "__tie")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    DEC38 = "decimal(38,0)"
+    n = F.count("__q").over(w)
+    s1 = F.coalesce(F.sum("__q").over(w), F.lit(0))
+    s2 = F.coalesce(F.sum(F.col("__q") * F.col("__q")).over(w), F.lit(0))
+    staged = base.select(
+        "ts_us", "channel", "value", "__q",
+        n.alias("__n"), s1.alias("__s1"), s2.alias("__s2"),
+    )
+    d = (F.col("__q") * F.col("__n") - F.col("__s1")).cast(DEC38)
+    lhs = d * d * (F.col("__n") - 1).cast(DEC38)
+    rhs = (
+        F.lit(z * z).cast(DEC38)
+        * F.col("__n").cast(DEC38)
+        * (
+            F.col("__n").cast(DEC38) * F.col("__s2").cast(DEC38)
+            - F.col("__s1").cast(DEC38) * F.col("__s1").cast(DEC38)
+        )
+    )
+    return (
+        staged.filter(
+            (F.col("__n") >= min_n) & F.col("__q").isNotNull() & (lhs > rhs)
+        )
+        .select(
+            "ts_us",
+            F.lit("events").alias("source"),
+            "channel",
+            "value",
+            F.col("__n").cast("bigint").alias("n_prev"),
+        )
+        .orderBy("channel", "ts_us")
+    )

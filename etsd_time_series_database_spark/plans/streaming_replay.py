@@ -812,16 +812,16 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("channel", "ts_us")
 
 
-# s12 running z-score parameters, shared by engine and oracle.
+# s12/q71 running z-score parameters, shared by engine and oracle.
 _S12_Z = 3
 _S12_MIN_N = 30
 _S12_QUANT = 1000
 
-
-@register(
-    "s12_running_zscore_replay",
-    "streaming",
-    f"""
+# ONE oracle for the streaming monitor (s12) and its batch twin
+# (q71): the two engine paths — per-key Python fold vs JVM window —
+# must land on byte-identical output, so they share the SQL statement
+# of that output verbatim.
+_S12_ORACLE = f"""
     WITH b AS (
       SELECT event_type AS channel, ts, event_id, value,
              CAST(floor(value * {_S12_QUANT}) AS BIGINT) AS q
@@ -847,7 +847,13 @@ _S12_QUANT = 1000
             * (CAST(n_prev AS HUGEINT) * CAST(s2 AS HUGEINT)
                - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
     ORDER BY channel, ts_us
-    """,
+    """
+
+
+@register(
+    "s12_running_zscore_replay",
+    "streaming",
+    _S12_ORACLE,
     doc="The live running z-score anomaly monitor "
     "(running_zscore_stream) on the oracle gate: each reading is "
     "judged against its channel's strictly-PRECEDING mean/stddev — "
@@ -874,3 +880,30 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False,
     )
     return out.orderBy("channel", "ts_us")
+
+
+@register(
+    "q71_running_zscore_batch",
+    "anomaly",
+    _S12_ORACLE,
+    doc="Batch twin of the s12 live monitor (same parameters, SAME "
+    "oracle string verbatim): the causal prefix z-score executed as "
+    "JVM window functions — quantize, one prefix window for "
+    "(count, sum, sum-of-squares), and the cross-multiplied integer "
+    "test in DECIMAL(38,0) (operands < 1e26, scale 0 — no rounding "
+    "can occur, so the decision is bit-identical to the stream's "
+    "Python-int fold). This is the bulk-replay throughput path the "
+    "stateful fold is not: per-channel window, JVM-side end to end, "
+    "scales with cores (the stateful fold's parallelism is the "
+    "distinct-key count — measured in metrics_history/README.md).",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.operators.trends import (
+        running_zscore_batch,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    return running_zscore_batch(
+        load_table(spark, sf_dir, "events"),
+        z=_S12_Z, min_n=_S12_MIN_N, quant=_S12_QUANT,
+    )

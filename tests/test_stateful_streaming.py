@@ -870,3 +870,65 @@ def test_running_zscore_skips_nonfinite_readings(spark, tmp_path):
     # the infs are invisible: stats are the three 10.0 readings
     # (variance 0), so only the 99.0 deviates
     assert [(r.value, r.n_prev) for r in got] == [(99.0, 3)]
+
+
+@pytest.mark.slow
+def test_running_zscore_batch_equals_stream(spark, tmp_path):
+    """Operator-to-operator dual pin: the q71 JVM-window batch form
+    and the s12 Python-fold stream must emit IDENTICAL rows on the
+    same data — including non-finite readings, which both sides null
+    out of stats and flags."""
+    from etsd_time_series_database_spark.operators.trends import (
+        running_zscore_batch,
+    )
+    from etsd_time_series_database_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    rows = []
+    for i in range(40):
+        v = [9.0, 11.0, 10.0, 12.0][i % 4]
+        if i == 17:
+            v = float("inf")
+        rows.append((i, "a", f"2026-01-01 00:{i:02d}:00", v))
+        rows.append((i + 100, "b", f"2026-01-01 00:{i:02d}:30", v * 3))
+    rows.append((200, "a", "2026-01-01 00:40:00", 77.0))
+    rows.append((201, "b", "2026-01-01 00:40:30", 500.0))
+    schema = "event_id long, event_type string, ts string, value double"
+    batch_df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    want = sorted(
+        map(tuple, running_zscore_batch(batch_df, min_n=10).collect())
+    )
+
+    src = str(tmp_path / "dual")
+    batch_df.select(
+        "ts",
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("channel"),
+        "value",
+        F.lit(0).alias("status"),
+        F.col("event_id").alias("seq"),
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, source string, channel string, value double, "
+        "status int, seq long"
+    ).parquet(src)
+    q = (
+        running_zscore_stream(stream, min_n=10)
+        .writeStream.format("memory")
+        .queryName("z_dual")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql(
+            "select ts_us, source, channel, value, n_prev from z_dual"
+        ).collect())
+    )
+    assert got == want
+    assert len(got) >= 2  # the planted outliers actually flagged
