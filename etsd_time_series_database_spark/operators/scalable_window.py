@@ -262,3 +262,87 @@ def cumsum_multi(
         *[f"__run_{n}" for n in cols],
         *[f"__off_{n}" for n in cols],
     )
+
+
+def running_zscore_scalable(
+    df: DataFrame,
+    z: int = 3,
+    min_n: int = 30,
+    quant: int = 1000,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    seq: str = "event_id",
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Skew-proof twin of the causal running z-score
+    (operators.trends.running_zscore_batch / the s12 live monitor):
+    the three prefix accumulators (count, sum, sum-of-squares of the
+    quantized reading) ride ONE :func:`cumsum_multi` stitched pass —
+    in-bucket windows at (channels x buckets) parallelism plus a tiny
+    per-bucket offset table — instead of a per-channel global window
+    whose parallelism is the channel count. The strictly-PRECEDING
+    prefix each flag decision needs is the inclusive stitched prefix
+    minus the current row's own contribution (exact integers).
+
+    The decision inequality is the same DECIMAL(38,0)
+    cross-multiplied integer test as the batch form — bit-identical
+    flags at any bucket_s, pytest-pinned against
+    :func:`running_zscore_batch`.
+    """
+    v = F.col(value)
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < float("inf"))
+    q = F.when(finite, F.floor(v * F.lit(quant)).cast("bigint"))
+    base = df.select(
+        F.col(channel), F.col(ts), F.col(seq), v.alias(value)
+    ).withColumn("__q", q)
+    cum = cumsum_multi(
+        base,
+        {
+            "__cn": F.when(F.col("__q").isNotNull(), 1).otherwise(0),
+            "__cs1": F.coalesce(F.col("__q"), F.lit(0)),
+            "__cs2": F.coalesce(F.col("__q") * F.col("__q"), F.lit(0)),
+        },
+        channel=channel,
+        ts=ts,
+        seq=seq,
+        bucket_s=bucket_s,
+    )
+    # exclusive (strictly-preceding) prefix = inclusive - own row
+    own = F.when(F.col("__q").isNotNull(), 1).otherwise(0)
+    n = (F.col("__cn") - own).alias("__n")
+    s1 = F.col("__cs1") - F.coalesce(F.col("__q"), F.lit(0))
+    s2 = F.col("__cs2") - F.coalesce(F.col("__q") * F.col("__q"), F.lit(0))
+    staged = cum.select(
+        epoch_us(F.col(ts)).alias("ts_us"),
+        F.col(channel).alias("channel"),
+        F.col(value).alias("value"),
+        F.col("__q"),
+        n,
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+    )
+    DEC38 = "decimal(38,0)"
+    d = (F.col("__q") * F.col("__n") - F.col("__s1")).cast(DEC38)
+    lhs = d * d * (F.col("__n") - 1).cast(DEC38)
+    rhs = (
+        F.lit(z * z).cast(DEC38)
+        * F.col("__n").cast(DEC38)
+        * (
+            F.col("__n").cast(DEC38) * F.col("__s2").cast(DEC38)
+            - F.col("__s1").cast(DEC38) * F.col("__s1").cast(DEC38)
+        )
+    )
+    return (
+        staged.filter(
+            (F.col("__n") >= min_n) & F.col("__q").isNotNull() & (lhs > rhs)
+        )
+        .select(
+            "ts_us",
+            F.lit("events").alias("source"),
+            "channel",
+            "value",
+            F.col("__n").cast("bigint").alias("n_prev"),
+        )
+        .orderBy("channel", "ts_us")
+    )

@@ -907,3 +907,30 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         z=_S12_Z, min_n=_S12_MIN_N, quant=_S12_QUANT,
     )
+
+
+@register(
+    "q72_running_zscore_scalable",
+    "anomaly",
+    _S12_ORACLE,
+    doc="Skew-proof twin of q71 (third member of the s12/q71 family, "
+    "SAME oracle verbatim): the three prefix accumulators ride one "
+    "cumsum_multi stitched pass — in-bucket windows at (channels x "
+    "buckets) parallelism plus the tiny per-bucket offset table — "
+    "so the causal z-score replay is no longer capped at "
+    "channel-count parallelism on a 100 TB history. Strictly-"
+    "preceding prefix = inclusive stitched prefix minus the row's "
+    "own contribution (exact integers); same DECIMAL(38,0) decision "
+    "inequality — bit-identical flags at any bucket width "
+    "(pytest-pinned against q71 at bucket_s=60).",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.operators.scalable_window import (
+        running_zscore_scalable,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    return running_zscore_scalable(
+        load_table(spark, sf_dir, "events"),
+        z=_S12_Z, min_n=_S12_MIN_N, quant=_S12_QUANT,
+    )

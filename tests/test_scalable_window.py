@@ -134,3 +134,54 @@ def test_rollover_plan_has_no_duplicate_bucket_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange hashpartitioning")
     assert n <= 12, f"q08 regressed to {n} hash exchanges"
+
+
+def test_running_zscore_scalable_equals_batch(spark):
+    """q72 == q71 bit-identically on the real testdata at the default
+    daily bucket AND at a tiny bucket that forces many boundary
+    carries (the stitched exclusive-prefix arithmetic is the part
+    that can silently drift)."""
+    from etsd_time_series_database_spark.operators.trends import (
+        running_zscore_batch,
+    )
+
+    e = _events(spark)
+    want = _rows(running_zscore_batch(e, min_n=10))
+    assert want  # the testdata actually flags something at min_n=10
+    for bucket_s in (86_400, 60):
+        got = _rows(
+            sw.running_zscore_scalable(e, min_n=10, bucket_s=bucket_s)
+        )
+        assert got == want, bucket_s
+
+
+def test_running_zscore_scalable_nulls_and_nonfinite(spark):
+    """NULL/inf readings: both forms must null them out of stats and
+    flags identically — including when the inf row sits EXACTLY on a
+    bucket boundary of the stitched form."""
+    import datetime as dt
+
+    from etsd_time_series_database_spark.operators.trends import (
+        running_zscore_batch,
+    )
+
+    rows = []
+    for i in range(25):
+        v = [9.0, 11.0, 10.0][i % 3]
+        if i == 10:
+            v = float("inf")
+        if i == 13:
+            v = None
+        rows.append(
+            (i, "a",
+             dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 30), v)
+        )
+    rows.append((99, "a", dt.datetime(2024, 1, 1, 0, 13, 0), 444.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    want = _rows(running_zscore_batch(df, min_n=5))
+    # 60 s buckets: the i=10 inf row lands exactly on a boundary
+    got = _rows(sw.running_zscore_scalable(df, min_n=5, bucket_s=60))
+    assert got == want
+    assert any(r[3] == 444.0 for r in want)  # outlier flagged
