@@ -306,7 +306,9 @@ def _skew_compare(spark) -> dict:
     (e) q65's pairwise co-alarm join under the same chatter at N/10
     rows — the fixed daily join bucket (within-bucket cross-channel
     join quadratic in a hot day's segments) vs bucket_s='auto'
-    (join bucket narrowed from measured episode density).
+    (join bucket narrowed from measured episode density);
+    (f) the causal z-score prefix accumulators (q71 vs q72) — three
+    per-channel global windows vs one cumsum_multi stitched pass.
     Warm-up pass each, then one timed pass to a noop sink (full JVM
     evaluation, no driver materialization).
     $SPARK_GRAFT_BENCH_SKEW_ROWS overrides N (0 skips)."""
@@ -328,6 +330,10 @@ def _skew_compare(spark) -> dict:
     )
     from etsd_time_series_database_spark.operators.scalable_window import (
         rate_scalable,
+        running_zscore_scalable,
+    )
+    from etsd_time_series_database_spark.operators.trends import (
+        running_zscore_batch,
     )
 
     n = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_ROWS", "20000000"))
@@ -406,6 +412,19 @@ def _skew_compare(spark) -> dict:
         "coalarm_day_s": lambda: co_alarm_matrix(chat, 50.0),
         "coalarm_auto_s": lambda: co_alarm_matrix(
             chat, 50.0, bucket_s="auto"
+        ),
+        # q71/q72: the causal z-score's three prefix accumulators —
+        # per-channel global windows (3 sort tasks carry all N rows)
+        # vs ONE cumsum_multi stitched pass (channels x days)
+        # quant=1: the synthetic values reach 1e5, so milli-unit
+        # quantization would overflow the int64 sum-of-squares
+        # accumulator (the documented n * (value*quant)^2 < 2^63
+        # bound); whole-unit quantization keeps it exact at 20M rows
+        "zscore_global_s": lambda: running_zscore_batch(
+            df, min_n=30, quant=1
+        ),
+        "zscore_scalable_s": lambda: running_zscore_scalable(
+            df, min_n=30, quant=1
         ),
         "shuffle_global_s": lambda: df.select(
             "event_id",

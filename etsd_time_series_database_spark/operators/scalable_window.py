@@ -288,7 +288,8 @@ def running_zscore_scalable(
     The decision inequality is the same DECIMAL(38,0)
     cross-multiplied integer test as the batch form — bit-identical
     flags at any bucket_s, pytest-pinned against
-    :func:`running_zscore_batch`.
+    :func:`running_zscore_batch`. Same int64 accumulator bound as the
+    batch/stream forms: n * (value * quant)^2 < 2^63 per channel.
     """
     v = F.col(value)
     finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < float("inf"))

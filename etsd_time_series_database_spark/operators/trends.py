@@ -2208,7 +2208,10 @@ def running_zscore_batch(
     0, so no rounding ever occurs and the decision is bit-identical
     to the streaming fold's Python-int arithmetic and the oracle's
     HUGEINT. Non-finite readings are nulled out (join neither stats
-    nor flags), mirroring the stream.
+    nor flags), mirroring the stream. The PREFIX sums are int64
+    windows, so the stream's volume bound applies here too:
+    n * (value * quant)^2 must stay under 2^63 per channel — drop
+    ``quant`` for wide-ranged values (the skew harness uses 1).
 
     Scale: one shuffle on the channel key; the prefix window is
     sequential per channel (same profile as the plain q07 rate —
