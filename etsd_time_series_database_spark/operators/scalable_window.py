@@ -285,18 +285,24 @@ def running_zscore_scalable(
     prefix each flag decision needs is the inclusive stitched prefix
     minus the current row's own contribution (exact integers).
 
-    The decision inequality is the same DECIMAL(38,0)
-    cross-multiplied integer test as the batch form — bit-identical
-    flags at any bucket_s, pytest-pinned against
-    :func:`running_zscore_batch`. Same int64 accumulator bound as the
-    batch/stream forms: n * (value * quant)^2 < 2^63 per channel.
+    Quantization, the DECIMAL(38,0) decision inequality, the output
+    projection, and the NULL-channel/ts domain exclusion are the
+    SHARED trends.zscore_quantized / trends.zscore_decide helpers —
+    one copy, so the pinned q71==q72 bit-equality cannot drift (the
+    domain filter also matters structurally here: cumsum_multi's
+    boundary equi-join cannot carry NULL keys). Width bounds are
+    documented on :func:`trends.zscore_decide`.
     """
-    v = F.col(value)
-    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < float("inf"))
-    q = F.when(finite, F.floor(v * F.lit(quant)).cast("bigint"))
-    base = df.select(
-        F.col(channel), F.col(ts), F.col(seq), v.alias(value)
-    ).withColumn("__q", q)
+    from etsd_time_series_database_spark.operators.trends import (
+        zscore_decide,
+        zscore_quantized,
+    )
+
+    base = df.filter(
+        F.col(channel).isNotNull() & F.col(ts).isNotNull()
+    ).select(
+        F.col(channel), F.col(ts), F.col(seq), F.col(value)
+    ).withColumn("__q", zscore_quantized(F.col(value), quant))
     cum = cumsum_multi(
         base,
         {
@@ -311,39 +317,17 @@ def running_zscore_scalable(
     )
     # exclusive (strictly-preceding) prefix = inclusive - own row
     own = F.when(F.col("__q").isNotNull(), 1).otherwise(0)
-    n = (F.col("__cn") - own).alias("__n")
-    s1 = F.col("__cs1") - F.coalesce(F.col("__q"), F.lit(0))
-    s2 = F.col("__cs2") - F.coalesce(F.col("__q") * F.col("__q"), F.lit(0))
     staged = cum.select(
         epoch_us(F.col(ts)).alias("ts_us"),
         F.col(channel).alias("channel"),
         F.col(value).alias("value"),
         F.col("__q"),
-        n,
-        s1.alias("__s1"),
-        s2.alias("__s2"),
+        (F.col("__cn") - own).alias("__n"),
+        (F.col("__cs1") - F.coalesce(F.col("__q"), F.lit(0)))
+        .alias("__s1"),
+        (
+            F.col("__cs2")
+            - F.coalesce(F.col("__q") * F.col("__q"), F.lit(0))
+        ).alias("__s2"),
     )
-    DEC38 = "decimal(38,0)"
-    d = (F.col("__q") * F.col("__n") - F.col("__s1")).cast(DEC38)
-    lhs = d * d * (F.col("__n") - 1).cast(DEC38)
-    rhs = (
-        F.lit(z * z).cast(DEC38)
-        * F.col("__n").cast(DEC38)
-        * (
-            F.col("__n").cast(DEC38) * F.col("__s2").cast(DEC38)
-            - F.col("__s1").cast(DEC38) * F.col("__s1").cast(DEC38)
-        )
-    )
-    return (
-        staged.filter(
-            (F.col("__n") >= min_n) & F.col("__q").isNotNull() & (lhs > rhs)
-        )
-        .select(
-            "ts_us",
-            F.lit("events").alias("source"),
-            "channel",
-            "value",
-            F.col("__n").cast("bigint").alias("n_prev"),
-        )
-        .orderBy("channel", "ts_us")
-    )
+    return zscore_decide(staged, z, min_n)

@@ -2183,68 +2183,37 @@ def sax_transitions(
     )
 
 
-def running_zscore_batch(
-    df: DataFrame,
-    z: int = 3,
-    min_n: int = 30,
-    quant: int = 1000,
-    channel: str = "event_type",
-    ts: str = "ts",
-    value: str = "value",
-    tie: str = "event_id",
-) -> DataFrame:
-    """Batch (bulk-replay) form of the live running z-score monitor
-    (streaming.stateful.running_zscore_stream / s12): flag each
-    reading more than ``z`` running standard deviations from its
-    channel's strictly-PRECEDING mean — same quantization, same
-    all-integer decision, executed as JVM window functions instead of
-    a per-key Python fold (the throughput path for history: scales
-    with cores, not channel count).
-
-    Exactness: readings quantize to ``floor(value * quant)`` BIGINT;
-    prefix (count, sum, sum-of-squares) come from one window; and the
-    z-test ``(q*n - s1)^2 * (n-1) > z^2 * n * (n*s2 - s1^2)`` runs in
-    DECIMAL(38,0) — every operand is an integer < 1e26, scale stays
-    0, so no rounding ever occurs and the decision is bit-identical
-    to the streaming fold's Python-int arithmetic and the oracle's
-    HUGEINT. Non-finite readings are nulled out (join neither stats
-    nor flags), mirroring the stream. The PREFIX sums are int64
-    windows, so the stream's volume bound applies here too:
-    n * (value * quant)^2 must stay under 2^63 per channel — drop
-    ``quant`` for wide-ranged values (the skew harness uses 1).
-
-    Scale: one shuffle on the channel key; the prefix window is
-    sequential per channel (same profile as the plain q07 rate —
-    chain-dependent state; the bucket-stitched decomposition applies
-    if a single channel dominates).
-    """
-    from pyspark.sql import Window
-
-    from etsd_time_series_database_spark.functions.exprs import epoch_us
-
-    v = F.col(value)
-    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < float("inf"))
-    q = F.when(finite, F.floor(v * F.lit(quant)).cast("bigint"))
-    base = df.select(
-        epoch_us(F.col(ts)).alias("ts_us"),
-        F.col(channel).alias("channel"),
-        v.alias("value"),
-        F.col(tie).alias("__tie"),
-        q.alias("__q"),
+def zscore_quantized(value_col: Column, quant: int) -> Column:
+    """Quantize a reading for the causal z-score family: NULL for
+    NULL/NaN/inf (such readings join neither stats nor flags in the
+    stream, batch and stitched forms alike), else
+    ``floor(value * quant)`` as BIGINT — floor of a double product,
+    identical on any IEEE engine."""
+    finite = (
+        value_col.isNotNull()
+        & ~F.isnan(value_col)
+        & (F.abs(value_col) < float("inf"))
     )
-    w = (
-        Window.partitionBy("channel")
-        .orderBy("ts_us", "__tie")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    return F.when(finite, F.floor(value_col * F.lit(quant)).cast("bigint"))
+
+
+def zscore_decide(staged: DataFrame, z: int, min_n: int) -> DataFrame:
+    """Shared decision + projection for the q71/q72 causal z-score
+    twins: given the staged columns ``(ts_us, channel, value, __q,
+    __n, __s1, __s2)``, apply the cross-multiplied integer test
+
+        (q*n - s1)^2 * (n-1)  >  z^2 * n * (n*s2 - s1^2)
+
+    in DECIMAL(38,0). Scale 0 means no rounding path exists; the
+    width bound is JOINT: beyond the int64 accumulator limit
+    (n * (value*quant)^2 < 2^63 per channel) the decision products
+    must also fit 38 digits — z^2 * n^2 * s2 < 1e38, i.e. with s2 at
+    its int64 cap roughly n <= ~1e8 rows per channel at z=3. Past
+    that, reduce ``quant`` (shrinks s2 quadratically) or split the
+    history; the s12 Python-int stream has no such ceiling. ONE copy
+    of this arithmetic exists so the q71==q72 pinned equivalence
+    cannot drift."""
     DEC38 = "decimal(38,0)"
-    n = F.count("__q").over(w)
-    s1 = F.coalesce(F.sum("__q").over(w), F.lit(0))
-    s2 = F.coalesce(F.sum(F.col("__q") * F.col("__q")).over(w), F.lit(0))
-    staged = base.select(
-        "ts_us", "channel", "value", "__q",
-        n.alias("__n"), s1.alias("__s1"), s2.alias("__s2"),
-    )
     d = (F.col("__q") * F.col("__n") - F.col("__s1")).cast(DEC38)
     lhs = d * d * (F.col("__n") - 1).cast(DEC38)
     rhs = (
@@ -2268,3 +2237,63 @@ def running_zscore_batch(
         )
         .orderBy("channel", "ts_us")
     )
+
+
+def running_zscore_batch(
+    df: DataFrame,
+    z: int = 3,
+    min_n: int = 30,
+    quant: int = 1000,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Batch (bulk-replay) form of the live running z-score monitor
+    (streaming.stateful.running_zscore_stream / s12): flag each
+    reading more than ``z`` running standard deviations from its
+    channel's strictly-PRECEDING mean — same quantization, same
+    all-integer decision (see :func:`zscore_decide` for the width
+    bounds), executed as JVM window functions instead of a per-key
+    Python fold (the throughput path for history: scales with cores,
+    not channel count).
+
+    Domain: rows with NULL channel or NULL ts are EXCLUDED before the
+    analysis — engines disagree on where NULL keys sort (Spark
+    windows put NULL ts first, ANSI oracles last) and the stitched
+    twin's boundary join cannot carry NULL keys, so the family
+    defines them out of scope rather than out-diverging. Non-finite
+    readings stay in the row stream but join neither stats nor flags.
+
+    Scale: one shuffle on the channel key; the prefix window is
+    sequential per channel (same profile as the plain q07 rate —
+    :func:`scalable_window.running_zscore_scalable` is the stitched
+    decomposition when channels are few).
+    """
+    from pyspark.sql import Window
+
+    from etsd_time_series_database_spark.functions.exprs import epoch_us
+
+    base = df.filter(
+        F.col(channel).isNotNull() & F.col(ts).isNotNull()
+    ).select(
+        epoch_us(F.col(ts)).alias("ts_us"),
+        F.col(channel).alias("channel"),
+        F.col(value).alias("value"),
+        F.col(tie).alias("__tie"),
+        zscore_quantized(F.col(value), quant).alias("__q"),
+    )
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("ts_us", "__tie")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = base.select(
+        "ts_us", "channel", "value", "__q",
+        F.count("__q").over(w).alias("__n"),
+        F.coalesce(F.sum("__q").over(w), F.lit(0)).alias("__s1"),
+        F.coalesce(
+            F.sum(F.col("__q") * F.col("__q")).over(w), F.lit(0)
+        ).alias("__s2"),
+    )
+    return zscore_decide(staged, z, min_n)

@@ -1582,7 +1582,12 @@ def q69(spark, sf_dir):
     """
     WITH e AS (
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  AND regexp_matches(
+                        json_extract_string(props, '$.k'),
+                        '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
       FROM events
     )
     SELECT event_type, k // 10 AS k_decade,
@@ -1603,14 +1608,22 @@ def q69(spark, sf_dir):
     "whole-stage codegen — no Python in the loop); extraction is "
     "scan-side so only (channel, k) reach the single "
     "map-side-combinable hash-agg; all-integer outputs, hash-exact. "
-    "Missing/malformed JSON degrades to NULL k identically on both "
-    "engines (counted by n but not n_with_k).",
+    "Degradation is defined by an explicit integer-format guard on "
+    "BOTH engines (an unguarded CAST diverges: DuckDB errors on "
+    "malformed JSON and rounds '7.9', ANSI Spark throws on cast): "
+    "missing key, malformed JSON, NULL props, and non-integer k all "
+    "yield NULL k — counted by n, excluded from n_with_k/stats.",
 )
 def q70(spark, sf_dir):
     from pyspark.sql import functions as F
 
     e = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # integer-format guard BEFORE the cast: get_json_object NULLs
+    # malformed JSON/missing keys, but an ANSI cast of a non-integer
+    # extraction ('7.9', 'abc') would throw, and the oracle's CAST
+    # would round — the rlike guard makes both engines agree on NULL
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw.cast("bigint"))
     return (
         e.select(F.col("event_type"), k.alias("k"))
         .withColumn("k_decade", F.expr("k div 10"))

@@ -826,6 +826,9 @@ _S12_ORACLE = f"""
       SELECT event_type AS channel, ts, event_id, value,
              CAST(floor(value * {_S12_QUANT}) AS BIGINT) AS q
       FROM events
+      -- family domain rule: NULL channel/ts rows are out of scope
+      -- (engines disagree on NULL-key ordering/grouping)
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
     ),
     p AS (
       SELECT channel, ts, value, q,

@@ -695,7 +695,14 @@ def running_zscore_stream(
     with bigger channels should widen the accumulators to
     DecimalType(38,0) (same fold, wider state schema).
     """
-    rows = stream.select(*_row_cols(stream))
+    from pyspark.sql import functions as F
+
+    # same domain rule as the q71/q72 batch twins: rows with no
+    # channel or no timestamp are out of scope (engines disagree on
+    # NULL-key ordering/grouping, so the family excludes them)
+    rows = stream.select(*_row_cols(stream)).filter(
+        F.col("channel").isNotNull() & F.col("ts_us").isNotNull()
+    )
     return rows.groupBy("source", "channel").applyInPandasWithState(
         _make_running_z_fn(z, min_n, quant),
         outputStructType=ZSCORE_OUTPUT_SCHEMA,

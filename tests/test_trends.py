@@ -759,11 +759,15 @@ def test_json_props_profile_null_degradation(spark):
         (3, "a", '{"other": 1}'),   # missing key
         (4, "a", "not json"),       # malformed
         (5, "a", None),             # NULL props
+        (6, "a", '{"k": 7.9}'),     # non-integer k (guard -> NULL,
+                                    # never a rounded 8 or ANSI throw)
     ]
     df = spark.createDataFrame(
         rows, "event_id long, event_type string, props string"
     )
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # the q70 engine expression verbatim (integer-format guard)
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw.cast("bigint"))
     got = (
         df.select("event_type", k.alias("k"))
         .withColumn("k_decade", F.expr("k div 10"))
@@ -778,4 +782,4 @@ def test_json_props_profile_null_degradation(spark):
     by_dec = {r.k_decade: (r.n, r.n_with_k, r.sum_k) for r in got}
     assert by_dec[0] == (1, 1, 7)
     assert by_dec[1] == (1, 1, 13)
-    assert by_dec[None] == (3, 0, None)
+    assert by_dec[None] == (4, 0, None)
