@@ -937,3 +937,48 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         z=_S12_Z, min_n=_S12_MIN_N, quant=_S12_QUANT,
     )
+
+
+@register(
+    "s13_freshness_first_seen_replay",
+    "streaming",
+    """
+    SELECT min(epoch_us(ts)) AS ts_us, 'events' AS source,
+           event_type AS channel, 'first_seen' AS status,
+           min(epoch_us(ts)) AS last_ts_us,
+           CAST(0 AS BIGINT) AS silent_us
+    FROM events GROUP BY event_type
+    ORDER BY channel
+    """,
+    doc="The freshness monitor (freshness_stream) on the oracle gate "
+    "via its batch-deterministic path: with the SLA wider than the "
+    "table's time span no key can time out (availableNow DOES fire "
+    "event-time timeouts in a trailing pass once the watermark "
+    "advances past batch one — an SLA inside the span emits "
+    "span-dependent stale rows), so the only emissions are one "
+    "first_seen row per (source, channel) at that key's earliest "
+    "event time with zero silence — exactly the oracle's per-channel "
+    "min. The stale/recovered paths are pinned by the multi-batch "
+    "pytests (tests/test_stateful_streaming.py freshness family); "
+    "this entry pins the operator's key-discovery bookkeeping "
+    "end-to-end through the real applyInPandasWithState fold.",
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.stateful import (
+        freshness_stream,
+    )
+
+    # 100 days >> the 30-day testdata span at every SF
+    out = _replay(
+        spark,
+        sf_dir,
+        lambda rows: freshness_stream(
+            rows, stale_after_s=100.0 * 86_400
+        ).select(
+            "ts_us", "source", "channel", "status", "last_ts_us",
+            "silent_us",
+        ),
+        "s13_sink",
+        inject_nulls=False,
+    )
+    return out.orderBy("channel")
