@@ -409,7 +409,12 @@ def _skew_compare(spark) -> dict:
             ),
             50.0,
         ),
-        "coalarm_day_s": lambda: co_alarm_matrix(chat, 50.0),
+        # bucket_s=86400 is EXPLICIT since round 10: the operator
+        # default flipped to 'auto', so the fixed-day pathology has to
+        # be asked for to be measured
+        "coalarm_day_s": lambda: co_alarm_matrix(
+            chat, 50.0, bucket_s=86400
+        ),
         "coalarm_auto_s": lambda: co_alarm_matrix(
             chat, 50.0, bucket_s="auto"
         ),

@@ -341,6 +341,27 @@ def cmd_dedup_probe(args, spark: SparkSession) -> int:
 
     new = spark.read.parquet(args.source)
     if args.survivors_out:
+        import glob as _glob
+        import os as _os
+
+        # refuse to silently clobber a prior run's survivors: an
+        # existing non-empty survivors directory means a previous
+        # probe completed its persist step.  A RETRY of the same
+        # shard is safe (idempotent: self-matches are excluded, so
+        # the same survivor set is reproduced) but must be explicit;
+        # reusing the path for a DIFFERENT shard would lose data.
+        if (
+            not args.overwrite_survivors
+            and _os.path.isdir(args.survivors_out)
+            and _glob.glob(_os.path.join(args.survivors_out, "*.parquet"))
+        ):
+            print(
+                f"refusing to overwrite existing survivors at "
+                f"{args.survivors_out}; pass --overwrite-survivors to "
+                f"retry this shard (idempotent) or choose a new path",
+                file=sys.stderr,
+            )
+            return 2
         # crash-safe ordering lives in the library: survivors are
         # persisted (temp + rename) BEFORE the index append, and a
         # retry after a successful append reproduces the same
@@ -617,6 +638,12 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument(
         "--dry-run", action="store_true",
         help="with --survivors-out: keep the index unchanged",
+    )
+    dp.add_argument(
+        "--overwrite-survivors", action="store_true",
+        help="allow --survivors-out to point at an existing non-empty "
+        "survivors directory (an explicit retry of the same shard; "
+        "idempotent, reproduces the same survivor set)",
     )
     dp.add_argument("--limit", type=int, default=20)
     dp.set_defaults(fn=cmd_dedup_probe)

@@ -1073,8 +1073,9 @@ def co_alarm_matrix(
     ts: str = "ts",
     seq: str = "event_id",
     scalable: bool = True,
-    bucket_s=86400,
+    bucket_s="auto",
     auto_target: int = 256,
+    salt="auto",
 ) -> DataFrame:
     """Pairwise co-alarm accounting: for every channel pair, how many
     episode pairs overlap in time and for how many total microseconds
@@ -1100,13 +1101,33 @@ def co_alarm_matrix(
     Within one bucket the cross-channel segment join is quadratic in
     that bucket's segments, so a channel CHATTERING around the
     threshold (every sample its own episode) makes a hot bucket the
-    bottleneck at a fixed ``bucket_s``. ``bucket_s="auto"`` sizes the
+    bottleneck at a fixed ``bucket_s`` — the harness measured a fixed
+    daily bucket at 38x the auto plan under chatter (60.65 s vs
+    1.60 s at 20M rows), which is why ``"auto"`` is the DEFAULT.
+    ``bucket_s="auto"`` sizes the
     join bucket from the data instead: one tiny rollup of the episode
     table (per-day episode counts + mean span) picks the width so the
     HOTTEST day's episodes spread to ~``auto_target`` per bucket,
     floored at the mean episode span (finer would only multiply split
     segments) and clamped to [1 s, 86400 s]. Episode DETECTION keeps
     the daily stitch either way; only the join split narrows.
+
+    Time-splitting alone cannot spread a SINGLE pathological instant
+    (thousands of point episodes inside one second: the auto width is
+    already clamped at 1 s and floored at the mean span, so they all
+    land in one bucket = one quadratic join task). ``salt`` is the
+    second axis: side ``b`` of the overlap join gets
+    ``hash(island) % S`` and side ``a`` replicates across all ``S``
+    salts, so each episode pair still meets exactly once but the hot
+    bucket's pairs spread over ``S`` reducer tasks. ``salt="auto"``
+    (default) measures the hottest bucket's segment count from the
+    already-checkpointed episode table and salts only when it exceeds
+    ``4 * auto_target`` (S = hottest // auto_target, capped at 32) —
+    data without a hot spot pays nothing beyond an episode-scale
+    rollup, and outside auto-bucket mode ``"auto"`` resolves to 1 (no
+    extra detection scan). An int forces a factor; ``1`` disables.
+    Salting never changes output (forced-hot-bucket property pin in
+    ``tests/test_interval_union_property.py``).
     """
     detect_bucket_s = 86400 if bucket_s == "auto" else bucket_s
     eps = episode_table(
@@ -1119,6 +1140,7 @@ def co_alarm_matrix(
         scalable=scalable,
         bucket_s=detect_bucket_s,
     ).select(channel, "__island", "start_us", "end_us")
+    _auto_checkpointed = bool(scalable and bucket_s == "auto")
     if scalable and bucket_s == "auto":
         # freeze the episode table: the density rollup + both join
         # sides would otherwise each recompute the full detection scan
@@ -1173,14 +1195,59 @@ def co_alarm_matrix(
                 F.col("end_us"), (F.col("__b") + F.lit(1)) * w_us
             ).alias("__e"),
         )
-        a, b = seg.alias("a"), seg.alias("b")
-        pieces = a.join(
-            b,
-            on=(F.col("a.__b") == F.col("b.__b"))
+        if salt == "auto":
+            # the hottest-bucket probe needs the episode table twice
+            # more; only affordable when it is already checkpointed
+            # (auto-bucket mode). One episode-scale rollup: max
+            # segments in any one join bucket.
+            if _auto_checkpointed:
+                hot = (
+                    eps.select(
+                        F.explode(
+                            F.sequence(
+                                F.expr(f"start_us DIV {w_us}"),
+                                F.expr(f"end_us DIV {w_us}"),
+                            )
+                        ).alias("__b")
+                    )
+                    .groupBy("__b")
+                    .count()
+                    .agg(F.max("count").alias("mx"))
+                    .collect()[0]["mx"]
+                )
+                salt = (
+                    min(32, int(hot) // auto_target)
+                    if hot and int(hot) > 4 * auto_target
+                    else 1
+                )
+            else:
+                salt = 1
+        salt = max(1, int(salt))
+        if salt > 1:
+            a = seg.withColumn(
+                "__salt",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.lit(salt - 1))
+                ),
+            ).alias("a")
+            b = seg.withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(F.col("__island"), F.col(channel)),
+                    F.lit(salt),
+                ),
+            ).alias("b")
+        else:
+            a, b = seg.alias("a"), seg.alias("b")
+        cond = (
+            (F.col("a.__b") == F.col("b.__b"))
             & (F.col(f"a.{channel}") < F.col(f"b.{channel}"))
             & (F.col("a.start_us") < F.col("b.end_us"))
-            & (F.col("b.start_us") < F.col("a.end_us")),
-        ).select(
+            & (F.col("b.start_us") < F.col("a.end_us"))
+        )
+        if salt > 1:
+            cond = (F.col("a.__salt") == F.col("b.__salt")) & cond
+        pieces = a.join(b, on=cond).select(
             F.col(f"a.{channel}").alias("channel_a"),
             F.col(f"b.{channel}").alias("channel_b"),
             F.col("a.__island").alias("ia"),

@@ -250,6 +250,31 @@ def test_dedup_index_lifecycle_cli(spark, tmp_path, capsys):
     assert rc == 0 and "kept" in capsys.readouterr().out
     kept = spark.read.parquet(out)
     assert 0 < kept.count() <= docs.filter(F.col("doc_id") % 3 == 0).count()
+    kept_ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+
+    # a bare re-run after the successful append REFUSES to touch the
+    # existing survivors file (no silent truncation), and an explicit
+    # --overwrite-survivors retry reproduces the identical survivor
+    # set (self-matches excluded in the probe -> idempotent)
+    rc = cli.main(
+        ["dedup-probe", shard, idx2, "--survivors-out", out], spark=spark
+    )
+    captured = capsys.readouterr()
+    assert rc == 2 and "refusing to overwrite" in captured.err
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == kept_ids
+    rc = cli.main(
+        [
+            "dedup-probe", shard, idx2, "--survivors-out", out,
+            "--overwrite-survivors",
+        ],
+        spark=spark,
+    )
+    assert rc == 0 and "kept" in capsys.readouterr().out
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == kept_ids
 
 
 def test_watch_alarms_then_site_cli(spark, tmp_path, capsys):

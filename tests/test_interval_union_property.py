@@ -134,6 +134,88 @@ def test_co_alarm_auto_bucket_equals_plain(spark, eps):
     assert got == want
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    eps=st.lists(episode, min_size=1, max_size=15),
+    salt=st.sampled_from([2, 3, 7]),
+)
+def test_co_alarm_salted_join_equals_plain(spark, eps, salt):
+    """A forced salt factor (the hot-bucket sub-split) must be a pure
+    physical choice: every episode pair meets exactly once (side b
+    keyed by hash(island)%S, side a replicated over all S salts), so
+    output is identical to the plain theta-join."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        co_alarm_matrix,
+    )
+
+    rows, seq = [], 0
+    for s, d, ch in eps:
+        rows.append((s * 1_000_000, ch, 99.0, seq)); seq += 1
+        rows.append(((s + d) * 1_000_000, ch, 99.0, seq)); seq += 1
+        rows.append(((s + d) * 1_000_000 + 1, ch, 1.0, seq)); seq += 1
+    df = spark.createDataFrame(
+        rows,
+        "us bigint, event_type string, value double, event_id bigint",
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    got = sorted(
+        tuple(r)
+        for r in co_alarm_matrix(
+            df, 20.0, scalable=True, bucket_s=60, salt=salt
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in co_alarm_matrix(df, 20.0, scalable=False).collect()
+    )
+    assert got == want
+
+
+def test_co_alarm_forced_hot_bucket_auto_salts(spark):
+    """A pathological instant — hundreds of point episodes from many
+    channels inside ONE second — lands in one join bucket no matter
+    how narrow the auto width gets (clamped at 1 s). With auto_target
+    lowered so the sandbox-sized data crosses the 4*auto_target
+    trigger, the auto-salt path must engage AND reproduce the plain
+    theta-join exactly."""
+    from etsd_time_series_database_spark.operators.range_stats import (
+        co_alarm_matrix,
+    )
+
+    rows, seq = [], 0
+    base = 1_700_000_000 * 1_000_000
+    for ch_i in range(6):
+        ch = f"c{ch_i}"
+        for k in range(40):
+            us = base + (k * 20_000) + ch_i  # all inside one second
+            rows.append((us, ch, 99.0, seq)); seq += 1
+            rows.append((us + 5_000, ch, 99.0, seq)); seq += 1
+            rows.append((us + 5_001, ch, 1.0, seq)); seq += 1
+    df = spark.createDataFrame(
+        rows,
+        "us bigint, event_type string, value double, event_id bigint",
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    got = sorted(
+        tuple(r)
+        for r in co_alarm_matrix(
+            df, 20.0, bucket_s="auto", auto_target=2, salt="auto"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in co_alarm_matrix(df, 20.0, scalable=False).collect()
+    )
+    assert got == want
+    assert got  # the hot second really produces co-alarm pairs
+
+
 def test_co_alarm_auto_bucket_no_episodes(spark):
     """auto mode on data that never crosses the threshold: no episodes,
     empty matrix, no division-by-zero in the density rollup."""
