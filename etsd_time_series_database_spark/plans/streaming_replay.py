@@ -290,10 +290,10 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("channel", "ts_us", "event")
 
 
-@register(
-    "s04_site_alarm_replay",
-    "streaming",
-    f"""
+# The site-union oracle, shared VERBATIM by s04 (library topology)
+# and s14 (the same topology driven through the CLI watch verb) so
+# the two gates cannot diverge.
+_SITE_UNION_ORACLE = f"""
     WITH {_EPISODES_CTE},
     tr AS (
       SELECT open_us AS us, 1 AS delta FROM ep
@@ -338,7 +338,13 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.covered_us
     FROM counts c JOIN cov v ON c.us = v.us
     ORDER BY ts_us, open_channels DESC
-    """,
+    """
+
+
+@register(
+    "s04_site_alarm_replay",
+    "streaming",
+    _SITE_UNION_ORACLE,
     doc="The FULL live-monitor topology on the oracle gate: query 1 "
     "replays events through the hysteresis alarm stream and persists "
     "the open/close transitions (the reference's monitor hand-off, "
@@ -982,3 +988,83 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False,
     )
     return out.orderBy("channel")
+
+
+@register(
+    "s14_watch_cli_replay",
+    "streaming",
+    _SITE_UNION_ORACLE,
+    doc="The edd-daemon analog end-to-end THROUGH THE CLI (the watch "
+    "verb, cli.py cmd_watch) instead of the library calls s04 gates: "
+    "a first `watch --mode alarms` session catches up on the early "
+    "half of the events history, the directory then GROWS by the "
+    "late half and a SECOND session resumes from the sink checkpoint "
+    "(the daemon-restart story, code/edd.c:292-386 re-entering its "
+    "poll loop) and folds only the new files against carried state; "
+    "`watch --mode site` then folds the accumulated transitions "
+    "directory into the running cross-channel union. Oracle = the "
+    "s04 site-union SQL VERBATIM — a one-shot replay and the "
+    "restart-resumed CLI topology must produce the identical table, "
+    "which pins checkpoint state carry (an episode OPEN at the split "
+    "closes in session two with the exact span) on top of the fold "
+    "semantics s03/s04 already gate. Integer outputs — hash-exact.",
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etsd_time_series_database_spark import cli
+    from etsd_time_series_database_spark.sources.store import (
+        raw_ts_micros_divisor,
+    )
+
+    div = raw_ts_micros_divisor(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    rows = spark.read.schema(_EVENTS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).select(
+        F.timestamp_micros(F.expr(f"ts DIV {div}")).alias("ts"),
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("channel"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(0).alias("status"),
+        F.col("event_id").alias("seq"),
+    )
+    work = tempfile.mkdtemp(prefix="s14_watch_")
+    src = os.path.join(work, "ingest")
+    trans = os.path.join(work, "transitions")
+    site = os.path.join(work, "site")
+    try:
+        # grow the directory in event-time order: the daemon's source
+        # only ever appends FUTURE files, so the split point is the
+        # middle of the observed span (one 2-value aggregate)
+        lo, hi = rows.agg(
+            F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+        ).first()
+        mid = (lo + hi) // 2
+        early = rows.filter(F.unix_micros("ts") <= mid)
+        late = rows.filter(F.unix_micros("ts") > mid)
+        early.coalesce(1).write.mode("overwrite").parquet(src)
+
+        watch_alarms = [
+            "watch", src, "--mode", "alarms",
+            "--hi", str(HYST_HI), "--lo", str(HYST_LO), "--out", trans,
+        ]
+        assert cli.main(watch_alarms, spark=spark) == 0
+        # the directory grows; the second session resumes from the
+        # checkpoint next to --out and processes ONLY the new files
+        late.coalesce(1).write.mode("append").parquet(src)
+        assert cli.main(watch_alarms, spark=spark) == 0
+        assert cli.main(
+            ["watch", trans, "--mode", "site", "--out", site],
+            spark=spark,
+        ) == 0
+        out = (
+            spark.read.parquet(site)
+            .orderBy("ts_us", F.col("open_channels").desc())
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
