@@ -2297,3 +2297,138 @@ def running_zscore_batch(
         ).alias("__s2"),
     )
     return zscore_decide(staged, z, min_n)
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket_s: int = 86_400,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """M4 visualization downsampling: per channel, per time bucket,
+    the (first, min, max, last) tuple plus their sample count — the
+    four values a pixel-width bucket needs to render a line chart
+    without visual error, and the OHLC bar when values are prices.
+    The reference's viewer path downsamples the same way a dashboard
+    over the store would (one summary row per display bucket); this
+    is that rollup over the historical table.
+
+    The q35 :func:`ohlc` sibling returns the four VALUES; M4 also
+    needs the first/last TIMESTAMPS so the renderer can place the
+    bucket's entry/exit segments. Same physical discipline as ohlc:
+    ONE map-side-combinable hash-agg keyed by (channel, bucket) — a
+    ``min(struct)`` formulation would force SortAggregate (struct
+    buffers aren't hash-mutable), so the (ts, tie) order is packed
+    into one DECIMAL(38,0) key (``us * 10^19 + tie``, exact and
+    collision-free for non-negative ids) and first/last values ride
+    ``min_by``/``max_by`` on that primitive; first/last timestamps
+    are plain min/max of us. Output cardinality is channels x
+    span/bucket, never data volume. Integer timestamps; values pass
+    through — hash-exact.
+    """
+    w_us = int(bucket_s) * 1_000_000
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    packed = (
+        epoch_us(ts).cast("decimal(19,0)") * shift
+        + F.col(tie).cast("decimal(19,0)")
+    )
+    return (
+        df.select(
+            F.col(channel),
+            (F.expr(f"unix_micros({ts}) div {w_us}") * w_us).alias(
+                "bucket_us"
+            ),
+            epoch_us(ts).alias("__us"),
+            F.col(value).alias("__v"),
+            packed.alias("__ord"),
+        )
+        .groupBy(channel, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__us").alias("first_us"),
+            F.min_by("__v", "__ord").alias("first_v"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+            F.max("__us").alias("last_us"),
+            F.max_by("__v", "__ord").alias("last_v"),
+        )
+        .orderBy(channel, "bucket_us")
+    )
+
+
+def bucketed_time_weighted_avg(
+    df: DataFrame,
+    bucket_s: int = 86_400,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """BUCKET-LOCAL time-weighted average per channel per bucket:
+    each sample's value holds (LOCF) until the next sample in the
+    bucket, the last sample holds to the bucket's end, and the span
+    before the bucket's first sample is unobserved — the per-bucket
+    rollup convention (each bucket weighted from its own samples
+    only; no carry-in across the bucket edge). The RANGE-scoped
+    :func:`time_weighted_avg` (q38) is the other convention: one
+    window over [start, end) with pro-rata carry-in at the start
+    edge. Use this one for calendar rollups (daily energy/billing
+    means), q38 for an ad-hoc range query.
+
+    Scale shape: ONE window — lead(ts) over (channel, bucket) — at
+    (channels x buckets) parallelism (never a channel-global sort),
+    then a hash-agg. Weights are integer microseconds; the weighted
+    sum accumulates in DECIMAL(38,6) (value DECIMAL(18,6) x BIGINT
+    weight — exact, order-independent), and the final division
+    rounds at 6 — both engines fold identically.
+    """
+    w_us = int(bucket_s) * 1_000_000
+    base = df.select(
+        F.col(channel),
+        (F.expr(f"unix_micros({ts}) div {w_us}") * w_us).alias(
+            "bucket_us"
+        ),
+        epoch_us(F.col(ts)).alias("__us"),
+        F.col(value).alias("__v"),
+        F.col(tie).alias("__tie"),
+    )
+    w = Window.partitionBy(channel, "bucket_us").orderBy("__us", "__tie")
+    weighted = base.select(
+        channel,
+        "bucket_us",
+        "__v",
+        (
+            F.coalesce(
+                F.lead("__us").over(w),
+                F.col("bucket_us") + F.lit(w_us),
+            )
+            - F.col("__us")
+        ).alias("__w_us"),
+    )
+    return (
+        weighted.groupBy(channel, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__w_us").cast("bigint").alias("observed_us"),
+            F.sum(
+                F.col("__v").cast(DEC) * F.col("__w_us")
+            ).alias("__wv"),
+        )
+        .select(
+            channel,
+            "bucket_us",
+            "n",
+            "observed_us",
+            # both sums are exact (decimal / integer); divide as
+            # DOUBLES — decimal-division scale rules differ between
+            # engines, IEEE double division does not
+            F.round(
+                F.col("__wv").cast("double")
+                / F.col("observed_us").cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy(channel, "bucket_us")
+    )

@@ -1637,3 +1637,103 @@ def q70(spark, sf_dir):
         )
         .orderBy("event_type", "k_decade")
     )
+
+
+M4_BUCKET_S = 86_400
+TWA_BUCKET_S = 86_400
+
+
+@register(
+    "q73_m4_downsample",
+    "consolidation",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {M4_BUCKET_S * 1_000_000})
+               * {M4_BUCKET_S * 1_000_000} AS bucket_us,
+             epoch_us(ts) AS us, value,
+             CAST(epoch_us(ts) AS HUGEINT)
+               * CAST(10000000000000000000 AS HUGEINT)
+               + event_id AS ord
+      FROM events
+    )
+    SELECT event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(us) AS BIGINT) AS first_us,
+           arg_min(value, ord) AS first_v,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           CAST(max(us) AS BIGINT) AS last_us,
+           arg_max(value, ord) AS last_v
+    FROM b GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+    doc="M4 visualization downsampling: per channel per daily bucket "
+    "the (first, min, max, last) tuple with the first/last "
+    "TIMESTAMPS + count — what a pixel bucket needs to render a line "
+    "chart without visual error (q35's OHLC returns the values "
+    "only). ONE map-side-combinable hash-agg: first/last ride "
+    "min_by/max_by on the packed-decimal (ts, event_id) key (the "
+    "q35 pattern — struct min/max would force SortAggregate), so "
+    "ties break on the unique event_id in BOTH engines, never "
+    "engine min_by rules. Output cardinality = channels x span/day.",
+    headline=True,
+)
+def q73(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        m4_downsample,
+    )
+
+    return m4_downsample(_events(spark, sf_dir), bucket_s=M4_BUCKET_S)
+
+
+@register(
+    "q74_bucketed_twa",
+    "consolidation",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {TWA_BUCKET_S * 1_000_000})
+               * {TWA_BUCKET_S * 1_000_000} AS bucket_us,
+             epoch_us(ts) AS us, event_id, value
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, bucket_us, value,
+             coalesce(lead(us) OVER (PARTITION BY event_type, bucket_us
+                                     ORDER BY us, event_id),
+                      bucket_us + {TWA_BUCKET_S * 1_000_000}) - us
+               AS w_us
+      FROM b
+    )
+    SELECT event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w_us) AS BIGINT) AS observed_us,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)) * w_us)
+                        AS DOUBLE)
+                 / CAST(CAST(sum(w_us) AS BIGINT) AS DOUBLE), 6)
+             AS twa
+    FROM w GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+    doc="BUCKET-LOCAL time-weighted average per channel per daily "
+    "bucket: LOCF weighting (a value holds until the next sample; "
+    "the last sample holds to bucket end; the span before the "
+    "bucket's first sample is unobserved — no carry-in across the "
+    "bucket edge, the calendar-rollup convention; q38 is the "
+    "range-scoped convention with pro-rata carry-in) — the correct "
+    "mean for IRREGULAR cadence where the plain q04 average "
+    "over-weights bursts. ONE window (lead over (channel, bucket) — "
+    "parallelism channels x days, never a channel-global sort) + one "
+    "hash-agg; weights are integer microseconds, the weighted sum "
+    "accumulates exactly in DECIMAL(18,6) x BIGINT, and the single "
+    "double division rounds at 6 — both engines fold identically.",
+)
+def q74(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        bucketed_time_weighted_avg,
+    )
+
+    return bucketed_time_weighted_avg(
+        _events(spark, sf_dir), bucket_s=TWA_BUCKET_S
+    )

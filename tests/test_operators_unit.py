@@ -1838,3 +1838,80 @@ def test_temperature_mixture_flattens_and_budgets(spark):
     }
     assert abs(nat["s0"].temp_share - 0.1) < 1e-6
     assert abs(nat["s0"].boost - 1.0) < 1e-6
+
+
+def test_m4_downsample_first_last_ties_and_buckets(spark):
+    """first/last break equal-timestamp ties on event_id (the struct
+    tie-break, never engine min_by rules), min/max are plain, and
+    buckets split on the integer DIV boundary."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.trends import (
+        m4_downsample,
+    )
+
+    day = 86_400 * 1_000_000
+    rows = [
+        # bucket 0: two samples at the SAME us (tie -> event_id)
+        (100, "a", 5.0, 2),
+        (100, "a", 7.0, 1),   # same us, smaller id -> the true first
+        (200, "a", 1.0, 3),
+        (day - 1, "a", 9.0, 4),
+        # bucket 1: single sample
+        (day + 5, "a", 4.0, 5),
+        # channel b, bucket 0
+        (50, "b", 2.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "us bigint, event_type string, value double, event_id bigint"
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    out = {
+        (r.event_type, r.bucket_us): r
+        for r in m4_downsample(df, bucket_s=86_400).collect()
+    }
+    a0 = out[("a", 0)]
+    assert a0.n == 4
+    assert (a0.first_us, a0.first_v) == (100, 7.0)  # id 1 wins the tie
+    assert (a0.last_us, a0.last_v) == (day - 1, 9.0)
+    assert (a0.min_v, a0.max_v) == (1.0, 9.0)
+    a1 = out[("a", day)]
+    assert a1.n == 1
+    assert (a1.first_v, a1.last_v, a1.min_v, a1.max_v) == (4.0,) * 4
+    assert out[("b", 0)].n == 1
+
+
+def test_bucketed_twa_locf_weights(spark):
+    """Bucket-local LOCF: a value holds to the next sample, the last
+    sample holds to bucket end, the span before the bucket's first
+    sample is unobserved, and nothing carries across the bucket edge."""
+    from etsd_time_series_database_spark.operators.trends import (
+        bucketed_time_weighted_avg,
+    )
+
+    day = 86_400 * 1_000_000
+    rows = [
+        # bucket 0, channel a: 10.0 holds [100, 300), 20.0 holds
+        # [300, day) -> twa = (10*200 + 20*(day-300)) / (day-100)
+        (100, "a", 10.0, 1),
+        (300, "a", 20.0, 2),
+        # bucket 1: one sample late in the day -> holds to day end
+        (day + 1000, "a", 5.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "us bigint, event_type string, value double, event_id bigint"
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    out = {
+        r.bucket_us: r
+        for r in bucketed_time_weighted_avg(df, bucket_s=86_400).collect()
+    }
+    b0 = out[0]
+    assert b0.n == 2 and b0.observed_us == day - 100
+    exp = (10.0 * 200 + 20.0 * (day - 300)) / (day - 100)
+    assert abs(b0.twa - round(exp, 6)) < 1e-9
+    b1 = out[day]
+    assert b1.n == 1 and b1.observed_us == day - 1000
+    assert b1.twa == 5.0

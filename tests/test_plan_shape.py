@@ -522,3 +522,31 @@ def test_coverage_timeline_union_window_is_bucket_partitioned(spark):
     assert re.search(r"windowspecdefinition\(__b#\d+L, __s#\d+L", plan)
     assert not re.search(r"windowspecdefinition\(start_us#\d+L", plan)
     assert not re.search(r"windowspecdefinition\(m_s#\d+L", plan)
+
+
+def test_m4_downsample_stays_hash_aggregate(spark):
+    """q73's first/last ride the packed-decimal min_by/max_by (the
+    q35 pattern) precisely so the fact-table aggregate hash-combines
+    map-side; a struct min/max regression would silently flip the
+    whole scan into SortAggregate."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q73_m4_downsample"].build(spark, SF_SMOKE))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_bucketed_twa_window_is_bucket_parallel(spark):
+    """q74's lead() must partition by (channel, bucket) — never by
+    channel alone (the q07/q08 skew cap) — and the downstream
+    hash-agg reuses that partitioning: exactly one hash Exchange."""
+    import re
+
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q74_bucketed_twa"].build(spark, SF_SMOKE))
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, bucket_us#\d+L", plan
+    ), "lead window is not (channel, bucket)-partitioned"
+    assert plan.count("Exchange hashpartitioning") == 1
