@@ -2432,3 +2432,87 @@ def bucketed_time_weighted_avg(
         )
         .orderBy(channel, "bucket_us")
     )
+
+
+def tiered_rollup(
+    df: DataFrame,
+    tiers_s: tuple = (3600, 21600, 86400),
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Multi-resolution consolidation tiers in ONE raw scan: the
+    finest tier aggregates the fact table; every coarser tier
+    re-aggregates the PREVIOUS tier's bucket-cardinality table
+    (sum/count/min/max compose associatively; avg re-derives from the
+    carried exact sums) — the RRD-style retention ladder of the
+    reference's consolidation plugin (code/plugins/edoRRD.c:44-74)
+    built the way a 100 TB store must: raw data is touched once, and
+    each next tier costs a shuffle of channels x buckets rows, not
+    data volume. Each ``tiers_s[k+1]`` must be an integer multiple of
+    ``tiers_s[k]`` (asserted) so coarse buckets are exact unions of
+    fine ones.
+
+    The finest tier is localCheckpoint-ed (bucket-cardinality — KB to
+    MB) so the coarser branches and the union output cannot re-scan
+    the fact table. Sums ride DECIMAL(18,6) (exact,
+    order-independent); the exported avg rounds at 6 (the q38
+    decimal->double ulp note). Output: one row per (tier_s, channel,
+    bucket) with n/avg/min/max — the table a dashboard's zoom level
+    indexes by tier_s.
+    """
+    assert len(tiers_s) >= 1
+    for a, b in zip(tiers_s, tiers_s[1:]):
+        assert b % a == 0, f"tier {b}s is not a multiple of {a}s"
+
+    w0 = int(tiers_s[0]) * 1_000_000
+    cur = (
+        df.select(
+            F.col(channel),
+            (F.expr(f"unix_micros({ts}) div {w0}") * w0).alias(
+                "bucket_us"
+            ),
+            F.col(value).alias("__v"),
+        )
+        .groupBy(channel, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__v").cast(DEC)).alias("__s"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+        .localCheckpoint()
+    )
+    out = []
+    for k, tier in enumerate(tiers_s):
+        if k > 0:
+            w = int(tier) * 1_000_000
+            cur = (
+                cur.groupBy(
+                    channel,
+                    (F.expr(f"bucket_us div {w}") * w).alias("bucket_us"),
+                )
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("__s").alias("__s"),
+                    F.min("min_v").alias("min_v"),
+                    F.max("max_v").alias("max_v"),
+                )
+            )
+        out.append(
+            cur.select(
+                F.lit(int(tier)).cast("bigint").alias("tier_s"),
+                F.col(channel),
+                "bucket_us",
+                "n",
+                F.round(
+                    F.col("__s").cast("double") / F.col("n"), 6
+                ).alias("avg_v"),
+                "min_v",
+                "max_v",
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("tier_s", channel, "bucket_us")

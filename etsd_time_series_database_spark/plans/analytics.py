@@ -1737,3 +1737,49 @@ def q74(spark, sf_dir):
     return bucketed_time_weighted_avg(
         _events(spark, sf_dir), bucket_s=TWA_BUCKET_S
     )
+
+
+TIERS_S = (3600, 21600, 86400)
+
+
+@register(
+    "q75_tiered_rollup",
+    "consolidation",
+    f"""
+    WITH tiers(tier_s) AS (
+      VALUES {", ".join(f"(CAST({t} AS BIGINT))" for t in TIERS_S)}
+    ),
+    b AS (
+      SELECT t.tier_s, e.event_type,
+             (epoch_us(e.ts) // (t.tier_s * 1000000))
+               * (t.tier_s * 1000000) AS bucket_us,
+             e.value
+      FROM events e CROSS JOIN tiers t
+    )
+    SELECT tier_s, event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_v,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM b GROUP BY tier_s, event_type, bucket_us
+    ORDER BY tier_s, event_type, bucket_us
+    """,
+    doc="Multi-resolution consolidation ladder (hour -> 6h -> day): "
+    "the RRD-style retention tiers of the reference's consolidation "
+    "plugin, built hierarchically — raw is scanned ONCE for the "
+    "finest tier, every coarser tier re-aggregates the previous "
+    "tier's bucket-cardinality table (sum/count/min/max compose; "
+    "avg re-derives from carried exact DECIMAL sums). The oracle "
+    "computes each tier DIRECTLY from raw, so the gate proves the "
+    "hierarchical derivation exact, not just plausible. At 100 TB "
+    "the coarse tiers cost shuffles of channels x buckets rows, "
+    "never another data pass.",
+    headline=True,
+)
+def q75(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        tiered_rollup,
+    )
+
+    return tiered_rollup(_events(spark, sf_dir), tiers_s=TIERS_S)

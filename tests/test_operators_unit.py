@@ -1915,3 +1915,56 @@ def test_bucketed_twa_locf_weights(spark):
     b1 = out[day]
     assert b1.n == 1 and b1.observed_us == day - 1000
     assert b1.twa == 5.0
+
+
+def test_tiered_rollup_hierarchical_equals_direct(spark):
+    """Every coarser tier derives from the previous tier's table; the
+    result must equal aggregating each tier DIRECTLY from raw (the
+    associative-composition contract), and non-multiple tier ladders
+    are refused."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.trends import (
+        tiered_rollup,
+    )
+
+    rows = [
+        (i * 700_000_000 + (i % 3), "ab"[i % 2], float((i * 37) % 101), i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "us bigint, event_type string, value double, event_id bigint"
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    got = tiered_rollup(df, tiers_s=(3600, 21600, 86400)).collect()
+    direct = []
+    for tier in (3600, 21600, 86400):
+        w = tier * 1_000_000
+        direct.extend(
+            (tier, r.event_type, r.bucket_us, r.n, r.avg_v, r.min_v,
+             r.max_v)
+            for r in df.groupBy(
+                "event_type",
+                (F.expr(f"unix_micros(ts) div {w}") * w).alias(
+                    "bucket_us"
+                ),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("avg_v"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+            .collect()
+        )
+    assert sorted(tuple(r) for r in got) == sorted(direct)
+    with pytest.raises(AssertionError, match="not a multiple"):
+        tiered_rollup(df, tiers_s=(3600, 5000))
