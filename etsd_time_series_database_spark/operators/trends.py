@@ -2516,3 +2516,51 @@ def tiered_rollup(
     for o in out[1:]:
         res = res.unionByName(o)
     return res.orderBy("tier_s", channel, "bucket_us")
+
+
+def percentile_profile(
+    df: DataFrame,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    bucket_s: int = 86_400,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """EXACT interpolated percentiles per channel per bucket (p50/p90/
+    p99 by default) — the latency/SLO profile view. Exact (not
+    percentile_approx) is affordable BECAUSE the group is (channel,
+    day): group size is bounded by one channel's daily cadence, never
+    corpus volume, so the per-group sort stays in-task at any total
+    scale. An unbounded grouping (whole-history percentiles) is the
+    one place approx sketches would be required instead — that query
+    shape is deliberately not this operator.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same linear-interpolation definition; the outputs round at 6 (the
+    double-artifact convention), making the entry hash-exact.
+    """
+    w_us = int(bucket_s) * 1_000_000
+    pct_sql = "array(" + ", ".join(
+        f"CAST({p} AS DOUBLE)" for p in percentiles
+    ) + ")"
+    agged = (
+        df.select(
+            F.col(channel),
+            (F.expr(f"unix_micros({ts}) div {w_us}") * w_us).alias(
+                "bucket_us"
+            ),
+            F.col(value).alias("__v"),
+        )
+        .groupBy(channel, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(f"percentile(__v, {pct_sql})").alias("__p"),
+        )
+    )
+    cols = [channel, "bucket_us", "n"]
+    for i, p in enumerate(percentiles):
+        name = f"p{str(p)[2:].ljust(2, '0')}" if p < 1 else f"p{int(p*100)}"
+        cols.append(
+            F.round(F.col("__p")[i], 6).alias(name)
+        )
+    return agged.select(*cols).orderBy(channel, "bucket_us")

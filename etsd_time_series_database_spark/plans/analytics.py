@@ -1783,3 +1783,44 @@ def q75(spark, sf_dir):
     )
 
     return tiered_rollup(_events(spark, sf_dir), tiers_s=TIERS_S)
+
+
+PCTL_BUCKET_S = 86_400
+
+
+@register(
+    "q76_percentile_profile",
+    "aggregate",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {PCTL_BUCKET_S * 1_000_000})
+               * {PCTL_BUCKET_S * 1_000_000} AS bucket_us,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM b GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+    doc="Exact interpolated p50/p90/p99 per channel per day — the "
+    "latency/SLO profile. Exact is affordable BECAUSE the group is "
+    "(channel, day): per-group size is one channel's daily cadence, "
+    "bounded at any corpus scale, so the in-task sort never grows "
+    "with history (whole-history percentiles are the one shape that "
+    "would need approx sketches — deliberately not this query). "
+    "Spark percentile() and DuckDB quantile_cont share the linear-"
+    "interpolation definition; outputs round at 6 — hash-exact.",
+)
+def q76(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        percentile_profile,
+    )
+
+    return percentile_profile(
+        _events(spark, sf_dir), bucket_s=PCTL_BUCKET_S
+    )

@@ -1968,3 +1968,27 @@ def test_tiered_rollup_hierarchical_equals_direct(spark):
     assert sorted(tuple(r) for r in got) == sorted(direct)
     with pytest.raises(AssertionError, match="not a multiple"):
         tiered_rollup(df, tiers_s=(3600, 5000))
+
+
+def test_percentile_profile_exact_interpolation(spark):
+    """Exact linear interpolation per (channel, bucket): a 5-sample
+    group has known p50/p90/p99, and buckets are independent."""
+    from etsd_time_series_database_spark.operators.trends import (
+        percentile_profile,
+    )
+
+    day = 86_400 * 1_000_000
+    rows = [(i * 1000, "a", float(v), i) for i, v in
+            enumerate([10, 20, 30, 40, 50])]
+    rows.append((day + 1, "a", 7.0, 99))
+    df = spark.createDataFrame(
+        rows, "us bigint, event_type string, value double, event_id bigint"
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    out = {r.bucket_us: r for r in percentile_profile(df).collect()}
+    b0 = out[0]
+    # rank r = p*(n-1): p50 -> 30, p90 -> 46, p99 -> 49.6
+    assert b0.n == 5 and (b0.p50, b0.p90, b0.p99) == (30.0, 46.0, 49.6)
+    b1 = out[day]
+    assert b1.n == 1 and (b1.p50, b1.p90, b1.p99) == (7.0, 7.0, 7.0)
