@@ -1161,3 +1161,65 @@ def bigram_surprisal(
         )
         .orderBy(key)
     )
+
+
+def vocab_concentration(
+    df: DataFrame,
+    top_ks: tuple = (1, 10, 100),
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Per-source vocabulary concentration profile — the log-free
+    Zipf-ness signal: vocabulary size, total tokens, hapax share
+    (tokens seen once: high in diverse/noisy text, low in templated
+    text), and the token-mass coverage of the top-1/10/100 most
+    frequent tokens (a steep head = boilerplate/templated source, a
+    flat head = diverse prose). A log-log slope fit would say the
+    same thing through ln(), which the house rules ban from
+    oracle-gated outputs (libm ulp drift); coverage fractions are
+    rational BIGINT divisions rounded at 6 — hash-exact.
+
+    Shape at 100 TB: one explode + hash-agg to the (source, token)
+    frequency table, then ONE window (rank by count) over that
+    VOCABULARY-cardinality table per source — bounded by distinct
+    tokens, never corpus volume — and a final per-source hash-agg.
+    Text leaves the executors only as token counts. Rank ties break
+    on the token string (the registry determinism contract).
+    """
+    tf = (
+        df.select(F.col(source), F.explode(_tokens(text)).alias("token"))
+        .groupBy(source, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy(source).orderBy(
+        F.col("c").desc(), F.col("token")
+    )
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+    ]
+    for k in top_ks:
+        aggs.append(
+            F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"__top{k}")
+        )
+    out = ranked.groupBy(source).agg(*aggs)
+    sel = [
+        source,
+        "vocab",
+        "total_tokens",
+        "hapax",
+        F.round(F.col("hapax") / F.col("vocab"), 6).alias("hapax_share"),
+    ]
+    for k in top_ks:
+        sel.append(
+            F.round(
+                F.col(f"__top{k}") / F.col("total_tokens"), 6
+            ).alias(f"top{k}_cov")
+        )
+    return out.select(*sel).orderBy(source)

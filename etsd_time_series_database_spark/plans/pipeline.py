@@ -3688,3 +3688,52 @@ def p80(spark, sf_dir):
     return context_length_plan(
         load_table(spark, sf_dir, "documents"), lengths=CTX_LENGTHS
     )
+
+
+@register(
+    "x81_vocab_concentration",
+    "textstats",
+    f"""
+    WITH tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY source, token
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, token) AS rk
+      FROM tf
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_share,
+           round(CAST(sum(CASE WHEN rk <= 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 6) AS top1_cov,
+           round(CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 6) AS top10_cov,
+           round(CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END)
+                        AS DOUBLE)
+                 / sum(c), 6) AS top100_cov
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Per-source vocabulary concentration — the log-free Zipf "
+    "signal: vocab size, total tokens, hapax share (diverse/noisy "
+    "vs templated), and top-1/10/100 token-mass coverage (steep "
+    "head = boilerplate). The log-log slope would say the same "
+    "through ln(), banned from gated outputs (libm ulp drift); "
+    "these are rational BIGINT divisions rounded at 6. One explode "
+    "+ hash-agg to (source, token) counts, one rank window over the "
+    "VOCABULARY-cardinality table, one final hash-agg — text never "
+    "shuffles, the window never sees corpus volume.",
+)
+def p81(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.textstats import (
+        vocab_concentration,
+    )
+
+    return vocab_concentration(load_table(spark, sf_dir, "documents"))
