@@ -1068,3 +1068,60 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "s15_m4_stream_replay",
+    "streaming",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    b AS (
+      SELECT event_type, epoch_us(ts) AS us, value,
+             epoch_us(ts) // 3600000000 * 3600000000 AS bucket_us,
+             CAST(epoch_us(ts) AS HUGEINT)
+               * CAST(10000000000000000000 AS HUGEINT)
+               + event_id AS ord
+      FROM events
+    ),
+    agg AS (
+      SELECT 'events' AS source, event_type AS channel, bucket_us,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(us) AS BIGINT) AS first_us,
+             arg_min(value, ord) AS first_v,
+             min(value) AS min_v,
+             max(value) AS max_v,
+             CAST(max(us) AS BIGINT) AS last_us,
+             arg_max(value, ord) AS last_v
+      FROM b GROUP BY event_type, bucket_us
+    )
+    SELECT source, channel, bucket_us, n, first_us, first_v,
+           min_v, max_v, last_us, last_v
+    FROM agg, mx
+    -- s07's closed-window cutoff: hour-aligned window ends, so no
+    -- ms-truncation subtlety applies (cf. s08)
+    WHERE bucket_us + 3600000000 <= m - 120000000
+    ORDER BY channel, bucket_us
+    """,
+    doc="Streaming maintenance of the M4 visualization tier (q73's "
+    "operator kept current by the ingest side, the reference's RRA "
+    "consolidation path): watermarked tumbling hour windows per "
+    "channel emit (first, min, max, last) WITH their timestamps as "
+    "each window closes — first/last ride min_by/max_by on the "
+    "packed DECIMAL(38,0) (ts, seq) key exactly like the batch twin, "
+    "so streaming state per open window is six scalars, never rows. "
+    "Oracle = the q73 arithmetic at hour buckets restricted to the "
+    "s07 closed-window cutoff (window end <= max ts - 2 min); "
+    "windows still open at end-of-stream stay in state exactly as a "
+    "live deployment would hold them.",
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.ingest import m4_stream
+
+    out = _replay(
+        spark,
+        sf_dir,
+        lambda rows: m4_stream(rows, width_s=3600, watermark="2 minutes"),
+        "s15_sink",
+        inject_nulls=False,
+    )
+    return out.orderBy("channel", "bucket_us")

@@ -298,6 +298,59 @@ def windowed_aggregate(
     )
 
 
+def m4_stream(
+    stream: DataFrame,
+    width_s: int = 3600,
+    watermark: str = "2 minutes",
+    seq: str = "seq",
+) -> DataFrame:
+    """Streaming maintenance of the M4 visualization tier (the batch
+    q73 operator, operators/trends.py m4_downsample): watermarked
+    tumbling windows per channel emit (first, min, max, last) with
+    the first/last timestamps as each window CLOSES — the ingest side
+    keeps the dashboard's zoom tier current without any batch recompute
+    pass. Same physical discipline as the batch twin: first/last ride
+    min_by/max_by on the packed DECIMAL(38,0) (ts, seq) key (exact,
+    collision-free, hash-mutable state buffer), so the streaming state
+    per open window is six scalars — never the window's rows.
+    """
+    shift = F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
+    packed = (
+        F.unix_micros("ts").cast("decimal(19,0)") * shift
+        + F.col(seq).cast("decimal(19,0)")
+    )
+    return (
+        stream.withColumn("__ord", packed)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            "source",
+            "channel",
+            F.window("ts", f"{width_s} seconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.min_by("value", "__ord").alias("first_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.max_by("value", "__ord").alias("last_v"),
+        )
+        .select(
+            "source",
+            "channel",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            F.col("n").cast("bigint").alias("n"),
+            "first_us",
+            "first_v",
+            "min_v",
+            "max_v",
+            "last_us",
+            "last_v",
+        )
+    )
+
+
 def session_gaps(
     stream: DataFrame, gap_s: int = 300, watermark: str = "2 minutes"
 ) -> DataFrame:
