@@ -334,7 +334,42 @@ def _skew_compare(spark) -> dict:
     )
     from etsd_time_series_database_spark.operators.trends import (
         running_zscore_batch,
+        tiered_rollup,
     )
+
+    def _naive_tiers(frozen):
+        # every tier straight from the fact table: the anti-pattern
+        # q75's hierarchical ladder replaces
+        outs = []
+        for tier in (3600, 21600, 86400):
+            w = tier * 1_000_000
+            outs.append(
+                frozen.groupBy(
+                    "event_type",
+                    (F.expr(f"unix_micros(ts) div {w}") * w).alias(
+                        "bucket_us"
+                    ),
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.round(
+                        F.sum(
+                            F.col("value").cast("decimal(18,6)")
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias("avg_v"),
+                    F.min("value").alias("min_v"),
+                    F.max("value").alias("max_v"),
+                )
+                .select(
+                    F.lit(tier).cast("bigint").alias("tier_s"), "*"
+                )
+            )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res
 
     n = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_ROWS", "20000000"))
     if n <= 0:
@@ -430,6 +465,14 @@ def _skew_compare(spark) -> dict:
         ),
         "zscore_scalable_s": lambda: running_zscore_scalable(
             df, min_n=30, quant=1
+        ),
+        # q75's ladder claim, measured: every tier straight from the
+        # 20M-row fact table (three full scans + three fact-table
+        # shuffles) vs the hierarchical form (ONE scan; coarser tiers
+        # re-aggregate the previous tier's bucket-cardinality rows)
+        "tiers_naive_s": lambda: _naive_tiers(df),
+        "tiers_hier_s": lambda: tiered_rollup(
+            df, tiers_s=(3600, 21600, 86400)
         ),
         "shuffle_global_s": lambda: df.select(
             "event_id",

@@ -68,6 +68,8 @@ def test_bench_stdout_line_stays_compact():
             "coverage_scalable_s": 9999.9999,
             "coalarm_day_s": 9999.9999,
             "coalarm_auto_s": 9999.9999,
+            "tiers_naive_s": 9999.9999,
+            "tiers_hier_s": 9999.9999,
             "shuffle_global_s": 9999.9999,
             "shuffle_scalable_s": 9999.9999,
         },
