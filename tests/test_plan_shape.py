@@ -550,3 +550,18 @@ def test_bucketed_twa_window_is_bucket_parallel(spark):
         r"windowspecdefinition\(event_type#\d+, bucket_us#\d+L", plan
     ), "lead window is not (channel, bucket)-partitioned"
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_topk_per_channel_uses_window_group_limit(spark):
+    """q09's rank-filter must keep Catalyst's two-phase
+    WindowGroupLimit (map-side Partial top-k before the per-channel
+    shuffle, Final after): only <= k rows per channel per map task
+    cross the wire, so the 3-channel window is NOT the q07-style
+    skew cap. A refactor that hides the rn <= k filter from the
+    optimizer (e.g. materializing rn first) would silently revert to
+    the full per-channel sort."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    plan = _plan(catalog()["q09_topk_per_channel"].build(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
