@@ -1660,3 +1660,55 @@ def freshness_report(
         )
         .orderBy(channel)
     )
+
+
+def range_digest(
+    df: DataFrame,
+    bucket_s: int = 86_400,
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Order-independent content digest per (channel, bucket): the
+    "did my replica drift" query — two stores (a live cluster and a
+    DR copy, a pre- and post-migration layout) compare KB-sized
+    digest tables instead of shipping data, and a mismatched bucket
+    pinpoints exactly which (channel, day) to re-sync. The reference's
+    recover path re-reads whole blocks to validate
+    (code/etsdSave.c:58-66); at 100 TB the digest table IS the
+    validation: one map-side-combinable hash-agg, output cardinality
+    channels x days.
+
+    The per-row mix is engine-portable integer arithmetic ONLY (no
+    engine hash builtins — Spark xxhash64 and DuckDB hash() disagree
+    by construction): offset-in-bucket and milli-quantized value fold
+    through two odd multipliers mod 2^31-1, summed as BIGINT (row mix
+    < 2^31, so the sum fits for any bucket under 4e9 rows). The SUM
+    makes it order-independent — partition layout, shuffle order and
+    file order cannot change the digest, only the data can. A
+    collision needs adversarial construction; for drift DETECTION
+    (bit rot, lost appends, duplicated replays) that is the right
+    trade.
+    """
+    m = 2_147_483_647
+    w_us = int(bucket_s) * 1_000_000
+    us = F.unix_micros(F.col(ts))
+    bucket = F.expr(f"unix_micros({ts}) div {w_us}") * w_us
+    off = (us - bucket) % F.lit(m)
+    qv = F.expr(
+        f"((CAST(floor({value} * 1000) AS BIGINT) % {m}) + {m}) % {m}"
+    )
+    mix = (off * F.lit(2_654_435_761) + qv * F.lit(40_503)) % F.lit(m)
+    return (
+        df.select(
+            F.col(channel),
+            bucket.alias("bucket_us"),
+            mix.alias("__mix"),
+        )
+        .groupBy(channel, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__mix").cast("bigint").alias("digest"),
+        )
+        .orderBy(channel, "bucket_us")
+    )

@@ -1824,3 +1824,50 @@ def q76(spark, sf_dir):
     return percentile_profile(
         _events(spark, sf_dir), bucket_s=PCTL_BUCKET_S
     )
+
+
+DIGEST_M = 2_147_483_647
+DIGEST_BUCKET_S = 86_400
+
+
+@register(
+    "q77_range_digest",
+    "audit",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // {DIGEST_BUCKET_S * 1_000_000})
+               * {DIGEST_BUCKET_S * 1_000_000} AS bucket_us,
+             epoch_us(ts) AS us, value
+      FROM events
+    ),
+    mx AS (
+      SELECT event_type, bucket_us,
+             ((us - bucket_us) % {DIGEST_M}) * 2654435761
+               + (((CAST(floor(value * 1000) AS BIGINT) % {DIGEST_M})
+                   + {DIGEST_M}) % {DIGEST_M}) * 40503 AS raw
+      FROM b
+    )
+    SELECT event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(raw % {DIGEST_M}) AS BIGINT) AS digest
+    FROM mx GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+    doc="Order-independent content digest per (channel, day) — the "
+    "replica-drift query: two stores compare KB-sized digest tables "
+    "instead of shipping data, and a mismatched bucket pinpoints "
+    "exactly which (channel, day) to re-sync (the reference's "
+    "recover path re-reads whole blocks to validate; at scale the "
+    "digest table IS the validation). Engine-portable integer "
+    "arithmetic only — no engine hash builtins (Spark xxhash64 and "
+    "DuckDB hash() disagree by construction); SUM of bounded per-row "
+    "mixes makes the digest independent of partition/shuffle/file "
+    "order. ONE map-side-combinable hash-agg.",
+)
+def q77(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        range_digest,
+    )
+
+    return range_digest(_events(spark, sf_dir), bucket_s=DIGEST_BUCKET_S)

@@ -1992,3 +1992,38 @@ def test_percentile_profile_exact_interpolation(spark):
     assert b0.n == 5 and (b0.p50, b0.p90, b0.p99) == (30.0, 46.0, 49.6)
     b1 = out[day]
     assert b1.n == 1 and (b1.p50, b1.p90, b1.p99) == (7.0, 7.0, 7.0)
+
+
+def test_range_digest_detects_drift_and_ignores_order(spark):
+    """The digest is invariant to partition layout / row order (SUM of
+    per-row mixes) and changes when any single row's value or
+    timestamp drifts — the replica-diff contract."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        range_digest,
+    )
+
+    rows = [(i * 1_000_000, "a", float((i * 7) % 50), i)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "us bigint, event_type string, value double, event_id bigint"
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value", "event_id"
+    )
+    base = [tuple(r) for r in range_digest(df).collect()]
+    # same rows, different partitioning and order -> identical digests
+    shuffled = df.repartition(13, "value").sortWithinPartitions("value")
+    assert [tuple(r) for r in range_digest(shuffled).collect()] == base
+    # one value drifts by one milli-unit -> that bucket's digest moves
+    drifted = df.withColumn(
+        "value",
+        F.when(F.col("event_id") == 123, F.col("value") + 0.001)
+        .otherwise(F.col("value")),
+    )
+    changed = [tuple(r) for r in range_digest(drifted).collect()]
+    assert changed != base
+    # row counts unchanged: only the digest column flags the drift
+    assert [(r[0], r[1], r[2]) for r in changed] == [
+        (r[0], r[1], r[2]) for r in base
+    ]
