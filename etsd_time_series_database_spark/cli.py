@@ -48,6 +48,13 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if ts_field is not None and ts_field.dataType.simpleString() == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    elif (
+        ts_field is not None
+        and ts_field.dataType.simpleString() == "timestamp_ntz"
+    ):
+        # sessions without the nanosAsLong conf read parquet NANOS as
+        # NTZ; unix_micros & friends want TIMESTAMP (UTC session)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -445,6 +452,72 @@ def cmd_recover(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_digest_diff(args, spark: SparkSession) -> int:
+    """Compare two stores by their per-(channel, bucket) content
+    digests (operators.range_stats.range_digest, q77) and print only
+    the drifted buckets — replica validation without shipping data.
+    Exit code 0 = identical, 3 = drift found."""
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        range_digest,
+    )
+
+    def digests(path):
+        return range_digest(
+            _load_events(spark, path),
+            bucket_s=args.bucket,
+            channel=args.channel_col,
+            value=args.value_col,
+        )
+
+    a = digests(args.left).alias("a")
+    b = digests(args.right).alias("b")
+    drift = (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.{args.channel_col}")
+                == F.col(f"b.{args.channel_col}"),
+                F.col("a.bucket_us") == F.col("b.bucket_us"),
+            ],
+            how="full_outer",
+        )
+        .filter(
+            F.col("a.digest").isNull()
+            | F.col("b.digest").isNull()
+            | (F.col("a.digest") != F.col("b.digest"))
+            | (F.col("a.n") != F.col("b.n"))
+        )
+        .select(
+            F.coalesce(
+                F.col(f"a.{args.channel_col}"),
+                F.col(f"b.{args.channel_col}"),
+            ).alias("channel"),
+            F.coalesce(F.col("a.bucket_us"), F.col("b.bucket_us")).alias(
+                "bucket_us"
+            ),
+            F.col("a.n").alias("left_n"),
+            F.col("b.n").alias("right_n"),
+            F.col("a.digest").alias("left_digest"),
+            F.col("b.digest").alias("right_digest"),
+        )
+        .orderBy("channel", "bucket_us")
+    )
+    rows = drift.collect()
+    if not rows:
+        print(f"identical: {args.left} == {args.right} (digest level)")
+        return 0
+    for r in rows[: args.limit]:
+        print(
+            f"DRIFT channel={r.channel} bucket_us={r.bucket_us} "
+            f"n={r.left_n}/{r.right_n} "
+            f"digest={r.left_digest}/{r.right_digest}"
+        )
+    print(f"{len(rows)} drifted (channel, bucket) cells")
+    return 3
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="etsd-spark", description="PySpark-native ETSD-capability engine CLI"
@@ -498,6 +571,21 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("sink", help="downsample sink destination")
     r.add_argument("--width", type=int, default=60, help="bucket width seconds")
     r.set_defaults(fn=cmd_recover)
+
+    dd = sub.add_parser(
+        "digest-diff",
+        help="compare two stores by per-(channel, bucket) content "
+        "digests (q77) and print only drifted buckets — replica "
+        "validation without shipping data",
+    )
+    dd.add_argument("left", help="events table path A")
+    dd.add_argument("right", help="events table path B")
+    dd.add_argument("--bucket", type=int, default=86_400,
+                    help="digest bucket seconds")
+    dd.add_argument("--channel-col", default="event_type")
+    dd.add_argument("--value-col", default="value")
+    dd.add_argument("--limit", type=int, default=20)
+    dd.set_defaults(fn=cmd_digest_diff)
 
     wi = sub.add_parser(
         "write-index",

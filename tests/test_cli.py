@@ -353,3 +353,30 @@ def test_watch_anomalies_cli(spark, tmp_path, capsys):
     assert rc == 0 and "caught up" in capsys.readouterr().out
     got = spark.read.parquet(out).collect()
     assert [(r.value, r.n_prev) for r in got] == [(500.0, 10)]
+
+
+def test_digest_diff_cli(spark, tmp_path, capsys):
+    """digest-diff reports identical stores as identical (rc 0) and a
+    single mutated value as exactly one drifted (channel, bucket)
+    cell (rc 3)."""
+    import pyspark.sql.functions as F
+
+    src = f"{SF_SMOKE}/events.parquet"
+    rc = cli.main(["digest-diff", src, src], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "identical" in out
+
+    mutated = str(tmp_path / "mutated.parquet")
+    df = cli._load_events(spark, src)
+    victim = df.orderBy("event_id").limit(1).collect()[0]
+    df.withColumn(
+        "value",
+        F.when(
+            F.col("event_id") == victim.event_id, F.col("value") + 1.0
+        ).otherwise(F.col("value")),
+    ).write.parquet(mutated)
+    rc = cli.main(["digest-diff", src, mutated], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 3
+    assert "1 drifted (channel, bucket) cells" in out
+    assert "DRIFT channel=" in out
