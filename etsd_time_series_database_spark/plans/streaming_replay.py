@@ -1125,3 +1125,125 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_nulls=False,
     )
     return out.orderBy("channel", "bucket_us")
+
+
+@register(
+    "s16_late_data_replay",
+    "streaming",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us, value, event_id FROM events
+    ),
+    w1 AS (
+      -- the event-time watermark after session one (even rows only),
+      -- ms-truncated the way Spark computes it (cf. s08)
+      SELECT max(us) // 1000 * 1000 - 120000000 AS wm FROM e
+      WHERE event_id % 2 = 0
+    ),
+    surv AS (
+      -- session two's odd rows are LATE: a row is dropped iff its
+      -- hour window's end is not past the carried watermark
+      SELECT e.* FROM e WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT e.* FROM e, w1 WHERE event_id % 2 = 1
+        AND (us // 3600000000) * 3600000000 + 3600000000 > w1.wm
+    ),
+    mx AS (
+      -- the final watermark advances on ALL input rows, dropped or
+      -- not (event-time stats are collected upstream of the late
+      -- filter), so it derives from the full table's max
+      SELECT max(us) // 1000 * 1000 - 120000000 AS wm FROM e
+    ),
+    agg AS (
+      SELECT 'events' AS source, event_type AS channel,
+             (us // 3600000000) * 3600000000 AS bucket_us,
+             CAST(count(*) AS BIGINT) AS n,
+             min(value) AS min_value, max(value) AS max_value
+      FROM surv GROUP BY event_type, bucket_us
+    )
+    SELECT source, channel, bucket_us, n, min_value, max_value
+    FROM agg, mx WHERE bucket_us + 3600000000 <= mx.wm
+    ORDER BY channel, bucket_us
+    """,
+    doc="Watermark LATE-DATA accounting on the oracle gate (the "
+    "reference's short-block validity semantics O28, streaming "
+    "form): session one aggregates the even half of the history and "
+    "checkpoints its watermark at max even-ts - 2 min; session two "
+    "resumes and replays the odd half, which is almost entirely "
+    "LATE — Spark drops exactly the rows whose hour window closed "
+    "behind the carried watermark and folds the stragglers near the "
+    "stream's end into still-open windows. The oracle reproduces the "
+    "drop rule (window end <= ms-truncated watermark), the "
+    "watermark's advance on ALL input rows including dropped ones, "
+    "and the closed-window emission cutoff. Pins the one streaming "
+    "behavior s01-s15 never exercise: data loss under lateness is "
+    "DETERMINISTIC and accountable, not best-effort.",
+)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etsd_time_series_database_spark.sources.store import (
+        raw_ts_micros_divisor,
+    )
+    from etsd_time_series_database_spark.streaming.ingest import (
+        windowed_aggregate,
+    )
+
+    rows = spark.read.schema(_EVENTS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    div = raw_ts_micros_divisor(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    canon = rows.select(
+        F.timestamp_micros(F.expr(f"ts DIV {div}")).alias("ts"),
+        F.lit("events").alias("source"),
+        F.col("event_type").alias("channel"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(0).alias("status"),
+        F.col("event_id").alias("seq"),
+    )
+    work = tempfile.mkdtemp(prefix="s16_late_")
+    src = os.path.join(work, "ingest")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        canon.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(src)
+
+        def session():
+            stream = spark.readStream.schema(canon.schema).parquet(src)
+            q = (
+                windowed_aggregate(
+                    stream, width_s=3600, watermark="2 minutes"
+                )
+                .select(
+                    "source",
+                    "channel",
+                    F.unix_micros("bucket_ts").alias("bucket_us"),
+                    F.col("n").cast("bigint").alias("n"),
+                    "min_value",
+                    "max_value",
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q, "s16_sink")
+
+        session()
+        canon.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        session()
+        res = (
+            spark.read.parquet(out_dir)
+            .orderBy("channel", "bucket_us")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return res
