@@ -1,5 +1,11 @@
 
 
+"""Unit tests for text-statistics operators not covered by the larger
+pipeline suites (the per-source vocabulary profile family)."""
+
+from __future__ import annotations
+
+
 def test_vocab_concentration_profile(spark):
     """Known tiny corpus: hapax share and top-k coverage are exact
     rational fractions; rank ties break on the token string."""
