@@ -399,11 +399,30 @@ def cmd_watch(args, spark: SparkSession) -> int:
     first_seen/stale/recovered per feed, 'alarms' emits hysteresis
     open/close transitions, 'anomalies' emits readings past --z
     running standard deviations of their channel's own history
-    (s12's operator), 'site' folds a transitions directory (written
+    (s12's operator), 'rollup' maintains the watermarked downsample
+    tier (windowed_aggregate — the RRA consolidation, with late-data
+    drop accounting), 'site' folds a transitions directory (written
     by a prior `watch --mode alarms --out ...`) into the live
     cross-channel union. Default trigger is availableNow (catch up on
     everything present, then exit — replay-deterministic); --follow
-    keeps the query running on a processing-time trigger."""
+    keeps the query running on a processing-time trigger.
+
+    After a catch-up run the per-session watermark-drop count is
+    printed (and appended to --metrics-log if given) — the streaming
+    form of the reference's per-block validity accounting
+    (code/etsdSave.c:58-66): data lost to lateness is REPORTED, never
+    silent. Unit caveat: for windowed aggregation the counter ticks
+    per dropped (channel, window) GROUP per micro-batch, not per raw
+    row (see plans.metrics.fold_streaming_progress)."""
+    import time as _time
+
+    from etsd_time_series_database_spark.plans.metrics import (
+        MetricsLog,
+        fold_streaming_progress,
+    )
+    from etsd_time_series_database_spark.streaming.ingest import (
+        windowed_aggregate,
+    )
     from etsd_time_series_database_spark.streaming.stateful import (
         freshness_stream,
         hysteresis_alarm_stream,
@@ -423,6 +442,10 @@ def cmd_watch(args, spark: SparkSession) -> int:
         out = hysteresis_alarm_stream(stream, hi=args.hi, lo=args.lo)
     elif args.mode == "anomalies":
         out = running_zscore_stream(stream, z=args.z, min_n=args.min_n)
+    elif args.mode == "rollup":
+        out = windowed_aggregate(
+            stream, width_s=args.width, watermark=args.watermark
+        )
     else:
         out = site_alarm_stream(stream)
     writer = out.writeStream.outputMode("append")
@@ -436,11 +459,24 @@ def cmd_watch(args, spark: SparkSession) -> int:
         q = writer.trigger(processingTime=f"{args.interval} seconds").start()
         q.awaitTermination()
     else:
+        t0 = _time.monotonic()
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination(args.timeout)
-        n = len(q.recentProgress)
-        print(f"watch[{args.mode}]: caught up in {n} micro-batch(es)"
-              + (f" -> {args.out}" if args.out else ""))
+        totals = fold_streaming_progress(q)
+        print(
+            f"watch[{args.mode}]: caught up in {totals['n_batches']} "
+            f"micro-batch(es), {totals['input_rows']} row(s) in, "
+            f"{totals['late_rows']} dropped by watermark"
+            + (f" -> {args.out}" if args.out else "")
+        )
+        if args.metrics_log:
+            log = MetricsLog(spark, path=args.metrics_log)
+            log.record_streaming(
+                f"watch[{args.mode}]:{args.source}",
+                q,
+                wall_ms=(_time.monotonic() - t0) * 1000.0,
+            )
+            log.flush()
     return 0
 
 
@@ -647,7 +683,7 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("source", help="parquet directory to monitor")
     w.add_argument(
         "--mode", default="freshness",
-        choices=["freshness", "alarms", "anomalies", "site"],
+        choices=["freshness", "alarms", "anomalies", "rollup", "site"],
     )
     w.add_argument("--stale-after", type=float, default=60.0,
                    help="freshness SLA seconds (event-time)")
@@ -657,6 +693,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="anomalies mode: running-sigma threshold")
     w.add_argument("--min-n", type=int, default=30,
                    help="anomalies mode: per-channel warm-up readings")
+    w.add_argument("--width", type=int, default=60,
+                   help="rollup mode: window width seconds")
+    w.add_argument("--watermark", default="2 minutes",
+                   help="rollup mode: lateness horizon (e.g. '2 minutes')")
+    w.add_argument(
+        "--metrics-log", default=None,
+        help="append one ops-log row (input/output/late counts) to this "
+        "parquet path after a catch-up run (plans.metrics.MetricsLog)",
+    )
     w.add_argument(
         "--out", default=None,
         help="write events to this parquet path instead of the console",

@@ -34,6 +34,11 @@ class QueryMetrics:
     shuffle_records: int = 0
     spill_bytes: int = 0
     peak_memory: int = 0
+    # streaming only: state rows dropped as too-late (the O28
+    # short-block count, reference code/etsdSave.c:58-66) — see
+    # fold_streaming_progress for the exact unit (post-aggregation
+    # groups, not raw input rows)
+    late_rows: int = 0
     error: str | None = None
     logged_at_us: int = field(default_factory=lambda: int(time.time() * 1_000_000))
 
@@ -99,8 +104,57 @@ LOG_SCHEMA = (
     "query string, status string, wall_ms double, output_rows bigint, "
     "scan_rows bigint, scan_files bigint, scan_bytes bigint, "
     "shuffle_bytes bigint, shuffle_records bigint, spill_bytes bigint, "
-    "peak_memory bigint, error string, logged_at_us bigint"
+    "peak_memory bigint, late_rows bigint, error string, logged_at_us bigint"
 )
+
+
+def fold_streaming_progress(query) -> dict[str, int]:
+    """Fold a StreamingQuery's ``recentProgress`` into flat totals —
+    the streaming counterpart of :func:`collect_plan_metrics`, and the
+    operational surface for the reference's per-block validity
+    accounting (O28, code/etsdSave.c:58-66): ``late_rows`` is the sum
+    of every state operator's ``numRowsDroppedByWatermark``.
+
+    UNIT CAVEAT (empirically pinned by the s17 catalog entry + its
+    DuckDB oracle): the drop counter sits at the STATE operator, which
+    for windowed aggregation runs after partial aggregation — so for
+    aggregations it counts dropped **(key, window) groups per
+    micro-batch**, not raw late input rows. Deterministic for a fixed
+    file→micro-batch assignment (a group dropped in two batches counts
+    twice), zero for stateful ops that never evict by watermark.
+
+    Driver-side over the retained progress list (default last 100
+    micro-batches — spark.sql.streaming.numRecentProgressUpdates); for
+    availableNow catch-up runs that is the complete history. Long-lived
+    --follow monitors should fold incrementally per progress instead.
+    """
+    import json as _json
+
+    totals = {
+        "input_rows": 0,
+        "output_rows": 0,
+        "late_rows": 0,
+        "state_rows": 0,
+        "n_batches": 0,
+    }
+    for p in query.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        totals["n_batches"] += 1
+        totals["input_rows"] += int(d.get("numInputRows") or 0)
+        sink = d.get("sink") or {}
+        out = sink.get("numOutputRows")
+        if out is not None and int(out) >= 0:
+            totals["output_rows"] += int(out)
+        for so in d.get("stateOperators") or []:
+            totals["late_rows"] += int(
+                so.get("numRowsDroppedByWatermark") or 0
+            )
+        state = d.get("stateOperators") or []
+        if state:
+            totals["state_rows"] = sum(
+                int(so.get("numRowsTotal") or 0) for so in state
+            )
+    return totals
 
 
 class MetricsLog:
@@ -143,6 +197,28 @@ class MetricsLog:
             status="ok",
             wall_ms=(time.monotonic() - t0) * 1000.0,
             **totals,
+        )
+        self.rows.append(row)
+        return row
+
+    def record_streaming(
+        self, name: str, query, wall_ms: float = 0.0
+    ) -> QueryMetrics:
+        """Fold a finished (or caught-up) StreamingQuery's progress into
+        one log row — the streaming counterpart of :meth:`record`.
+        ``late_rows`` carries the watermark-drop count (see
+        :func:`fold_streaming_progress` for the unit), making data loss
+        under lateness VISIBLE in the same ops table batch queries log
+        to — the reference logs the equivalent short-block validity per
+        committed block (code/etsdSave.c:58-66)."""
+        totals = fold_streaming_progress(query)
+        row = QueryMetrics(
+            query=name,
+            status="ok",
+            wall_ms=wall_ms,
+            output_rows=totals["output_rows"],
+            scan_rows=totals["input_rows"],
+            late_rows=totals["late_rows"],
         )
         self.rows.append(row)
         return row
