@@ -218,6 +218,35 @@ def minhash_band_table(
     return _bands_from_signatures(mh, key, rows_per_band)
 
 
+def keep_lowest_drop_ids(bands: DataFrame, key: str = "doc_id") -> DataFrame:
+    """The keep-lowest-key LSH drop set WITHOUT pair enumeration: the
+    distinct ids of documents sharing any (band, sig) bucket with a
+    LOWER-keyed document — exactly the distinct drop set of the pair
+    self-join formulation (``x.key > y.key`` over shared buckets,
+    property-pinned equal in tests/test_band_hotspot.py), computed as
+    "key exceeds its bucket's min".
+
+    This is the hot-band guard (round-10 verdict finding #2): a
+    degenerate corpus where one band signature is shared by N
+    near-identical documents makes the pair join's bucket quadratic
+    (N²/2 join rows per band — the same pathology q65's auto bucket
+    fixed for co-alarms), while this form costs N window rows. One
+    shuffle keyed by (band, sig), nothing quadratic anywhere; the
+    drop DECISION never needed the pairs, only membership vs the
+    bucket minimum. Pair-ENUMERATING reports (x06 and the audit/
+    provenance entries) inherently emit O(pairs) output and keep the
+    join — bounded there by :func:`minhash_lsh_candidates`'s optional
+    ``max_bucket_docs`` star-sparsification cap.
+    """
+    w = Window.partitionBy("band", "sig")
+    return (
+        bands.withColumn("__bmin", F.min(key).over(w))
+        .filter(F.col(key) > F.col("__bmin"))
+        .select(key)
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text: str = "text",
@@ -225,23 +254,61 @@ def minhash_lsh_candidates(
     n: int = 3,
     rows_per_band: int = 2,
     hash_mode: str = "hash64",
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """LSH banding: documents sharing any (band, band-signature) bucket
     are near-duplicate candidates. Output (doc_a, doc_b,
     n_shared_bands); the bucket join is the ONLY pairwise step, so cost
-    is bounded by real collisions, not n^2."""
+    is bounded by real collisions, not n^2.
+
+    ``max_bucket_docs`` is the hot-band cap for the collision bound's
+    failure mode — a degenerate bucket shared by N near-identical
+    documents is N²/2 pairs per band: buckets at or under the cap
+    enumerate all pairs exactly as before (identical output — pinned
+    by a property test), while an over-cap bucket is star-sparsified
+    to (bucket-min, member) pairs, linear in N and
+    connectivity-preserving (every member still pairs with the bucket
+    minimum, so :func:`cluster_pairs` components are unchanged — also
+    property-pinned). ``n_shared_bands`` for a star pair counts only
+    the buckets that emitted it; downstream keep-lowest / clustering
+    consumers use the pair EXISTENCE, not the count. Default None
+    preserves the exact historical output on any input."""
     bands = minhash_band_table(df, text, key, n, rows_per_band, hash_mode)
-    x, y = bands.alias("x"), bands.alias("y")
-    return (
+    if max_bucket_docs is not None:
+        w = Window.partitionBy("band", "sig")
+        sized = bands.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+            "__bmin", F.min(key).over(w)
+        )
+        small = sized.filter(F.col("__bn") <= int(max_bucket_docs)).select(
+            key, "band", "sig"
+        )
+        star = (
+            sized.filter(
+                (F.col("__bn") > int(max_bucket_docs))
+                & (F.col(key) > F.col("__bmin"))
+            )
+            .select(
+                F.col("__bmin").alias("doc_a"), F.col(key).alias("doc_b")
+            )
+        )
+    else:
+        small, star = bands, None
+    x, y = small.alias("x"), small.alias("y")
+    pairs = (
         x.join(
             y,
             on=(F.col("x.band") == F.col("y.band"))
             & (F.col("x.sig") == F.col("y.sig"))
             & (F.col(f"x.{key}") < F.col(f"y.{key}")),
         )
-        .groupBy(
+        .select(
             F.col(f"x.{key}").alias("doc_a"), F.col(f"y.{key}").alias("doc_b")
         )
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
@@ -520,7 +587,12 @@ def new_vs_index_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs between a NEW batch's band table and an
     index band table: (new_id, index_id, n_shared_bands) — one
-    equi-join on (band, sig), never new x corpus.
+    equi-join on (band, sig), never new x corpus. This is the pair
+    REPORT form (who collided with whom — the CLI ``dedup-probe``
+    display); the drop-decision workflow (:func:`incremental_dedup`)
+    deliberately does NOT use it: a degenerate band signature shared
+    by M indexed and k new documents makes this join's bucket k×M,
+    while the decision needs only per-bucket statistics.
 
     Scale shape: the new batch is the small side — AQE broadcasts it,
     so the corpus-sized index NEVER shuffles (it streams through its
@@ -614,8 +686,13 @@ def incremental_dedup(
     unsafe ordering.
 
     Both anti-join sides reduce to a distinct id list before touching
-    ``new_df`` (ids only — text never shuffles); the index is read
-    once."""
+    ``new_df`` (ids only — text never shuffles). The probe is
+    pair-free: cross-run collisions come from per-bucket (count, min)
+    statistics of only the index rows whose signatures the shard
+    touches, and in-run collisions from the bucket-min form
+    (:func:`keep_lowest_drop_ids`) — so a degenerate hot band costs
+    the probe linear work, never a quadratic bucket (use
+    :func:`minhash_probe_new` when you want the actual pair report)."""
     if append_survivors and survivors_path is None:
         raise ValueError(
             "append_survivors=True requires survivors_path: appending "
@@ -633,35 +710,47 @@ def incremental_dedup(
         rows_per_band=meta["rows_per_band"],
         hash_mode=meta["hash_mode"],
     )
-    # ONE probe scan yields both decisions: collisions with OTHER
-    # indexed documents (the drop set) and keys already indexed under
-    # their own id (a retry after a successful append — those must
-    # not be appended again or every retry duplicates the shard's
-    # signature rows). The pairs table is candidate-bounded and tiny.
-    pairs = new_vs_index_candidates(
-        new_bands, index_bands, key=key, exclude_self=False
-    ).localCheckpoint()
+    # The drop decision never needs (new, index) PAIRS — only, per new
+    # document, "does any touched bucket hold another id" — so the
+    # probe aggregates bucket statistics instead of enumerating pairs
+    # (the hot-band guard, round-10 verdict finding #2): a degenerate
+    # band signature shared by M indexed documents used to make the
+    # probe's bucket k×M-quadratic; now it contributes M rows to one
+    # map-side-combinable count/min aggregate. The shard's distinct
+    # signatures broadcast, so only touched index rows leave the scan
+    # and the corpus-sized index still never shuffles its raw rows
+    # (the aggregate's shuffle carries ~#touched-buckets rows).
+    new_sigs = new_bands.select("band", "sig").distinct()
+    touched = index_bands.join(
+        F.broadcast(new_sigs), ["band", "sig"], "left_semi"
+    )
+    stats = touched.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("__n_idx"), F.min(key).alias("__min_idx")
+    )
+    # a bucket proves an OTHER-document collision iff it holds >= 2
+    # index ids (per-bucket ids are distinct: one row per (key, band))
+    # or its single id is not the probing document itself
     cross_hits = (
-        pairs.filter(F.col("new_id") != F.col("index_id"))
-        .select(F.col("new_id").alias(key))
-        .distinct()
-    )
-    already_indexed = (
-        pairs.filter(F.col("new_id") == F.col("index_id"))
-        .select(F.col("new_id").alias(key))
-        .distinct()
-    )
-    x, y = new_bands.alias("x"), new_bands.alias("y")
-    in_run_hits = (
-        x.join(
-            y,
-            on=(F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col(f"x.{key}") > F.col(f"y.{key}")),
+        new_bands.join(stats, ["band", "sig"])
+        .filter(
+            (F.col("__n_idx") >= 2) | (F.col("__min_idx") != F.col(key))
         )
-        .select(F.col(f"x.{key}").alias(key))
+        .select(key)
         .distinct()
     )
+    # keys already indexed under their own id (a retry after a
+    # successful append — those must not be appended again or every
+    # retry duplicates the shard's signature rows): exact-row
+    # membership, an equi-join on (key, band, sig) with at most one
+    # index match per new row
+    already_indexed = (
+        new_bands.join(index_bands, [key, "band", "sig"], "left_semi")
+        .select(key)
+        .distinct()
+        .localCheckpoint()
+    )
+    # in-run keep-lowest: linear bucket-min form, never a pair join
+    in_run_hits = keep_lowest_drop_ids(new_bands, key)
     # materialize the (tiny, ids-only) drop set once: without this,
     # the whole probe pipeline — shard signatures, index scan, both
     # joins — re-executes for the index append AND again when the
@@ -778,17 +867,9 @@ def dedup_funnel(
     bands = minhash_band_table(
         winners, text, key, n, rows_per_band, hash_mode
     )
-    x, y = bands.alias("x"), bands.alias("y")
-    near_drop = (
-        x.join(
-            y,
-            on=(F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col(f"x.{key}") > F.col(f"y.{key}")),
-        )
-        .select(F.col(f"x.{key}").alias(key))
-        .distinct()
-    )
+    # keep-lowest near drop via the linear bucket-min form — a hot
+    # band bucket costs N rows here, never N²/2 pairs
+    near_drop = keep_lowest_drop_ids(bands, key)
     kept = winners.join(near_drop, key, "left_anti")
     all_s = base.groupBy(source).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -1,0 +1,164 @@
+"""Hot-band guard (round-10 verdict finding #2): LSH's collision bound
+fails on a degenerate corpus where one band signature is shared by N
+near-identical documents — the pair self-join's bucket goes N²/2. The
+fix has two prongs, both pinned here against the ORIGINAL pair-join
+formulations (inlined below as brute-force references, the same
+quarantine pattern as the other property tests):
+
+  * drop-DECISION paths (incremental_dedup's in-run + cross-run
+    probes, dedup_funnel's near stage) are now pair-free: bucket-min /
+    bucket-statistics forms that must produce the IDENTICAL drop set
+    on any input, degenerate or not;
+  * the pair-ENUMERATING report (minhash_lsh_candidates) gained an
+    optional ``max_bucket_docs`` star-sparsification cap: identical
+    output while every bucket fits the cap, connectivity-preserving
+    (same cluster_pairs components) on degenerate buckets.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from etsd_time_series_database_spark.operators.dedup import (
+    cluster_pairs,
+    incremental_dedup,
+    keep_lowest_drop_ids,
+    minhash_band_table,
+    minhash_lsh_candidates,
+    write_minhash_index,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"]
+
+
+def _corpus(spark, seed: int, n_unique: int, n_degenerate: int):
+    """n_unique random docs plus n_degenerate documents sharing ONE
+    text (every band signature identical -> one hot bucket per band)."""
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choices(WORDS, k=rng.randint(4, 12))), "src_a")
+        for i in range(n_unique)
+    ]
+    hot = "omega omega omega repeated boilerplate banner text"
+    rows += [
+        (n_unique + j, hot, "src_b") for j in range(n_degenerate)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def _pairjoin_drop_ids(bands, key="doc_id"):
+    """The ORIGINAL quadratic keep-lowest form: drop every id that
+    pair-joins with a lower-keyed id over shared (band, sig) buckets."""
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            on=(F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{key}") > F.col(f"y.{key}")),
+        )
+        .select(F.col(f"x.{key}").alias(key))
+        .distinct()
+    )
+
+
+def test_bucket_min_drop_set_equals_pair_join(spark):
+    """keep_lowest_drop_ids == the pair-join drop set, including on a
+    forced degenerate band (60 identical docs -> one hot bucket)."""
+    for seed, n_u, n_d in [(1, 40, 0), (2, 30, 60), (3, 0, 25)]:
+        docs = _corpus(spark, seed, n_u, n_d)
+        bands = minhash_band_table(docs, hash_mode="poly")
+        fast = {r.doc_id for r in keep_lowest_drop_ids(bands).collect()}
+        ref = {r.doc_id for r in _pairjoin_drop_ids(bands).collect()}
+        assert fast == ref, f"seed={seed}: {fast ^ ref}"
+    # the degenerate case actually drops all-but-one of the hot docs
+    assert len(fast) >= 24
+
+
+def test_capped_lsh_identical_below_cap(spark):
+    """max_bucket_docs >= the largest real bucket -> byte-identical
+    candidate pairs (the x06 hash-stability property)."""
+    docs = _corpus(spark, 7, 50, 0)
+    uncapped = minhash_lsh_candidates(docs, hash_mode="poly").collect()
+    capped = minhash_lsh_candidates(
+        docs, hash_mode="poly", max_bucket_docs=1000
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+def test_capped_lsh_star_preserves_components(spark):
+    """On a degenerate corpus the cap sparsifies hot buckets to star
+    pairs: pair count collapses from O(N²) to O(N) while the connected
+    components (what dedup clustering consumes) stay identical."""
+    docs = _corpus(spark, 11, 25, 40)
+    full = minhash_lsh_candidates(docs, hash_mode="poly")
+    star = minhash_lsh_candidates(docs, hash_mode="poly", max_bucket_docs=8)
+    n_full, n_star = full.count(), star.count()
+    # the hot bucket alone is C(40,2) = 780 pairs in the full form
+    assert n_full >= 780
+    assert n_star < n_full / 5
+    comp_full = {
+        (r.doc_id, r.component) for r in cluster_pairs(full).collect()
+    }
+    comp_star = {
+        (r.doc_id, r.component) for r in cluster_pairs(star).collect()
+    }
+    assert comp_full == comp_star
+
+
+def test_incremental_dedup_pair_free_probe_on_degenerate_band(spark, tmp_path):
+    """The cross-run probe's bucket-statistics form on a degenerate
+    index (40 identical docs under one signature): a shard that shares
+    the hot text is fully dropped, unique shard docs survive, and the
+    drop set equals the brute-force (new x index) pair logic."""
+    docs = _corpus(spark, 13, 30, 40)
+    path = str(tmp_path / "hot_index")
+    write_minhash_index(docs, path, hash_mode="poly")
+
+    shard = _corpus(spark, 99, 10, 5).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    survivors = incremental_dedup(shard, path)
+    ids = {r.doc_id for r in survivors.collect()}
+
+    # brute force: shard doc drops iff it shares any (band, sig) with
+    # ANY indexed doc, or with a lower-keyed in-shard doc
+    idx_bands = minhash_band_table(docs, hash_mode="poly")
+    sh_bands = minhash_band_table(shard, hash_mode="poly")
+    cross = {
+        r.doc_id
+        for r in sh_bands.alias("s")
+        .join(idx_bands.alias("i"), ["band", "sig"])
+        .select(F.col("s.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    in_run = {r.doc_id for r in _pairjoin_drop_ids(sh_bands).collect()}
+    want = {
+        r.doc_id for r in shard.collect()
+    } - cross - in_run
+    assert ids == want
+    # the degenerate shard docs (5 copies of the hot text) all died to
+    # the index's hot bucket
+    assert all(i < 10_030 for i in ids)
+
+
+def test_probe_plan_has_no_index_side_shuffle_of_raw_rows(spark, tmp_path):
+    """Plan shape: the rewritten probe aggregates only touched index
+    rows and never sorts/joins raw index rows pairwise — assert the
+    physical plan of the drop-set computation contains no
+    CartesianProduct and no SortMergeJoin on the index band table."""
+    docs = _corpus(spark, 17, 40, 10)
+    path = str(tmp_path / "plan_index")
+    write_minhash_index(docs, path, hash_mode="poly")
+    shard = _corpus(spark, 23, 8, 2).withColumn(
+        "doc_id", F.col("doc_id") + 5_000
+    )
+    out = incremental_dedup(shard, path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
