@@ -53,8 +53,20 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         and ts_field.dataType.simpleString() == "timestamp_ntz"
     ):
         # sessions without the nanosAsLong conf read parquet NANOS as
-        # NTZ; unix_micros & friends want TIMESTAMP (UTC session)
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # NTZ; unix_micros & friends want TIMESTAMP. Convert via the
+        # NTZ-epoch diff (store.load_table's formulation), which is
+        # session-timezone INDEPENDENT — cli.main accepts external
+        # SparkSessions, and a plain cast in a non-UTC session would
+        # shift every epoch-derived bucket and digest.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 
@@ -488,13 +500,18 @@ def cmd_recover(args, spark: SparkSession) -> int:
     return 0
 
 
-def cmd_digest_diff(args, spark: SparkSession) -> int:
-    """Compare two stores by their per-(channel, bucket) content
-    digests (operators.range_stats.range_digest, q77) and print only
-    the drifted buckets — replica validation without shipping data.
-    Exit code 0 = identical, 3 = drift found."""
-    from pyspark.sql import functions as F
-
+def _digest_drift(
+    spark: SparkSession,
+    left: str,
+    right: str,
+    bucket_s: int,
+    channel_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Drifted (channel, bucket) cells between two stores' content
+    digests (operators.range_stats.range_digest, q77) — the shared
+    core of the digest-diff and repair verbs. One full-outer join of
+    two KB-per-store digest tables; no event data crosses the wire."""
     from etsd_time_series_database_spark.operators.range_stats import (
         range_digest,
     )
@@ -502,19 +519,18 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
     def digests(path):
         return range_digest(
             _load_events(spark, path),
-            bucket_s=args.bucket,
-            channel=args.channel_col,
-            value=args.value_col,
+            bucket_s=bucket_s,
+            channel=channel_col,
+            value=value_col,
         )
 
-    a = digests(args.left).alias("a")
-    b = digests(args.right).alias("b")
-    drift = (
+    a = digests(left).alias("a")
+    b = digests(right).alias("b")
+    return (
         a.join(
             b,
             on=[
-                F.col(f"a.{args.channel_col}")
-                == F.col(f"b.{args.channel_col}"),
+                F.col(f"a.{channel_col}") == F.col(f"b.{channel_col}"),
                 F.col("a.bucket_us") == F.col("b.bucket_us"),
             ],
             how="full_outer",
@@ -527,8 +543,8 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
         )
         .select(
             F.coalesce(
-                F.col(f"a.{args.channel_col}"),
-                F.col(f"b.{args.channel_col}"),
+                F.col(f"a.{channel_col}"),
+                F.col(f"b.{channel_col}"),
             ).alias("channel"),
             F.coalesce(F.col("a.bucket_us"), F.col("b.bucket_us")).alias(
                 "bucket_us"
@@ -540,18 +556,116 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
         )
         .orderBy("channel", "bucket_us")
     )
-    rows = drift.collect()
-    if not rows:
+
+
+def cmd_digest_diff(args, spark: SparkSession) -> int:
+    """Compare two stores by their per-(channel, bucket) content
+    digests (operators.range_stats.range_digest, q77) and print only
+    the drifted buckets — replica validation without shipping data.
+    Exit code 0 = identical, 3 = drift found."""
+    drift = _digest_drift(
+        spark, args.left, args.right, args.bucket, args.channel_col,
+        args.value_col,
+    )
+    # display fetches at most --limit rows; the exact total comes from
+    # a separate count — two wholly divergent stores must never
+    # materialize channels x days rows on the driver
+    shown = drift.limit(args.limit).collect()
+    if not shown:
         print(f"identical: {args.left} == {args.right} (digest level)")
         return 0
-    for r in rows[: args.limit]:
+    for r in shown:
         print(
             f"DRIFT channel={r.channel} bucket_us={r.bucket_us} "
             f"n={r.left_n}/{r.right_n} "
             f"digest={r.left_digest}/{r.right_digest}"
         )
-    print(f"{len(rows)} drifted (channel, bucket) cells")
+    total = drift.count()
+    print(f"{total} drifted (channel, bucket) cells")
     return 3
+
+
+def cmd_repair(args, spark: SparkSession) -> int:
+    """Close the digest loop (reference recover path,
+    code/etsdCmd.c:648-656): re-sync ONLY the drifted buckets of a
+    target store from a source-of-truth store, then re-digest to prove
+    convergence. Drift detection is the q77 digest diff (KB-sized
+    tables, no data shipped); the rewrite is partition-scoped — each
+    drifted (channel, bucket) cell maps to the date partitions its
+    bucket covers, and only those dt= directories are byte-copied
+    through the crash-safe rename-swap (sources.store.sync_partition).
+    Untouched partitions are never listed, read, or rewritten.
+    Exit 0 = converged (or already identical), 3 = residual drift,
+    2 = not a date-partitioned store.
+
+    Relies on the layout invariant ``dt == to_date(ts)`` that this
+    repo's writers (create, ingest) guarantee: a drifted bucket's rows
+    live exactly in the date partitions the bucket covers. Rows
+    mis-filed under a foreign dt= value are outside that mapping; the
+    post-repair re-digest surfaces them as residual drift (rc 3,
+    'repair INCOMPLETE') rather than a false convergence claim. Also
+    assumes both stores share the session timezone convention for dt=
+    (this repo's sessions pin UTC)."""
+    from etsd_time_series_database_spark.sources.store import (
+        list_date_partitions,
+        sync_partition,
+    )
+
+    if not list_date_partitions(spark, args.target):
+        print(
+            f"repair: {args.target} is not a dt=-partitioned events "
+            "store (create it with the `create` verb); partition-scoped "
+            "repair needs the date layout",
+            file=sys.stderr,
+        )
+        return 2
+
+    def drift_df():
+        return _digest_drift(
+            spark, args.source, args.target, args.bucket,
+            args.channel_col, args.value_col,
+        )
+
+    width_us = args.bucket * 1_000_000
+    days = sorted(
+        r.d.isoformat()
+        for r in drift_df()
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.timestamp_micros(F.col("bucket_us"))),
+                    F.to_date(
+                        F.timestamp_micros(
+                            F.col("bucket_us") + F.lit(width_us - 1)
+                        )
+                    ),
+                )
+            ).alias("d")
+        )
+        .distinct()
+        .collect()
+    )
+    if not days:
+        print(f"identical: {args.target} already matches {args.source}")
+        return 0
+    if args.dry_run:
+        print(f"would sync {len(days)} partition(s): "
+              + ", ".join(f"dt={d}" for d in days))
+        return 3
+    for d in days:
+        action = sync_partition(
+            spark, args.source, args.target, f"dt={d}"
+        )
+        print(f"repair dt={d}: {action}")
+    residual = drift_df().count()
+    if residual:
+        print(f"repair INCOMPLETE: {residual} drifted cells remain "
+              "(bucket/day misalignment? non-dt drift?)", file=sys.stderr)
+        return 3
+    print(
+        f"converged: {len(days)} partition(s) re-synced, digests match"
+    )
+    return 0
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -622,6 +736,23 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--value-col", default="value")
     dd.add_argument("--limit", type=int, default=20)
     dd.set_defaults(fn=cmd_digest_diff)
+
+    rp = sub.add_parser(
+        "repair",
+        help="re-sync a target store's drifted date partitions from a "
+        "source-of-truth store (digest diff -> partition-scoped "
+        "byte-copy swap -> re-digest convergence proof)",
+    )
+    rp.add_argument("source", help="authoritative events store (dt= layout)")
+    rp.add_argument("target", help="store to repair in place (dt= layout)")
+    rp.add_argument("--bucket", type=int, default=86_400,
+                    help="digest bucket seconds")
+    rp.add_argument("--channel-col", default="event_type")
+    rp.add_argument("--value-col", default="value")
+    rp.add_argument("--dry-run", action="store_true",
+                    help="print the partitions that would sync, change "
+                    "nothing")
+    rp.set_defaults(fn=cmd_repair)
 
     wi = sub.add_parser(
         "write-index",

@@ -300,6 +300,86 @@ def compact_partition(
     return len(files_before)
 
 
+def sync_partition(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    partition: str,
+) -> str:
+    """Re-sync ONE date partition of ``target_path`` from
+    ``source_path`` (the repair primitive behind the CLI ``repair``
+    verb; reference analog: the recover path re-deriving state from
+    the authoritative store, code/etsdCmd.c:648-656).
+
+    The partition's parquet files are copied BYTE-IDENTICALLY through
+    the Hadoop FileSystem API (no decode/re-encode — works across
+    file:/hdfs:/s3a: and guarantees the re-digest converges), staged
+    into a temp dir and installed with the same rename-swap protocol
+    as :func:`compact_partition`: at no point is the partition simply
+    absent, and a crash mid-swap leaves either the old dir or both
+    (old under ``__old_*``), never neither. A partition absent from
+    the source is DELETED from the target (drift-by-extra-data).
+    Returns 'synced' | 'deleted' | 'noop' (absent on both sides).
+
+    Partition-scoped by contract: untouched partitions are never
+    listed, read, or rewritten — repair cost is O(drifted days), not
+    O(store).
+    """
+    import uuid
+
+    fs_src, Path = _hadoop_fs(spark, source_path)
+    fs_dst, _ = _hadoop_fs(spark, target_path)
+    src_dir = Path(f"{source_path}/{partition}")
+    dst_dir = Path(f"{target_path}/{partition}")
+    if not fs_src.exists(src_dir):
+        if fs_dst.exists(dst_dir):
+            fs_dst.delete(dst_dir, True)
+            return "deleted"
+        return "noop"
+    token = uuid.uuid4().hex
+    tmp_s = f"{target_path}/__sync_{token}"
+    tmp = Path(tmp_s)
+    fs_dst.mkdirs(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for st in fs_src.listStatus(src_dir):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS / CRC side files regenerate
+        ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs_src, st.getPath(), fs_dst, Path(f"{tmp_s}/{name}"),
+            False, conf,
+        )
+        if not ok:
+            fs_dst.delete(tmp, True)
+            raise IOError(f"sync: copy of {name} failed; "
+                          f"target partition {partition} untouched")
+    old = Path(f"{target_path}/__old_{token}")
+    had_old = fs_dst.exists(dst_dir)
+    if had_old and not fs_dst.rename(dst_dir, old):
+        fs_dst.delete(tmp, True)
+        raise IOError(f"sync: failed to move {dst_dir} aside")
+    if not fs_dst.rename(tmp, dst_dir):
+        if had_old:
+            fs_dst.rename(old, dst_dir)
+        raise IOError(f"sync: failed to install {dst_dir}")
+    if had_old:
+        fs_dst.delete(old, True)
+    return "synced"
+
+
+def list_date_partitions(spark: SparkSession, path: str) -> list[str]:
+    """The ``dt=YYYY-MM-DD`` partition directory names of a store, via
+    the Hadoop FS API (object-store safe). Empty list means the path
+    is not a date-partitioned events table."""
+    fs, Path = _hadoop_fs(spark, path)
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(Path(path))
+        if st.isDirectory() and st.getPath().getName().startswith("dt=")
+    )
+
+
 def drop_partitions_before(
     path: str, cutoff_date: str, spark: SparkSession | None = None
 ) -> list[str]:

@@ -448,3 +448,125 @@ def test_watch_rollup_reports_watermark_drops(spark, tmp_path, capsys):
         (F.col("channel") == "b")
         | (F.col("bucket_ts") == F.to_timestamp(F.lit("2026-01-01 00:05:00")))
     ).count() == 0
+
+
+def test_repair_resyncs_only_drifted_partitions(spark, tmp_path, capsys):
+    """repair (the digest->recover loop, round-10 verdict #3): corrupt
+    one date partition of a replica — repair re-syncs EXACTLY that
+    partition from the source store (byte-copy swap), the re-digest
+    converges (digest-diff rc 0), and every untouched partition's
+    files are byte-identical before/after. An extra bogus partition on
+    the replica is deleted (drift-by-extra-data)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    src_store = str(tmp_path / "store_a")
+    dst_store = str(tmp_path / "store_b")
+    assert cli.main(
+        ["create", EVENTS, src_store, "--mode", "overwrite"], spark=spark
+    ) == 0
+    shutil.copytree(src_store, dst_store)
+
+    def checksums(store):
+        out = {}
+        for dirpath, _dirs, files in os.walk(store):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, store)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    parts = sorted(
+        d for d in os.listdir(dst_store) if d.startswith("dt=")
+    )
+    assert len(parts) >= 3
+    victim = parts[1]
+    # corrupt: rewrite the victim partition with half its rows
+    vic_dir = os.path.join(dst_store, victim)
+    half = spark.read.parquet(vic_dir).filter(F.col("event_id") % 2 == 0)
+    half.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "half"))
+    shutil.rmtree(vic_dir)
+    shutil.copytree(str(tmp_path / "half"), vic_dir)
+    # and add a bogus extra partition (rows honestly dated 2030, so
+    # the dt == to_date(ts) layout invariant holds — repair's
+    # digest->partition mapping relies on it)
+    from etsd_time_series_database_spark.sources.store import (
+        create_events_table,
+    )
+
+    shifted = (
+        spark.read.parquet(os.path.join(src_store, parts[0]))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2192 DAYS"))
+    )
+    create_events_table(shifted, dst_store, mode="append")
+    assert os.path.isdir(os.path.join(dst_store, "dt=2030-01-01"))
+
+    before = checksums(dst_store)
+    rc = cli.main(["digest-diff", src_store, dst_store], spark=spark)
+    assert rc == 3
+    capsys.readouterr()
+
+    rc = cli.main(["repair", src_store, dst_store], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "converged" in out
+    assert f"repair {victim}: synced" in out
+    assert "repair dt=2030-01-01: deleted" in out
+
+    # digest-level identity restored
+    rc = cli.main(["digest-diff", src_store, dst_store], spark=spark)
+    assert rc == 0 and "identical" in capsys.readouterr().out
+
+    # untouched partitions byte-identical; victim + bogus changed
+    after = checksums(dst_store)
+    untouched = {
+        k for k in before
+        if not k.startswith(victim) and not k.startswith("dt=2030-01-01")
+    }
+    assert untouched <= set(after)
+    assert all(before[k] == after[k] for k in untouched)
+    assert not any(k.startswith("dt=2030-01-01") for k in after)
+
+    # row-level identity too, not just digests
+    a = spark.read.parquet(src_store).drop("dt")
+    b = spark.read.parquet(dst_store).drop("dt")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+
+def test_repair_requires_date_layout(spark, tmp_path, capsys):
+    rc = cli.main(
+        ["repair", EVENTS, EVENTS], spark=spark
+    )
+    assert rc == 2
+
+
+def test_repair_reports_incomplete_on_misfiled_rows(spark, tmp_path, capsys):
+    """Rows mis-filed under a foreign dt= value violate the layout
+    invariant repair's digest->partition mapping relies on; the
+    post-repair re-digest must surface them as residual drift (rc 3,
+    INCOMPLETE), never a false convergence claim."""
+    import os
+    import shutil
+
+    src_store = str(tmp_path / "store_a")
+    dst_store = str(tmp_path / "store_b")
+    assert cli.main(
+        ["create", EVENTS, src_store, "--mode", "overwrite"], spark=spark
+    ) == 0
+    shutil.copytree(src_store, dst_store)
+    parts = sorted(d for d in os.listdir(dst_store) if d.startswith("dt="))
+    # duplicate a day's files under a WRONG partition value
+    shutil.copytree(
+        os.path.join(dst_store, parts[0]),
+        os.path.join(dst_store, "dt=2031-01-01"),
+    )
+    capsys.readouterr()
+    rc = cli.main(["repair", src_store, dst_store], spark=spark)
+    assert rc == 3
+    assert "INCOMPLETE" in capsys.readouterr().err
