@@ -167,10 +167,23 @@ def main() -> None:
             query_metrics[name] = metrics
 
     total = round(sum(timings.values()), 4)
-    # Per-query SQLMetrics go to a SIDE FILE, never stdout: the driver
-    # retains only a ~2000-char tail of stdout and parses the last JSON
-    # line, so the final line must stay compact (round 4 shipped
-    # parsed:null because query_metrics pushed it to ~5.4 KB).
+    # Per-query shuffle bytes ride the FINAL stdout line (short-key MB
+    # dict) so the committed BENCH artifact is self-evidently
+    # plan-signal: a wall drift with shuffle_mb 1.00x is environment
+    # noise, never plan cost — the round-10 audit burned time proving
+    # exactly that from the side file. Full SQLMetrics still go to the
+    # side file; the driver retains only a ~2000-char stdout tail and
+    # parses the LAST JSON line, so skew_compare moved to its own
+    # earlier line (still inside the retained tail at realistic sizes,
+    # and mirrored into the side file) to keep the final line compact
+    # (round 4 shipped parsed:null at ~5.4 KB).
+    shuffle_mb = {
+        name.split("_", 1)[0]: round(
+            query_metrics.get(name, {}).get("shuffle_bytes", 0) / 1e6, 2
+        )
+        for name in timings
+    }
+    skew = _skew_compare_isolated()
     metrics_path = Path(
         os.environ.get("SPARK_GRAFT_BENCH_METRICS", REPO / "bench_metrics.json")
     )
@@ -181,10 +194,12 @@ def main() -> None:
                 "isolated": isolate,
                 "queries": timings,
                 "query_metrics": query_metrics,
+                "skew_compare": skew,
             },
             indent=1,
         )
     )
+    print(json.dumps({"skew_compare": skew}))
     print(
         json.dumps(
             {
@@ -194,12 +209,12 @@ def main() -> None:
                 # measurement regime, so the record is self-describing:
                 # "isolated_jvm" (per-query cold subprocess, >= r7) is
                 # NOT wall-comparable to "shared_jvm" (<= r6 warm
-                # session) — task-time and shuffle-byte SQLMetrics in
-                # the side file are the cross-regime-stable signals
+                # session) — task-time and shuffle-byte SQLMetrics are
+                # the cross-regime-stable signals
                 "regime": "isolated_jvm" if isolate else "shared_jvm",
                 "queries": timings,
+                "shuffle_mb": shuffle_mb,
                 "sf": sf,
-                "skew_compare": _skew_compare_isolated(),
             }
         )
     )

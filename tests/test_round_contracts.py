@@ -45,39 +45,31 @@ def test_declared_queries_inside_driver_window():
 
 
 def test_bench_stdout_line_stays_compact():
-    """Reconstruct the exact stdout payload bench.py prints (worst-case
-    field widths) and assert it fits the driver's ~2000-char tail with
-    headroom. If this fails, a new headline query or skew row must be
-    offset by moving something to the bench_metrics.json side file."""
+    """Reconstruct the exact FINAL stdout payload bench.py prints
+    (worst-case field widths) and assert it fits the driver's
+    ~2000-char tail with headroom. Since round 11 the final line
+    carries per-query shuffle_mb (short keys) and skew_compare moved
+    to its own EARLIER stdout line — only the final line must parse,
+    the skew line just needs to be visible in the tail at realistic
+    sizes. If this fails, a new headline query must be offset by
+    moving something to the bench_metrics.json side file."""
     headline = sorted(n for n, q in catalog().items() if q.headline)
+    # short keys must stay unique or two queries' shuffle bytes merge
+    shorts = [n.split("_", 1)[0] for n in headline]
+    assert len(set(shorts)) == len(shorts), "headline short-key clash"
     payload = {
         "metric": "headline_queries_total",
         "value": 9999.9999,
         "unit": "sec",
+        "regime": "isolated_jvm",
         "queries": {n: 9999.9999 for n in headline},
+        "shuffle_mb": {s: 99999.99 for s in shorts},
         "sf": 0.1,
-        "skew_compare": {
-            "rows": 20_000_000,
-            "rate_global_s": 9999.9999,
-            "rate_scalable_s": 9999.9999,
-            "asof_global_s": 9999.9999,
-            "asof_scalable_s": 9999.9999,
-            "episodes_global_s": 9999.9999,
-            "episodes_scalable_s": 9999.9999,
-            "coverage_global_s": 9999.9999,
-            "coverage_scalable_s": 9999.9999,
-            "coalarm_day_s": 9999.9999,
-            "coalarm_auto_s": 9999.9999,
-            "tiers_naive_s": 9999.9999,
-            "tiers_hier_s": 9999.9999,
-            "shuffle_global_s": 9999.9999,
-            "shuffle_scalable_s": 9999.9999,
-        },
     }
     line = json.dumps(payload)
     assert len(line) < 1800, (
-        f"bench.py stdout line would be {len(line)} chars; the driver "
-        "retains only ~2000 — move detail to bench_metrics.json"
+        f"bench.py final stdout line would be {len(line)} chars; the "
+        "driver retains only ~2000 — move detail to bench_metrics.json"
     )
 
 
