@@ -489,6 +489,21 @@ def cmd_watch(args, spark: SparkSession) -> int:
                 wall_ms=(_time.monotonic() - t0) * 1000.0,
             )
             log.flush()
+        if args.compact:
+            if not args.out:
+                print("watch: --compact requires --out", file=sys.stderr)
+                return 2
+            from etsd_time_series_database_spark.streaming.ingest import (
+                compact_stream_sink,
+            )
+
+            stats = compact_stream_sink(spark, args.out)
+            print(
+                f"compacted {args.out}: {stats['files_before']} -> "
+                f"{stats['files_after']} file(s)"
+                + (" (recovered a prior half-finished compaction)"
+                   if stats["recovered"] else "")
+            )
     return 0
 
 
@@ -832,6 +847,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--metrics-log", default=None,
         help="append one ops-log row (input/output/late counts) to this "
         "parquet path after a catch-up run (plans.metrics.MetricsLog)",
+    )
+    w.add_argument(
+        "--compact", action="store_true",
+        help="after a catch-up run, compact the --out sink's "
+        "accumulated per-micro-batch files in place (rewrites the "
+        "_spark_metadata log to match; the checkpointed stream resumes "
+        "cleanly afterwards)",
     )
     w.add_argument(
         "--out", default=None,

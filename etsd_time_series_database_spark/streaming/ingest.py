@@ -430,6 +430,185 @@ def replay(
     )
 
 
+def compact_stream_sink(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    sort_cols: tuple[str, ...] = ("channel", "ts"),
+    _fail_after_manifest: bool = False,
+) -> dict:
+    """Compact a Structured Streaming parquet file sink IN PLACE —
+    the rotation/maintenance pass for the `watch --out` topology
+    (reference file rotation O26, code/etsdSave.c:80-99): every
+    micro-batch appends at least one small file forever, so a
+    long-running monitor turns its sink into thousands of KB files.
+
+    A file sink is NOT a plain directory: batch readers list files
+    from the ``_spark_metadata`` commit log, so rewriting data files
+    alone either hides the compacted files or leaves readers pointing
+    at deleted ones (and Spark 4 ignores the log's legacy delete
+    action — verified empirically). The swap therefore rewrites the
+    LOG to match the data: stage the compacted files inside the sink
+    dir (unreferenced = invisible), then blank every earlier batch
+    file to ``v1`` and rewrite the latest batch file to list exactly
+    the compacted files (batch-file names keep their contiguity, which
+    the log requires), then delete the replaced data files. The
+    checkpointed stream RESUMES cleanly afterwards — the next
+    micro-batch appends a new log entry as usual, and the engine's own
+    periodic log compaction (every 10th batch) folds our rewritten
+    files without complaint (pinned by test through the boundary).
+
+    Crash-safe via a two-phase manifest (same discipline as the dedup
+    index compaction): after staging, the full finish plan is written
+    to ``_spark_metadata/.compact_manifest`` (temp + rename); the
+    finish steps are idempotent replays of that plan, and a re-invoked
+    compaction FIRST completes a found manifest instead of
+    re-compacting (re-compacting a half-swapped sink would fold
+    duplicate visibility into the output). Run from the sink's single
+    owner between sessions — a maintenance pass, not a concurrent
+    protocol; readers racing the swap can see a batch file mid-rename.
+
+    Returns {files_before, files_after, rows, recovered}.
+    """
+    import json as _json
+    import uuid
+
+    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, path)
+    md = f"{path}/_spark_metadata"
+    if not fs.exists(Path(md)):
+        raise ValueError(
+            f"{path} has no _spark_metadata — not a streaming file "
+            "sink (use sources.store.compact_partition for batch "
+            "tables)"
+        )
+    manifest_p = Path(f"{md}/.compact_manifest")
+
+    def _write_file(target: str, content: str) -> None:
+        # temp + rename; fs.create regenerates the .crc side file
+        tmp = Path(f"{md}/.tmp_{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        out.write(bytearray(content.encode()))
+        out.close()
+        tgt = Path(target)
+        if fs.exists(tgt):
+            fs.delete(tgt, False)
+        if not fs.rename(tmp, tgt):
+            raise IOError(f"sink compact: rename over {target} failed")
+
+    def _read_file(p) -> str:
+        # commons-io rides Spark's classpath; py4j arrays don't
+        # round-trip in-place mutation, so readFully is unusable here
+        stream = fs.open(p)
+        try:
+            return spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def _finish(plan: dict) -> None:
+        for name in plan["earlier"]:
+            _write_file(f"{md}/{name}", "v1\n")
+        lines = ["v1"] + [
+            _json.dumps(
+                {
+                    "path": e["path"],
+                    "size": e["size"],
+                    "isDir": False,
+                    "modificationTime": e["modificationTime"],
+                    "blockReplication": 1,
+                    "blockSize": 134217728,
+                    "action": "add",
+                }
+            )
+            for e in plan["new"]
+        ]
+        _write_file(f"{md}/{plan['latest']}", "\n".join(lines) + "\n")
+        for p in plan["old"]:
+            tgt = Path(p)
+            if fs.exists(tgt):
+                fs.delete(tgt, False)
+        fs.delete(manifest_p, False)
+
+    if fs.exists(manifest_p):
+        plan = _json.loads(_read_file(manifest_p))
+        _finish(plan)
+        return {
+            "files_before": len(plan["old"]),
+            "files_after": len(plan["new"]),
+            "rows": None,
+            "recovered": True,
+        }
+
+    log_files = sorted(
+        (
+            st.getPath().getName()
+            for st in fs.listStatus(Path(md))
+            if not st.getPath().getName().startswith(".")
+        ),
+        key=lambda s: int(s.split(".")[0]),
+    )
+    if not log_files:
+        raise ValueError(f"{md} holds no committed batches yet")
+    live = []
+    for name in log_files:
+        for ln in _read_file(Path(f"{md}/{name}")).splitlines()[1:]:
+            e = _json.loads(ln)
+            if e.get("action") == "add":
+                live.append(e["path"])
+
+    stage = f"{path.rstrip('/')}.__compact__"
+    df = spark.read.parquet(path)
+    (
+        df.repartition(int(target_files))
+        .sortWithinPartitions(*[c for c in sort_cols if c in df.columns])
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    # readability check of the compacted copy before anything destructive
+    rows = spark.read.parquet(stage).count()
+    new_entries = []
+    for st in fs.listStatus(Path(stage)):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        dst = Path(f"{path}/{name}")
+        if not fs.rename(st.getPath(), dst):
+            raise IOError(f"sink compact: staging rename of {name} failed")
+        dst_st = fs.getFileStatus(dst)
+        new_entries.append(
+            {
+                "path": dst_st.getPath().toString(),
+                "size": int(dst_st.getLen()),
+                "modificationTime": int(dst_st.getModificationTime()),
+            }
+        )
+    fs.delete(Path(stage), True)
+    plan = {
+        "earlier": log_files[:-1],
+        "latest": log_files[-1],
+        "new": new_entries,
+        "old": live,
+    }
+    tmp_manifest = Path(f"{md}/.tmp_manifest_{uuid.uuid4().hex}")
+    out = fs.create(tmp_manifest, True)
+    out.write(bytearray(_json.dumps(plan).encode()))
+    out.close()
+    if not fs.rename(tmp_manifest, manifest_p):
+        raise IOError("sink compact: manifest rename failed")
+    if _fail_after_manifest:  # test hook: simulate a crash mid-swap
+        raise RuntimeError("simulated crash after manifest commit")
+    _finish(plan)
+    return {
+        "files_before": len(live),
+        "files_after": len(new_entries),
+        "rows": rows,
+        "recovered": False,
+    }
+
+
 def carry_forward_batch(batch: DataFrame, state: DataFrame | None) -> tuple[DataFrame, DataFrame]:
     """Carry-forward / LastReading state as an incremental batch fold:
     given this batch and the previous per-channel state

@@ -570,3 +570,57 @@ def test_repair_reports_incomplete_on_misfiled_rows(spark, tmp_path, capsys):
     rc = cli.main(["repair", src_store, dst_store], spark=spark)
     assert rc == 3
     assert "INCOMPLETE" in capsys.readouterr().err
+
+
+def test_watch_compact_then_resume(spark, tmp_path, capsys):
+    """watch --compact (O26 rotation for the monitor topology): the
+    alarms sink's per-micro-batch files compact in place after
+    catch-up, a reader sees identical transitions before/after, and a
+    LATER watch session resumes from the checkpoint on the compacted
+    sink — final rows equal an uncompacted control run."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    def write_rows(path, rows, mode):
+        spark.createDataFrame(
+            rows, "ts string, source string, channel string, "
+                  "value double, status int",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            mode
+        ).parquet(path)
+
+    early = [
+        ("2026-01-01 00:00:00", "s", "a", 100.0, 0),
+        ("2026-01-01 00:00:10", "s", "a", 260.0, 0),  # open
+        ("2026-01-01 00:00:40", "s", "a", 40.0, 0),   # close
+    ]
+    late = [
+        ("2026-01-01 00:01:10", "s", "a", 300.0, 0),  # open again
+        ("2026-01-01 00:02:00", "s", "a", 10.0, 0),   # close
+    ]
+
+    # control: one uncompacted run over everything
+    ctl_src, ctl_out = str(tmp_path / "ctl_src"), str(tmp_path / "ctl_out")
+    write_rows(ctl_src, early + late, "overwrite")
+    assert cli.main(
+        ["watch", ctl_src, "--mode", "alarms", "--out", ctl_out],
+        spark=spark,
+    ) == 0
+    want = sorted(map(tuple, spark.read.parquet(ctl_out).collect()))
+
+    # compacted lifecycle: catch up on early, compact, grow, resume
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    for r in early:  # one file per row -> one sink file per micro-batch
+        write_rows(src, [r], "append")
+    args = ["watch", src, "--mode", "alarms", "--max-files", "1",
+            "--out", out]
+    assert cli.main(args + ["--compact"], spark=spark) == 0
+    stdout = capsys.readouterr().out
+    assert "compacted" in stdout and "-> 1 file(s)" in stdout
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 1
+
+    write_rows(src, late, "append")
+    assert cli.main(args, spark=spark) == 0
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want and len(got) == 4

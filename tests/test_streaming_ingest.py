@@ -160,3 +160,134 @@ def test_dedup_stream_drops_retried_rows(spark, tmp_path):
         ("2026-01-01 10:00:00", 1.0),
         ("2026-01-01 10:00:05", 2.0),
     ]
+
+
+def _mk_feed(spark, src, i):
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(
+        [(f"2026-01-01 00:{i:02d}:00", "s", "a", float(i), 0)],
+        "ts string, source string, channel string, value double, status int",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def _mk_run(spark, src, out, ckpt):
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, source string, channel string, value double, "
+            "status int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+
+def test_compact_stream_sink_row_identity_and_resume(spark, tmp_path):
+    """compact_stream_sink (O26 rotation for the watch topology): a
+    reader sees IDENTICAL rows mid- and post-compaction, the file
+    count drops, the checkpointed stream resumes cleanly afterwards,
+    and the engine's own every-10th-batch log compaction later folds
+    the rewritten log without complaint."""
+    import os
+
+    from etsd_time_series_database_spark.streaming.ingest import (
+        compact_stream_sink,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        _mk_feed(spark, src, i)
+    _mk_run(spark, src, out, ckpt)
+
+    def files():
+        return sorted(
+            f for f in os.listdir(out) if f.endswith(".parquet")
+        )
+
+    before_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+    n_before = len(files())
+    assert n_before >= 3  # one per micro-batch
+    stats = compact_stream_sink(spark, out)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1 and stats["rows"] == 3
+    assert not stats["recovered"]
+    assert len(files()) == 1
+    after_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after_rows == before_rows
+
+    # resume past the engine's batch-9 log-compaction boundary
+    for i in range(3, 11):
+        _mk_feed(spark, src, i)
+    _mk_run(spark, src, out, ckpt)
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == [float(i) for i in range(11)]
+    md = sorted(
+        f
+        for f in os.listdir(os.path.join(out, "_spark_metadata"))
+        if not f.startswith(".")
+    )
+    assert "9.compact" in md
+
+
+def test_compact_stream_sink_crash_recovery(spark, tmp_path):
+    """A crash between the manifest commit and the log rewrite leaves
+    the sink half-swapped; the next compaction call must FINISH the
+    manifest's plan (never re-compact duplicate visibility) and end at
+    the same rows."""
+    import os
+
+    import pytest
+
+    from etsd_time_series_database_spark.streaming.ingest import (
+        compact_stream_sink,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        _mk_feed(spark, src, i)
+    _mk_run(spark, src, out, ckpt)
+    want = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_stream_sink(spark, out, _fail_after_manifest=True)
+    assert os.path.exists(
+        os.path.join(out, "_spark_metadata", ".compact_manifest")
+    )
+    stats = compact_stream_sink(spark, out)
+    assert stats["recovered"]
+    assert not os.path.exists(
+        os.path.join(out, "_spark_metadata", ".compact_manifest")
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want
+    assert (
+        len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 1
+    )
+
+
+def test_compact_stream_sink_rejects_plain_dirs(spark, tmp_path):
+    import pytest
+
+    from etsd_time_series_database_spark.streaming.ingest import (
+        compact_stream_sink,
+    )
+
+    p = str(tmp_path / "plain")
+    spark.range(3).write.parquet(p)
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_stream_sink(spark, p)
