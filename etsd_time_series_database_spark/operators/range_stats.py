@@ -1128,6 +1128,15 @@ def co_alarm_matrix(
     extra detection scan). An int forces a factor; ``1`` disables.
     Salting never changes output (forced-hot-bucket property pin in
     ``tests/test_interval_union_property.py``).
+
+    Evaluation note: the default (``bucket_s="auto"``, ``salt="auto"``)
+    is EAGER at DataFrame-construction time — the episode table is
+    localCheckpoint-ed and up to two small driver aggregates run to
+    size the bucket and the salt factor, so building the plan triggers
+    Spark jobs before any action on the result. Callers composing the
+    result lazily (or without an active job context) should pass
+    explicit ``bucket_s``/``salt`` ints to stay lazy; output equality
+    between the modes is test-pinned.
     """
     detect_bucket_s = 86400 if bucket_s == "auto" else bucket_s
     eps = episode_table(
@@ -1689,6 +1698,16 @@ def range_digest(
     collision needs adversarial construction; for drift DETECTION
     (bit rot, lost appends, duplicated replays) that is the right
     trade.
+
+    Known blind spot (same trade): because the sum is linear, the
+    digest is with high probability also blind to RE-PAIRING values
+    between two rows of the same bucket — per-row residues are
+    congruent mod 2^31-1 and differ only when mod-wrap counts
+    diverge, so swapping which timestamp carries which value inside a
+    bucket often digests identically. Every failure in the stated
+    threat model changes ``n`` or the value multiset and IS caught;
+    an adversary (or a transform that re-associates columns row-wise)
+    is outside the model — compare rows directly when that matters.
     """
     m = 2_147_483_647
     w_us = int(bucket_s) * 1_000_000
