@@ -314,6 +314,55 @@ def minhash_lsh_candidates(
     )
 
 
+def band_load_profile(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    rows_per_band: int = 2,
+    hash_mode: str = "hash64",
+) -> DataFrame:
+    """Per-band bucket-load profile of the MinHash LSH table — the
+    OBSERVABILITY view for the hot-band guard: before (or instead of)
+    running a pairwise stage, read how skewed each band's signature
+    buckets are and what a pair enumeration would cost.
+
+    Per band: total signature rows (``n_docs``), distinct buckets
+    (``n_buckets``), the largest bucket (``max_bucket_docs`` — a
+    degenerate corpus shows up here as one bucket holding thousands),
+    rows living in colliding buckets (``docs_in_colliding_buckets``),
+    and the exact pair-join output size ``candidate_pairs`` =
+    Σ C(bucket, 2) — the number that says whether
+    :func:`minhash_lsh_candidates` needs its ``max_bucket_docs`` cap
+    on THIS corpus. All-integer output (hash-exact on any engine).
+
+    Scale: the band table's one explode/agg chain, then two map-side-
+    combinable hash-aggs (per-bucket counts, per-band rollup) — output
+    cardinality = the band count, never rows or pairs.
+    """
+    bands = minhash_band_table(df, text, key, n, rows_per_band, hash_mode)
+    per_bucket = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.sum("__nb").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("__nb").cast("bigint").alias("max_bucket_docs"),
+            F.sum(
+                F.when(F.col("__nb") > 1, F.col("__nb")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_in_colliding_buckets"),
+            F.sum(F.expr("__nb * (__nb - 1) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_estimate_audit(
     df: DataFrame,
     text: str = "text",

@@ -162,11 +162,15 @@ def p02(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.3)
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_ctes() -> str:
+    """The shared DuckDB CTE chain that reproduces the MinHash band
+    table (tok -> shingles -> universal-hash signatures -> 2-row
+    bands) — the oracle-side twin of operators.dedup.minhash_band_table
+    in 'poly' mode, reused by every banding oracle (x06 candidates,
+    x82 band-load profile)."""
     hp_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS))
     sid = _DUCK_POLY_FP.format(col="sh.shingle")
-    return f"""
-    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    return f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, shingle
       FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok)
@@ -181,7 +185,12 @@ def _minhash_oracle() -> str:
       SELECT doc_id, j // 2 AS band,
              string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS sig
       FROM mh GROUP BY doc_id, band
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_bands_ctes()}
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared_bands
     FROM bands x JOIN bands y
@@ -3737,3 +3746,37 @@ def p81(spark, sf_dir):
     )
 
     return vocab_concentration(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x82_band_load_profile",
+    "dedup",
+    f"""
+    WITH {_minhash_bands_ctes()},
+    pb AS (
+      SELECT band, sig, count(*) AS nb FROM bands GROUP BY band, sig
+    )
+    SELECT band,
+           CAST(sum(nb) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(nb) AS BIGINT) AS max_bucket_docs,
+           CAST(sum(CASE WHEN nb > 1 THEN nb ELSE 0 END) AS BIGINT)
+             AS docs_in_colliding_buckets,
+           CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM pb GROUP BY band ORDER BY band
+    """,
+    doc="Per-band LSH bucket-load profile — the observability half of "
+    "the hot-band guard: distinct buckets, the largest bucket (a "
+    "degenerate corpus = one bucket holding thousands), rows in "
+    "colliding buckets, and the EXACT pair-join output size "
+    "candidate_pairs = sum C(bucket, 2), read BEFORE any pairwise "
+    "stage runs. All-integer; two map-side-combinable hash-aggs over "
+    "the band table, output = band count.",
+)
+def p82(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        band_load_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return band_load_profile(docs, hash_mode="poly")

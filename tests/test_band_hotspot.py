@@ -162,3 +162,23 @@ def test_probe_plan_has_no_index_side_shuffle_of_raw_rows(spark, tmp_path):
     out = incremental_dedup(shard, path)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_band_load_profile_flags_degenerate_bucket(spark):
+    """x82's operator: the profile's max_bucket_docs and
+    candidate_pairs expose a degenerate band BEFORE any pairwise
+    stage runs — the observability half of the guard."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        band_load_profile,
+    )
+
+    docs = _corpus(spark, 31, 20, 50)
+    prof = {r.band: r for r in band_load_profile(docs).collect()}
+    assert prof, "no bands profiled"
+    for r in prof.values():
+        # the 50 identical docs share one signature in EVERY band
+        assert r.max_bucket_docs >= 50
+        assert r.candidate_pairs >= 50 * 49 // 2
+        assert r.docs_in_colliding_buckets >= 50
+        # bounded by corpus size (short docs may not shingle at all)
+        assert r.n_docs <= 70
