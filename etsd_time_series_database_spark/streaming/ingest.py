@@ -430,6 +430,78 @@ def replay(
     )
 
 
+def compact_ingest_partition(
+    spark: SparkSession,
+    path: str,
+    partition: str,
+    target_files: int = 1,
+    sort_cols: tuple[str, ...] = ("channel", "ts"),
+) -> dict:
+    """Compact one CLOSED date partition of a foreachBatch ingest sink
+    (the ``dt=*/__epoch=*`` layout :func:`write_ingest_epoch`
+    maintains): every micro-batch adds an ``__epoch=N`` subdirectory,
+    so a day of 10-second triggers leaves ~8,640 small files. Merge
+    them into ``target_files`` sorted files under ``__epoch=-1`` — the
+    reserved compacted-epoch id (real epochs are >= 0), kept so the
+    directory depth stays uniform for Spark's partition discovery and
+    :func:`read_ingest_table` keeps dropping the column.
+
+    Same rename-swap protocol as ``sources.store.compact_partition``
+    (temp dir fully written first; the partition is never simply
+    absent; a crash leaves old or old+new, recoverable). Same
+    contract, too: only for partitions past the ingest watermark — a
+    micro-batch RETRY of a merged epoch would re-create its
+    ``__epoch=N`` dir beside ``-1`` and duplicate those rows, which is
+    exactly the at-least-once window the closed-partition rule
+    excludes (reference rotation touches only the closed file,
+    code/etsdSave.c:80-99). Returns {files_before, files_after, rows}.
+    """
+    import uuid
+
+    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, path)
+    part_dir = f"{path}/{partition}"
+    if not fs.exists(Path(part_dir)):
+        raise ValueError(f"{part_dir} does not exist")
+
+    def _count_files(p) -> int:
+        n = 0
+        for ep in fs.listStatus(Path(p)):
+            if ep.isDirectory():
+                for f in fs.listStatus(ep.getPath()):
+                    if f.getPath().getName().endswith(".parquet"):
+                        n += 1
+        return n
+
+    files_before = _count_files(part_dir)
+    df = spark.read.parquet(part_dir).drop("__epoch")
+    token = uuid.uuid4().hex
+    tmp = f"{path}/__compact_{token}"
+    (
+        df.repartition(int(target_files))
+        .sortWithinPartitions(*[c for c in sort_cols if c in df.columns])
+        .withColumn("__epoch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(tmp)
+    )
+    rows = spark.read.parquet(tmp).count()
+    old = f"{path}/__old_{token}"
+    if not fs.rename(Path(part_dir), Path(old)):
+        fs.delete(Path(tmp), True)
+        raise IOError(f"ingest compact: failed to move {part_dir} aside")
+    if not fs.rename(Path(tmp), Path(part_dir)):
+        fs.rename(Path(old), Path(part_dir))
+        raise IOError(f"ingest compact: failed to install {part_dir}")
+    fs.delete(Path(old), True)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(part_dir),
+        "rows": rows,
+    }
+
+
 def compact_stream_sink(
     spark: SparkSession,
     path: str,

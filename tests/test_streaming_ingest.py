@@ -291,3 +291,62 @@ def test_compact_stream_sink_rejects_plain_dirs(spark, tmp_path):
     spark.range(3).write.parquet(p)
     with pytest.raises(ValueError, match="_spark_metadata"):
         compact_stream_sink(spark, p)
+
+
+def test_compact_ingest_partition_row_identity(spark, tmp_path):
+    """compact_ingest_partition merges a closed dt partition's
+    per-epoch files into __epoch=-1: read_ingest_table sees identical
+    rows, the file count drops, a NEW epoch written afterwards appends
+    beside the compacted one, and its retry still dynamic-overwrites
+    only itself."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.streaming.ingest import (
+        compact_ingest_partition,
+        read_ingest_table,
+        write_ingest_epoch,
+    )
+
+    path = str(tmp_path / "ingest_sink")
+
+    def batch(i, minute):
+        return spark.createDataFrame(
+            [(f"2026-01-01 00:{minute:02d}:00", "s", "a", float(i), 0)],
+            "ts string, source string, channel string, value double, "
+            "status int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    for i in range(3):
+        write_ingest_epoch(batch(i, i), i, path)
+
+    def files():
+        out = []
+        for dirpath, _d, fnames in os.walk(path):
+            out += [f for f in fnames if f.endswith(".parquet")]
+        return out
+
+    before_rows = sorted(
+        map(tuple, read_ingest_table(spark, path).collect())
+    )
+    n_before = len(files())
+    assert n_before >= 3
+    stats = compact_ingest_partition(spark, path, "dt=2026-01-01")
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1 and stats["rows"] == 3
+    assert len(files()) == 1
+    assert sorted(
+        map(tuple, read_ingest_table(spark, path).collect())
+    ) == before_rows
+    # the layout keeps partition-discovery depth: __epoch=-1 present
+    assert os.path.isdir(os.path.join(path, "dt=2026-01-01", "__epoch=-1"))
+
+    # a post-compaction epoch appends beside it; its RETRY replaces
+    # only its own subdirectory (the idempotency contract)
+    write_ingest_epoch(batch(3, 9), 3, path)
+    write_ingest_epoch(batch(3, 9), 3, path)  # retry
+    got = sorted(
+        r.value for r in read_ingest_table(spark, path).collect()
+    )
+    assert got == [0.0, 1.0, 2.0, 3.0]
