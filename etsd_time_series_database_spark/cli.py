@@ -442,6 +442,13 @@ def cmd_watch(args, spark: SparkSession) -> int:
         site_alarm_stream,
     )
 
+    if args.compact and (args.follow or not args.out):
+        print(
+            "watch: --compact is a post-catch-up maintenance pass — it "
+            "requires --out and is incompatible with --follow",
+            file=sys.stderr,
+        )
+        return 2
     schema = spark.read.parquet(args.source).schema
     stream = (
         spark.readStream.schema(schema)
@@ -490,9 +497,6 @@ def cmd_watch(args, spark: SparkSession) -> int:
             )
             log.flush()
         if args.compact:
-            if not args.out:
-                print("watch: --compact requires --out", file=sys.stderr)
-                return 2
             from etsd_time_series_database_spark.streaming.ingest import (
                 compact_stream_sink,
             )

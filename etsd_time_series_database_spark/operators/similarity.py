@@ -94,6 +94,44 @@ def assign_cells(
     ).select(key, vec, "cent_id")
 
 
+def cell_balance_profile(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    key: str = "vec_id",
+    vec: str = "embedding",
+    _centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cell load profile of the IVF layout — the ANN twin of the
+    dedup side's band-load profile (x82): before serving (or
+    re-clustering), read how balanced the cells are. A probe of
+    ``nprobe`` cells scans the SUM of their ``n_vecs``, so a hot cell
+    is directly the serving-latency tail; a near-empty cell wastes a
+    centroid (re-seed or re-run kmeans_refine).
+
+    Per cell: vector count and corpus share. Assignment is the same
+    broadcast argmax as every IVF path (one map-side-combinable
+    aggregate over the corpus); the share window runs over the
+    CELL-cardinality table — nlist rows, a config constant, never
+    corpus volume.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        assign_cells(embeddings, centroid_ids, key, vec, _centroids)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    return (
+        counts.select(
+            "cent_id",
+            "n_vecs",
+            F.round(F.col("n_vecs") / total, 6).alias("pct_corpus"),
+        )
+        .orderBy("cent_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -3780,3 +3780,51 @@ def p82(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return band_load_profile(docs, hash_mode="poly")
+
+
+@register(
+    "x83_cell_balance_profile",
+    "similarity",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 8
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos("e.embedding", "c.cv")} AS cos
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cent_id) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    counts AS (
+      SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY cent_id
+    )
+    SELECT cent_id, n_vecs,
+           round(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (), 6)
+             AS pct_corpus
+    FROM counts ORDER BY cent_id
+    """,
+    doc="Per-cell IVF load profile — the ANN twin of x82's band-load "
+    "view: vector count and corpus share per cell, read before "
+    "serving. A probe of nprobe cells scans the sum of their n_vecs, "
+    "so a hot cell IS the latency tail; a near-empty cell wastes a "
+    "centroid. One broadcast argmax assignment + a window over the "
+    "nlist-cardinality cell table (config-constant, never corpus "
+    "volume).",
+)
+def p83(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.similarity import (
+        cell_balance_profile,
+    )
+
+    return cell_balance_profile(
+        load_table(spark, sf_dir, "embeddings"),
+        centroid_ids=list(range(1, 9)),
+    )

@@ -624,3 +624,22 @@ def test_watch_compact_then_resume(spark, tmp_path, capsys):
     assert cli.main(args, spark=spark) == 0
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == want and len(got) == 4
+
+
+def test_watch_compact_argument_guards(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "g_src")
+    spark.createDataFrame(
+        [("2026-01-01 00:00:00", "s", "a", 1.0, 0)],
+        "ts string, source string, channel string, value double, "
+        "status int",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    # --compact without --out, and with --follow, are refused upfront
+    assert cli.main(["watch", src, "--compact"], spark=spark) == 2
+    assert "requires --out" in capsys.readouterr().err
+    assert cli.main(
+        ["watch", src, "--compact", "--follow",
+         "--out", str(tmp_path / "g_out")],
+        spark=spark,
+    ) == 2
