@@ -674,6 +674,55 @@ def new_vs_index_candidates(
     )
 
 
+def index_collision_ids(
+    new_bands: DataFrame, index_bands: DataFrame, key: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The pair-free cross-run probe (the hot-band guard, round-10
+    verdict finding #2): per new document, decide "does any touched
+    bucket hold ANOTHER indexed id" without enumerating (new, index)
+    pairs — a degenerate band signature shared by M indexed and k new
+    documents used to make the pair join's bucket k×M; here it
+    contributes M rows to one map-side-combinable count/min aggregate.
+
+    Returns ``(cross_hits, already_indexed)``, both distinct id-only
+    frames: collisions with OTHER indexed documents (the drop set),
+    and keys already indexed under their own id (retry detection). A
+    bucket proves an other-document collision iff it holds >= 2 index
+    ids (per-bucket ids are distinct: one row per (key, band)) or its
+    single id is not the probing document itself; self-membership is
+    an exact-row (key, band, sig) semi-join with at most one index
+    match per new row.
+
+    Scale shape: the shard's distinct signatures broadcast, so only
+    touched index rows leave the scan and the corpus-sized index never
+    shuffles raw rows (the aggregate's shuffle carries ~#touched
+    buckets). Plan-asserted in tests/test_band_hotspot.py; output
+    equality vs the pair-enumeration form is pinned there and in the
+    scripts/bench_band_hotspot.py harness.
+    """
+    new_sigs = new_bands.select("band", "sig").distinct()
+    touched = index_bands.join(
+        F.broadcast(new_sigs), ["band", "sig"], "left_semi"
+    )
+    stats = touched.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("__n_idx"), F.min(key).alias("__min_idx")
+    )
+    cross_hits = (
+        new_bands.join(stats, ["band", "sig"])
+        .filter(
+            (F.col("__n_idx") >= 2) | (F.col("__min_idx") != F.col(key))
+        )
+        .select(key)
+        .distinct()
+    )
+    already_indexed = (
+        new_bands.join(index_bands, [key, "band", "sig"], "left_semi")
+        .select(key)
+        .distinct()
+    )
+    return cross_hits, already_indexed
+
+
 def minhash_probe_new(
     new_df: DataFrame,
     path: str,
@@ -759,45 +808,10 @@ def incremental_dedup(
         rows_per_band=meta["rows_per_band"],
         hash_mode=meta["hash_mode"],
     )
-    # The drop decision never needs (new, index) PAIRS — only, per new
-    # document, "does any touched bucket hold another id" — so the
-    # probe aggregates bucket statistics instead of enumerating pairs
-    # (the hot-band guard, round-10 verdict finding #2): a degenerate
-    # band signature shared by M indexed documents used to make the
-    # probe's bucket k×M-quadratic; now it contributes M rows to one
-    # map-side-combinable count/min aggregate. The shard's distinct
-    # signatures broadcast, so only touched index rows leave the scan
-    # and the corpus-sized index still never shuffles its raw rows
-    # (the aggregate's shuffle carries ~#touched-buckets rows).
-    new_sigs = new_bands.select("band", "sig").distinct()
-    touched = index_bands.join(
-        F.broadcast(new_sigs), ["band", "sig"], "left_semi"
+    cross_hits, already_indexed = index_collision_ids(
+        new_bands, index_bands, key
     )
-    stats = touched.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("__n_idx"), F.min(key).alias("__min_idx")
-    )
-    # a bucket proves an OTHER-document collision iff it holds >= 2
-    # index ids (per-bucket ids are distinct: one row per (key, band))
-    # or its single id is not the probing document itself
-    cross_hits = (
-        new_bands.join(stats, ["band", "sig"])
-        .filter(
-            (F.col("__n_idx") >= 2) | (F.col("__min_idx") != F.col(key))
-        )
-        .select(key)
-        .distinct()
-    )
-    # keys already indexed under their own id (a retry after a
-    # successful append — those must not be appended again or every
-    # retry duplicates the shard's signature rows): exact-row
-    # membership, an equi-join on (key, band, sig) with at most one
-    # index match per new row
-    already_indexed = (
-        new_bands.join(index_bands, [key, "band", "sig"], "left_semi")
-        .select(key)
-        .distinct()
-        .localCheckpoint()
-    )
+    already_indexed = already_indexed.localCheckpoint()
     # in-run keep-lowest: linear bucket-min form, never a pair join
     in_run_hits = keep_lowest_drop_ids(new_bands, key)
     # materialize the (tiny, ids-only) drop set once: without this,

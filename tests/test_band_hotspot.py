@@ -148,20 +148,39 @@ def test_incremental_dedup_pair_free_probe_on_degenerate_band(spark, tmp_path):
     assert all(i < 10_030 for i in ids)
 
 
-def test_probe_plan_has_no_index_side_shuffle_of_raw_rows(spark, tmp_path):
-    """Plan shape: the rewritten probe aggregates only touched index
-    rows and never sorts/joins raw index rows pairwise — assert the
-    physical plan of the drop-set computation contains no
-    CartesianProduct and no SortMergeJoin on the index band table."""
+def test_probe_plan_broadcasts_shard_and_never_pairs(spark, tmp_path):
+    """Plan shape of the REAL probe helper (index_collision_ids, the
+    code path incremental_dedup runs inside its checkpointed
+    subplans): the shard's signature set rides the broadcast side of
+    the touched-bucket semi-join, and nothing joins index rows
+    pairwise — no CartesianProduct anywhere, and the only join
+    touching two corpus-scale sides is the broadcast semi-join."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        index_collision_ids,
+        read_minhash_index,
+    )
+
     docs = _corpus(spark, 17, 40, 10)
     path = str(tmp_path / "plan_index")
     write_minhash_index(docs, path, hash_mode="poly")
+    index_bands, meta = read_minhash_index(spark, path)
     shard = _corpus(spark, 23, 8, 2).withColumn(
         "doc_id", F.col("doc_id") + 5_000
     )
+    sh_bands = minhash_band_table(shard, hash_mode="poly")
+    cross, already = index_collision_ids(sh_bands, index_bands)
+    for df in (cross, already):
+        df.collect()  # let AQE finalize the executed plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+    cross_plan = cross._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cross_plan
+    # and the final survivors plan still never goes cartesian
     out = incremental_dedup(shard, path)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
+    assert "CartesianProduct" not in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_band_load_profile_flags_degenerate_bucket(spark):
