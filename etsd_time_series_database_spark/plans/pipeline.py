@@ -3828,3 +3828,103 @@ def p83(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"),
         centroid_ids=list(range(1, 9)),
     )
+
+
+@register(
+    "x84_ordered_shard_dedup",
+    "dedup",
+    f"""
+    WITH {_minhash_bands_ctes()},
+    b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 1),
+    b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
+    d2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+    s2_drop AS (
+      SELECT DISTINCT x.doc_id FROM b2 x
+      JOIN b1 i ON x.band = i.band AND x.sig = i.sig
+      UNION
+      SELECT DISTINCT x.doc_id FROM b2 x
+      JOIN b2 y ON x.band = y.band AND x.sig = y.sig
+               AND x.doc_id > y.doc_id
+    ),
+    s2 AS (SELECT doc_id FROM d2
+           WHERE doc_id NOT IN (SELECT doc_id FROM s2_drop)),
+    idx2 AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT b2.* FROM b2 JOIN s2 USING (doc_id)
+    ),
+    b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    d0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    s0_drop AS (
+      SELECT DISTINCT x.doc_id FROM b0 x
+      JOIN idx2 i ON x.band = i.band AND x.sig = i.sig
+      UNION
+      SELECT DISTINCT x.doc_id FROM b0 x
+      JOIN b0 y ON x.band = y.band AND x.sig = y.sig
+               AND x.doc_id > y.doc_id
+    ),
+    s0 AS (SELECT doc_id FROM d0
+           WHERE doc_id NOT IN (SELECT doc_id FROM s0_drop))
+    SELECT CAST(2 AS INTEGER) AS arrival, doc_id FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER) AS arrival, doc_id FROM s0
+    ORDER BY arrival, doc_id
+    """,
+    doc="The cross-run dedup index's ORDERED-ARRIVAL lifecycle on the "
+    "oracle gate, end-to-end THROUGH THE CLI (the x73/x74 semantics "
+    "s14 gave the watch daemon): shard 1 (doc_id%3=1) seeds the "
+    "persisted index via `dedup-index`, then shards 2 and 0 arrive "
+    "in order through `dedup-probe --survivors-out` — each drops "
+    "against the index AS LEFT BY THE PREVIOUS ARRIVALS (survivors' "
+    "signatures only; dropped docs never pollute the index) plus the "
+    "in-shard keep-lowest rule, and appends its survivors. Oracle = "
+    "the recursion unrolled: stage-2 survivors from b1 collisions, "
+    "stage-3 from b1 UNION stage-2-survivor bands. Pins exactly the "
+    "property a daily pipeline relies on: arrival order determines "
+    "the survivor set deterministically, and only kept documents "
+    "gate future shards.",
+)
+def p84(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from etsd_time_series_database_spark import cli
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="x84_dedup_")
+    try:
+        paths = {}
+        for k in (1, 2, 0):
+            p = os.path.join(work, f"shard{k}")
+            docs.filter(F.col("doc_id") % 3 == k).write.parquet(p)
+            paths[k] = p
+        idx = os.path.join(work, "index")
+        assert cli.main(
+            ["dedup-index", paths[1], idx, "--hash-mode", "poly"],
+            spark=spark,
+        ) == 0
+        out2 = os.path.join(work, "surv2")
+        out0 = os.path.join(work, "surv0")
+        assert cli.main(
+            ["dedup-probe", paths[2], idx, "--survivors-out", out2],
+            spark=spark,
+        ) == 0
+        assert cli.main(
+            ["dedup-probe", paths[0], idx, "--survivors-out", out0],
+            spark=spark,
+        ) == 0
+        res = (
+            spark.read.parquet(out2)
+            .select(F.lit(2).cast("int").alias("arrival"), "doc_id")
+            .unionByName(
+                spark.read.parquet(out0).select(
+                    F.lit(3).cast("int").alias("arrival"), "doc_id"
+                )
+            )
+            .orderBy("arrival", "doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return res
