@@ -66,6 +66,25 @@ def _project(
     )
 
 
+def _apply_tolerance(carried: DataFrame, tolerance_s) -> DataFrame:
+    """Staleness bound: NULL the whole matched right-row struct when it
+    is older than ``tolerance_s`` seconds before the probe — the match
+    is all-or-nothing (one right row or no right row), so a tolerance
+    miss can never surface a column-wise mixture. Applied to the
+    carried struct BEFORE projection; ``None`` keeps the unbounded
+    as-of semantics exactly."""
+    if tolerance_s is None:
+        return carried
+    tol_us = int(float(tolerance_s) * 1_000_000)
+    fresh = F.col("__m").isNotNull() & (
+        F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__m.__rts"))
+        <= F.lit(tol_us)
+    )
+    return carried.withColumn(
+        "__m", F.when(fresh, F.col("__m"))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,12 +93,21 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same ``on`` key.
 
     Returns all left columns plus ``<right_ts><suffix>`` and each
     requested right value column as ``<col><suffix>``.
+
+    ``tolerance_s`` bounds staleness (the kdb/pandas ``merge_asof``
+    tolerance): a match older than the bound comes back as NULLs, the
+    same left-row-preserving shape as no match at all — the monitoring
+    semantics "join the latest reading unless it is too old to trust"
+    (the reference's value-at-time has an implicit bound: it never
+    reads past its query range, code/etsdQuery.c:206-215). Applied to
+    the carried whole-row struct, so it can never mix rows.
 
     Determinism contract: the matched timestamp and values always come
     from the SAME right row (single-struct carry). With duplicate right
@@ -114,9 +142,11 @@ def asof_join(
     )
     carried = unioned.select(
         "__side",
+        "__t",
         "__l",
         F.last("__rrow", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__side") == 1)
+    carried = _apply_tolerance(carried, tolerance_s)
     return _project(carried, lcols, right_ts, value_cols, suffix)
 
 
@@ -130,8 +160,10 @@ def asof_join_scalable(
     suffix: str = "_asof",
     bucket_s: int = 86400,
     max_span_buckets: int = 1_000_000,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """Skew-proof :func:`asof_join`: identical semantics, but the
+    """Skew-proof :func:`asof_join`: identical semantics (including
+    the ``tolerance_s`` staleness bound), but the
     carry-forward window partitions by ``(key, time-bucket)`` instead of
     key alone — the same boundary-stitch trick as
     operators.scalable_window, applied to the union-tag as-of.
@@ -246,6 +278,7 @@ def asof_join_scalable(
         unioned.join(prev, ["__k", "__bkt"], "left")
         .select(
             "__side",
+            "__t",
             "__l",
             F.coalesce(
                 F.last("__rrow", ignorenulls=True).over(w_in),
@@ -254,4 +287,5 @@ def asof_join_scalable(
         )
         .filter(F.col("__side") == 1)
     )
+    carried = _apply_tolerance(carried, tolerance_s)
     return _project(carried, lcols, right_ts, value_cols, suffix)

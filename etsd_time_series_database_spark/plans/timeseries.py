@@ -551,6 +551,45 @@ def q23(spark, sf_dir):
 
 
 @register(
+    "q78_asof_tolerance",
+    "join",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+           (SELECT CAST(epoch_us(max(c.ts)) AS BIGINT) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts
+               AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+           ) AS click_ts_us
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    doc="Staleness-bounded as-of join (q23 with tolerance_s=3600, the "
+    "kdb/merge_asof tolerance): each purchase matched to the user's "
+    "latest preceding click ONLY if it is at most an hour old — the "
+    "monitoring semantics 'join the latest reading unless too old to "
+    "trust'. The latest-preceding row is also the closest, so "
+    "'latest within tolerance' == 'latest preceding, NULLed when "
+    "stale' — the bound is applied to the carried whole-row struct "
+    "and can never mix right rows. Same one-shuffle union-tag plan "
+    "as q23; the tolerance is a scan-side comparison.",
+)
+def q78(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id", tolerance_s=3600)
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("p_ts_us"),
+        epoch_us("ts_asof").alias("click_ts_us"),
+    ).orderBy("event_id")
+
+
+@register(
     "q27_etsd_ks_composite",
     "composite",
     f"""

@@ -116,3 +116,45 @@ def test_asof_scalable_span_guard_trips_on_outlier_timestamp(spark):
         bucket_s=86400 * 365, max_span_buckets=10_000,
     )
     assert ok.count() == 1
+
+
+def test_tolerance_nulls_stale_matches_whole_row(spark):
+    """tolerance_s (q78): a match older than the bound comes back as
+    whole-row NULLs — never a column mixture — and the plain/scalable
+    twins agree exactly, including at the boundary (exactly-tolerance
+    matches are kept, one microsecond past is dropped)."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.asof import (
+        asof_join,
+        asof_join_scalable,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "k", "2026-01-01 01:00:00.000000"),
+         (2, "k", "2026-01-01 02:00:00.000000"),
+         (3, "k", "2026-01-01 02:00:00.000001")],
+        "event_id long, k string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k", "2026-01-01 01:00:00", 10.0)],
+        "k string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def run(fn):
+        return {
+            r.event_id: (r.ts_asof, r.value_asof)
+            for r in fn(
+                left, right, on="k", value_cols=["value"],
+                tolerance_s=3600,
+            ).collect()
+        }
+
+    plain = run(asof_join)
+    scal = run(asof_join_scalable)
+    assert plain == scal
+    # probe 1: exact-time match kept; probe 2: exactly 3600 s old,
+    # kept (inclusive bound); probe 3: 3600.000001 s old, whole row
+    # NULLed
+    assert plain[1][1] == 10.0 and plain[2][1] == 10.0
+    assert plain[3] == (None, None)
