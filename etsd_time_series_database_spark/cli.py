@@ -604,6 +604,40 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
     return 3
 
 
+def cmd_amend(args, spark: SparkSession) -> int:
+    """Apply late corrections to a date-partitioned store: UPSERT by
+    --keys (replace existing keys, insert new ones), rewriting ONLY
+    the date partitions the corrections' timestamps land in via the
+    crash-safe swap (sources.store.amend_events — the reference's
+    write-into-past-blocks capability, code/etsdRW.c, as partition
+    lifecycle). Exit 2 if the target is not a dt= store."""
+    from etsd_time_series_database_spark.sources.store import (
+        amend_events,
+        list_date_partitions,
+    )
+
+    if not list_date_partitions(spark, args.path):
+        print(
+            f"amend: {args.path} is not a dt=-partitioned events store "
+            "(create it with the `create` verb)",
+            file=sys.stderr,
+        )
+        return 2
+    corrections = _load_events(spark, args.source)
+    stats = amend_events(
+        spark, args.path, corrections,
+        key_cols=tuple(args.keys.split(",")),
+    )
+    for part, n in sorted(stats["partitions"].items()):
+        print(f"amended {part}: {n} row(s) now")
+    print(
+        f"replaced {stats['replaced']} row(s), inserted "
+        f"{stats['inserted']} across {len(stats['partitions'])} "
+        "partition(s)"
+    )
+    return 0
+
+
 def cmd_repair(args, spark: SparkSession) -> int:
     """Close the digest loop (reference recover path,
     code/etsdCmd.c:648-656): re-sync ONLY the drifted buckets of a
@@ -755,6 +789,18 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--value-col", default="value")
     dd.add_argument("--limit", type=int, default=20)
     dd.set_defaults(fn=cmd_digest_diff)
+
+    am = sub.add_parser(
+        "amend",
+        help="apply late corrections to a store: upsert by key, "
+        "rewriting only the date partitions the corrections land in "
+        "(crash-safe swap)",
+    )
+    am.add_argument("path", help="dt=-partitioned events store to amend")
+    am.add_argument("source", help="corrections parquet (events schema)")
+    am.add_argument("--keys", default="event_id",
+                    help="comma-separated upsert key columns")
+    am.set_defaults(fn=cmd_amend)
 
     rp = sub.add_parser(
         "repair",

@@ -300,6 +300,94 @@ def compact_partition(
     return len(files_before)
 
 
+def amend_events(
+    spark: SparkSession,
+    path: str,
+    corrections: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    sort_cols: tuple[str, str] = ("event_type", "ts"),
+) -> dict:
+    """Apply late corrections to a date-partitioned events store:
+    UPSERT by ``key_cols`` — rows whose key exists are replaced by the
+    correction, new keys are inserted — touching ONLY the date
+    partitions the corrections' own timestamps land in. The reference
+    can write into past blocks through its block-addressed RW layer
+    (code/etsdRW.c); on immutable parquet the equivalent is a
+    partition-scoped rewrite: per affected day, current rows anti-join
+    the correction keys, union the corrections, and the merged
+    partition installs through the same crash-safe rename-swap as
+    compaction (never simply absent; old dir recoverable mid-swap).
+
+    Cost is O(affected days' data), not O(store); untouched partitions
+    are never listed, read, or rewritten (byte-identical — pinned by
+    the CLI test). Corrections must carry the full events schema; a
+    correction whose ``ts`` moves a row ACROSS days is two logical
+    operations (delete + insert) and only the insert side is handled —
+    delete the old-day row explicitly first (the same contract as any
+    partition-keyed upsert). Returns {partitions: {dt: n_rows},
+    replaced, inserted}.
+
+    Single-writer maintenance, like compaction: run it from the store
+    owner between ingest sessions, not concurrently with appends to
+    the same days.
+    """
+    corrections = corrections.localCheckpoint()
+    days = [
+        r.d.isoformat()
+        for r in corrections.select(
+            F.to_date("ts").alias("d")
+        ).distinct().collect()
+    ]
+    fs, Path = _hadoop_fs(spark, path)
+    stats = {"partitions": {}, "replaced": 0, "inserted": 0}
+    keys = list(key_cols)
+    for d in sorted(days):
+        part = f"dt={d}"
+        part_dir = f"{path}/{part}"
+        day_corr = corrections.filter(F.to_date("ts") == F.lit(d)).drop(
+            *[c for c in ("dt",) if c in corrections.columns]
+        )
+        if fs.exists(Path(part_dir)):
+            cur = spark.read.parquet(part_dir)
+            day_corr = day_corr.select(*cur.columns)  # align column order
+            kept = cur.join(day_corr.select(*keys), on=keys, how="left_anti")
+            n_cur = cur.count()
+            n_kept = kept.count()
+            merged = kept.unionByName(day_corr)
+            n_corr = day_corr.count()
+            stats["replaced"] += n_cur - n_kept
+            stats["inserted"] += n_corr - (n_cur - n_kept)
+        else:
+            merged = day_corr
+            n_corr = day_corr.count()
+            stats["inserted"] += n_corr
+        import uuid
+
+        token = uuid.uuid4().hex
+        tmp = f"{path}/__amend_{token}"
+        (
+            merged.repartition(1)
+            .sortWithinPartitions(
+                *[c for c in sort_cols if c in merged.columns]
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = f"{path}/__old_{token}"
+        had_old = fs.exists(Path(part_dir))
+        if had_old and not fs.rename(Path(part_dir), Path(old)):
+            fs.delete(Path(tmp), True)
+            raise IOError(f"amend: failed to move {part_dir} aside")
+        if not fs.rename(Path(tmp), Path(part_dir)):
+            if had_old:
+                fs.rename(Path(old), Path(part_dir))
+            raise IOError(f"amend: failed to install {part_dir}")
+        if had_old:
+            fs.delete(Path(old), True)
+        stats["partitions"][part] = spark.read.parquet(part_dir).count()
+    return stats
+
+
 def sync_partition(
     spark: SparkSession,
     source_path: str,

@@ -643,3 +643,81 @@ def test_watch_compact_argument_guards(spark, tmp_path, capsys):
          "--out", str(tmp_path / "g_out")],
         spark=spark,
     ) == 2
+
+
+def test_amend_upserts_only_affected_partitions(spark, tmp_path, capsys):
+    """amend (late corrections, the reference's write-into-past-blocks
+    as partition lifecycle): corrected keys are replaced in place, new
+    keys insert (including into a brand-new day partition), untouched
+    partitions stay byte-identical, and the store's row identity
+    matches an independently computed expectation."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    store = str(tmp_path / "amend_store")
+    assert cli.main(
+        ["create", EVENTS, store, "--mode", "overwrite"], spark=spark
+    ) == 0
+    src = cli._load_events(spark, EVENTS)
+    parts = sorted(d for d in os.listdir(store) if d.startswith("dt="))
+    victim_day = parts[1].split("=", 1)[1]
+
+    # corrections: bump two existing rows of one day, add one new row
+    # in a far-future (new) day
+    vic = (
+        src.filter(F.to_date("ts") == F.lit(victim_day))
+        .orderBy("event_id")
+        .limit(2)
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    new_row = (
+        src.orderBy("event_id").limit(1)
+        .withColumn("event_id", F.lit(999_999_999))
+        .withColumn("ts", F.to_timestamp(F.lit("2031-06-01 12:00:00")))
+    )
+    corr = str(tmp_path / "corr.parquet")
+    vic.unionByName(new_row).write.parquet(corr)
+
+    def checksums():
+        out = {}
+        for dirpath, _d, files in os.walk(store):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, store)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = checksums()
+    rc = cli.main(["amend", store, corr], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "replaced 2 row(s), inserted 1" in out
+
+    after = checksums()
+    touched = {f"dt={victim_day}", "dt=2031-06-01"}
+    untouched = {
+        k for k in before if not any(k.startswith(t) for t in touched)
+    }
+    assert all(before[k] == after[k] for k in untouched)
+    assert os.path.isdir(os.path.join(store, "dt=2031-06-01"))
+
+    got = spark.read.parquet(store).drop("dt")
+    vic_ids = [r.event_id for r in vic.select("event_id").collect()]
+    assert got.count() == src.count() + 1
+    bumped = {
+        r.event_id: r.value
+        for r in got.filter(F.col("event_id").isin(vic_ids)).collect()
+    }
+    orig = {
+        r.event_id: r.value
+        for r in src.filter(F.col("event_id").isin(vic_ids)).collect()
+    }
+    assert all(bumped[k] == orig[k] + 1000.0 for k in orig)
+    assert got.filter(F.col("event_id") == 999_999_999).count() == 1
+
+    # amend refuses non-dt stores
+    assert cli.main(["amend", EVENTS, corr], spark=spark) == 2
