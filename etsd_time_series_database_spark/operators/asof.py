@@ -140,9 +140,13 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # __t rides past the window ONLY when the tolerance needs it:
+    # keeping it unconditionally costs ~9% extra shuffle bytes on the
+    # untolerated path (measured on q23 at sf0.1)
+    probe_t = ["__t"] if tolerance_s is not None else []
     carried = unioned.select(
         "__side",
-        "__t",
+        *probe_t,
         "__l",
         F.last("__rrow", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__side") == 1)
@@ -274,11 +278,12 @@ def asof_join_scalable(
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    probe_t = ["__t"] if tolerance_s is not None else []
     carried = (
         unioned.join(prev, ["__k", "__bkt"], "left")
         .select(
             "__side",
-            "__t",
+            *probe_t,
             "__l",
             F.coalesce(
                 F.last("__rrow", ignorenulls=True).over(w_in),
