@@ -721,3 +721,33 @@ def test_amend_upserts_only_affected_partitions(spark, tmp_path, capsys):
 
     # amend refuses non-dt stores
     assert cli.main(["amend", EVENTS, corr], spark=spark) == 2
+
+
+def test_amend_cross_day_move_is_insert_only(spark, tmp_path, capsys):
+    """The documented amend contract: a correction whose ts moves a
+    row to a DIFFERENT day is handled as an insert into the new day —
+    the old-day row is NOT deleted (that is an explicit two-step
+    operation), so the store gains one row and both timestamps exist."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    store = str(tmp_path / "amend_store2")
+    assert cli.main(
+        ["create", EVENTS, store, "--mode", "overwrite"], spark=spark
+    ) == 0
+    src = cli._load_events(spark, EVENTS)
+    victim = src.orderBy("event_id").limit(1)
+    moved = victim.withColumn(
+        "ts", F.to_timestamp(F.lit("2032-03-03 03:03:03"))
+    )
+    corr = str(tmp_path / "corr2.parquet")
+    moved.write.parquet(corr)
+    rc = cli.main(["amend", store, corr], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "inserted 1" in out
+    got = spark.read.parquet(store).drop("dt")
+    vid = victim.collect()[0].event_id
+    rows = got.filter(F.col("event_id") == vid).collect()
+    assert len(rows) == 2  # old-day original + new-day insert
+    assert os.path.isdir(os.path.join(store, "dt=2032-03-03"))

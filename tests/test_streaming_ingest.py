@@ -350,3 +350,25 @@ def test_compact_ingest_partition_row_identity(spark, tmp_path):
         r.value for r in read_ingest_table(spark, path).collect()
     )
     assert got == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_compact_stream_sink_multiple_target_files(spark, tmp_path):
+    """target_files > 1: row identity holds and the sink lands exactly
+    that many files (bands of a bigger sink can stay parallel)."""
+    import os
+
+    from etsd_time_series_database_spark.streaming.ingest import (
+        compact_stream_sink,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(4):
+        _mk_feed(spark, src, i)
+    _mk_run(spark, src, out, ckpt)
+    want = sorted(map(tuple, spark.read.parquet(out).collect()))
+    stats = compact_stream_sink(spark, out, target_files=2)
+    assert stats["files_after"] == 2
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == want
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 2
