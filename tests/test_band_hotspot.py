@@ -201,3 +201,34 @@ def test_band_load_profile_flags_degenerate_bucket(spark):
         assert r.docs_in_colliding_buckets >= 50
         # bounded by corpus size (short docs may not shingle at all)
         assert r.n_docs <= 70
+
+
+def test_bucket_min_and_profile_plan_shapes(spark):
+    """Physical-shape pins for the round's new forms:
+    keep_lowest_drop_ids is window-over-(band,sig) + distinct — no
+    join of any kind in its plan; band_load_profile is two
+    hash-aggregates — no join, no window, no pair stage."""
+    docs = _corpus(spark, 41, 30, 20)
+    bands = minhash_band_table(docs, hash_mode="poly")
+
+    drop_plan = (
+        keep_lowest_drop_ids(bands)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in drop_plan and "CartesianProduct" not in drop_plan
+    assert "Window" in drop_plan
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        band_load_profile,
+    )
+
+    prof_plan = (
+        band_load_profile(docs, hash_mode="poly")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in prof_plan and "Window" not in prof_plan
+    assert "HashAggregate" in prof_plan
