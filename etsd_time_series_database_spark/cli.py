@@ -512,10 +512,27 @@ def cmd_watch(args, spark: SparkSession) -> int:
 
 
 def cmd_recover(args, spark: SparkSession) -> int:
-    from etsd_time_series_database_spark.streaming.ingest import replay
+    from etsd_time_series_database_spark.streaming.ingest import (
+        refresh_downsample,
+        replay,
+    )
 
-    replay(spark, args.raw, args.sink, width_s=args.width)
-    print(f"recovered {args.sink} from {args.raw} (width={args.width}s)")
+    if args.days or args.partitioned:
+        days = args.days.split(",") if args.days else None
+        stats = refresh_downsample(
+            spark, args.raw, args.sink, width_s=args.width, days=days
+        )
+        scope = (
+            f"day(s) {', '.join(sorted(stats))}" if days else "full rebuild"
+        )
+        print(
+            f"refreshed {args.sink} from {args.raw} "
+            f"(width={args.width}s, {scope}, "
+            f"{sum(stats.values())} bucket row(s))"
+        )
+    else:
+        replay(spark, args.raw, args.sink, width_s=args.width)
+        print(f"recovered {args.sink} from {args.raw} (width={args.width}s)")
     return 0
 
 
@@ -773,6 +790,18 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("raw", help="raw events table path")
     r.add_argument("sink", help="downsample sink destination")
     r.add_argument("--width", type=int, default=60, help="bucket width seconds")
+    r.add_argument(
+        "--partitioned", action="store_true",
+        help="write the sink date-partitioned (dt= from bucket start) "
+        "so later --days refreshes are partition-scoped",
+    )
+    r.add_argument(
+        "--days", default=None,
+        help="comma-separated YYYY-MM-DD list: refresh ONLY these "
+        "days' buckets in a partitioned sink (the post-amend "
+        "consolidation repair — O(amended days), untouched partitions "
+        "byte-identical)",
+    )
     r.set_defaults(fn=cmd_recover)
 
     dd = sub.add_parser(

@@ -681,6 +681,120 @@ def compact_stream_sink(
     }
 
 
+def refresh_downsample(
+    spark: SparkSession,
+    raw_path: str,
+    sink_path: str,
+    width_s: int = 60,
+    days: list[str] | None = None,
+) -> dict:
+    """Day-scoped consolidation refresh — the recover path narrowed to
+    the days that actually changed: after ``amend`` applies late
+    corrections to the raw store, the downsample tiers derived from it
+    are stale for exactly those days, and re-deriving the WHOLE sink
+    (the reference's recoverRRD, code/etsdCmd.c:648-656) is O(store).
+    This recomputes only the named days' buckets from the raw store
+    (partition pruning keeps the scan to those dt= dirs) and installs
+    each day through the crash-safe rename swap; untouched sink
+    partitions are never listed, read, or rewritten.
+
+    The sink layout is date-partitioned (``dt=`` from the bucket
+    start) — the partitioned twin of :func:`replay`'s flat sink, and
+    what the CLI ``recover --days`` writes. ``days=None`` rebuilds the
+    full sink in the same layout. ``width_s`` must divide 86400 so no
+    bucket spans a day boundary (raises otherwise — a day-scoped
+    rewrite of a cross-midnight bucket would drop the neighbor day's
+    contribution).
+
+    Same aggregate expressions as the live foreachBatch sink and the
+    flat replay, so a refreshed day is bit-identical to a full
+    recompute of that day (test-pinned). Returns {day: n_buckets}.
+    """
+    if 86_400 % int(width_s) != 0:
+        raise ValueError(
+            f"refresh_downsample: width_s={width_s} does not divide "
+            "86400 — a bucket would span a day boundary and a "
+            "day-scoped rewrite would lose the neighbor day's rows"
+        )
+    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+
+    raw = spark.read.parquet(raw_path)
+    # key columns adapt to the store flavor: canonical ingest tables
+    # carry (source, channel); events stores carry event_type
+    channel = "channel" if "channel" in raw.columns else "event_type"
+    keys = (["source"] if "source" in raw.columns else []) + [channel]
+
+    def consolidated(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                *keys,
+                F.window("ts", f"{int(width_s)} seconds").alias("w"),
+            )
+            .agg(
+                F.count("value").alias("n"),
+                F.avg("value").alias("avg_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                *keys,
+                F.col("w.start").alias("bucket_ts"),
+                "n",
+                "avg_value",
+                "min_value",
+                "max_value",
+            )
+        )
+
+    if days is None:
+        (
+            consolidated(raw)
+            .withColumn("dt", F.to_date("bucket_ts"))
+            .repartition("dt")
+            .sortWithinPartitions(channel, "bucket_ts")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(sink_path)
+        )
+        out = spark.read.parquet(sink_path)
+        return {
+            r.dt.isoformat(): r.n
+            for r in out.groupBy("dt").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+
+    import uuid
+
+    fs, Path = _hadoop_fs(spark, sink_path)
+    stats: dict = {}
+    for d in sorted(days):
+        day_rows = raw.filter(F.to_date("ts") == F.lit(d))
+        fresh = (
+            consolidated(day_rows)
+            .repartition(1)
+            .sortWithinPartitions(channel, "bucket_ts")
+        )
+        token = uuid.uuid4().hex
+        tmp = f"{sink_path}/__refresh_{token}"
+        fresh.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        part_dir = f"{sink_path}/dt={d}"
+        old = f"{sink_path}/__old_{token}"
+        had_old = fs.exists(Path(part_dir))
+        if had_old and not fs.rename(Path(part_dir), Path(old)):
+            fs.delete(Path(tmp), True)
+            raise IOError(f"refresh: failed to move {part_dir} aside")
+        if not fs.rename(Path(tmp), Path(part_dir)):
+            if had_old:
+                fs.rename(Path(old), Path(part_dir))
+            raise IOError(f"refresh: failed to install {part_dir}")
+        if had_old:
+            fs.delete(Path(old), True)
+        stats[d] = n
+    return stats
+
+
 def carry_forward_batch(batch: DataFrame, state: DataFrame | None) -> tuple[DataFrame, DataFrame]:
     """Carry-forward / LastReading state as an incremental batch fold:
     given this batch and the previous per-channel state

@@ -751,3 +751,68 @@ def test_amend_cross_day_move_is_insert_only(spark, tmp_path, capsys):
     rows = got.filter(F.col("event_id") == vid).collect()
     assert len(rows) == 2  # old-day original + new-day insert
     assert os.path.isdir(os.path.join(store, "dt=2032-03-03"))
+
+
+def test_recover_days_refresh_after_amend(spark, tmp_path, capsys):
+    """The amend -> consolidation-repair loop: build a partitioned
+    downsample sink, amend ONE day of the raw store, refresh only that
+    day — the refreshed sink equals a from-scratch full rebuild, and
+    every other sink partition is byte-identical (never rewritten)."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    raw = str(tmp_path / "raw_store")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    sink = str(tmp_path / "sink")
+    assert cli.main(
+        ["recover", raw, sink, "--partitioned"], spark=spark
+    ) == 0
+    assert "full rebuild" in capsys.readouterr().out
+    parts = sorted(d for d in os.listdir(sink) if d.startswith("dt="))
+    assert len(parts) >= 3
+    day = parts[1].split("=", 1)[1]
+
+    # amend: bump every value of that day by 5
+    src = cli._load_events(spark, EVENTS)
+    corr = str(tmp_path / "corr3.parquet")
+    src.filter(F.to_date("ts") == F.lit(day)).withColumn(
+        "value", F.col("value") + 5.0
+    ).write.parquet(corr)
+    assert cli.main(["amend", raw, corr], spark=spark) == 0
+
+    def checksums():
+        out = {}
+        for dirpath, _d, files in os.walk(sink):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, sink)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = checksums()
+    capsys.readouterr()
+    rc = cli.main(
+        ["recover", raw, sink, "--days", day], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and f"day(s) {day}" in out
+
+    after = checksums()
+    untouched = {k for k in before if not k.startswith(f"dt={day}")}
+    assert all(before[k] == after[k] for k in untouched)
+
+    # the refreshed sink equals a full rebuild from the amended raw
+    control = str(tmp_path / "sink_control")
+    assert cli.main(
+        ["recover", raw, control, "--partitioned"], spark=spark
+    ) == 0
+    a = spark.read.parquet(sink).drop("dt")
+    b = spark.read.parquet(control).drop("dt")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
