@@ -478,24 +478,60 @@ def cmd_watch(args, spark: SparkSession) -> int:
         q = writer.trigger(processingTime=f"{args.interval} seconds").start()
         q.awaitTermination()
     else:
-        t0 = _time.monotonic()
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(args.timeout)
-        totals = fold_streaming_progress(q)
-        print(
-            f"watch[{args.mode}]: caught up in {totals['n_batches']} "
-            f"micro-batch(es), {totals['input_rows']} row(s) in, "
-            f"{totals['late_rows']} dropped by watermark"
-            + (f" -> {args.out}" if args.out else "")
+        from etsd_time_series_database_spark.plans.metrics import (
+            ProgressAccumulator,
         )
-        if args.metrics_log:
-            log = MetricsLog(spark, path=args.metrics_log)
-            log.record_streaming(
-                f"watch[{args.mode}]:{args.source}",
-                q,
-                wall_ms=(_time.monotonic() - t0) * 1000.0,
+
+        # listener-based fold: exact totals even past the
+        # recentProgress retention cap (default 100 micro-batches)
+        acc = ProgressAccumulator()
+        spark.streams.addListener(acc.listener)
+        try:
+            t0 = _time.monotonic()
+            q = writer.trigger(availableNow=True).start()
+            finished = q.awaitTermination(max(args.timeout, 0.001))
+            if not finished:
+                # catch-up exceeded --timeout: the stream is STILL
+                # committing batches — compacting the sink log or
+                # folding metrics now would race live commits, so stop
+                # the query, let it settle, and refuse the
+                # post-catch-up passes
+                q.stop()
+                q.awaitTermination()
+                print(
+                    f"watch[{args.mode}]: catch-up exceeded --timeout="
+                    f"{args.timeout}s and was stopped mid-stream; sink "
+                    "is consistent up to the last committed batch but "
+                    "NOT caught up — rerun to finish"
+                    + (" (--compact skipped)" if args.compact else "")
+                    + (" (--metrics-log skipped: partial run)"
+                       if args.metrics_log else ""),
+                    file=sys.stderr,
+                )
+                return 1
+            got_term = acc.wait_terminated(q, timeout_s=30.0)
+            totals = acc.totals(q)
+            if not got_term or totals["n_batches"] == 0:
+                # listener bus failed to deliver: fall back to the
+                # retained-progress fold (capped but available)
+                totals = fold_streaming_progress(q)
+            print(
+                f"watch[{args.mode}]: caught up in {totals['n_batches']} "
+                f"micro-batch(es), {totals['input_rows']} row(s) in, "
+                f"{totals['late_rows']} dropped by watermark"
+                + (f" -> {args.out}" if args.out else "")
             )
-            log.flush()
+            if args.metrics_log:
+                log = MetricsLog(spark, path=args.metrics_log)
+                log.record_streaming(
+                    f"watch[{args.mode}]:{args.source}",
+                    q,
+                    wall_ms=(_time.monotonic() - t0) * 1000.0,
+                    totals=totals,
+                )
+                log.flush()
+        finally:
+            spark.streams.removeListener(acc.listener)
         if args.compact:
             from etsd_time_series_database_spark.streaming.ingest import (
                 compact_stream_sink,
@@ -518,6 +554,27 @@ def cmd_recover(args, spark: SparkSession) -> int:
     )
 
     if args.days or args.partitioned:
+        if args.days:
+            # layout guard: a day-scoped refresh writes dt= partition
+            # dirs; pointed at a sink previously written by the FLAT
+            # replay it would leave a mixed layout that breaks reads
+            from etsd_time_series_database_spark.sources.store import (
+                _hadoop_fs,
+                list_date_partitions,
+            )
+
+            fs, Path = _hadoop_fs(spark, args.sink)
+            if fs.exists(Path(args.sink)) and not list_date_partitions(
+                spark, args.sink
+            ):
+                print(
+                    f"recover: {args.sink} exists but is not "
+                    "dt=-partitioned (flat replay layout?) — a --days "
+                    "refresh would mix layouts; rebuild it with "
+                    "`recover --partitioned` first",
+                    file=sys.stderr,
+                )
+                return 2
         days = args.days.split(",") if args.days else None
         stats = refresh_downsample(
             spark, args.raw, args.sink, width_s=args.width, days=days
@@ -623,11 +680,16 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
 
 def cmd_amend(args, spark: SparkSession) -> int:
     """Apply late corrections to a date-partitioned store: UPSERT by
-    --keys (replace existing keys, insert new ones), rewriting ONLY
-    the date partitions the corrections' timestamps land in via the
-    crash-safe swap (sources.store.amend_events — the reference's
-    write-into-past-blocks capability, code/etsdRW.c, as partition
-    lifecycle). Exit 2 if the target is not a dt= store."""
+    --keys (replace existing keys, insert new ones; a correction whose
+    ts moves a key across days deletes the old-day row too under the
+    default --cross-day resolve), rewriting ONLY the involved date
+    partitions via the crash-safe swap (sources.store.amend_events —
+    the reference's write-into-past-blocks capability, code/etsdRW.c,
+    as partition lifecycle). With --refresh-sink, chains the
+    day-scoped downsample refresh (recover --days) over exactly the
+    amended days so derived tiers never go stale. Exit 2 if the target
+    is not a dt= store, 3 if the corrections are rejected (duplicate
+    keys, or a cross-day move under --cross-day fail)."""
     from etsd_time_series_database_spark.sources.store import (
         amend_events,
         list_date_partitions,
@@ -641,17 +703,53 @@ def cmd_amend(args, spark: SparkSession) -> int:
         )
         return 2
     corrections = _load_events(spark, args.source)
-    stats = amend_events(
-        spark, args.path, corrections,
-        key_cols=tuple(args.keys.split(",")),
-    )
+    try:
+        stats = amend_events(
+            spark, args.path, corrections,
+            key_cols=tuple(args.keys.split(",")),
+            cross_day=args.cross_day,
+        )
+    except ValueError as exc:
+        print(f"amend: {exc}", file=sys.stderr)
+        return 3
     for part, n in sorted(stats["partitions"].items()):
         print(f"amended {part}: {n} row(s) now")
     print(
         f"replaced {stats['replaced']} row(s), inserted "
-        f"{stats['inserted']} across {len(stats['partitions'])} "
-        "partition(s)"
+        f"{stats['inserted']}, moved {stats['moved']} across "
+        f"{len(stats['partitions'])} partition(s)"
     )
+    if args.refresh_sink:
+        from etsd_time_series_database_spark.sources.store import (
+            _hadoop_fs,
+        )
+        from etsd_time_series_database_spark.streaming.ingest import (
+            refresh_downsample,
+        )
+
+        fs, Path = _hadoop_fs(spark, args.refresh_sink)
+        if fs.exists(Path(args.refresh_sink)) and not list_date_partitions(
+            spark, args.refresh_sink
+        ):
+            print(
+                f"amend: --refresh-sink {args.refresh_sink} is not a "
+                "dt=-partitioned downsample sink; rebuild it with "
+                "`recover --partitioned` first",
+                file=sys.stderr,
+            )
+            return 2
+        amended_days = sorted(
+            p.split("=", 1)[1] for p in stats["partitions"]
+        )
+        rstats = refresh_downsample(
+            spark, args.path, args.refresh_sink,
+            width_s=args.refresh_width, days=amended_days,
+        )
+        print(
+            f"refreshed {args.refresh_sink} for day(s) "
+            f"{', '.join(amended_days)} "
+            f"({sum(rstats.values())} bucket row(s))"
+        )
     return 0
 
 
@@ -829,6 +927,25 @@ def build_parser() -> argparse.ArgumentParser:
     am.add_argument("source", help="corrections parquet (events schema)")
     am.add_argument("--keys", default="event_id",
                     help="comma-separated upsert key columns")
+    am.add_argument(
+        "--cross-day", default="resolve",
+        choices=["resolve", "fail", "ignore"],
+        help="a correction whose ts moves a key to a different day: "
+        "resolve = delete the old-day row too (true upsert; key-column "
+        "probe scan), fail = exit 3 naming the keys, ignore = insert "
+        "side only (no probe; caller owns the old-day delete)",
+    )
+    am.add_argument(
+        "--refresh-sink", default=None,
+        help="after amending, refresh this dt=-partitioned downsample "
+        "sink for exactly the amended days (chains recover --days so "
+        "derived tiers never go stale)",
+    )
+    am.add_argument(
+        "--refresh-width", type=int, default=60,
+        help="--refresh-sink bucket width seconds (must match the "
+        "sink's build width)",
+    )
     am.set_defaults(fn=cmd_amend)
 
     rp = sub.add_parser(
@@ -945,8 +1062,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--follow trigger seconds")
     w.add_argument("--max-files", type=int, default=1000,
                    help="files per micro-batch")
-    w.add_argument("--timeout", type=int, default=300,
-                   help="availableNow catch-up wait seconds")
+    w.add_argument("--timeout", type=float, default=300,
+                   help="availableNow catch-up wait seconds; if the "
+                   "catch-up outlives this the query is STOPPED (rc 1, "
+                   "--compact/--metrics-log skipped) — rerun to finish")
     w.set_defaults(fn=cmd_watch)
 
     di = sub.add_parser(

@@ -130,31 +130,128 @@ def fold_streaming_progress(query) -> dict[str, int]:
     """
     import json as _json
 
-    totals = {
+    totals = _empty_stream_totals()
+    for p in query.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        _fold_progress_dict(d, totals)
+    return totals
+
+
+def _empty_stream_totals() -> dict[str, int]:
+    return {
         "input_rows": 0,
         "output_rows": 0,
         "late_rows": 0,
         "state_rows": 0,
         "n_batches": 0,
     }
-    for p in query.recentProgress:
-        d = _json.loads(p.json) if hasattr(p, "json") else p
-        totals["n_batches"] += 1
-        totals["input_rows"] += int(d.get("numInputRows") or 0)
-        sink = d.get("sink") or {}
-        out = sink.get("numOutputRows")
-        if out is not None and int(out) >= 0:
-            totals["output_rows"] += int(out)
-        for so in d.get("stateOperators") or []:
-            totals["late_rows"] += int(
-                so.get("numRowsDroppedByWatermark") or 0
-            )
-        state = d.get("stateOperators") or []
-        if state:
-            totals["state_rows"] = sum(
-                int(so.get("numRowsTotal") or 0) for so in state
-            )
-    return totals
+
+
+def _fold_progress_dict(d: dict, totals: dict[str, int]) -> None:
+    totals["n_batches"] += 1
+    totals["input_rows"] += int(d.get("numInputRows") or 0)
+    sink = d.get("sink") or {}
+    out = sink.get("numOutputRows")
+    if out is not None and int(out) >= 0:
+        totals["output_rows"] += int(out)
+    state = d.get("stateOperators") or []
+    for so in state:
+        totals["late_rows"] += int(so.get("numRowsDroppedByWatermark") or 0)
+    if state:
+        totals["state_rows"] = sum(
+            int(so.get("numRowsTotal") or 0) for so in state
+        )
+
+
+class ProgressAccumulator:
+    """EXACT streaming totals, immune to the ``recentProgress``
+    retention cap: a :class:`StreamingQueryListener` that folds every
+    progress event as it arrives, so a catch-up run of >100
+    micro-batches (or a --follow daemon running for days) reports the
+    true ``input_rows``/``late_rows``, where
+    :func:`fold_streaming_progress` silently undercounts once the
+    retained list (spark.sql.streaming.numRecentProgressUpdates,
+    default 100) rolls over.
+
+    Per-run accounting keyed by ``runId``; each ``batchId`` is folded
+    once (first event wins — idle re-emissions and batch retries do
+    not double-count). Events arrive on the listener bus thread, so
+    folds take a lock; totals are read AFTER the query terminates —
+    :meth:`wait_terminated` blocks until the run's terminate event has
+    been delivered, which orders it after every progress event of that
+    run. Register with ``spark.streams.addListener(acc.listener)`` and
+    remove with ``removeListener`` when done (listeners are
+    session-global)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._runs: dict[str, dict[str, int]] = {}
+        self._seen: dict[str, set] = {}
+        self._terminated: dict[str, object] = {}
+        self._cv = threading.Condition(self._lock)
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        acc = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                import json as _json
+
+                try:
+                    d = _json.loads(event.progress.json)
+                except Exception:
+                    return
+                run = str(d.get("runId"))
+                batch = d.get("batchId")
+                with acc._cv:
+                    seen = acc._seen.setdefault(run, set())
+                    if batch in seen:
+                        return
+                    seen.add(batch)
+                    totals = acc._runs.setdefault(
+                        run, _empty_stream_totals()
+                    )
+                    _fold_progress_dict(d, totals)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                run = str(event.runId)
+                with acc._cv:
+                    acc._terminated[run] = event
+                    acc._cv.notify_all()
+
+        self.listener = _Listener()
+
+    def totals(self, query) -> dict[str, int]:
+        """The folded totals for ``query``'s current run (empty totals
+        if no progress was seen)."""
+        run = str(query.runId)
+        with self._cv:
+            return dict(self._runs.get(run) or _empty_stream_totals())
+
+    def wait_terminated(self, query, timeout_s: float = 30.0) -> bool:
+        """Block until the terminate event for ``query``'s run arrives
+        (ordering the listener behind all of that run's progress
+        events). True if it arrived within ``timeout_s``."""
+        run = str(query.runId)
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        with self._cv:
+            while run not in self._terminated:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    return False
+                self._cv.wait(left)
+            return True
 
 
 class MetricsLog:
@@ -202,7 +299,8 @@ class MetricsLog:
         return row
 
     def record_streaming(
-        self, name: str, query, wall_ms: float = 0.0
+        self, name: str, query, wall_ms: float = 0.0,
+        totals: dict[str, int] | None = None,
     ) -> QueryMetrics:
         """Fold a finished (or caught-up) StreamingQuery's progress into
         one log row — the streaming counterpart of :meth:`record`.
@@ -210,8 +308,12 @@ class MetricsLog:
         :func:`fold_streaming_progress` for the unit), making data loss
         under lateness VISIBLE in the same ops table batch queries log
         to — the reference logs the equivalent short-block validity per
-        committed block (code/etsdSave.c:58-66)."""
-        totals = fold_streaming_progress(query)
+        committed block (code/etsdSave.c:58-66). Pass ``totals`` from a
+        :class:`ProgressAccumulator` to log exact counts past the
+        recentProgress retention cap; the default refold undercounts a
+        run of >100 micro-batches."""
+        if totals is None:
+            totals = fold_streaming_progress(query)
         row = QueryMetrics(
             query=name,
             status="ok",
@@ -236,3 +338,14 @@ class MetricsLog:
         if self.rows:
             self.to_df().write.mode("append").parquet(self.path)
             self.rows = []
+
+    @staticmethod
+    def read(spark: SparkSession, path: str) -> DataFrame:
+        """Read an ops-log directory under the PINNED current schema.
+        The log appends over rounds, so a directory can mix files
+        written before a column existed (late_rows landed in round 11);
+        a plain ``spark.read.parquet`` would pick one file's footer and
+        silently drop or fail on the difference. The explicit schema
+        makes old files surface the missing columns as NULL — always
+        consume the ops table through here."""
+        return spark.read.schema(LOG_SCHEMA).parquet(path)

@@ -306,61 +306,141 @@ def amend_events(
     corrections: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),
     sort_cols: tuple[str, str] = ("event_type", "ts"),
+    cross_day: str = "resolve",
 ) -> dict:
     """Apply late corrections to a date-partitioned events store:
     UPSERT by ``key_cols`` — rows whose key exists are replaced by the
     correction, new keys are inserted — touching ONLY the date
-    partitions the corrections' own timestamps land in. The reference
-    can write into past blocks through its block-addressed RW layer
-    (code/etsdRW.c); on immutable parquet the equivalent is a
-    partition-scoped rewrite: per affected day, current rows anti-join
-    the correction keys, union the corrections, and the merged
-    partition installs through the same crash-safe rename-swap as
-    compaction (never simply absent; old dir recoverable mid-swap).
+    partitions involved. The reference can write into past blocks
+    through its block-addressed RW layer (code/etsdRW.c); on immutable
+    parquet the equivalent is a partition-scoped rewrite: per affected
+    day, current rows anti-join the correction keys, union the day's
+    corrections, and the merged partition installs through the same
+    crash-safe rename-swap as compaction (never simply absent; old dir
+    recoverable mid-swap).
 
-    Cost is O(affected days' data), not O(store); untouched partitions
-    are never listed, read, or rewritten (byte-identical — pinned by
-    the CLI test). Corrections must carry the full events schema; a
-    correction whose ``ts`` moves a row ACROSS days is two logical
-    operations (delete + insert) and only the insert side is handled —
-    delete the old-day row explicitly first (the same contract as any
-    partition-keyed upsert). Returns {partitions: {dt: n_rows},
-    replaced, inserted}.
+    A correction whose ``ts`` moves a row ACROSS days is two physical
+    operations (delete old-day row + insert new-day row); ``cross_day``
+    picks the handling:
+
+    - ``"resolve"`` (default): a key-column probe finds every partition
+      holding a correction key, the stale old-day rows are deleted in
+      the same pass (their partitions join the rewrite set), and the
+      store ends with exactly ONE row per corrected key — true upsert
+      semantics, the reference's in-place block overwrite. The probe
+      semi-joins the store's ``key_cols`` + ``dt`` against the
+      broadcast correction keys: column-pruned to the key columns, so
+      it reads key bytes only, not values — the price of not keeping a
+      key→day side index.
+    - ``"fail"``: run the same probe but REFUSE the whole amend
+      (raises ``ValueError`` naming the offending keys) if any
+      correction would move a key across days — for callers that treat
+      a cross-day move as an upstream bug.
+    - ``"ignore"``: skip the probe entirely (O(target days) only, no
+      store-wide key scan) and handle just the insert side; the caller
+      owns deleting the old-day row. The pre-round-12 contract.
+
+    Cost: O(affected days' data) rewrites + (resolve/fail) one
+    key-column probe scan; untouched partitions are never rewritten
+    (byte-identical — pinned by the CLI test). Corrections must carry
+    the full events schema, and their keys must be UNIQUE — duplicate
+    keys would install duplicate rows and miscount the stats, so they
+    raise. Returns {partitions: {dt: n_rows}, replaced, inserted,
+    moved}.
 
     Single-writer maintenance, like compaction: run it from the store
     owner between ingest sessions, not concurrently with appends to
     the same days.
     """
+    if cross_day not in ("resolve", "fail", "ignore"):
+        raise ValueError(f"amend: unknown cross_day mode {cross_day!r}")
     corrections = corrections.localCheckpoint()
-    days = [
+    keys = list(key_cols)
+    n_corr_total = corrections.count()
+    n_distinct_keys = corrections.select(*keys).distinct().count()
+    if n_distinct_keys != n_corr_total:
+        dups = (
+            corrections.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
+        )
+        shown = ", ".join(
+            "(" + ", ".join(f"{k}={r[k]}" for k in keys) + f") x{r['count']}"
+            for r in dups
+        )
+        raise ValueError(
+            f"amend: corrections carry duplicate keys — "
+            f"{n_corr_total - n_distinct_keys} extra row(s), e.g. {shown}; "
+            "an upsert needs one correction per key (keep the latest "
+            "before calling)"
+        )
+    target_days = [
         r.d.isoformat()
         for r in corrections.select(
             F.to_date("ts").alias("d")
         ).distinct().collect()
     ]
     fs, Path = _hadoop_fs(spark, path)
-    stats = {"partitions": {}, "replaced": 0, "inserted": 0}
-    keys = list(key_cols)
+    stats = {"partitions": {}, "replaced": 0, "inserted": 0, "moved": 0}
+    removed_total = 0
+    days = set(target_days)
+    all_keys = corrections.select(*keys).distinct()
+    if cross_day in ("resolve", "fail"):
+        # key→day probe: where does each correction key live TODAY?
+        # Column-pruned to key_cols + the dt partition value; the
+        # broadcast semi-join keeps the store side shuffle-free.
+        target_of = corrections.select(
+            *keys, F.to_date("ts").cast("string").alias("__target_d")
+        )
+        probe = (
+            spark.read.parquet(path)
+            .select(*keys, F.col("dt").cast("string").alias("__old_d"))
+            .join(F.broadcast(target_of), on=keys, how="inner")
+            .filter(F.col("__old_d") != F.col("__target_d"))
+        )
+        stale = probe.collect()  # bounded: <= one row per correction key
+        if stale and cross_day == "fail":
+            shown = ", ".join(
+                "(" + ", ".join(f"{k}={r[k]}" for k in keys)
+                + f") {r['__old_d']}->{r['__target_d']}"
+                for r in stale[:5]
+            )
+            raise ValueError(
+                f"amend: {len(stale)} correction(s) move key(s) across "
+                f"days, e.g. {shown}; rerun with cross_day='resolve' to "
+                "delete the old-day rows or fix the corrections"
+            )
+        stats["moved"] = len(stale)
+        days.update(r["__old_d"] for r in stale)
     for d in sorted(days):
         part = f"dt={d}"
         part_dir = f"{path}/{part}"
         day_corr = corrections.filter(F.to_date("ts") == F.lit(d)).drop(
             *[c for c in ("dt",) if c in corrections.columns]
         )
+        # anti-join the FULL key set, not the day's: a key whose old
+        # row sits in this day but whose corrected ts lands elsewhere
+        # must be deleted here (cross_day="ignore" keeps the old
+        # insert-side-only behavior: day-local keys)
+        anti = all_keys if cross_day == "resolve" else day_corr.select(*keys)
         if fs.exists(Path(part_dir)):
             cur = spark.read.parquet(part_dir)
             day_corr = day_corr.select(*cur.columns)  # align column order
-            kept = cur.join(day_corr.select(*keys), on=keys, how="left_anti")
+            kept = cur.join(anti, on=keys, how="left_anti")
             n_cur = cur.count()
             n_kept = kept.count()
             merged = kept.unionByName(day_corr)
-            n_corr = day_corr.count()
-            stats["replaced"] += n_cur - n_kept
-            stats["inserted"] += n_corr - (n_cur - n_kept)
+            removed_total += n_cur - n_kept
+            if n_kept == 0 and day_corr.isEmpty():
+                # a stale-only day drained by cross-day moves: drop the
+                # partition rather than install an empty one
+                fs.delete(Path(part_dir), True)
+                stats["partitions"][part] = 0
+                continue
         else:
             merged = day_corr
-            n_corr = day_corr.count()
-            stats["inserted"] += n_corr
         import uuid
 
         token = uuid.uuid4().hex
@@ -385,6 +465,11 @@ def amend_events(
         if had_old:
             fs.delete(Path(old), True)
         stats["partitions"][part] = spark.read.parquet(part_dir).count()
+    # key-level accounting: each moved key contributes one removal (old
+    # day) and one insertion (new day) but is neither a replace nor a
+    # net insert; everything else removed was replaced in place
+    stats["replaced"] = removed_total - stats["moved"]
+    stats["inserted"] = n_corr_total - removed_total
     return stats
 
 

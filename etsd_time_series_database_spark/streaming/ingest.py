@@ -782,6 +782,14 @@ def refresh_downsample(
         part_dir = f"{sink_path}/dt={d}"
         old = f"{sink_path}/__old_{token}"
         had_old = fs.exists(Path(part_dir))
+        if n == 0:
+            # the raw day vanished (e.g. drained by a cross-day amend):
+            # drop the sink day rather than install an empty partition
+            fs.delete(Path(tmp), True)
+            if had_old:
+                fs.delete(Path(part_dir), True)
+            stats[d] = 0
+            continue
         if had_old and not fs.rename(Path(part_dir), Path(old)):
             fs.delete(Path(tmp), True)
             raise IOError(f"refresh: failed to move {part_dir} aside")

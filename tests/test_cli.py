@@ -723,11 +723,13 @@ def test_amend_upserts_only_affected_partitions(spark, tmp_path, capsys):
     assert cli.main(["amend", EVENTS, corr], spark=spark) == 2
 
 
-def test_amend_cross_day_move_is_insert_only(spark, tmp_path, capsys):
-    """The documented amend contract: a correction whose ts moves a
-    row to a DIFFERENT day is handled as an insert into the new day —
-    the old-day row is NOT deleted (that is an explicit two-step
-    operation), so the store gains one row and both timestamps exist."""
+def test_amend_cross_day_move_resolves_old_day(spark, tmp_path, capsys):
+    """Round-11 verdict #1 (the cross-day seam): a correction whose ts
+    moves a row to a DIFFERENT day deletes the old-day row in the same
+    pass under the default --cross-day resolve — the store ends with
+    exactly ONE copy of the key, in the new day, and the old day's
+    other rows survive untouched (the reference's in-place block
+    overwrite, code/etsdRW.c, expressed across partitions)."""
     import os
 
     import pyspark.sql.functions as F
@@ -738,6 +740,9 @@ def test_amend_cross_day_move_is_insert_only(spark, tmp_path, capsys):
     ) == 0
     src = cli._load_events(spark, EVENTS)
     victim = src.orderBy("event_id").limit(1)
+    vrow = victim.collect()[0]
+    old_day = vrow.ts.date().isoformat()
+    n_old_day = src.filter(F.to_date("ts") == F.lit(old_day)).count()
     moved = victim.withColumn(
         "ts", F.to_timestamp(F.lit("2032-03-03 03:03:03"))
     )
@@ -745,12 +750,237 @@ def test_amend_cross_day_move_is_insert_only(spark, tmp_path, capsys):
     moved.write.parquet(corr)
     rc = cli.main(["amend", store, corr], spark=spark)
     out = capsys.readouterr().out
+    assert rc == 0
+    assert "moved 1" in out and "inserted 0" in out and "replaced 0" in out
+    got = spark.read.parquet(store)
+    rows = got.filter(F.col("event_id") == vrow.event_id).collect()
+    assert len(rows) == 1  # exactly one copy of the key survives
+    assert str(rows[0].dt) == "2032-03-03"
+    assert os.path.isdir(os.path.join(store, "dt=2032-03-03"))
+    # the old day kept every OTHER row and the store's total is flat
+    assert (
+        got.filter(F.col("dt") == F.lit(old_day)).count() == n_old_day - 1
+    )
+    assert got.count() == src.count()
+
+
+def test_amend_cross_day_fail_and_ignore_modes(spark, tmp_path, capsys):
+    """--cross-day fail refuses the amend (rc 3, names the key) and
+    leaves the store byte-identical; --cross-day ignore keeps the
+    pre-round-12 insert-side-only contract (two copies, caller owns
+    the old-day delete)."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    store = str(tmp_path / "amend_store3")
+    assert cli.main(
+        ["create", EVENTS, store, "--mode", "overwrite"], spark=spark
+    ) == 0
+    src = cli._load_events(spark, EVENTS)
+    victim = src.orderBy("event_id").limit(1)
+    vid = victim.collect()[0].event_id
+    moved = victim.withColumn(
+        "ts", F.to_timestamp(F.lit("2032-03-03 03:03:03"))
+    )
+    corr = str(tmp_path / "corr3.parquet")
+    moved.write.parquet(corr)
+
+    def checksums():
+        out = {}
+        for dirpath, _d, files in os.walk(store):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, store)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = checksums()
+    rc = cli.main(
+        ["amend", store, corr, "--cross-day", "fail"], spark=spark
+    )
+    err = capsys.readouterr().err
+    assert rc == 3
+    assert f"event_id={vid}" in err and "across" in err
+    assert checksums() == before  # refused = untouched
+
+    rc = cli.main(
+        ["amend", store, corr, "--cross-day", "ignore"], spark=spark
+    )
+    out = capsys.readouterr().out
     assert rc == 0 and "inserted 1" in out
     got = spark.read.parquet(store).drop("dt")
-    vid = victim.collect()[0].event_id
-    rows = got.filter(F.col("event_id") == vid).collect()
-    assert len(rows) == 2  # old-day original + new-day insert
-    assert os.path.isdir(os.path.join(store, "dt=2032-03-03"))
+    assert got.filter(F.col("event_id") == vid).count() == 2
+
+
+def test_amend_rejects_duplicate_correction_keys(spark, tmp_path, capsys):
+    """Corrections carrying the same key twice would install duplicate
+    rows and miscount the stats — the amend refuses them (rc 3) and
+    names a sample key."""
+    import pyspark.sql.functions as F
+
+    store = str(tmp_path / "amend_store4")
+    assert cli.main(
+        ["create", EVENTS, store, "--mode", "overwrite"], spark=spark
+    ) == 0
+    src = cli._load_events(spark, EVENTS)
+    one = src.orderBy("event_id").limit(1)
+    dup = one.unionByName(one.withColumn("value", F.col("value") + 1.0))
+    corr = str(tmp_path / "corr4.parquet")
+    dup.write.parquet(corr)
+    rc = cli.main(["amend", store, corr], spark=spark)
+    err = capsys.readouterr().err
+    assert rc == 3 and "duplicate keys" in err
+
+
+def test_recover_days_rejects_flat_sink_layout(spark, tmp_path, capsys):
+    """ADVICE r11: recover --days against a sink written by the FLAT
+    replay would drop dt= dirs beside flat parquet files (mixed
+    layout, broken reads) — the layout guard exits 2 and points at the
+    --partitioned full rebuild instead; the sink stays untouched."""
+    import os
+
+    raw = str(tmp_path / "raw_flat")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    # a sink in the FLAT replay layout: parquet files directly in the
+    # directory, no dt= partition dirs
+    sink = str(tmp_path / "flat_sink")
+    spark.createDataFrame(
+        [("a", 1)], "channel string, n int"
+    ).coalesce(1).write.parquet(sink)
+    listing = sorted(os.listdir(sink))
+    capsys.readouterr()
+    rc = cli.main(
+        ["recover", raw, sink, "--days", "2024-01-02"], spark=spark
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "--partitioned" in err
+    assert sorted(os.listdir(sink)) == listing
+
+
+def test_amend_refresh_sink_chains_day_refresh(spark, tmp_path, capsys):
+    """Round-11 verdict #6: amend --refresh-sink chains the day-scoped
+    downsample refresh over exactly the amended days — the tier rows
+    for those days equal a full rebuild from the amended raw store,
+    and every other sink partition is byte-identical."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    raw = str(tmp_path / "raw_chain")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    sink = str(tmp_path / "sink_chain")
+    assert cli.main(
+        ["recover", raw, sink, "--partitioned"], spark=spark
+    ) == 0
+    parts = sorted(d for d in os.listdir(sink) if d.startswith("dt="))
+    day = parts[1].split("=", 1)[1]
+
+    src = cli._load_events(spark, EVENTS)
+    corr = str(tmp_path / "corr_chain.parquet")
+    src.filter(F.to_date("ts") == F.lit(day)).limit(50).withColumn(
+        "value", F.col("value") + 500.0
+    ).write.parquet(corr)
+
+    def checksums():
+        out = {}
+        for dirpath, _d, files in os.walk(sink):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, sink)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = checksums()
+    capsys.readouterr()
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-sink", sink], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and f"refreshed {sink} for day(s) {day}" in out
+
+    after = checksums()
+    untouched = {k for k in before if not k.startswith(f"dt={day}")}
+    assert all(before[k] == after[k] for k in untouched)
+
+    # the chained refresh equals a from-scratch rebuild of the tier
+    control = str(tmp_path / "sink_chain_control")
+    assert cli.main(
+        ["recover", raw, control, "--partitioned"], spark=spark
+    ) == 0
+    a = spark.read.parquet(sink).drop("dt")
+    b = spark.read.parquet(control).drop("dt")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # a flat --refresh-sink is refused before any tier write (rc 2)
+    flat = str(tmp_path / "flat_tier")
+    spark.createDataFrame(
+        [("a", 1)], "channel string, n int"
+    ).coalesce(1).write.parquet(flat)
+    capsys.readouterr()
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-sink", flat], spark=spark
+    )
+    assert rc == 2
+    assert "not a" in capsys.readouterr().err
+
+
+def test_watch_timeout_stops_and_skips_compact(spark, tmp_path, capsys):
+    """ADVICE r11 (medium): a catch-up that outlives --timeout must
+    NOT proceed to --compact/--metrics-log against the still-running
+    query (compaction would rewrite _spark_metadata under live
+    commits). The CLI stops the query, waits for it to settle, exits
+    1, and a rerun with a real timeout finishes the catch-up cleanly
+    on the same checkpoint."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ingest_slow")
+    out = str(tmp_path / "slow_out")
+    mlog = str(tmp_path / "slow_ops")
+    rows = [
+        (f"2026-01-01 00:{m:02d}:00", "s", "a", float(m), 0)
+        for m in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, source string, channel string, value double, "
+              "status int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # many single-row files + maxFilesPerTrigger=1 → many micro-batches,
+    # so a 1 ms timeout always fires mid-catch-up
+    df.repartition(30).write.parquet(src)
+    args = ["watch", src, "--mode", "freshness", "--out", out,
+            "--metrics-log", mlog, "--compact", "--max-files", "1",
+            "--timeout", "0.001"]
+    rc = cli.main(args, spark=spark)
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "stopped mid-stream" in err
+    assert "--compact skipped" in err and "--metrics-log skipped" in err
+    import os
+
+    assert not os.path.exists(mlog)  # no partial ops row
+
+    # rerun finishes from the checkpoint and the post passes run
+    rc = cli.main(
+        ["watch", src, "--mode", "freshness", "--out", out,
+         "--metrics-log", mlog, "--compact", "--max-files", "1",
+         "--timeout", "300"],
+        spark=spark,
+    )
+    assert rc == 0
+    out_txt = capsys.readouterr().out
+    assert "caught up in" in out_txt and "compacted" in out_txt
+    assert spark.read.parquet(mlog).count() == 1
 
 
 def test_recover_days_refresh_after_amend(spark, tmp_path, capsys):

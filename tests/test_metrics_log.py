@@ -59,3 +59,83 @@ def test_collect_plan_metrics_sees_through_aqe(spark):
     assert totals["scan_rows"] >= 1000
     assert totals["shuffle_records"] > 0
     assert totals["output_rows"] >= 1
+
+
+def test_progress_accumulator_exact_past_retention_cap(spark, tmp_path):
+    """Round-11 verdict #4 / ADVICE: fold_streaming_progress reads
+    only the RETAINED recentProgress list, so a catch-up of more
+    micro-batches than spark.sql.streaming.numRecentProgressUpdates
+    silently undercounts; the ProgressAccumulator listener folds every
+    progress event as delivered and stays exact. Pinned by shrinking
+    the retention to 4 and replaying 12 single-file micro-batches: the
+    capped fold sees <=4 batches, the listener sees all 12 and the
+    true row total."""
+    from etsd_time_series_database_spark.plans.metrics import (
+        ProgressAccumulator,
+        fold_streaming_progress,
+    )
+
+    src = str(tmp_path / "acc_src")
+    out = str(tmp_path / "acc_out")
+    n_files, rows_per_file = 12, 3
+    df = spark.range(n_files * rows_per_file).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(n_files).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4")
+    acc = ProgressAccumulator()
+    spark.streams.addListener(acc.listener)
+    try:
+        q = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        assert acc.wait_terminated(q, timeout_s=30.0)
+        exact = acc.totals(q)
+        capped = fold_streaming_progress(q)
+    finally:
+        spark.streams.removeListener(acc.listener)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", old)
+
+    assert exact["n_batches"] == n_files
+    assert exact["input_rows"] == n_files * rows_per_file
+    # the capped fold really was lossy here (the failure mode pinned)
+    assert capped["n_batches"] <= 4
+    assert capped["input_rows"] < exact["input_rows"]
+
+
+def test_metrics_log_read_merges_pre_late_rows_files(spark, tmp_path):
+    """ADVICE r11: an ops-log directory can mix files written before
+    late_rows existed; MetricsLog.read pins the current schema so old
+    rows surface NULL for the new columns instead of a footer-lottery
+    read dropping them. Simulated by writing one file WITHOUT
+    late_rows + one current append."""
+    path = str(tmp_path / "mixed_log")
+    # a pre-round-11 file: no late_rows column
+    spark.createDataFrame(
+        [("old_q", "ok", 1.5, 10, 10, 1, 100, 0, 0, 0, 0, None, 1)],
+        "query string, status string, wall_ms double, output_rows bigint, "
+        "scan_rows bigint, scan_files bigint, scan_bytes bigint, "
+        "shuffle_bytes bigint, shuffle_records bigint, spill_bytes bigint, "
+        "peak_memory bigint, error string, logged_at_us bigint",
+    ).write.parquet(path)
+
+    log = MetricsLog(spark, path=path)
+    df = load_table(spark, SF_SMOKE, "events").groupBy("event_type").count()
+    log.record("new_q", df)
+    log.flush()
+
+    got = {r.query: r for r in MetricsLog.read(spark, path).collect()}
+    assert set(got) == {"old_q", "new_q"}
+    assert got["old_q"].late_rows is None  # old file: NULL, not dropped
+    assert got["old_q"].scan_rows == 10
+    assert got["new_q"].status == "ok"
