@@ -3284,12 +3284,15 @@ def p73(spark, sf_dir):
       AND d.doc_id NOT IN (SELECT doc_id FROM in_run_hits)
     ORDER BY d.doc_id
     """,
-    headline=True,
     doc="The full incremental-dedup decision for a shard: drop docs "
     "that collide with the persisted index OR with an earlier-keyed "
     "doc inside the shard (keep-lowest-key), emit the survivors that "
     "would be appended to the index. Ids-only anti-joins; text never "
-    "shuffles. Same simulated corpus/shard split as x73.",
+    "shuffles. Same simulated corpus/shard split as x73. Since round "
+    "12 this is the PAIR-FORM mirror (the verification formulation); "
+    "the production pair-free path is x85, which carries the headline "
+    "bench number — this entry keeps the pair join on purpose as the "
+    "cross-check of the bucket-statistics rewrite.",
 )
 def p74(spark, sf_dir):
     from etsd_time_series_database_spark.operators.dedup import (
@@ -3928,3 +3931,63 @@ def p84(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+@register(
+    "x85_pairfree_shard_dedup",
+    "dedup",
+    f"""
+    WITH idx AS ({_band_cte("doc_id % 3 != 0")}),
+    newb AS ({_band_cte("doc_id % 3 = 0")}),
+    cross_hits AS (
+      SELECT DISTINCT n.doc_id
+      FROM newb n JOIN idx i ON n.band = i.band AND n.sig = i.sig
+    ),
+    in_run_hits AS (
+      SELECT DISTINCT x.doc_id
+      FROM newb x JOIN newb y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id > y.doc_id
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM cross_hits)
+      AND d.doc_id NOT IN (SELECT doc_id FROM in_run_hits)
+    ORDER BY d.doc_id
+    """,
+    headline=True,
+    doc="x74's shard-dedup decision computed by the PRODUCTION "
+    "pair-free path — the code `dedup-probe` actually runs "
+    "(round-11 verdict #2: the headline bench number must track it): "
+    "cross-run drops from per-bucket (count, min) statistics of only "
+    "the index rows whose signatures the shard touches "
+    "(operators.dedup.index_collision_ids — shard signatures "
+    "broadcast, the corpus-sized index never shuffles raw rows), "
+    "in-run keep-lowest from the bucket-min window form "
+    "(keep_lowest_drop_ids) — no pair enumeration anywhere, so a "
+    "degenerate hot band costs linear work (33x/6.6x measured at a "
+    "forced 20k-doc band, scripts/bench_band_hotspot.py). Same "
+    "corpus split, same survivors, same oracle as x74, which stays "
+    "registered as the pair-form mirror.",
+)
+def p85(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.dedup import (
+        index_collision_ids,
+        keep_lowest_drop_ids,
+        minhash_band_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = minhash_band_table(
+        docs.filter(F.col("doc_id") % 3 != 0), hash_mode="poly"
+    )
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    new = minhash_band_table(shard, hash_mode="poly")
+    cross_hits, _already = index_collision_ids(new, idx)
+    in_run_hits = keep_lowest_drop_ids(new)
+    drop = cross_hits.unionByName(in_run_hits).distinct()
+    return (
+        shard.join(drop, on="doc_id", how="left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -232,3 +232,29 @@ def test_bucket_min_and_profile_plan_shapes(spark):
     )
     assert "Join" not in prof_plan and "Window" not in prof_plan
     assert "HashAggregate" in prof_plan
+
+
+def test_x85_headline_runs_the_pairfree_forms(spark):
+    """Round-11 verdict #2: the headline bench's dedup number must
+    execute the production pair-free code (index_collision_ids +
+    keep_lowest_drop_ids), not x74's pair-enumeration mirror. Pinned
+    on the catalog entry itself: the physical plan carries the
+    bucket-statistics aggregate (partial_min over the index side) and
+    window bucket-min, and NO join predicate ever compares two doc_id
+    columns (the pair join's x.doc_id > y.doc_id / < shape), while
+    the output stays byte-equal to x74's."""
+    from etsd_time_series_database_spark.plans import catalog
+
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
+    a = catalog()["x85_pairfree_shard_dedup"].build(spark, sf)
+    rows_a = a.collect()
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    import re
+
+    # any join condition relating doc_id to doc_id = pair enumeration
+    assert not re.search(r"doc_id#\d+L? [<>] doc_id#\d+L?", plan), plan
+    b = catalog()["x74_incremental_dedup_survivors"].build(spark, sf)
+    assert sorted(map(tuple, rows_a)) == sorted(map(tuple, b.collect()))
