@@ -527,6 +527,190 @@ def ivf_append(
     ).write.mode("append").partitionBy("cent_id").parquet(path)
 
 
+def rebalance_cells(
+    spark,
+    path: str,
+    hot_threshold: int,
+    empty_threshold: int = 0,
+    split_factor: int = 2,
+    n_iter: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> dict:
+    """TARGETED rebalance of a :func:`write_ivf_partitioned` layout
+    (round-11 verdict #3 — x83 observes imbalance, this acts on it):
+    split each cell holding more than ``hot_threshold`` vectors into
+    ``split_factor`` sub-cells via a LOCAL Lloyd refinement over that
+    cell's vectors only, retire cells at or under ``empty_threshold``
+    (their vectors reassign to the nearest surviving centroid), and
+    rewrite ONLY the affected partition directories — everything else
+    is untouched on disk. The alternative this replaces is re-running
+    kmeans over the whole corpus because one cell went hot.
+
+    Mechanics, in order:
+
+    1. Per-cell counts from one count-only scan (no data columns read
+       — parquet row-group metadata) pick the hot and empty sets.
+    2. Each hot cell's directory is read BY PATH (``.../cent_id=H`` —
+       untouched cells are structurally outside the scan; the files
+       actually read are returned in ``split_input_files`` so tests
+       can pin it), refined with :func:`kmeans_refine` seeded by the
+       cell's ``split_factor`` lowest keys, and its vectors assigned
+       to the refined sub-centroids. Sub-cells get fresh ids
+       ``max(cent_id) + 1 ...`` allocated over hot cells ascending,
+       sub-seeds by ascending seed key — deterministic, so a SQL
+       oracle can reproduce the whole operation (x86).
+    3. The new sub-cell dirs install via the same staged-rename
+       protocol as the store verbs: data lands under an
+       underscore-temp (invisible to Spark's listing), the hot dir
+       moves aside, sub-dirs rename in, the old dir is deleted last —
+       a crash leaves either the old cell or a rollback-able
+       ``__old_*``, never double-counted vectors.
+    4. Retired cells' vectors (if any) append into surviving cell
+       dirs via the :func:`ivf_append` path (O(retired rows)), then
+       the empty dirs are removed.
+    5. ``_centroids`` is rewritten (split + retired ids out, sub-ids
+       in) through a temp + rename swap, so probers re-plan against
+       the new geometry atomically.
+
+    Cost: O(hot + retired cells' data); the corpus is never reshuffled
+    and untouched dirs are never rewritten (byte-identical — pinned in
+    tests/test_scale_layout.py). Single-writer maintenance, like
+    compaction. Returns {split: {old: [new ids]}, retired: [...],
+    reassigned: n, split_input_files: [...]}.
+
+    Reference analog: none — the reference has no ANN surface; this is
+    the LLM-pipeline half of the brief (index maintenance under skew,
+    the serving-latency-tail fix x83 measures).
+    """
+    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, path)
+    cents = read_centroids(spark, path).collect()  # nlist rows: metadata
+    cent_ids = sorted(int(r["cent_id"]) for r in cents)
+    counts = {
+        int(r["cent_id"]): r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hot = sorted(
+        c for c in cent_ids if counts.get(c, 0) > int(hot_threshold)
+    )
+    empty = sorted(
+        c
+        for c in cent_ids
+        if counts.get(c, 0) <= int(empty_threshold) and c not in hot
+    )
+    if len(empty) == len(cent_ids):
+        raise ValueError(
+            "rebalance_cells: every cell is at or under empty_threshold "
+            "— nothing would survive to hold the corpus"
+        )
+    stats: dict = {
+        "split": {},
+        "retired": empty,
+        "reassigned": 0,
+        "split_input_files": [],
+    }
+    import uuid
+
+    next_id = (max(cent_ids) if cent_ids else 0) + 1
+    new_cents: list[tuple[int, list]] = []
+    for h in hot:
+        cell = spark.read.parquet(f"{path}/cent_id={h}")
+        stats["split_input_files"].extend(cell.inputFiles())
+        seeds = [
+            int(r[key])
+            for r in cell.select(key).orderBy(key).limit(split_factor).collect()
+        ]
+        refined = kmeans_refine(cell, seeds, n_iter=n_iter, key=key, vec=vec)
+        # remap seed-keyed centroid ids -> fresh ids (ascending seed)
+        id_map = {s: next_id + i for i, s in enumerate(sorted(seeds))}
+        next_id += len(seeds)
+        stats["split"][h] = sorted(id_map.values())
+        mapping = F.create_map(
+            *[F.lit(x) for kv in id_map.items() for x in kv]
+        )
+        refined = refined.withColumn(
+            "cent_id", mapping[F.col("cent_id")]
+        ).localCheckpoint()
+        new_cents.extend(
+            (int(r["cent_id"]), r["cent_vec"]) for r in refined.collect()
+        )
+        assigned = assign_cells(cell, [], key, vec, _centroids=refined)
+        token = uuid.uuid4().hex
+        tmp = f"{path}/__rebal_{token}"
+        assigned.repartition(F.col("cent_id")).write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(tmp)
+        sub_parts = [
+            st.getPath().getName()
+            for st in fs.listStatus(Path(tmp))
+            if st.getPath().getName().startswith("cent_id=")
+        ]
+        old_dir = Path(f"{path}/cent_id={h}")
+        old = Path(f"{path}/__old_{token}")
+        if not fs.rename(old_dir, old):
+            fs.delete(Path(tmp), True)
+            raise IOError(f"rebalance: failed to move cent_id={h} aside")
+        installed = []
+        ok = True
+        for sp in sub_parts:
+            if fs.rename(Path(f"{tmp}/{sp}"), Path(f"{path}/{sp}")):
+                installed.append(sp)
+            else:
+                ok = False
+                break
+        if not ok:
+            for sp in installed:  # roll back: old cell returns whole
+                fs.delete(Path(f"{path}/{sp}"), True)
+            fs.rename(old, old_dir)
+            fs.delete(Path(tmp), True)
+            raise IOError(f"rebalance: failed to install split of cell {h}")
+        fs.delete(old, True)
+        fs.delete(Path(tmp), True)
+    # surviving centroid table: drop split + retired, add sub-cells
+    gone = set(hot) | set(empty)
+    survivors = [
+        (int(r["cent_id"]), r["cent_vec"])
+        for r in cents
+        if int(r["cent_id"]) not in gone
+    ] + new_cents
+    cent_df = spark.createDataFrame(
+        survivors, "cent_id int, cent_vec array<float>"
+    )
+    # retired cells with stragglers: reassign against the NEW geometry
+    for e in empty:
+        e_dir = Path(f"{path}/cent_id={e}")
+        if not fs.exists(e_dir):
+            continue
+        stragglers = spark.read.parquet(f"{path}/cent_id={e}")
+        n = stragglers.count()
+        if n:
+            assign_cells(
+                stragglers, [], key, vec, _centroids=cent_df
+            ).repartition(F.col("cent_id")).write.mode(
+                "append"
+            ).partitionBy("cent_id").parquet(path)
+            stats["reassigned"] += n
+        fs.delete(e_dir, True)
+    token = uuid.uuid4().hex
+    ctmp = f"{path}/__cent_{token}"
+    cent_df.coalesce(1).write.mode("overwrite").parquet(ctmp)
+    cdir = Path(path + "/_centroids")
+    cold = Path(f"{path}/__centold_{token}")
+    if not fs.rename(cdir, cold):
+        fs.delete(Path(ctmp), True)
+        raise IOError("rebalance: failed to move _centroids aside")
+    if not fs.rename(Path(ctmp), cdir):
+        fs.rename(cold, cdir)
+        raise IOError("rebalance: failed to install new _centroids")
+    fs.delete(cold, True)
+    return stats
+
+
 def nearest_cells(
     centroids: DataFrame,
     query_vec: list[float],

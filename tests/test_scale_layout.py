@@ -701,3 +701,118 @@ def test_incremental_dedup_completes_torn_append(spark, tmp_path):
     assert {r["doc_id"] for r in retried.collect()} == ids
     got_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got_rows == want_rows
+
+
+def test_rebalance_cells_splits_hot_retires_empty(spark, tmp_path):
+    """rebalance_cells (round-11 verdict #3 — acting on x83's
+    observation): the hot cell splits into fresh sub-cells via a LOCAL
+    Lloyd over that cell only, the near-empty cell retires with its
+    straggler reassigned, and the untouched cell's files are
+    byte-identical afterwards. Post-rebalance assignment equals a full
+    re-cluster RESTRICTED to the touched cells; the split's input
+    files all live under the hot cell's directory (untouched dirs are
+    structurally outside the scan); the x83 profile over the new
+    geometry is flatter."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        assign_cells,
+        cell_balance_profile,
+        kmeans_refine,
+        read_centroids,
+        rebalance_cells,
+        write_ivf_partitioned,
+    )
+
+    rows = (
+        [(i, [1.0, i * 0.009]) for i in range(100)]          # hot cluster
+        + [(100 + j, [0.01 * j, 1.0]) for j in range(20)]    # healthy
+        + [(120, [-1.0, 0.01])]                              # straggler
+    )
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    path = str(tmp_path / "ivf_rebal")
+    write_ivf_partitioned(emb, centroid_ids=[0, 100, 120], path=path)
+    before_prof = {
+        r["cent_id"]: r["pct_corpus"]
+        for r in cell_balance_profile(
+            emb, [], _centroids=read_centroids(spark, path)
+        ).collect()
+    }
+
+    def cell_files(cid):
+        d = os.path.join(path, f"cent_id={cid}")
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(d, f), "rb").read()
+            ).hexdigest()
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    healthy_before = cell_files(100)
+    stats = rebalance_cells(
+        spark, path, hot_threshold=50, empty_threshold=1
+    )
+    # untouched cell: its pre-existing files are byte-identical (the
+    # straggler reassignment APPENDS a new file there — the ivf_append
+    # contract — but never rewrites what the cell already held)
+    healthy_after = cell_files(100)
+    assert all(
+        healthy_after.get(f) == h for f, h in healthy_before.items()
+    )
+    # the split read only the hot cell's directory
+    assert stats["split_input_files"], "split must report its scan"
+    assert all(
+        f"cent_id=0/" in f for f in stats["split_input_files"]
+    ), stats["split_input_files"]
+    # fresh ids after the max (120): two sub-cells
+    assert stats["split"] == {0: [121, 122]}
+    assert stats["retired"] == [120] and stats["reassigned"] == 1
+    # centroid table swapped atomically to the new geometry
+    cents = read_centroids(spark, path)
+    assert {r["cent_id"] for r in cents.collect()} == {100, 121, 122}
+    # post-rebalance assignment == full re-cluster restricted to the
+    # touched cells: hot vectors re-assigned against the local Lloyd
+    # refinement (seeds = the cell's two lowest keys), healthy cell
+    # untouched, straggler to its nearest survivor
+    got = {
+        (r["vec_id"], r["cent_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    hot_vecs = emb.filter(F.col("vec_id") < 100)
+    refined = kmeans_refine(hot_vecs, [0, 1], n_iter=2)
+    remap = {0: 121, 1: 122}
+    want_hot = {
+        (r["vec_id"], remap[r["cent_id"]])
+        for r in assign_cells(
+            hot_vecs, [], _centroids=refined
+        ).collect()
+    }
+    want = (
+        want_hot
+        | {(100 + j, 100) for j in range(20)}
+        | {
+            (120, r["cent_id"])
+            for r in assign_cells(
+                emb.filter(F.col("vec_id") == 120), [], _centroids=cents
+            ).collect()
+        }
+    )
+    assert got == want
+    # both sub-cells actually hold vectors (the split was real)
+    from collections import Counter
+
+    sizes = Counter(c for _, c in got)
+    assert sizes[121] > 0 and sizes[122] > 0
+    # x83 over the new geometry: the hot share flattened
+    after_prof = cell_balance_profile(
+        spark.read.parquet(path).select("vec_id", "embedding"),
+        [],
+        _centroids=cents,
+    ).collect()
+    assert max(r["pct_corpus"] for r in after_prof) < max(
+        before_prof.values()
+    )
