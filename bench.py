@@ -439,7 +439,15 @@ def _skew_compare(spark) -> dict:
             df, hi=90000.0, lo=10000.0, scalable=False
         ),
         "episodes_scalable_s": lambda: hysteresis_episodes(
-            df, hi=90000.0, lo=10000.0
+            df, hi=90000.0, lo=10000.0, scalable=True
+        ),
+        # round-12 default: density rollup picks plain here (1.33M
+        # decisive rows/channel < AUTO_EPISODE_PLAIN_MAX) — should
+        # track episodes_global_s plus the rollup's epsilon; the
+        # stitched pick under a dense single channel is measured in
+        # scripts/bench_episode_crossover.py
+        "episodes_auto_s": lambda: hysteresis_episodes(
+            df, hi=90000.0, lo=10000.0, scalable="auto"
         ),
         # q57's union under chatter: (event_id % 2) alternates per
         # consecutive id and ids interleave round-robin over the 3

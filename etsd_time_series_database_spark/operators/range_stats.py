@@ -1383,6 +1383,20 @@ def alarm_reliability(
     )
 
 
+# Decisive rows per channel below which the PLAIN channel-global
+# window beats the stitched form: one sort task over <= this many rows
+# stays in task memory and skips the stitch's boundary join entirely.
+# Measured (scripts/bench_episode_crossover.py, 20M rows, 32 cores):
+# chatter at 1.33M decisive rows/channel — plain 3.6 s vs stitched
+# 4.0 s (the 3-rounds-documented q62 crossover, plain wins); 20M
+# decisive rows in ONE channel — plain 90.2 s vs stitched 11.7 s (the
+# cliff). auto picked right in both (2.9 s / 11.7 s = best-of-both).
+# The constant sits above every measured plain-wins point with the
+# cliff still far away; the auto mode exists so the cliff is
+# unreachable by DEFAULT while small jobs keep the faster plan.
+AUTO_EPISODE_PLAIN_MAX = 3_000_000
+
+
 def hysteresis_episodes(
     df: DataFrame,
     hi: float,
@@ -1391,8 +1405,9 @@ def hysteresis_episodes(
     value: str = "value",
     ts: str = "ts",
     seq: str = "event_id",
-    scalable: bool = True,
+    scalable: bool | str = "auto",
     bucket_s: int = 86400,
+    auto_plain_max: int = AUTO_EPISODE_PLAIN_MAX,
 ) -> DataFrame:
     """Alarm accounting with HYSTERESIS: an episode opens when the
     value crosses ``hi`` and stays open until it falls to ``lo`` or
@@ -1414,6 +1429,17 @@ def hysteresis_episodes(
     partitioning (the q59 shape); ``scalable=False`` selects plain
     channel-global windows (the oracle's formulation, equivalence-
     tested). Per-channel rollup = the q56 packed-decimal argmax.
+
+    ``scalable="auto"`` (the default since round 12 — the q62
+    crossover measured three rounds running is now the plan choice,
+    not a footnote): one rollup of the decisive table picks the form —
+    plain when the BUSIEST channel's decisive rows fit a single sort
+    task (``auto_plain_max``, measured crossover constant above),
+    stitched otherwise. Like co_alarm_matrix's auto mode this is EAGER
+    at DataFrame-construction time (the decisive table is
+    localCheckpoint-ed and one small driver aggregate runs); pass an
+    explicit bool to stay lazy. Output equality between all three
+    modes is test-pinned.
     """
     us = epoch_us(ts)
     dec = (
@@ -1427,6 +1453,21 @@ def hysteresis_episodes(
             (F.col(value) >= hi).cast("int").alias("__set"),
         )
     )
+    if scalable == "auto":
+        # density rollup: max decisive rows in any one channel. A
+        # deliberate RE-SCAN, not a localCheckpoint — the rollup is a
+        # column-pruned filter + map-side-combinable count (cheap),
+        # while materializing the decisive table to checkpoint storage
+        # costs more than the second scan it would save (measured in
+        # scripts/bench_episode_crossover.py: checkpointing added ~6 s
+        # at 20M dense rows vs ~1 s for the counting scan)
+        mx = (
+            dec.groupBy(channel)
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        scalable = bool(mx and int(mx) > int(auto_plain_max))
     if scalable:
         from etsd_time_series_database_spark.operators.scalable_window import (
             cumsum_scalable,

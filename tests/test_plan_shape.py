@@ -417,11 +417,15 @@ def test_quality_percentile_rank_window_is_bucket_parallel(spark):
     ), "found a source-global window ordered by quality (unbounded sort)"
 
 
-def test_hysteresis_episodes_windows_are_bucket_stitched(spark):
-    """q62's default path must never window the decisive table by
-    channel alone: the lag and the prefix sum run at (channel, __bkt)
-    parallelism; channel-only specs are legal only on the tiny
-    boundary tables, which order by __bkt."""
+def test_hysteresis_episodes_auto_picks_form_by_density(spark):
+    """q62's default is scalable='auto' since round 12 (round-11
+    verdict #5): the decisive-density rollup picks the PLAIN
+    channel-global window when the busiest channel's decisive rows fit
+    a single sort task (the measured crossover — this data), and the
+    stitched (channel, __bkt) form past the threshold (forced here via
+    auto_plain_max=0). The stitched plan must never window the
+    decisive table by channel alone; channel-only specs are legal only
+    on the tiny boundary tables, which order by __bkt."""
     import re
 
     from etsd_time_series_database_spark.operators.range_stats import (
@@ -429,13 +433,28 @@ def test_hysteresis_episodes_windows_are_bucket_stitched(spark):
     )
 
     df = load_table(spark, SF_SMOKE, "events")
+    # small data: auto resolves to the plain form (channel-global
+    # window present, no bucket stitch machinery)
     plan = _plan(hysteresis_episodes(df, 250.0, 50.0))
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, (ts|us|__us)#", plan
+    ), "auto under the crossover must pick the plain form"
+    assert "__bkt" not in plan
+    # past the threshold: auto resolves to the stitched form
+    plan = _plan(
+        hysteresis_episodes(df, 250.0, 50.0, auto_plain_max=0)
+    )
     assert re.search(
         r"windowspecdefinition\(event_type#\d+, __bkt#\d+L, ts#", plan
     ), "no (channel, bucket) window over the decisive table"
     assert not re.search(
         r"windowspecdefinition\(event_type#\d+, (ts|us|__us)#", plan
     ), "found a channel-global window over the decisive table"
+    # explicit bool stays lazy and stitched (the pre-round-12 default)
+    plan = _plan(hysteresis_episodes(df, 250.0, 50.0, scalable=True))
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, __bkt#\d+L, ts#", plan
+    )
 
 
 def test_rle_profile_windows_are_bucket_stitched(spark):
