@@ -310,6 +310,57 @@ def cmd_probe(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_rebalance(args, spark: SparkSession) -> int:
+    """Targeted maintenance of a write-index IVF layout: split cells
+    over --hot via a local per-cell Lloyd, retire cells at or under
+    --empty (stragglers reassign to the nearest survivor), rewrite
+    ONLY the affected cell directories (operators.similarity.
+    rebalance_cells — the acting half of the x83 cell-balance
+    profile). Exit 2 if the path is not a write-index layout."""
+    from etsd_time_series_database_spark.operators.similarity import (
+        cell_balance_profile,
+        read_centroids,
+        rebalance_cells,
+    )
+    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, args.path)
+    if not fs.exists(Path(args.path + "/_centroids")):
+        print(
+            f"rebalance: {args.path} is not a write-index IVF layout "
+            "(no _centroids table; build it with `write-index`)",
+            file=sys.stderr,
+        )
+        return 2
+    stats = rebalance_cells(
+        spark, args.path,
+        hot_threshold=args.hot,
+        empty_threshold=args.empty,
+        split_factor=args.split,
+        n_iter=args.iters,
+        key=args.key,
+        vec=args.vec,
+    )
+    for old, new in sorted(stats["split"].items()):
+        print(f"split cell {old} -> {new}")
+    for c in stats["retired"]:
+        print(f"retired cell {c}")
+    print(
+        f"{len(stats['split'])} cell(s) split, "
+        f"{len(stats['retired'])} retired, "
+        f"{stats['reassigned']} straggler vector(s) reassigned"
+    )
+    if args.profile:
+        cell_balance_profile(
+            spark.read.parquet(args.path).select(args.key, args.vec),
+            [],
+            key=args.key,
+            vec=args.vec,
+            _centroids=read_centroids(spark, args.path),
+        ).show(n=1000, truncate=False)
+    return 0
+
+
 def cmd_dedup_index(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.operators.dedup import (
         write_minhash_index,
@@ -728,13 +779,15 @@ def cmd_amend(args, spark: SparkSession) -> int:
         )
 
         fs, Path = _hadoop_fs(spark, args.refresh_sink)
-        if fs.exists(Path(args.refresh_sink)) and not list_date_partitions(
+        if not fs.exists(Path(args.refresh_sink)) or not list_date_partitions(
             spark, args.refresh_sink
         ):
+            # a missing sink would come back holding ONLY the amended
+            # days — a partial tier masquerading as complete
             print(
-                f"amend: --refresh-sink {args.refresh_sink} is not a "
-                "dt=-partitioned downsample sink; rebuild it with "
-                "`recover --partitioned` first",
+                f"amend: --refresh-sink {args.refresh_sink} is not an "
+                "existing dt=-partitioned downsample sink; build it "
+                "with `recover --partitioned` first",
                 file=sys.stderr,
             )
             return 2
@@ -1014,6 +1067,27 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--key", default="vec_id")
     pr.add_argument("--vec", default="embedding")
     pr.set_defaults(fn=cmd_probe)
+
+    rb = sub.add_parser(
+        "rebalance",
+        help="split hot IVF cells / retire empties in a write-index "
+        "layout, rewriting only the affected cell dirs (acts on the "
+        "x83 cell-balance profile)",
+    )
+    rb.add_argument("path", help="index directory from write-index")
+    rb.add_argument("--hot", type=int, required=True,
+                    help="split cells holding more than this many vectors")
+    rb.add_argument("--empty", type=int, default=0,
+                    help="retire cells at or under this many vectors")
+    rb.add_argument("--split", type=int, default=2,
+                    help="sub-cells per split cell")
+    rb.add_argument("--iters", type=int, default=2,
+                    help="local Lloyd iterations per split")
+    rb.add_argument("--key", default="vec_id")
+    rb.add_argument("--vec", default="embedding")
+    rb.add_argument("--profile", action="store_true",
+                    help="print the post-rebalance cell-balance profile")
+    rb.set_defaults(fn=cmd_rebalance)
 
     w = sub.add_parser(
         "watch",

@@ -300,6 +300,36 @@ def compact_partition(
     return len(files_before)
 
 
+def cross_day_probe(
+    spark: SparkSession,
+    path: str,
+    corrections: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """The key→day probe behind :func:`amend_events`'s cross-day
+    handling: for every correction key, the partitions where the key
+    lives TODAY that differ from where its corrected ``ts`` sends it —
+    i.e. the stale rows a true upsert must also delete.
+
+    Scale shape (plan-asserted in tests/test_plan_shape.py): the store
+    scan is COLUMN-PRUNED to the key columns (``dt`` is a partition
+    value, read from directory names, and the probe never touches
+    value/props bytes), and the tiny correction side broadcasts, so
+    the store never shuffles — the price of not maintaining a key→day
+    side index is one key-column scan, not a corpus shuffle. Output is
+    bounded by the correction count.
+    """
+    target_of = corrections.select(
+        *keys, F.to_date("ts").cast("string").alias("__target_d")
+    )
+    return (
+        spark.read.parquet(path)
+        .select(*keys, F.col("dt").cast("string").alias("__old_d"))
+        .join(F.broadcast(target_of), on=keys, how="inner")
+        .filter(F.col("__old_d") != F.col("__target_d"))
+    )
+
+
 def amend_events(
     spark: SparkSession,
     path: str,
@@ -388,18 +418,7 @@ def amend_events(
     days = set(target_days)
     all_keys = corrections.select(*keys).distinct()
     if cross_day in ("resolve", "fail"):
-        # key→day probe: where does each correction key live TODAY?
-        # Column-pruned to key_cols + the dt partition value; the
-        # broadcast semi-join keeps the store side shuffle-free.
-        target_of = corrections.select(
-            *keys, F.to_date("ts").cast("string").alias("__target_d")
-        )
-        probe = (
-            spark.read.parquet(path)
-            .select(*keys, F.col("dt").cast("string").alias("__old_d"))
-            .join(F.broadcast(target_of), on=keys, how="inner")
-            .filter(F.col("__old_d") != F.col("__target_d"))
-        )
+        probe = cross_day_probe(spark, path, corrections, keys)
         stale = probe.collect()  # bounded: <= one row per correction key
         if stale and cross_day == "fail":
             shown = ", ".join(

@@ -1046,3 +1046,65 @@ def test_recover_days_refresh_after_amend(spark, tmp_path, capsys):
     b = spark.read.parquet(control).drop("dt")
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rebalance_cli_splits_hot_cell(spark, tmp_path, capsys):
+    """The rebalance verb drives operators.similarity.rebalance_cells
+    through the CLI against a write-index layout: the hot cell splits
+    into fresh sub-cell dirs, the untouched cell's files survive
+    byte-identical, probes keep working against the swapped
+    _centroids, and a non-layout path is refused (rc 2)."""
+    import hashlib
+    import os
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, i * 0.009]) for i in range(80)]
+        + [(100 + j, [0.01 * j, 1.0]) for j in range(20)],
+        "vec_id int, embedding array<float>",
+    )
+    src = str(tmp_path / "emb.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "ivf_idx")
+    assert cli.main(
+        ["write-index", src, idx, "--centroids", "0,100"], spark=spark
+    ) == 0
+
+    def cell_files(cid):
+        d = os.path.join(idx, f"cent_id={cid}")
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(d, f), "rb").read()
+            ).hexdigest()
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    healthy = cell_files(100)
+    capsys.readouterr()
+    rc = cli.main(
+        ["rebalance", idx, "--hot", "50", "--profile"], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "split cell 0 -> [101, 102]" in out
+    assert "1 cell(s) split, 0 retired" in out
+    assert "pct_corpus" in out  # --profile printed
+    assert cell_files(100) == healthy
+    assert not os.path.isdir(os.path.join(idx, "cent_id=0"))
+    got = spark.read.parquet(idx)
+    assert got.count() == 100
+    assert {
+        r["cent_id"] for r in got.select("cent_id").distinct().collect()
+    } == {100, 101, 102}
+    # probing still plans against the swapped centroid table
+    capsys.readouterr()
+    assert cli.main(
+        ["probe", idx, "--vector", "1.0,0.3", "-k", "3"], spark=spark
+    ) == 0
+    assert "probing cells" in capsys.readouterr().out
+
+    # not a layout -> rc 2
+    assert cli.main(
+        ["rebalance", src, "--hot", "50"], spark=spark
+    ) == 2
+    assert "not a write-index" in capsys.readouterr().err

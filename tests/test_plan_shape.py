@@ -584,3 +584,44 @@ def test_topk_per_channel_uses_window_group_limit(spark):
     plan = _plan(catalog()["q09_topk_per_channel"].build(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_amend_cross_day_probe_prunes_and_broadcasts(spark, tmp_path):
+    """amend's key→day probe (the cross-day delete side, round-11
+    verdict #1) must stay a key-column scan + broadcast join at 100 TB:
+    the store scan's ReadSchema carries ONLY the key column (dt is a
+    directory value, value/props bytes never read) and the tiny
+    correction side rides the broadcast — no store-side shuffle."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.sources.store import (
+        cross_day_probe,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    store = str(tmp_path / "probe_store")
+    events.withColumn("dt", F.to_date("ts")).repartition(
+        "dt"
+    ).write.partitionBy("dt").parquet(store)
+    corr = events.limit(3).withColumn(
+        "ts", F.to_timestamp(F.lit("2033-01-01 00:00:00"))
+    ).localCheckpoint()
+    probe = cross_day_probe(spark, store, corr, ["event_id"])
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split(
+        "BroadcastHashJoin"
+    )[0], "store side must not shuffle before the broadcast join"
+    # the STORE scan reads only the key column beside the dt partition
+    # value (plan paths truncate, so identify it by its column list)
+    m = re.search(
+        r"FileScan parquet \[event_id#\d+L,dt#\d+\].*?"
+        r"ReadSchema: struct<([^>]*)>",
+        plan,
+        re.DOTALL,
+    )
+    assert m, plan
+    assert m.group(1) == "event_id:bigint", m.group(1)
