@@ -1108,3 +1108,71 @@ def test_rebalance_cli_splits_hot_cell(spark, tmp_path, capsys):
         ["rebalance", src, "--hot", "50"], spark=spark
     ) == 2
     assert "not a write-index" in capsys.readouterr().err
+
+
+def test_amend_resolve_is_a_true_upsert_property(spark, tmp_path):
+    """The round-12 amend contract as one invariant: for ANY mix of
+    in-day replacements, cross-day moves, and brand-new keys, the
+    post-amend store equals exactly (store rows whose key is not
+    corrected) UNION (the corrections) — one row per key, no stale
+    copies anywhere — and the stats partition the correction set."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.sources.store import amend_events
+
+    store = str(tmp_path / "prop_store")
+    assert cli.main(
+        ["create", EVENTS, store, "--mode", "overwrite"], spark=spark
+    ) == 0
+    src = cli._load_events(spark, EVENTS)
+
+    # deterministic mixed correction set: 5 in-day value bumps, 4
+    # cross-day ts moves (2 to an existing other day, 2 to a new day),
+    # 3 brand-new keys
+    keyed = src.orderBy("event_id").limit(9).collect()
+    days = sorted({r.ts.date().isoformat() for r in src.collect()})
+    other_day = days[2]
+    parts = []
+    inday = spark.createDataFrame(keyed[:5], src.schema).withColumn(
+        "value", F.col("value") + 77.0
+    )
+    parts.append(inday)
+    move_existing = spark.createDataFrame(keyed[5:7], src.schema).withColumn(
+        "ts", F.to_timestamp(F.lit(f"{other_day} 11:22:33"))
+    )
+    parts.append(move_existing)
+    move_new = spark.createDataFrame(keyed[7:9], src.schema).withColumn(
+        "ts", F.to_timestamp(F.lit("2035-05-05 05:05:05"))
+    )
+    parts.append(move_new)
+    fresh = spark.createDataFrame(keyed[:3], src.schema).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    ).withColumn("ts", F.to_timestamp(F.lit("2035-06-06 06:06:06")))
+    parts.append(fresh)
+    corr = parts[0]
+    for p in parts[1:]:
+        corr = corr.unionByName(p)
+    corr = corr.localCheckpoint()
+
+    stats = amend_events(spark, store, corr)
+    got = (
+        spark.read.parquet(store)
+        .drop("dt")
+        .select(*src.columns)
+    )
+    want = src.join(
+        corr.select("event_id"), on="event_id", how="left_anti"
+    ).unionByName(corr.select(*src.columns))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # every corrected key exists exactly once
+    assert (
+        got.join(corr.select("event_id"), "event_id")
+        .groupBy("event_id").count().filter("count != 1").count() == 0
+    )
+    # stats partition the 12 corrections: 5 replaced in place, 4
+    # moved across days, 3 net inserts
+    assert stats["replaced"] == 5
+    assert stats["moved"] == 4
+    assert stats["inserted"] == 3
