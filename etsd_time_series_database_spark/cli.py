@@ -525,14 +525,34 @@ def cmd_watch(args, spark: SparkSession) -> int:
         )
     else:
         writer = writer.format("console").option("truncate", "false")
-    if args.follow:
-        q = writer.trigger(processingTime=f"{args.interval} seconds").start()
-        q.awaitTermination()
-    else:
-        from etsd_time_series_database_spark.plans.metrics import (
-            ProgressAccumulator,
-        )
+    from etsd_time_series_database_spark.plans.metrics import (
+        ProgressAccumulator,
+    )
 
+    if args.follow:
+        # exact totals for the resident daemon too: a --follow run
+        # outliving the recentProgress retention cap (100 batches)
+        # would otherwise report undercounted totals at shutdown
+        acc = ProgressAccumulator()
+        spark.streams.addListener(acc.listener)
+        try:
+            q = writer.trigger(
+                processingTime=f"{args.interval} seconds"
+            ).start()
+            try:
+                q.awaitTermination()
+            finally:
+                acc.wait_terminated(q, timeout_s=10.0)
+                totals = acc.totals(q)
+                print(
+                    f"watch[{args.mode}]: stopped after "
+                    f"{totals['n_batches']} micro-batch(es), "
+                    f"{totals['input_rows']} row(s) in, "
+                    f"{totals['late_rows']} dropped by watermark"
+                )
+        finally:
+            spark.streams.removeListener(acc.listener)
+    else:
         # listener-based fold: exact totals even past the
         # recentProgress retention cap (default 100 micro-batches)
         acc = ProgressAccumulator()

@@ -1176,3 +1176,51 @@ def test_amend_resolve_is_a_true_upsert_property(spark, tmp_path):
     assert stats["replaced"] == 5
     assert stats["moved"] == 4
     assert stats["inserted"] == 3
+
+
+def test_watch_follow_reports_exact_totals_on_stop(spark, tmp_path, capsys):
+    """--follow (the resident daemon) folds totals through the same
+    listener as catch-up runs, so a stop after any number of
+    micro-batches reports the true input/late counts rather than the
+    retention-capped recentProgress refold."""
+    import threading
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "follow_src")
+    out = str(tmp_path / "follow_out")
+    rows = [(f"2026-01-01 00:00:{s:02d}", "s", "a", float(s), 0)
+            for s in range(10)]
+    spark.createDataFrame(
+        rows, "ts string, source string, channel string, value double, "
+              "status int",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(src)
+
+    def stop_when_processed():
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            qs = [q for q in spark.streams.active if q.isActive]
+            for q in qs:
+                if q.lastProgress and q.lastProgress["numInputRows"] >= 0 \
+                        and q.recentProgress:
+                    done = sum(
+                        p["numInputRows"] for p in q.recentProgress
+                    )
+                    if done >= 10:
+                        q.stop()
+                        return
+            _time.sleep(0.5)
+
+    t = threading.Thread(target=stop_when_processed, daemon=True)
+    t.start()
+    rc = cli.main(
+        ["watch", src, "--mode", "freshness", "--out", out,
+         "--follow", "--interval", "1"],
+        spark=spark,
+    )
+    t.join(timeout=10)
+    assert rc == 0
+    out_txt = capsys.readouterr().out
+    assert "watch[freshness]: stopped after" in out_txt
+    assert "10 row(s) in" in out_txt
