@@ -3833,10 +3833,9 @@ def p83(spark, sf_dir):
     )
 
 
-@register(
-    "x84_ordered_shard_dedup",
-    "dedup",
-    f"""
+# Shared by x84 (CLI batch lifecycle) and s18 (streaming foreachBatch
+# lifecycle): the ordered-arrival shard-dedup recursion unrolled.
+ORDERED_SHARD_DEDUP_SQL = f"""
     WITH {_minhash_bands_ctes()},
     b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 1),
     b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
@@ -3872,7 +3871,13 @@ def p83(spark, sf_dir):
     UNION ALL
     SELECT CAST(3 AS INTEGER) AS arrival, doc_id FROM s0
     ORDER BY arrival, doc_id
-    """,
+    """
+
+
+@register(
+    "x84_ordered_shard_dedup",
+    "dedup",
+    ORDERED_SHARD_DEDUP_SQL,
     doc="The cross-run dedup index's ORDERED-ARRIVAL lifecycle on the "
     "oracle gate, end-to-end THROUGH THE CLI (the x73/x74 semantics "
     "s14 gave the watch daemon): shard 1 (doc_id%3=1) seeds the "

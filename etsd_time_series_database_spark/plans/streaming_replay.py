@@ -25,6 +25,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etsd_time_series_database_spark.plans.pipeline import (
+    ORDERED_SHARD_DEDUP_SQL,
+)
 from etsd_time_series_database_spark.plans.registry import register
 
 # q62's hysteresis thresholds (plans/timeseries.py) — same comparator.
@@ -1356,3 +1359,89 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_input_rows bigint, n_dropped_groups bigint",
     ).orderBy("n_input_rows")
+
+
+@register(
+    "s18_streaming_dedup_replay",
+    "streaming",
+    # the x84 recursion VERBATIM: arrival order determines the
+    # survivor set whether the shards arrive through CLI verbs (x84)
+    # or as micro-batches of a checkpointed stream (this entry)
+    ORDERED_SHARD_DEDUP_SQL,
+    doc="Dedup as a LIVE INGEST STAGE: document shards land in a "
+    "watched directory and a foreachBatch sink runs the production "
+    "incremental_dedup against the persisted MinHash index per "
+    "micro-batch — drop against the index as left by previous "
+    "arrivals plus in-shard keep-lowest, persist survivors (one dir "
+    "per batch id), append survivors' signatures. Shard 1 seeds the "
+    "index offline; shard 2 catches up in session one; the directory "
+    "then GROWS by shard 0 and a SECOND session resumes from the "
+    "checkpoint (the daemon-restart story s14 gates for alarms) and "
+    "processes ONLY the new file. Oracle = x84's ordered-arrival "
+    "recursion VERBATIM — the streaming topology with checkpoint "
+    "resume must reproduce the CLI batch lifecycle's survivor set "
+    "exactly. Probe internals are the pair-free bucket-statistics "
+    "forms (operators/dedup.py:221,677).",
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        incremental_dedup,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    work = tempfile.mkdtemp(prefix="s18_dedup_")
+    idx = os.path.join(work, "index")
+    src = os.path.join(work, "arrivals")
+    surv = os.path.join(work, "survivors")
+    ck = os.path.join(work, "ck")
+    try:
+        write_minhash_index(
+            docs.filter(F.col("doc_id") % 3 == 1), idx, hash_mode="poly"
+        )
+
+        def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+            incremental_dedup(
+                batch, idx, survivors_path=f"{surv}/batch={batch_id}"
+            )
+
+        def catch_up() -> None:
+            q = (
+                spark.readStream.schema(docs.schema)
+                .parquet(src)
+                .writeStream.foreachBatch(dedup_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # arrival 2 lands; session one catches up (micro-batch 0)
+        docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        catch_up()
+        # the directory grows by arrival 3; session two resumes from
+        # the checkpoint and processes only the new file (batch 1)
+        docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        catch_up()
+
+        out = (
+            spark.read.parquet(f"{surv}/batch=0")
+            .select(F.lit(2).cast("int").alias("arrival"), "doc_id")
+            .unionByName(
+                spark.read.parquet(f"{surv}/batch=1").select(
+                    F.lit(3).cast("int").alias("arrival"), "doc_id"
+                )
+            )
+            .orderBy("arrival", "doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
