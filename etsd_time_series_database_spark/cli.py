@@ -671,16 +671,25 @@ def _digest_drift(
     bucket_s: int,
     channel_col: str,
     value_col: str,
+    materialized: bool = False,
 ) -> DataFrame:
     """Drifted (channel, bucket) cells between two stores' content
     digests (operators.range_stats.range_digest, q77) — the shared
     core of the digest-diff and repair verbs. One full-outer join of
-    two KB-per-store digest tables; no event data crosses the wire."""
+    two KB-per-store digest tables; no event data crosses the wire.
+    ``materialized=True`` treats both paths as digest-TIER tables
+    (sources.store.refresh_digest_tier output) and skips the store
+    scans entirely — the cheap monitoring cadence; drift is then "as
+    of each tier's refresh", which is why repair never uses it."""
     from etsd_time_series_database_spark.operators.range_stats import (
         range_digest,
     )
 
     def digests(path):
+        if materialized:
+            return spark.read.parquet(path).select(
+                channel_col, "bucket_us", "n", "digest"
+            )
         return range_digest(
             _load_events(spark, path),
             bucket_s=bucket_s,
@@ -722,6 +731,39 @@ def _digest_drift(
     )
 
 
+def cmd_digest_tier(args, spark: SparkSession) -> int:
+    """Materialize / day-refresh the q77 content digest as a
+    dt=-partitioned table beside a store (sources.store.
+    refresh_digest_tier) — the monitoring tier: `digest-diff
+    --materialized` then compares replicas without scanning any
+    events. Exit 2 if the store is not dt=-partitioned."""
+    from etsd_time_series_database_spark.sources.store import (
+        list_date_partitions,
+        refresh_digest_tier,
+    )
+
+    if not list_date_partitions(spark, args.store):
+        print(
+            f"digest-tier: {args.store} is not a dt=-partitioned events "
+            "store (create it with the `create` verb)",
+            file=sys.stderr,
+        )
+        return 2
+    days = args.days.split(",") if args.days else None
+    stats = refresh_digest_tier(
+        spark, args.store, args.path,
+        bucket_s=args.bucket, days=days,
+        channel_col=args.channel_col, value_col=args.value_col,
+    )
+    scope = f"day(s) {', '.join(sorted(stats))}" if days else "full build"
+    print(
+        f"digest tier {args.path} <- {args.store} "
+        f"(bucket={args.bucket}s, {scope}, "
+        f"{sum(stats.values())} digest cell(s))"
+    )
+    return 0
+
+
 def cmd_digest_diff(args, spark: SparkSession) -> int:
     """Compare two stores by their per-(channel, bucket) content
     digests (operators.range_stats.range_digest, q77) and print only
@@ -729,7 +771,7 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
     Exit code 0 = identical, 3 = drift found."""
     drift = _digest_drift(
         spark, args.left, args.right, args.bucket, args.channel_col,
-        args.value_col,
+        args.value_col, materialized=args.materialized,
     )
     # display fetches at most --limit rows; the exact total comes from
     # a separate count — two wholly divergent stores must never
@@ -822,6 +864,23 @@ def cmd_amend(args, spark: SparkSession) -> int:
             f"refreshed {args.refresh_sink} for day(s) "
             f"{', '.join(amended_days)} "
             f"({sum(rstats.values())} bucket row(s))"
+        )
+    if args.refresh_digest:
+        from etsd_time_series_database_spark.sources.store import (
+            refresh_digest_tier,
+        )
+
+        amended_days = sorted(
+            p.split("=", 1)[1] for p in stats["partitions"]
+        )
+        dstats = refresh_digest_tier(
+            spark, args.path, args.refresh_digest,
+            bucket_s=args.digest_bucket, days=amended_days,
+        )
+        print(
+            f"refreshed digest tier {args.refresh_digest} for day(s) "
+            f"{', '.join(amended_days)} "
+            f"({sum(dstats.values())} digest cell(s))"
         )
     return 0
 
@@ -988,7 +1047,32 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--channel-col", default="event_type")
     dd.add_argument("--value-col", default="value")
     dd.add_argument("--limit", type=int, default=20)
+    dd.add_argument(
+        "--materialized", action="store_true",
+        help="left/right are digest-TIER tables (digest-tier verb "
+        "output), not stores: compare without scanning any events — "
+        "drift is as of each tier's refresh",
+    )
     dd.set_defaults(fn=cmd_digest_diff)
+
+    dt = sub.add_parser(
+        "digest-tier",
+        help="materialize / day-refresh the q77 content digest beside "
+        "a store; digest-diff --materialized then compares replicas "
+        "without scanning events",
+    )
+    dt.add_argument("store", help="dt=-partitioned events store")
+    dt.add_argument("path", help="digest tier destination")
+    dt.add_argument("--bucket", type=int, default=86_400,
+                    help="digest bucket seconds (must divide 86400)")
+    dt.add_argument(
+        "--days", default=None,
+        help="comma-separated YYYY-MM-DD list: refresh ONLY these "
+        "days' digest cells (the post-amend tier repair)",
+    )
+    dt.add_argument("--channel-col", default="event_type")
+    dt.add_argument("--value-col", default="value")
+    dt.set_defaults(fn=cmd_digest_tier)
 
     am = sub.add_parser(
         "amend",
@@ -1018,6 +1102,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--refresh-width", type=int, default=60,
         help="--refresh-sink bucket width seconds (must match the "
         "sink's build width)",
+    )
+    am.add_argument(
+        "--refresh-digest", default=None,
+        help="after amending, day-refresh this digest tier "
+        "(digest-tier verb output) for exactly the amended days",
+    )
+    am.add_argument(
+        "--digest-bucket", type=int, default=86_400,
+        help="--refresh-digest bucket seconds (must match the tier's "
+        "build bucket)",
     )
     am.set_defaults(fn=cmd_amend)
 

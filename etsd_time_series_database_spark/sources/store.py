@@ -560,6 +560,106 @@ def sync_partition(
     return "synced"
 
 
+def refresh_digest_tier(
+    spark: SparkSession,
+    store_path: str,
+    digest_path: str,
+    bucket_s: int = 86_400,
+    days: list[str] | None = None,
+    channel_col: str = "event_type",
+    value_col: str = "value",
+) -> dict:
+    """Materialize (or day-scope-refresh) the q77 content digest as a
+    dt=-partitioned table beside the store — the MONITORING tier of
+    the digest/repair loop: a periodic replica comparison then reads
+    two KB-sized digest TABLES (`digest-diff --materialized`) instead
+    of re-scanning both stores, so the cadence of "did my replica
+    drift" checks is decoupled from store size. After an ``amend``,
+    the tier is stale for exactly the amended days; ``days=[...]``
+    recomputes only those partitions from the store (partition-pruned
+    scan) and installs each through the crash-safe rename swap —
+    untouched tier partitions are never listed, read, or rewritten.
+    ``days=None`` rebuilds the whole tier. ``bucket_s`` must divide
+    86400 so no digest bucket spans a day boundary.
+
+    A day whose store partition vanished drops its tier partition.
+    Same arithmetic as :func:`operators.range_stats.range_digest`
+    (q77), so a refreshed day is bit-identical to a full recompute of
+    that day (test-pinned). Returns {day: n_cells}.
+
+    Freshness contract: the tier proves drift only as of its own
+    refresh — REPAIR's convergence proof deliberately re-digests the
+    stores themselves (cli.cmd_repair), never this table; a stale
+    materialized digest must not be able to fake convergence.
+    """
+    if 86_400 % int(bucket_s) != 0:
+        raise ValueError(
+            f"refresh_digest_tier: bucket_s={bucket_s} does not divide "
+            "86400 — a digest bucket would span a day boundary and a "
+            "day-scoped refresh would be wrong"
+        )
+    from etsd_time_series_database_spark.operators.range_stats import (
+        range_digest,
+    )
+
+    store = spark.read.parquet(store_path)
+
+    def digest(df: DataFrame) -> DataFrame:
+        return range_digest(
+            df, bucket_s=bucket_s, channel=channel_col, value=value_col
+        )
+
+    if days is None:
+        (
+            digest(store)
+            .withColumn("dt", F.to_date(F.timestamp_micros("bucket_us")))
+            .repartition("dt")
+            .sortWithinPartitions(channel_col, "bucket_us")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(digest_path)
+        )
+        out = spark.read.parquet(digest_path)
+        return {
+            r.dt.isoformat(): r.n
+            for r in out.groupBy("dt").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+    import uuid
+
+    fs, Path = _hadoop_fs(spark, digest_path)
+    stats: dict = {}
+    for d in sorted(days):
+        fresh = digest(
+            store.filter(F.to_date("ts") == F.lit(d))
+        ).repartition(1).sortWithinPartitions(channel_col, "bucket_us")
+        token = uuid.uuid4().hex
+        tmp = f"{digest_path}/__digest_{token}"
+        fresh.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        part_dir = f"{digest_path}/dt={d}"
+        had_old = fs.exists(Path(part_dir))
+        if n == 0:
+            fs.delete(Path(tmp), True)
+            if had_old:
+                fs.delete(Path(part_dir), True)
+            stats[d] = 0
+            continue
+        old = f"{digest_path}/__old_{token}"
+        if had_old and not fs.rename(Path(part_dir), Path(old)):
+            fs.delete(Path(tmp), True)
+            raise IOError(f"digest refresh: failed to move {part_dir} aside")
+        if not fs.rename(Path(tmp), Path(part_dir)):
+            if had_old:
+                fs.rename(Path(old), Path(part_dir))
+            raise IOError(f"digest refresh: failed to install {part_dir}")
+        if had_old:
+            fs.delete(Path(old), True)
+        stats[d] = n
+    return stats
+
+
 def list_date_partitions(spark: SparkSession, path: str) -> list[str]:
     """The ``dt=YYYY-MM-DD`` partition directory names of a store, via
     the Hadoop FS API (object-store safe). Empty list means the path

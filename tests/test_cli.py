@@ -1224,3 +1224,94 @@ def test_watch_follow_reports_exact_totals_on_stop(spark, tmp_path, capsys):
     out_txt = capsys.readouterr().out
     assert "watch[freshness]: stopped after" in out_txt
     assert "10 row(s) in" in out_txt
+
+
+def test_digest_tier_materialized_monitoring_loop(spark, tmp_path, capsys):
+    """The materialized digest tier: build tiers for two identical
+    stores, compare WITHOUT scanning events (digest-diff
+    --materialized, rc 0); amend one store with --refresh-digest
+    chaining the day-scoped tier refresh — the materialized diff then
+    pinpoints exactly the amended day's cells (rc 3) and agrees with
+    the store-scanning diff; untouched tier partitions stay
+    byte-identical and a refreshed day equals a full tier rebuild."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    a = str(tmp_path / "store_a")
+    b = str(tmp_path / "store_b")
+    for st in (a, b):
+        assert cli.main(
+            ["create", EVENTS, st, "--mode", "overwrite"], spark=spark
+        ) == 0
+    ta = str(tmp_path / "tier_a")
+    tb = str(tmp_path / "tier_b")
+    for st, t in ((a, ta), (b, tb)):
+        assert cli.main(["digest-tier", st, t], spark=spark) == 0
+        assert "full build" in capsys.readouterr().out
+
+    # identical stores -> identical tiers, no events scanned
+    assert cli.main(
+        ["digest-diff", ta, tb, "--materialized"], spark=spark
+    ) == 0
+    assert "identical" in capsys.readouterr().out
+
+    # amend one day of store A, chaining the digest refresh
+    src = cli._load_events(spark, EVENTS)
+    parts = sorted(d for d in os.listdir(a) if d.startswith("dt="))
+    day = parts[1].split("=", 1)[1]
+    corr = str(tmp_path / "corr_dt.parquet")
+    src.filter(F.to_date("ts") == F.lit(day)).limit(20).withColumn(
+        "value", F.col("value") + 9.0
+    ).write.parquet(corr)
+
+    def checksums(t):
+        out = {}
+        for dirpath, _d, files in os.walk(t):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, t)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = checksums(ta)
+    assert cli.main(
+        ["amend", a, corr, "--refresh-digest", ta], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert f"refreshed digest tier {ta} for day(s) {day}" in out
+    after = checksums(ta)
+    untouched = {k for k in before if not k.startswith(f"dt={day}")}
+    assert all(before[k] == after[k] for k in untouched)
+
+    # materialized diff pinpoints the amended day only...
+    rc = cli.main(
+        ["digest-diff", ta, tb, "--materialized", "--limit", "100"],
+        spark=spark,
+    )
+    mat = capsys.readouterr().out
+    assert rc == 3
+    day_us = {
+        int(r.bucket_us)
+        for r in spark.read.parquet(f"{ta}/dt={day}").collect()
+    }
+    import re
+
+    drifted_us = {int(m) for m in re.findall(r"bucket_us=(\d+)", mat)}
+    assert drifted_us and drifted_us <= day_us
+    # ...and agrees with the store-scanning diff cell-for-cell
+    rc = cli.main(["digest-diff", a, b, "--limit", "100"], spark=spark)
+    scan = capsys.readouterr().out
+    assert rc == 3
+    assert {int(m) for m in re.findall(r"bucket_us=(\d+)", scan)} == \
+        drifted_us
+
+    # a day-refreshed tier equals a from-scratch rebuild
+    control = str(tmp_path / "tier_a_control")
+    assert cli.main(["digest-tier", a, control], spark=spark) == 0
+    x = spark.read.parquet(ta).drop("dt")
+    y = spark.read.parquet(control).drop("dt")
+    assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
