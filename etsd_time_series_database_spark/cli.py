@@ -466,8 +466,14 @@ def cmd_watch(args, spark: SparkSession) -> int:
     tier (windowed_aggregate — the RRA consolidation, with late-data
     drop accounting), 'site' folds a transitions directory (written
     by a prior `watch --mode alarms --out ...`) into the live
-    cross-channel union. Default trigger is availableNow (catch up on
-    everything present, then exit — replay-deterministic); --follow
+    cross-channel union, 'dedup' runs the production incremental
+    MinHash dedup (the dedup-probe verb's code path) as a foreachBatch
+    ingest stage over a growing DOCUMENTS directory — survivors land
+    under --out/batch=N, their signatures append to --dedup-index, and
+    a restart resumes from the checkpoint processing only new files
+    (the s18 topology as a daemon verb; requires --out and an index
+    built by `dedup-index`). Default trigger is availableNow (catch up
+    on everything present, then exit — replay-deterministic); --follow
     keeps the query running on a processing-time trigger.
 
     After a catch-up run the per-session watermark-drop count is
@@ -500,13 +506,63 @@ def cmd_watch(args, spark: SparkSession) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.mode == "dedup":
+        if not args.out or not args.dedup_index:
+            print(
+                "watch: --mode dedup needs --out (survivors root) and "
+                "--dedup-index (an index built by `dedup-index`)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.compact:
+            # the dedup sink is foreachBatch batch-parquet dirs, not a
+            # streaming file sink — there is no _spark_metadata log to
+            # compact
+            print(
+                "watch: --compact applies to file-sink modes only "
+                "(the dedup sink has no _spark_metadata log)",
+                file=sys.stderr,
+            )
+            return 2
+        import os as _os
+
+        if not _os.path.isdir(args.dedup_index) and not args.dedup_index.startswith(
+            ("hdfs:", "s3a:", "s3:", "gs:")
+        ):
+            print(
+                f"watch: dedup index {args.dedup_index} does not exist; "
+                "seed it with `dedup-index` first (an empty index would "
+                "silently pass every near-duplicate)",
+                file=sys.stderr,
+            )
+            return 2
     schema = spark.read.parquet(args.source).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", args.max_files)
         .parquet(args.source)
     )
-    if args.mode == "freshness":
+    if args.mode == "dedup":
+        from etsd_time_series_database_spark.operators.dedup import (
+            incremental_dedup,
+        )
+
+        surv_root, text_col = args.out, args.text
+
+        def _dedup_batch(batch: DataFrame, batch_id: int) -> None:
+            # the dedup-probe verb's exact lifecycle per micro-batch:
+            # survivors persist first, signatures append after
+            # (crash-safe ordering lives in the library)
+            incremental_dedup(
+                batch, args.dedup_index, text=text_col,
+                survivors_path=f"{surv_root}/batch={batch_id}",
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(_dedup_batch)
+            .option("checkpointLocation", args.out + "_checkpoint")
+        )
+    elif args.mode == "freshness":
         out = freshness_stream(stream, stale_after_s=args.stale_after)
     elif args.mode == "alarms":
         out = hysteresis_alarm_stream(stream, hi=args.hi, lo=args.lo)
@@ -518,13 +574,14 @@ def cmd_watch(args, spark: SparkSession) -> int:
         )
     else:
         out = site_alarm_stream(stream)
-    writer = out.writeStream.outputMode("append")
-    if args.out:
-        writer = writer.format("parquet").option("path", args.out).option(
-            "checkpointLocation", args.out + "_checkpoint"
-        )
-    else:
-        writer = writer.format("console").option("truncate", "false")
+    if args.mode != "dedup":
+        writer = out.writeStream.outputMode("append")
+        if args.out:
+            writer = writer.format("parquet").option(
+                "path", args.out
+            ).option("checkpointLocation", args.out + "_checkpoint")
+        else:
+            writer = writer.format("console").option("truncate", "false")
     from etsd_time_series_database_spark.plans.metrics import (
         ProgressAccumulator,
     )
@@ -542,13 +599,35 @@ def cmd_watch(args, spark: SparkSession) -> int:
             try:
                 q.awaitTermination()
             finally:
-                acc.wait_terminated(q, timeout_s=10.0)
+                got_term = acc.wait_terminated(q, timeout_s=10.0)
+                if not got_term:
+                    # interrupted but not stopped: totals would
+                    # undercount in-flight batches — stop the query so
+                    # the terminate event orders behind its last
+                    # progress event, then re-wait (mirrors the
+                    # availableNow path's timeout handling)
+                    try:
+                        q.stop()
+                    except Exception:
+                        pass
+                    got_term = acc.wait_terminated(q, timeout_s=10.0)
                 totals = acc.totals(q)
+                partial = ""
+                if not got_term:
+                    # listener bus never delivered: fall back to the
+                    # retained-progress fold and say so — an
+                    # interrupted daemon must not report undercounted
+                    # totals as exact
+                    fold = fold_streaming_progress(q)
+                    if fold["n_batches"] > totals["n_batches"]:
+                        totals = fold
+                    partial = " (partial: stop not confirmed)"
                 print(
                     f"watch[{args.mode}]: stopped after "
                     f"{totals['n_batches']} micro-batch(es), "
                     f"{totals['input_rows']} row(s) in, "
                     f"{totals['late_rows']} dropped by watermark"
+                    + partial
                 )
         finally:
             spark.streams.removeListener(acc.listener)
@@ -648,7 +727,8 @@ def cmd_recover(args, spark: SparkSession) -> int:
                 return 2
         days = args.days.split(",") if args.days else None
         stats = refresh_downsample(
-            spark, args.raw, args.sink, width_s=args.width, days=days
+            spark, args.raw, args.sink, width_s=args.width, days=days,
+            target_files=args.target_files,
         )
         scope = (
             f"day(s) {', '.join(sorted(stats))}" if days else "full rebuild"
@@ -750,11 +830,16 @@ def cmd_digest_tier(args, spark: SparkSession) -> int:
         )
         return 2
     days = args.days.split(",") if args.days else None
-    stats = refresh_digest_tier(
-        spark, args.store, args.path,
-        bucket_s=args.bucket, days=days,
-        channel_col=args.channel_col, value_col=args.value_col,
-    )
+    try:
+        stats = refresh_digest_tier(
+            spark, args.store, args.path,
+            bucket_s=args.bucket, days=days,
+            channel_col=args.channel_col, value_col=args.value_col,
+            target_files=args.target_files,
+        )
+    except ValueError as exc:
+        print(f"digest-tier: {exc}", file=sys.stderr)
+        return 2
     scope = f"day(s) {', '.join(sorted(stats))}" if days else "full build"
     print(
         f"digest tier {args.path} <- {args.store} "
@@ -768,7 +853,31 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
     """Compare two stores by their per-(channel, bucket) content
     digests (operators.range_stats.range_digest, q77) and print only
     the drifted buckets — replica validation without shipping data.
-    Exit code 0 = identical, 3 = drift found."""
+    Exit code 0 = identical, 3 = drift found, 2 = --materialized tiers
+    are incompatible (built with different bucket_s/channel_col, per
+    their _digest_meta.json sidecars — comparing those would report
+    total spurious drift). In --materialized mode --bucket is ignored:
+    the tiers' own build buckets govern."""
+    if args.materialized:
+        from etsd_time_series_database_spark.sources.store import (
+            read_digest_tier_meta,
+        )
+
+        metas = {
+            p: read_digest_tier_meta(spark, p)
+            for p in (args.left, args.right)
+        }
+        known = {p: m for p, m in metas.items() if m is not None}
+        if len(known) == 2 and metas[args.left] != metas[args.right]:
+            print(
+                "digest-diff: materialized tiers are incompatible — "
+                f"{args.left} built with {metas[args.left]}, "
+                f"{args.right} with {metas[args.right]}; drift between "
+                "them would be an artifact of the parameters, not the "
+                "data",
+                file=sys.stderr,
+            )
+            return 2
     drift = _digest_drift(
         spark, args.left, args.right, args.bucket, args.channel_col,
         args.value_col, materialized=args.materialized,
@@ -801,11 +910,15 @@ def cmd_amend(args, spark: SparkSession) -> int:
     as partition lifecycle). With --refresh-sink, chains the
     day-scoped downsample refresh (recover --days) over exactly the
     amended days so derived tiers never go stale. Exit 2 if the target
-    is not a dt= store, 3 if the corrections are rejected (duplicate
-    keys, or a cross-day move under --cross-day fail)."""
+    is not a dt= store OR a --refresh-sink/--refresh-digest target is
+    missing/incompatible (checked BEFORE any rewrite — a bad refresh
+    target must not leave the store amended but the tiers stale), 3 if
+    the corrections are rejected (duplicate keys, or a cross-day move
+    under --cross-day fail)."""
     from etsd_time_series_database_spark.sources.store import (
         amend_events,
         list_date_partitions,
+        read_digest_tier_meta,
     )
 
     if not list_date_partitions(spark, args.path):
@@ -815,12 +928,49 @@ def cmd_amend(args, spark: SparkSession) -> int:
             file=sys.stderr,
         )
         return 2
+    # validate refresh targets BEFORE mutating the store: a typo'd
+    # sink/tier path discovered after the rewrite would leave the
+    # store amended with its derived tiers silently stale; a missing
+    # target would come back holding ONLY the amended days — a partial
+    # tier masquerading as complete
+    if args.refresh_sink and not list_date_partitions(
+        spark, args.refresh_sink
+    ):
+        print(
+            f"amend: --refresh-sink {args.refresh_sink} is not an "
+            "existing dt=-partitioned downsample sink; build it "
+            "with `recover --partitioned` first (store unchanged)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.refresh_digest:
+        if not list_date_partitions(spark, args.refresh_digest):
+            print(
+                f"amend: --refresh-digest {args.refresh_digest} is not "
+                "an existing dt=-partitioned digest tier; build it "
+                "with the `digest-tier` verb first (store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
+        tier_meta = read_digest_tier_meta(spark, args.refresh_digest)
+        if tier_meta is not None and tier_meta["bucket_s"] != int(
+            args.digest_bucket
+        ):
+            print(
+                f"amend: --refresh-digest {args.refresh_digest} was "
+                f"built with bucket_s={tier_meta['bucket_s']} but "
+                f"--digest-bucket={args.digest_bucket}; pass the "
+                "tier's own bucket (store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
     corrections = _load_events(spark, args.source)
     try:
         stats = amend_events(
             spark, args.path, corrections,
             key_cols=tuple(args.keys.split(",")),
             cross_day=args.cross_day,
+            target_files=args.target_files,
         )
     except ValueError as exc:
         print(f"amend: {exc}", file=sys.stderr)
@@ -833,32 +983,17 @@ def cmd_amend(args, spark: SparkSession) -> int:
         f"{len(stats['partitions'])} partition(s)"
     )
     if args.refresh_sink:
-        from etsd_time_series_database_spark.sources.store import (
-            _hadoop_fs,
-        )
         from etsd_time_series_database_spark.streaming.ingest import (
             refresh_downsample,
         )
 
-        fs, Path = _hadoop_fs(spark, args.refresh_sink)
-        if not fs.exists(Path(args.refresh_sink)) or not list_date_partitions(
-            spark, args.refresh_sink
-        ):
-            # a missing sink would come back holding ONLY the amended
-            # days — a partial tier masquerading as complete
-            print(
-                f"amend: --refresh-sink {args.refresh_sink} is not an "
-                "existing dt=-partitioned downsample sink; build it "
-                "with `recover --partitioned` first",
-                file=sys.stderr,
-            )
-            return 2
         amended_days = sorted(
             p.split("=", 1)[1] for p in stats["partitions"]
         )
         rstats = refresh_downsample(
             spark, args.path, args.refresh_sink,
             width_s=args.refresh_width, days=amended_days,
+            target_files=args.target_files,
         )
         print(
             f"refreshed {args.refresh_sink} for day(s) "
@@ -873,10 +1008,16 @@ def cmd_amend(args, spark: SparkSession) -> int:
         amended_days = sorted(
             p.split("=", 1)[1] for p in stats["partitions"]
         )
-        dstats = refresh_digest_tier(
-            spark, args.path, args.refresh_digest,
-            bucket_s=args.digest_bucket, days=amended_days,
-        )
+        try:
+            dstats = refresh_digest_tier(
+                spark, args.path, args.refresh_digest,
+                bucket_s=args.digest_bucket, days=amended_days,
+                target_files=args.target_files,
+            )
+        except ValueError as exc:
+            # parameter mismatch against the tier's _digest_meta.json
+            print(f"amend: {exc}", file=sys.stderr)
+            return 2
         print(
             f"refreshed digest tier {args.refresh_digest} for day(s) "
             f"{', '.join(amended_days)} "
@@ -1032,6 +1173,11 @@ def build_parser() -> argparse.ArgumentParser:
         "consolidation repair — O(amended days), untouched partitions "
         "byte-identical)",
     )
+    r.add_argument(
+        "--target-files", type=int, default=1,
+        help="output files per refreshed day (spread a hot day's "
+        "rewrite across N write tasks; content identical)",
+    )
     r.set_defaults(fn=cmd_recover)
 
     dd = sub.add_parser(
@@ -1043,7 +1189,9 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("left", help="events table path A")
     dd.add_argument("right", help="events table path B")
     dd.add_argument("--bucket", type=int, default=86_400,
-                    help="digest bucket seconds")
+                    help="digest bucket seconds (ignored with "
+                    "--materialized: the tiers' own build buckets "
+                    "govern, checked via their _digest_meta.json)")
     dd.add_argument("--channel-col", default="event_type")
     dd.add_argument("--value-col", default="value")
     dd.add_argument("--limit", type=int, default=20)
@@ -1072,6 +1220,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dt.add_argument("--channel-col", default="event_type")
     dt.add_argument("--value-col", default="value")
+    dt.add_argument(
+        "--target-files", type=int, default=1,
+        help="output files per refreshed day (--days mode only)",
+    )
     dt.set_defaults(fn=cmd_digest_tier)
 
     am = sub.add_parser(
@@ -1112,6 +1264,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--digest-bucket", type=int, default=86_400,
         help="--refresh-digest bucket seconds (must match the tier's "
         "build bucket)",
+    )
+    am.add_argument(
+        "--target-files", type=int, default=1,
+        help="output files per rewritten day — applies to the store "
+        "rewrite AND any chained --refresh-sink/--refresh-digest day "
+        "(spread a hot day across N write tasks; content identical)",
     )
     am.set_defaults(fn=cmd_amend)
 
@@ -1207,14 +1365,23 @@ def build_parser() -> argparse.ArgumentParser:
         "watch",
         help="live monitor over a growing ingest directory (the edd "
         "daemon analog): feed freshness, hysteresis alarm "
-        "transitions, running z-score anomalies, or the site-wide "
-        "alarm union",
+        "transitions, running z-score anomalies, the site-wide "
+        "alarm union, or incremental dedup as an ingest stage",
     )
     w.add_argument("source", help="parquet directory to monitor")
     w.add_argument(
         "--mode", default="freshness",
-        choices=["freshness", "alarms", "anomalies", "rollup", "site"],
+        choices=["freshness", "alarms", "anomalies", "rollup", "site",
+                 "dedup"],
     )
+    w.add_argument(
+        "--dedup-index", default=None,
+        help="dedup mode: the persisted MinHash index (`dedup-index` "
+        "verb output) to probe and append; survivors land under "
+        "--out/batch=N per micro-batch",
+    )
+    w.add_argument("--text", default="text",
+                   help="dedup mode: document text column")
     w.add_argument("--stale-after", type=float, default=60.0,
                    help="freshness SLA seconds (event-time)")
     w.add_argument("--hi", type=float, default=250.0)

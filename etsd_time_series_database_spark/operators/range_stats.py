@@ -1436,10 +1436,12 @@ def hysteresis_episodes(
     plain when the BUSIEST channel's decisive rows fit a single sort
     task (``auto_plain_max``, measured crossover constant above),
     stitched otherwise. Like co_alarm_matrix's auto mode this is EAGER
-    at DataFrame-construction time (the decisive table is
-    localCheckpoint-ed and one small driver aggregate runs); pass an
-    explicit bool to stay lazy. Output equality between all three
-    modes is test-pinned.
+    at DataFrame-construction time (one small driver aggregate runs);
+    the rollup is a SECOND column-pruned scan of the source, NOT a
+    localCheckpoint of the decisive table — materializing it costs
+    more than the re-scan it would save (measured, see the inline
+    comment at the rollup). Pass an explicit bool to stay lazy.
+    Output equality between all three modes is test-pinned.
     """
     us = epoch_us(ts)
     dec = (

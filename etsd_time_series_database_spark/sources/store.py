@@ -337,6 +337,7 @@ def amend_events(
     key_cols: tuple[str, ...] = ("event_id",),
     sort_cols: tuple[str, str] = ("event_type", "ts"),
     cross_day: str = "resolve",
+    target_files: int = 1,
 ) -> dict:
     """Apply late corrections to a date-partitioned events store:
     UPSERT by ``key_cols`` — rows whose key exists are replaced by the
@@ -372,7 +373,11 @@ def amend_events(
 
     Cost: O(affected days' data) rewrites + (resolve/fail) one
     key-column probe scan; untouched partitions are never rewritten
-    (byte-identical — pinned by the CLI test). Corrections must carry
+    (byte-identical — pinned by the CLI test). ``target_files`` sets
+    each rewritten day's output fan-out (same knob as
+    :func:`compact_partition`; default 1 keeps today's layout — a hot
+    day at scale should spread its rewrite across N write tasks
+    instead of funneling through one). Corrections must carry
     the full events schema, and their keys must be UNIQUE — duplicate
     keys would install duplicate rows and miscount the stats, so they
     raise. Returns {partitions: {dt: n_rows}, replaced, inserted,
@@ -465,7 +470,7 @@ def amend_events(
         token = uuid.uuid4().hex
         tmp = f"{path}/__amend_{token}"
         (
-            merged.repartition(1)
+            merged.repartition(int(target_files))
             .sortWithinPartitions(
                 *[c for c in sort_cols if c in merged.columns]
             )
@@ -568,6 +573,7 @@ def refresh_digest_tier(
     days: list[str] | None = None,
     channel_col: str = "event_type",
     value_col: str = "value",
+    target_files: int = 1,
 ) -> dict:
     """Materialize (or day-scope-refresh) the q77 content digest as a
     dt=-partitioned table beside the store — the MONITORING tier of
@@ -576,11 +582,25 @@ def refresh_digest_tier(
     of re-scanning both stores, so the cadence of "did my replica
     drift" checks is decoupled from store size. After an ``amend``,
     the tier is stale for exactly the amended days; ``days=[...]``
-    recomputes only those partitions from the store (partition-pruned
-    scan) and installs each through the crash-safe rename swap —
-    untouched tier partitions are never listed, read, or rewritten.
-    ``days=None`` rebuilds the whole tier. ``bucket_s`` must divide
-    86400 so no digest bucket spans a day boundary.
+    recomputes only those partitions from the store and installs each
+    through the crash-safe rename swap — untouched tier partitions are
+    never listed, read, or rewritten. The day filter goes on the
+    store's ``dt`` PARTITION column when present (``to_date(ts)``
+    conjunct kept belt-and-braces) so Catalyst prunes the scan to that
+    one directory — a ``to_date(ts)`` predicate alone is a data-column
+    filter with zero PartitionFilters that plans tasks over every
+    day's files (plan-pinned). ``days=None`` rebuilds the whole tier.
+    ``bucket_s`` must divide 86400 so no digest bucket spans a day
+    boundary. ``target_files`` sets the per-day output fan-out
+    (default 1 — today's layout; same knob as
+    :func:`compact_partition`).
+
+    The tier root carries a ``_digest_meta.json`` sidecar recording
+    ``bucket_s``/``channel_col``/``value_col`` (underscore-prefixed,
+    so parquet readers ignore it): a day-scoped refresh against a tier
+    built with DIFFERENT parameters raises instead of silently mixing
+    bucket widths, and ``digest-diff --materialized`` uses it to
+    refuse comparing incompatible tiers.
 
     A day whose store partition vanished drops its tier partition.
     Same arithmetic as :func:`operators.range_stats.range_digest`
@@ -603,6 +623,11 @@ def refresh_digest_tier(
     )
 
     store = spark.read.parquet(store_path)
+    meta = {
+        "bucket_s": int(bucket_s),
+        "channel_col": channel_col,
+        "value_col": value_col,
+    }
 
     def digest(df: DataFrame) -> DataFrame:
         return range_digest(
@@ -619,6 +644,7 @@ def refresh_digest_tier(
             .partitionBy("dt")
             .parquet(digest_path)
         )
+        write_digest_tier_meta(spark, digest_path, meta)
         out = spark.read.parquet(digest_path)
         return {
             r.dt.isoformat(): r.n
@@ -629,11 +655,25 @@ def refresh_digest_tier(
     import uuid
 
     fs, Path = _hadoop_fs(spark, digest_path)
+    existing = read_digest_tier_meta(spark, digest_path)
+    if existing is not None and existing != meta:
+        raise ValueError(
+            f"refresh_digest_tier: tier {digest_path} was built with "
+            f"{existing} but this refresh asked for {meta} — a "
+            "day-scoped refresh with different parameters would mix "
+            "bucket widths inside one tier; rebuild it (days=None) to "
+            "change parameters"
+        )
+    if existing is None and fs.exists(Path(digest_path)):
+        # pre-sidecar tier: adopt the caller's parameters as its meta
+        write_digest_tier_meta(spark, digest_path, meta)
     stats: dict = {}
     for d in sorted(days):
         fresh = digest(
-            store.filter(F.to_date("ts") == F.lit(d))
-        ).repartition(1).sortWithinPartitions(channel_col, "bucket_us")
+            day_scoped(store, d)
+        ).repartition(int(target_files)).sortWithinPartitions(
+            channel_col, "bucket_us"
+        )
         token = uuid.uuid4().hex
         tmp = f"{digest_path}/__digest_{token}"
         fresh.write.mode("overwrite").parquet(tmp)
@@ -660,11 +700,74 @@ def refresh_digest_tier(
     return stats
 
 
+def day_scoped(df: DataFrame, day: str) -> DataFrame:
+    """Restrict a store scan to one calendar day the PRUNABLE way:
+    when the table carries the ``dt`` partition column, filter on it
+    (``dt == day``) so Catalyst emits a PartitionFilter and the scan
+    lists exactly one ``dt=`` directory — a ``to_date(ts)`` predicate
+    alone is a data-column filter with ZERO PartitionFilters that
+    plans tasks over (and reads footers of) every day's files, which
+    at 100 TB turns "refresh one amended day" into O(store) work. The
+    ``to_date(ts)`` conjunct is kept belt-and-braces (also excludes
+    rows mis-filed under a foreign dt=, which the layout invariant
+    ``dt == to_date(ts)`` — pinned in tests/test_cli.py — forbids
+    anyway); flat tables fall back to it. ``dt`` is dropped from the
+    result so downstream schemas match the flat-store path.
+    Plan-pinned by tests/test_plan_shape.py."""
+    pred = F.to_date("ts") == F.lit(day)
+    if "dt" in df.columns:
+        pred = (F.col("dt") == F.lit(day)) & pred
+        return df.filter(pred).drop("dt")
+    return df.filter(pred)
+
+
+def write_digest_tier_meta(
+    spark: SparkSession, tier_path: str, meta: dict
+) -> None:
+    """Record a digest tier's build parameters in a
+    ``_digest_meta.json`` sidecar at the tier root. The underscore
+    prefix makes parquet readers skip it (Spark's hidden-file
+    convention), and it rides the Hadoop FS API so the same sidecar
+    works on file:/hdfs:/s3a: tiers. Comparing two tiers built at
+    different ``bucket_s`` yields total spurious drift — the sidecar
+    is what lets ``digest-diff --materialized`` refuse up front."""
+    import json
+
+    fs, Path = _hadoop_fs(spark, tier_path)
+    out = fs.create(Path(f"{tier_path}/_digest_meta.json"), True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_digest_tier_meta(spark: SparkSession, tier_path: str) -> dict | None:
+    """The ``_digest_meta.json`` sidecar of a digest tier, or None for
+    a pre-sidecar (or foreign) table. Read through IOUtils — py4j
+    cannot round-trip a mutated JVM byte[], so FSDataInputStream's
+    readFully is unusable from Python."""
+    import json
+
+    fs, Path = _hadoop_fs(spark, tier_path)
+    p = Path(f"{tier_path}/_digest_meta.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        jvm = spark.sparkContext._jvm
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
 def list_date_partitions(spark: SparkSession, path: str) -> list[str]:
     """The ``dt=YYYY-MM-DD`` partition directory names of a store, via
     the Hadoop FS API (object-store safe). Empty list means the path
-    is not a date-partitioned events table."""
+    is missing or not a date-partitioned events table."""
     fs, Path = _hadoop_fs(spark, path)
+    if not fs.exists(Path(path)):
+        return []
     return sorted(
         st.getPath().getName()
         for st in fs.listStatus(Path(path))

@@ -687,6 +687,7 @@ def refresh_downsample(
     sink_path: str,
     width_s: int = 60,
     days: list[str] | None = None,
+    target_files: int = 1,
 ) -> dict:
     """Day-scoped consolidation refresh — the recover path narrowed to
     the days that actually changed: after ``amend`` applies late
@@ -694,9 +695,21 @@ def refresh_downsample(
     are stale for exactly those days, and re-deriving the WHOLE sink
     (the reference's recoverRRD, code/etsdCmd.c:648-656) is O(store).
     This recomputes only the named days' buckets from the raw store
-    (partition pruning keeps the scan to those dt= dirs) and installs
-    each day through the crash-safe rename swap; untouched sink
-    partitions are never listed, read, or rewritten.
+    and installs each day through the crash-safe rename swap;
+    untouched sink partitions are never listed, read, or rewritten.
+
+    When the raw store is ``dt=``-partitioned the day filter goes on
+    the PARTITION column (``dt == day``, with the ``to_date(ts)``
+    conjunct kept belt-and-braces) so Catalyst prunes the scan to that
+    one directory — a ``to_date(ts)`` predicate alone is a data-column
+    filter that plans tasks over EVERY day's files (plan-pinned:
+    non-empty PartitionFilters and input files confined to the named
+    dt= dirs). A flat raw store falls back to the ts predicate.
+
+    ``target_files`` controls the per-day output fan-out (same knob as
+    :func:`sources.store.compact_partition`): default 1 keeps today's
+    single-file layout; a hot day at scale can spread its rewrite
+    across N write tasks.
 
     The sink layout is date-partitioned (``dt=`` from the bucket
     start) — the partitioned twin of :func:`replay`'s flat sink, and
@@ -716,7 +729,10 @@ def refresh_downsample(
             "86400 — a bucket would span a day boundary and a "
             "day-scoped rewrite would lose the neighbor day's rows"
         )
-    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+    from etsd_time_series_database_spark.sources.store import (
+        _hadoop_fs,
+        day_scoped,
+    )
 
     raw = spark.read.parquet(raw_path)
     # key columns adapt to the store flavor: canonical ingest tables
@@ -769,10 +785,10 @@ def refresh_downsample(
     fs, Path = _hadoop_fs(spark, sink_path)
     stats: dict = {}
     for d in sorted(days):
-        day_rows = raw.filter(F.to_date("ts") == F.lit(d))
+        day_rows = day_scoped(raw, d)
         fresh = (
             consolidated(day_rows)
-            .repartition(1)
+            .repartition(int(target_files))
             .sortWithinPartitions(channel, "bucket_ts")
         )
         token = uuid.uuid4().hex

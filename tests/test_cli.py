@@ -1315,3 +1315,348 @@ def test_digest_tier_materialized_monitoring_loop(spark, tmp_path, capsys):
     x = spark.read.parquet(ta).drop("dt")
     y = spark.read.parquet(control).drop("dt")
     assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+
+def _store_checksums(store):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _d, files in os.walk(store):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, store)] = hashlib.sha256(
+                    open(p, "rb").read()
+                ).hexdigest()
+    return out
+
+
+def test_amend_refresh_guards_run_before_any_rewrite(spark, tmp_path, capsys):
+    """Round-12 verdict #6 + ADVICE (medium): a missing/flat
+    --refresh-sink or --refresh-digest target — or a --digest-bucket
+    that contradicts the tier's _digest_meta.json — is refused with
+    rc 2 BEFORE the store is touched. A guard that fired after the
+    rewrite would leave the store amended with its derived tiers
+    silently stale; a missing target rebuilt day-scoped would come
+    back holding ONLY the amended days (a partial tier reporting
+    false drift for every other day)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    raw = str(tmp_path / "raw_guard")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    day = sorted(
+        d for d in os.listdir(raw) if d.startswith("dt=")
+    )[0].split("=", 1)[1]
+    corr = str(tmp_path / "corr_guard.parquet")
+    cli._load_events(spark, EVENTS).filter(
+        F.to_date("ts") == F.lit(day)
+    ).limit(5).withColumn("value", F.col("value") + 1.0).write.parquet(corr)
+
+    before = _store_checksums(raw)
+    # nonexistent downsample sink
+    capsys.readouterr()
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-sink", str(tmp_path / "no_sink")],
+        spark=spark,
+    )
+    assert rc == 2 and "store unchanged" in capsys.readouterr().err
+    assert _store_checksums(raw) == before
+    # nonexistent digest tier
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-digest", str(tmp_path / "no_tier")],
+        spark=spark,
+    )
+    assert rc == 2 and "store unchanged" in capsys.readouterr().err
+    assert _store_checksums(raw) == before
+    # existing tier, contradicting --digest-bucket (vs its sidecar)
+    tier = str(tmp_path / "tier_guard")
+    assert cli.main(
+        ["digest-tier", raw, tier, "--bucket", "3600"], spark=spark
+    ) == 0
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-digest", tier,
+         "--digest-bucket", "86400"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "bucket" in err and "store unchanged" in err
+    assert _store_checksums(raw) == before
+    # the happy path still works with the tier's own bucket
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-digest", tier,
+         "--digest-bucket", "3600"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert _store_checksums(raw) != before
+
+
+def test_target_files_spreads_rewrite_without_changing_content(
+    spark, tmp_path, capsys
+):
+    """Round-12 verdict #2: amend / recover --days / digest-tier --days
+    take the same --target-files knob as compaction — a hot day's
+    rewrite spreads across N write tasks instead of funneling through
+    repartition(1) — with byte-level content identical to the
+    single-file form."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    raw = str(tmp_path / "raw_tf")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    day = sorted(
+        d for d in os.listdir(raw) if d.startswith("dt=")
+    )[0].split("=", 1)[1]
+    corr = str(tmp_path / "corr_tf.parquet")
+    cli._load_events(spark, EVENTS).filter(
+        F.to_date("ts") == F.lit(day)
+    ).limit(7).withColumn("value", F.col("value") + 9.0).write.parquet(corr)
+
+    control = str(tmp_path / "raw_tf_control")
+    import shutil
+
+    shutil.copytree(raw, control)
+    assert cli.main(["amend", control, corr], spark=spark) == 0
+    assert cli.main(
+        ["amend", raw, corr, "--target-files", "2"], spark=spark
+    ) == 0
+    assert len(glob.glob(f"{raw}/dt={day}/*.parquet")) == 2
+    assert len(glob.glob(f"{control}/dt={day}/*.parquet")) == 1
+    a = spark.read.parquet(raw).drop("dt")
+    b = spark.read.parquet(control).drop("dt")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # recover --days --target-files
+    sink = str(tmp_path / "sink_tf")
+    assert cli.main(["recover", raw, sink, "--partitioned"], spark=spark) == 0
+    assert cli.main(
+        ["recover", raw, sink, "--days", day, "--target-files", "2"],
+        spark=spark,
+    ) == 0
+    assert len(glob.glob(f"{sink}/dt={day}/*.parquet")) == 2
+    sink_c = str(tmp_path / "sink_tf_control")
+    assert cli.main(
+        ["recover", raw, sink_c, "--partitioned"], spark=spark
+    ) == 0
+    x = spark.read.parquet(sink).drop("dt")
+    y = spark.read.parquet(sink_c).drop("dt")
+    assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    # digest-tier --days --target-files
+    tier = str(tmp_path / "tier_tf")
+    assert cli.main(["digest-tier", raw, tier], spark=spark) == 0
+    assert cli.main(
+        ["digest-tier", raw, tier, "--days", day, "--target-files", "2"],
+        spark=spark,
+    ) == 0
+    assert len(glob.glob(f"{tier}/dt={day}/*.parquet")) == 2
+
+
+def test_digest_diff_materialized_refuses_incompatible_tiers(
+    spark, tmp_path, capsys
+):
+    """ADVICE r12: digest-diff --materialized between tiers built at
+    different bucket_s would report total spurious drift with exit 3
+    (indistinguishable from real replica drift) — the tiers'
+    _digest_meta.json sidecars make it rc 2 with the cause named.
+    digest-tier --days against a tier built with other parameters is
+    likewise refused."""
+    raw = str(tmp_path / "raw_meta")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    t1 = str(tmp_path / "tier_day")
+    t2 = str(tmp_path / "tier_hour")
+    assert cli.main(["digest-tier", raw, t1], spark=spark) == 0
+    assert cli.main(
+        ["digest-tier", raw, t2, "--bucket", "3600"], spark=spark
+    ) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["digest-diff", t1, t2, "--materialized"], spark=spark
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "incompatible" in err
+    # same parameters: clean comparison, rc 0
+    rc = cli.main(
+        ["digest-diff", t1, t1, "--materialized"], spark=spark
+    )
+    assert rc == 0
+
+    # day-scoped refresh with contradicting bucket: rc 2, not a mixed
+    # tier
+    import os
+
+    day = sorted(
+        d for d in os.listdir(raw) if d.startswith("dt=")
+    )[0].split("=", 1)[1]
+    rc = cli.main(
+        ["digest-tier", raw, t1, "--days", day, "--bucket", "3600"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "built with" in err
+
+
+def test_watch_dedup_stage_with_checkpoint_resume(spark, tmp_path, capsys):
+    """Round-12 verdict #5: the live ingest topology s18 gates is now
+    a `watch` stage — `watch --mode dedup --dedup-index` streams a
+    growing documents directory through the production
+    incremental_dedup per micro-batch: survivors land under
+    --out/batch=N, signatures append to the index, a second run
+    resumes from the checkpoint processing ONLY the new arrival, and
+    totals print via the exact listener path. The survivor set must
+    equal the CLI batch lifecycle (dedup-probe per shard, in arrival
+    order) verbatim."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.dedup import (
+        incremental_dedup,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    idx = str(tmp_path / "widx")
+    src = str(tmp_path / "arrivals")
+    surv = str(tmp_path / "wsurv")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 3 == 1), idx, hash_mode="poly"
+    )
+    # control: the same shards through the library lifecycle
+    cidx = str(tmp_path / "cidx")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 3 == 1), cidx, hash_mode="poly"
+    )
+    expect = {}
+    for arrival, shard in ((0, 2), (1, 0)):
+        kept = incremental_dedup(
+            docs.filter(F.col("doc_id") % 3 == shard), cidx,
+            survivors_path=str(tmp_path / f"csurv_{arrival}"),
+        )
+        expect[arrival] = {r.doc_id for r in kept.select("doc_id").collect()}
+
+    # guards: missing --out / missing index
+    capsys.readouterr()
+    assert cli.main(
+        ["watch", src, "--mode", "dedup", "--out", surv], spark=spark
+    ) == 2
+    assert "--dedup-index" in capsys.readouterr().err
+    assert cli.main(
+        ["watch", src, "--mode", "dedup", "--out", surv,
+         "--dedup-index", str(tmp_path / "noidx")], spark=spark
+    ) == 2
+    assert "does not exist" in capsys.readouterr().err
+
+    # arrival 2 lands; session one catches up (micro-batch 0)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    rc = cli.main(
+        ["watch", src, "--mode", "dedup", "--out", surv,
+         "--dedup-index", idx], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "caught up in 1 micro-batch(es)" in out
+    got0 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{surv}/batch=0").select(
+            "doc_id"
+        ).collect()
+    }
+    assert got0 == expect[0]
+
+    # the directory grows; a second session resumes from the
+    # checkpoint and processes ONLY the new file (batch 1)
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    rc = cli.main(
+        ["watch", src, "--mode", "dedup", "--out", surv,
+         "--dedup-index", idx], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "caught up in 1 micro-batch(es)" in out
+    got1 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{surv}/batch=1").select(
+            "doc_id"
+        ).collect()
+    }
+    assert got1 == expect[1]
+    assert sorted(os.path.basename(p) for p in glob.glob(f"{surv}/batch=*")) \
+        == ["batch=0", "batch=1"]
+    # the watch-maintained index equals the control index row-for-row
+    a = spark.read.parquet(idx)
+    b = spark.read.parquet(cidx)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_watch_follow_marks_partial_totals_on_listener_timeout(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """ADVICE r12: an interrupted --follow daemon whose terminate
+    event never arrives must NOT report undercounted listener totals
+    as exact — the CLI stops the query, re-waits, and on a genuine
+    listener failure falls back to the retained-progress fold with an
+    explicit '(partial…)' marker."""
+    import threading
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.plans.metrics import (
+        ProgressAccumulator,
+    )
+
+    src = str(tmp_path / "pfollow_src")
+    out = str(tmp_path / "pfollow_out")
+    rows = [(f"2026-01-01 00:00:{s:02d}", "s", "a", float(s), 0)
+            for s in range(10)]
+    spark.createDataFrame(
+        rows, "ts string, source string, channel string, value double, "
+              "status int",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(src)
+
+    # simulate the terminate event never arriving on the listener bus
+    monkeypatch.setattr(
+        ProgressAccumulator, "wait_terminated",
+        lambda self, q, timeout_s=30.0: False,
+    )
+
+    def stop_when_processed():
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            for q in [q for q in spark.streams.active if q.isActive]:
+                if q.recentProgress and sum(
+                    p["numInputRows"] for p in q.recentProgress
+                ) >= 10:
+                    q.stop()
+                    return
+            _time.sleep(0.5)
+
+    t = threading.Thread(target=stop_when_processed, daemon=True)
+    t.start()
+    rc = cli.main(
+        ["watch", src, "--mode", "freshness", "--out", out,
+         "--follow", "--interval", "1"],
+        spark=spark,
+    )
+    t.join(timeout=10)
+    assert rc == 0
+    out_txt = capsys.readouterr().out
+    assert "(partial: stop not confirmed)" in out_txt
+    # the retained-progress fallback still carries the true counts
+    # here (well under the 100-batch retention cap)
+    assert "10 row(s) in" in out_txt

@@ -625,3 +625,48 @@ def test_amend_cross_day_probe_prunes_and_broadcasts(spark, tmp_path):
     )
     assert m, plan
     assert m.group(1) == "event_id:bigint", m.group(1)
+
+
+def test_day_scoped_store_scan_prunes_partitions(spark, tmp_path):
+    """Round-12 verdict #1: the day-scoped refresh paths
+    (refresh_downsample / refresh_digest_tier, both via
+    sources.store.day_scoped) must filter on the dt PARTITION column
+    so Catalyst prunes the scan to the one amended day's directory.
+    The empirical probe from the verdict, pinned: a to_date(ts)
+    predicate alone (the pre-round-13 form) carries ZERO
+    PartitionFilters — at 100x scale a "refresh one day" would plan
+    tasks over every day's files. A flat (unpartitioned) table falls
+    back to the ts predicate."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.plans.inspect import summarize
+    from etsd_time_series_database_spark.sources.store import day_scoped
+
+    events = load_table(spark, SF_SMOKE, "events")
+    store = str(tmp_path / "pruned_store")
+    events.withColumn("dt", F.to_date("ts")).repartition(
+        "dt"
+    ).write.partitionBy("dt").parquet(store)
+    raw = spark.read.parquet(store)
+    day = sorted(
+        r.dt.isoformat() for r in raw.select("dt").distinct().collect()
+    )[1]
+
+    scoped = day_scoped(raw, day)
+    s = summarize(scoped)
+    assert s.partition_filters, "day_scoped must emit a PartitionFilter"
+    assert any("dt" in pf and day in pf for pf in s.partition_filters), (
+        s.partition_filters
+    )
+    assert "dt" not in scoped.columns  # flat-path schema parity
+
+    # negative control — the exact shape the round-12 verdict flagged:
+    # a data-column predicate cannot prune dt= directories
+    naive = raw.filter(F.to_date("ts") == F.lit(day))
+    assert not summarize(naive).partition_filters
+
+    # flat store: falls back to the ts predicate, same row set
+    flat = str(tmp_path / "flat_store")
+    events.write.parquet(flat)
+    flat_scoped = day_scoped(spark.read.parquet(flat), day)
+    assert flat_scoped.count() == scoped.count() > 0
