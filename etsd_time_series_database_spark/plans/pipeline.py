@@ -4149,3 +4149,128 @@ def p86(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+def _rebalance_full_oracle(nlist: int = 8, n_iter: int = 2) -> str:
+    """x87's oracle: the COMPLETE rebalance_cells contract unrolled —
+    x86's split CTEs (hot cells via the all-integer 80*n > 11*total
+    rule, per-hot-cell local Lloyd, fresh-id allocation) PLUS the
+    retirement side x86 deliberately left out: cells at the minimum
+    occupancy (and not hot) retire, and their stragglers reassign by
+    max-cosine (ties: lowest id) against the NEW geometry — surviving
+    seed centroids union the freshly split sub-centroids — exactly the
+    engine's post-split ivf_append pass. Zero-occupancy seed cells
+    (absent from the grouped counts) are covered by the LEFT JOIN
+    (n = 0 <= min) so both sides retire them identically."""
+    cos0 = _duck_cos("d.v", "c.cv")
+    cosh = _duck_cos("h.v", "c.cv")
+    coss = _duck_cos("s.v", "g.cv")
+    split = _rebalance_oracle(nlist=nlist, n_iter=n_iter)
+    # reuse the split oracle's WITH-chain verbatim; extend it past
+    # `idmap` and replace the final SELECT with the three-way union
+    head, _tail = split.rsplit("    SELECT CAST(bf.vec_id", 1)
+    return head + f""",
+    ccounts AS (
+      SELECT c.cent_id, COALESCE(cnt.n, 0) AS n
+      FROM cents c LEFT JOIN counts cnt ON c.cent_id = cnt.cent_id
+    ),
+    ret AS (
+      SELECT cent_id FROM ccounts
+      WHERE n <= (SELECT min(n) FROM counts)
+        AND cent_id NOT IN (SELECT cent_id FROM hot)
+    ),
+    newgeo AS (
+      SELECT idmap.new_id AS cent_id, c.cv
+      FROM c{n_iter} c
+      JOIN idmap ON c.home = idmap.home AND c.scid = idmap.scid
+      UNION ALL
+      SELECT cent_id, cv FROM cents
+      WHERE cent_id NOT IN (SELECT cent_id FROM hot)
+        AND cent_id NOT IN (SELECT cent_id FROM ret)
+    ),
+    strag AS (
+      SELECT a0.vec_id, a0.v FROM a0
+      JOIN ret ON a0.cent_id = ret.cent_id
+    ),
+    sre AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT s.vec_id, g.cent_id, {coss} AS cos,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {coss} DESC, g.cent_id) AS rk
+        FROM strag s CROSS JOIN newgeo g) t WHERE rk = 1
+    )
+    SELECT CAST(bf.vec_id AS BIGINT) AS vec_id,
+           CAST(idmap.new_id AS INTEGER) AS cent_id
+    FROM bf JOIN idmap ON bf.home = idmap.home AND bf.scid = idmap.scid
+    UNION ALL
+    SELECT CAST(a0.vec_id AS BIGINT) AS vec_id,
+           CAST(a0.cent_id AS INTEGER) AS cent_id
+    FROM a0 WHERE a0.cent_id NOT IN (SELECT cent_id FROM hot)
+      AND a0.cent_id NOT IN (SELECT cent_id FROM ret)
+    UNION ALL
+    SELECT CAST(sre.vec_id AS BIGINT) AS vec_id,
+           CAST(sre.cent_id AS INTEGER) AS cent_id
+    FROM sre
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "x87_ivf_rebalance_retire",
+    "similarity",
+    _rebalance_full_oracle(),
+    doc="The FULL rebalance_cells contract oracle-gated in one entry "
+    "(round-12 verdict #3 — x86 models the split side only): same "
+    "seed-1..8 layout and hot rule, plus empty_threshold = the "
+    "minimum cell occupancy, so the smallest cell(s) RETIRE and "
+    "their stragglers reassign by max-cosine against the "
+    "post-split geometry (surviving seeds + fresh sub-cells) through "
+    "the engine's ivf_append path — the fixture forces >= 1 retired "
+    "cell with stragglers at every SF (probed: sf0.001 retires cell "
+    "7, sf0.01 cell 4, sf0.1 cell 8). Oracle = x86's split CTEs "
+    "extended with retire + nearest-survivor reassignment. Untouched "
+    "dirs byte-identical and _centroids swapped atomically as "
+    "before (tests/test_scale_layout.py). Reference analog: none "
+    "(the ANN serving half of the brief).",
+)
+def p87(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        rebalance_cells,
+        write_ivf_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="x87_ivf_")
+    try:
+        path = os.path.join(work, "index")
+        write_ivf_partitioned(
+            emb, centroid_ids=list(range(1, 9)), path=path
+        )
+        occ = (
+            spark.read.parquet(path)
+            .groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("n").alias("total"), F.min("n").alias("mn")
+            )
+            .collect()[0]
+        )
+        stats = rebalance_cells(
+            spark, path,
+            hot_threshold=11 * int(occ["total"]) // 80,
+            empty_threshold=int(occ["mn"]),
+        )
+        assert stats["retired"] and stats["reassigned"] > 0, stats
+        res = (
+            spark.read.parquet(path)
+            .select("vec_id", "cent_id")
+            .orderBy("vec_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return res
