@@ -1,0 +1,157 @@
+"""Maintenance-verb scan-shape harness (round-12 verdict #4): the
+measured evidence for the round-13 day-scoped-refresh fix.
+
+A 20M-row events store spread over 40 dt= days, in the same
+memory-bounded JVM regime as the other skew harnesses. Measures:
+
+  * refresh scan shape — the q77 digest of ONE day computed two ways:
+    the pre-round-13 form (``to_date(ts) == day``, a data-column
+    predicate with zero PartitionFilters) vs the fixed form
+    (``sources.store.day_scoped``: ``dt == day`` partition filter).
+    Reported per form: wall, files/bytes actually scanned
+    (plans.metrics.collect_plan_metrics). The fix's contract is
+    O(day) scan work: files_after ~= files_before / n_days.
+  * consolidation refresh — ``refresh_downsample(days=[d])``
+    end-to-end (scan + aggregate + crash-safe rename swap), the verb
+    ``amend --refresh-sink`` chains per amended day.
+  * amend, cross_day="resolve" — 2k corrections (half in-place, half
+    moving keys across days) against the 20M-row store: the
+    key-column probe scan plus two partition rewrites.
+
+Numbers are recorded in metrics_history/README.md, not the per-round
+bench (the verbs build real layouts in a tempdir — gate work, not a
+headline). Usage: python scripts/bench_maintenance_verbs.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "7g")
+
+N_DAYS = 40
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark import get_spark
+    from etsd_time_series_database_spark.operators.range_stats import (
+        range_digest,
+    )
+    from etsd_time_series_database_spark.plans.metrics import (
+        collect_plan_metrics,
+    )
+    from etsd_time_series_database_spark.sources.store import (
+        amend_events,
+        day_scoped,
+    )
+    from etsd_time_series_database_spark.streaming.ingest import (
+        refresh_downsample,
+    )
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    spark = get_spark("maintenance-verbs")
+    work = tempfile.mkdtemp(prefix="maint_bench_")
+    out: dict = {"rows": n, "days": N_DAYS}
+    try:
+        store = os.path.join(work, "store")
+        # n rows over N_DAYS days (id mod N_DAYS picks the day, id div
+        # N_DAYS the second-of-day); 8 channels; key = row id
+        (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1704067200)
+                    + (F.col("id") % N_DAYS) * 86_400
+                    + (F.col("id") / N_DAYS).cast("long") % 86_400
+                ).alias("ts"),
+                F.concat(
+                    F.lit("chan_"), (F.col("id") % 8).cast("string")
+                ).alias("event_type"),
+                (F.col("id") % 100_000).cast("double").alias("value"),
+            )
+            .withColumn("dt", F.to_date("ts"))
+            .repartition("dt")
+            .sortWithinPartitions("event_type", "ts")
+            .write.partitionBy("dt")
+            .parquet(store)
+        )
+        raw = spark.read.parquet(store)
+        day = "2024-01-10"
+
+        # --- refresh scan shape: before (to_date) vs after (dt) ---
+        def digest_run(df):
+            dg = range_digest(df, bucket_s=3600)
+            t0 = time.perf_counter()
+            # collect (bounded: channels x buckets rows) so the
+            # metrics land on THIS Dataset's QueryExecution — a write
+            # runs under a fresh execution whose metrics we can't walk
+            dg.collect()
+            wall = round(time.perf_counter() - t0, 2)
+            m = collect_plan_metrics(dg)
+            return {
+                "wall_s": wall,
+                "scan_files": m["scan_files"],
+                "scan_mb": round(m["scan_bytes"] / 1e6, 1),
+            }
+
+        digest_run(raw)  # warm-up (full-store digest)
+        out["refresh_scan_to_date_ts"] = digest_run(
+            raw.filter(F.to_date("ts") == F.lit(day)).drop("dt")
+        )
+        out["refresh_scan_day_scoped"] = digest_run(day_scoped(raw, day))
+
+        # --- consolidation refresh end-to-end (rename swap incl.) ---
+        sink = os.path.join(work, "sink")
+        refresh_downsample(spark, store, sink, width_s=3600, days=None)
+        t0 = time.perf_counter()
+        refresh_downsample(spark, store, sink, width_s=3600, days=[day])
+        out["refresh_downsample_one_day_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+
+        # --- amend with cross-day resolve at 20M ---
+        move_day = "2024-01-30"
+        corr = (
+            raw.filter(F.col("dt") == F.lit(day))
+            .orderBy("event_id")
+            .limit(2000)
+            .drop("dt")
+            .withColumn(
+                "value", F.col("value") + F.lit(1.0)
+            )
+            .withColumn(
+                "ts",
+                # ids within one day are congruent mod N_DAYS, so use
+                # id div N_DAYS for an alternating half-move
+                F.when(
+                    (F.col("event_id") / N_DAYS).cast("long") % 2 == 0,
+                    F.to_timestamp(F.lit(move_day + " 12:00:00")),
+                ).otherwise(F.col("ts")),
+            )
+            .localCheckpoint()
+        )
+        t0 = time.perf_counter()
+        stats = amend_events(spark, store, corr, cross_day="resolve")
+        out["amend_cross_day_resolve_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+        out["amend_moved"] = stats["moved"]
+        out["amend_partitions"] = len(stats["partitions"])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("MAINTJSON:" + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
