@@ -361,6 +361,37 @@ def cmd_rebalance(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_ivf_compact(args, spark: SparkSession) -> int:
+    """Per-cell small-file compaction of a write-index IVF layout
+    (operators.similarity.ivf_compact): only cells over
+    --files-per-cell are read or rewritten; probe results are
+    unchanged, only the file layout. The `dedup-compact` analog for
+    the ANN index. Exit 2 if the path is not a write-index layout."""
+    from etsd_time_series_database_spark.operators.similarity import (
+        ivf_compact,
+    )
+    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, args.path)
+    if not fs.exists(Path(args.path + "/_centroids")):
+        print(
+            f"ivf-compact: {args.path} is not a write-index IVF layout "
+            "(no _centroids table; build it with `write-index`)",
+            file=sys.stderr,
+        )
+        return 2
+    stats = ivf_compact(
+        spark, args.path, files_per_cell=args.files_per_cell, key=args.key
+    )
+    print(
+        f"compacted ivf index {args.path}: "
+        f"{stats['cells_compacted']} cell(s), "
+        f"{stats['files_before']} -> {stats['files_after']} files "
+        f"({stats['rows']} vector rows rewritten)"
+    )
+    return 0
+
+
 def cmd_dedup_index(args, spark: SparkSession) -> int:
     from etsd_time_series_database_spark.operators.dedup import (
         write_minhash_index,
@@ -726,10 +757,15 @@ def cmd_recover(args, spark: SparkSession) -> int:
                 )
                 return 2
         days = args.days.split(",") if args.days else None
-        stats = refresh_downsample(
-            spark, args.raw, args.sink, width_s=args.width, days=days,
-            target_files=args.target_files,
-        )
+        try:
+            stats = refresh_downsample(
+                spark, args.raw, args.sink, width_s=args.width, days=days,
+                target_files=args.target_files,
+            )
+        except ValueError as exc:
+            # width mismatch against the sink's _downsample_meta.json
+            print(f"recover: {exc}", file=sys.stderr)
+            return 2
         scope = (
             f"day(s) {', '.join(sorted(stats))}" if days else "full rebuild"
         )
@@ -919,6 +955,7 @@ def cmd_amend(args, spark: SparkSession) -> int:
         amend_events,
         list_date_partitions,
         read_digest_tier_meta,
+        read_meta_sidecar,
     )
 
     if not list_date_partitions(spark, args.path):
@@ -933,16 +970,29 @@ def cmd_amend(args, spark: SparkSession) -> int:
     # store amended with its derived tiers silently stale; a missing
     # target would come back holding ONLY the amended days — a partial
     # tier masquerading as complete
-    if args.refresh_sink and not list_date_partitions(
-        spark, args.refresh_sink
-    ):
-        print(
-            f"amend: --refresh-sink {args.refresh_sink} is not an "
-            "existing dt=-partitioned downsample sink; build it "
-            "with `recover --partitioned` first (store unchanged)",
-            file=sys.stderr,
+    if args.refresh_sink:
+        if not list_date_partitions(spark, args.refresh_sink):
+            print(
+                f"amend: --refresh-sink {args.refresh_sink} is not an "
+                "existing dt=-partitioned downsample sink; build it "
+                "with `recover --partitioned` first (store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
+        sink_meta = read_meta_sidecar(
+            spark, args.refresh_sink, "_downsample_meta.json"
         )
-        return 2
+        if sink_meta is not None and sink_meta["width_s"] != int(
+            args.refresh_width
+        ):
+            print(
+                f"amend: --refresh-sink {args.refresh_sink} was built "
+                f"with width_s={sink_meta['width_s']} but "
+                f"--refresh-width={args.refresh_width}; pass the "
+                "sink's own width (store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
     if args.refresh_digest:
         if not list_date_partitions(spark, args.refresh_digest):
             print(
@@ -1360,6 +1410,16 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--profile", action="store_true",
                     help="print the post-rebalance cell-balance profile")
     rb.set_defaults(fn=cmd_rebalance)
+
+    ic = sub.add_parser(
+        "ivf-compact",
+        help="per-cell small-file compaction of a write-index IVF "
+        "layout (append-heavy cells only; probe results unchanged)",
+    )
+    ic.add_argument("path", help="index directory from write-index")
+    ic.add_argument("--files-per-cell", type=int, default=1)
+    ic.add_argument("--key", default="vec_id")
+    ic.set_defaults(fn=cmd_ivf_compact)
 
     w = sub.add_parser(
         "watch",

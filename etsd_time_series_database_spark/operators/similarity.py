@@ -527,6 +527,100 @@ def ivf_append(
     ).write.mode("append").partitionBy("cent_id").parquet(path)
 
 
+def ivf_compact(
+    spark,
+    path: str,
+    files_per_cell: int = 1,
+    key: str = "vec_id",
+) -> dict:
+    """TARGETED small-file compaction of a :func:`write_ivf_partitioned`
+    layout: every :func:`ivf_append` adds one file per touched cell, so
+    an append-heavy index turns each ``cent_id=`` directory into
+    hundreds of small files and probe latency pays per-file
+    open/footer cost instead of bandwidth — the same failure mode
+    :func:`operators.dedup.minhash_index_compact` fixes for the band
+    index, but handled PER CELL here: only cells holding more than
+    ``files_per_cell`` parquet files are read or rewritten at all
+    (their input files are reported in ``compact_input_files`` so
+    tests can pin the scan scope, the :func:`rebalance_cells`
+    contract), every other cell — and ``_centroids`` — is untouched
+    on disk. At 100 TB "compact the index" must not mean "rewrite the
+    index"; appends concentrate in the cells current data maps to, so
+    compaction cost tracks the append skew, not the corpus.
+
+    Each cell rewrites to ``files_per_cell`` files sorted by ``key``
+    and installs through the same staged-rename swap as the store
+    verbs (data lands under an underscore temp, invisible to Spark's
+    listing; the old dir moves aside before the new one renames in —
+    a crash leaves either the old cell or a rollback-able
+    ``__old_*``, never both counted). Vectors, assignments, and probe
+    results are byte-equal before/after; only the file layout
+    changes. Single-writer maintenance, like the append job itself.
+    Returns {cells_compacted, files_before, files_after, rows,
+    compact_input_files}.
+
+    Reference analog: the reference compacts nothing (fixed-size
+    blocks); this is lifecycle the Spark layout needs instead.
+    """
+    import uuid
+
+    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, path)
+    stats: dict = {
+        "cells_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+        "rows": 0,
+        "compact_input_files": [],
+    }
+    cells = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(Path(path))
+        if st.isDirectory() and st.getPath().getName().startswith("cent_id=")
+    )
+    for cell in cells:
+        cell_dir = f"{path}/{cell}"
+        n_files = sum(
+            1
+            for f in fs.listStatus(Path(cell_dir))
+            if f.getPath().getName().endswith(".parquet")
+        )
+        stats["files_before"] += n_files
+        if n_files <= int(files_per_cell):
+            stats["files_after"] += n_files
+            continue
+        df = spark.read.parquet(cell_dir)
+        stats["compact_input_files"].extend(df.inputFiles())
+        token = uuid.uuid4().hex
+        tmp = f"{path}/__ivfc_{token}"
+        (
+            df.repartition(int(files_per_cell))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # readability + row-conservation check of the compacted copy
+        # BEFORE anything destructive happens
+        n = spark.read.parquet(tmp).count()
+        stats["rows"] += n
+        old = f"{path}/__old_{token}"
+        if not fs.rename(Path(cell_dir), Path(old)):
+            fs.delete(Path(tmp), True)
+            raise IOError(f"ivf_compact: failed to move {cell} aside")
+        if not fs.rename(Path(tmp), Path(cell_dir)):
+            fs.rename(Path(old), Path(cell_dir))
+            raise IOError(f"ivf_compact: failed to install {cell}")
+        fs.delete(Path(old), True)
+        stats["cells_compacted"] += 1
+        stats["files_after"] += sum(
+            1
+            for f in fs.listStatus(Path(cell_dir))
+            if f.getPath().getName().endswith(".parquet")
+        )
+    return stats
+
+
 def rebalance_cells(
     spark,
     path: str,

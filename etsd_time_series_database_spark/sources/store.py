@@ -721,35 +721,38 @@ def day_scoped(df: DataFrame, day: str) -> DataFrame:
     return df.filter(pred)
 
 
-def write_digest_tier_meta(
-    spark: SparkSession, tier_path: str, meta: dict
+def write_meta_sidecar(
+    spark: SparkSession, path: str, fname: str, meta: dict
 ) -> None:
-    """Record a digest tier's build parameters in a
-    ``_digest_meta.json`` sidecar at the tier root. The underscore
-    prefix makes parquet readers skip it (Spark's hidden-file
-    convention), and it rides the Hadoop FS API so the same sidecar
-    works on file:/hdfs:/s3a: tiers. Comparing two tiers built at
-    different ``bucket_s`` yields total spurious drift — the sidecar
-    is what lets ``digest-diff --materialized`` refuse up front."""
+    """Record a derived table's build parameters in an
+    underscore-prefixed JSON sidecar at its root. The prefix makes
+    parquet readers skip it (Spark's hidden-file convention), and it
+    rides the Hadoop FS API so the same sidecar works on
+    file:/hdfs:/s3a: tables. Derived tiers (digest, downsample) use it
+    to refuse day-scoped refreshes or comparisons with contradicting
+    parameters — mixing bucket widths inside one tier produces silent
+    garbage that looks exactly like replica drift."""
     import json
 
-    fs, Path = _hadoop_fs(spark, tier_path)
-    out = fs.create(Path(f"{tier_path}/_digest_meta.json"), True)
+    fs, Path = _hadoop_fs(spark, path)
+    out = fs.create(Path(f"{path}/{fname}"), True)
     try:
         out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
     finally:
         out.close()
 
 
-def read_digest_tier_meta(spark: SparkSession, tier_path: str) -> dict | None:
-    """The ``_digest_meta.json`` sidecar of a digest tier, or None for
-    a pre-sidecar (or foreign) table. Read through IOUtils — py4j
-    cannot round-trip a mutated JVM byte[], so FSDataInputStream's
-    readFully is unusable from Python."""
+def read_meta_sidecar(
+    spark: SparkSession, path: str, fname: str
+) -> dict | None:
+    """The JSON sidecar of a derived table, or None for a pre-sidecar
+    (or foreign) table. Read through IOUtils — py4j cannot round-trip
+    a mutated JVM byte[], so FSDataInputStream's readFully is unusable
+    from Python."""
     import json
 
-    fs, Path = _hadoop_fs(spark, tier_path)
-    p = Path(f"{tier_path}/_digest_meta.json")
+    fs, Path = _hadoop_fs(spark, path)
+    p = Path(f"{path}/{fname}")
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -759,6 +762,22 @@ def read_digest_tier_meta(spark: SparkSession, tier_path: str) -> dict | None:
     finally:
         stream.close()
     return json.loads(txt)
+
+
+def write_digest_tier_meta(
+    spark: SparkSession, tier_path: str, meta: dict
+) -> None:
+    """Digest-tier sidecar (``_digest_meta.json``): what lets
+    ``digest-diff --materialized`` refuse comparing tiers built at
+    different ``bucket_s`` up front instead of reporting total
+    spurious drift."""
+    write_meta_sidecar(spark, tier_path, "_digest_meta.json", meta)
+
+
+def read_digest_tier_meta(spark: SparkSession, tier_path: str) -> dict | None:
+    """The ``_digest_meta.json`` sidecar of a digest tier (None for a
+    pre-sidecar or foreign table)."""
+    return read_meta_sidecar(spark, tier_path, "_digest_meta.json")
 
 
 def list_date_partitions(spark: SparkSession, path: str) -> list[str]:

@@ -711,6 +711,13 @@ def refresh_downsample(
     single-file layout; a hot day at scale can spread its rewrite
     across N write tasks.
 
+    The sink root carries a ``_downsample_meta.json`` sidecar
+    recording ``width_s`` (the digest tier's ``_digest_meta.json``
+    pattern): a day-scoped refresh at a DIFFERENT width raises instead
+    of silently mixing bucket widths inside one sink, and ``amend
+    --refresh-sink`` validates ``--refresh-width`` against it before
+    touching the store.
+
     The sink layout is date-partitioned (``dt=`` from the bucket
     start) — the partitioned twin of :func:`replay`'s flat sink, and
     what the CLI ``recover --days`` writes. ``days=None`` rebuilds the
@@ -732,8 +739,11 @@ def refresh_downsample(
     from etsd_time_series_database_spark.sources.store import (
         _hadoop_fs,
         day_scoped,
+        read_meta_sidecar,
+        write_meta_sidecar,
     )
 
+    sink_meta = {"width_s": int(width_s)}
     raw = spark.read.parquet(raw_path)
     # key columns adapt to the store flavor: canonical ingest tables
     # carry (source, channel); events stores carry event_type
@@ -772,6 +782,9 @@ def refresh_downsample(
             .partitionBy("dt")
             .parquet(sink_path)
         )
+        write_meta_sidecar(
+            spark, sink_path, "_downsample_meta.json", sink_meta
+        )
         out = spark.read.parquet(sink_path)
         return {
             r.dt.isoformat(): r.n
@@ -783,6 +796,20 @@ def refresh_downsample(
     import uuid
 
     fs, Path = _hadoop_fs(spark, sink_path)
+    existing = read_meta_sidecar(spark, sink_path, "_downsample_meta.json")
+    if existing is not None and existing != sink_meta:
+        raise ValueError(
+            f"refresh_downsample: sink {sink_path} was built with "
+            f"{existing} but this refresh asked for {sink_meta} — a "
+            "day-scoped refresh at a different width would mix bucket "
+            "widths inside one sink; rebuild it (days=None) to change "
+            "the width"
+        )
+    if existing is None and fs.exists(Path(sink_path)):
+        # pre-sidecar sink: adopt the caller's width as its meta
+        write_meta_sidecar(
+            spark, sink_path, "_downsample_meta.json", sink_meta
+        )
     stats: dict = {}
     for d in sorted(days):
         day_rows = day_scoped(raw, d)

@@ -1386,6 +1386,30 @@ def test_amend_refresh_guards_run_before_any_rewrite(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 2 and "bucket" in err and "store unchanged" in err
     assert _store_checksums(raw) == before
+    # downsample sink built at width 300: a --refresh-width 60 amend
+    # (or a recover --days at the wrong width) must be refused — the
+    # same mixed-bucket hazard as the digest tier, via the sink's
+    # _downsample_meta.json
+    sink = str(tmp_path / "sink_guard")
+    assert cli.main(
+        ["recover", raw, sink, "--partitioned", "--width", "300"],
+        spark=spark,
+    ) == 0
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-sink", sink,
+         "--refresh-width", "60"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "width" in err and "store unchanged" in err
+    assert _store_checksums(raw) == before
+    rc = cli.main(
+        ["recover", raw, sink, "--days", day, "--width", "60"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "built with" in err
+
     # the happy path still works with the tier's own bucket
     rc = cli.main(
         ["amend", raw, corr, "--refresh-digest", tier,

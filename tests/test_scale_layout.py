@@ -816,3 +816,114 @@ def test_rebalance_cells_splits_hot_retires_empty(spark, tmp_path):
     assert max(r["pct_corpus"] for r in after_prof) < max(
         before_prof.values()
     )
+
+
+def test_ivf_compact_targets_only_fragmented_cells(spark, tmp_path):
+    """ivf_compact: repeated ivf_appends fragment exactly the cells
+    new data maps to; compaction rewrites ONLY cells over
+    --files-per-cell (scan scope pinned via compact_input_files, the
+    rebalance_cells contract), leaves every other cell's files — and
+    _centroids — byte-identical, conserves rows, and probe results
+    are unchanged. The CLI verb refuses a non-index path (rc 2)."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark import cli
+    from etsd_time_series_database_spark.operators.similarity import (
+        ivf_append,
+        ivf_compact,
+        ivf_probe_partitioned,
+        nearest_cells,
+        read_centroids,
+        write_ivf_partitioned,
+    )
+
+    # two well-separated clusters; appends all land in cluster-0's cell
+    rows = (
+        [(i, [1.0, i * 0.001]) for i in range(40)]
+        + [(100 + j, [0.001 * j, 1.0]) for j in range(40)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    path = str(tmp_path / "ivf_frag")
+    write_ivf_partitioned(emb, centroid_ids=[0, 100], path=path)
+    for i in range(3):  # three appends -> three extra files in cell 0
+        ivf_append(
+            spark.createDataFrame(
+                [(200 + i, [1.0, 0.5 + i * 0.001])],
+                "vec_id int, embedding array<float>",
+            ),
+            path,
+        )
+
+    def cell_files(cid):
+        d = os.path.join(path, f"cent_id={cid}")
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(d, f), "rb").read()
+            ).hexdigest()
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert len(cell_files(0)) >= 4 and len(cell_files(100)) == 1
+    quiet_before = cell_files(100)
+    cents_dir = os.path.join(path, "_centroids")
+    cents_before = {
+        f: hashlib.sha256(
+            open(os.path.join(cents_dir, f), "rb").read()
+        ).hexdigest()
+        for f in os.listdir(cents_dir)
+    }
+    q = [1.0, 0.4]
+    probe_before = sorted(
+        map(tuple, ivf_probe_partitioned(
+            spark, path, q,
+            nearest_cells(read_centroids(spark, path), q, nprobe=1),
+            k=5,
+        ).collect())
+    )
+    rows_before = spark.read.parquet(path).count()
+
+    stats = ivf_compact(spark, path, files_per_cell=1)
+    assert stats["cells_compacted"] == 1
+    assert stats["files_after"] == 2  # one per cell
+    # only the fragmented cell was read
+    assert stats["compact_input_files"]
+    assert all("cent_id=0/" in f for f in stats["compact_input_files"])
+    # untouched cell + centroids byte-identical
+    assert cell_files(100) == quiet_before
+    cents_after = {
+        f: hashlib.sha256(
+            open(os.path.join(cents_dir, f), "rb").read()
+        ).hexdigest()
+        for f in os.listdir(cents_dir)
+    }
+    assert cents_after == cents_before
+    # rows conserved, probe unchanged
+    assert spark.read.parquet(path).count() == rows_before
+    probe_after = sorted(
+        map(tuple, ivf_probe_partitioned(
+            spark, path, q,
+            nearest_cells(read_centroids(spark, path), q, nprobe=1),
+            k=5,
+        ).collect())
+    )
+    assert probe_after == probe_before
+    # idempotent: a second pass finds nothing to do
+    again = ivf_compact(spark, path, files_per_cell=1)
+    assert again["cells_compacted"] == 0 and again["rows"] == 0
+
+    # CLI verb + non-index guard
+    rc = cli.main(["ivf-compact", str(tmp_path)], spark=spark)
+    assert rc == 2
+    ivf_append(
+        spark.createDataFrame(
+            [(300, [1.0, 0.6])], "vec_id int, embedding array<float>"
+        ),
+        path,
+    )
+    rc = cli.main(["ivf-compact", path], spark=spark)
+    assert rc == 0
+    assert len(cell_files(0)) == 1
