@@ -2518,6 +2518,89 @@ def tiered_rollup(
     return res.orderBy("tier_s", channel, "bucket_us")
 
 
+def route_range_query(
+    df: DataFrame,
+    width_s: int,
+    tiers_s: tuple = (3600, 21600, 86400),
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """RRA-FETCH routing: answer a range-aggregate request at
+    ``width_s`` from the COARSEST consolidation tier whose width
+    divides it — rrdtool's fetch picks the best-resolution RRA the
+    same way, and the reference's RRD consolidation plugin
+    (code/plugins/edoRRD.c:44-74) exists exactly so queries stop
+    touching raw history. The routing decision is driver-side
+    metadata (max eligible tier; raises if no tier divides the
+    request — a mis-sized request must not silently fall back to a
+    raw scan); n/sum/min/max then COMPOSE from the routed tier's
+    buckets (exact DECIMAL sums, so the re-derived average is
+    bit-identical to aggregating raw directly — that equality is
+    q79's oracle gate).
+
+    Here the routed tier is computed inline from ``df`` (one raw scan
+    at tier resolution — the gate proves aggregate-then-compose ==
+    direct); in production the tier table is materialized (`recover
+    --partitioned` / `tiered_rollup` output) and the raw scan
+    disappears: the query cost becomes a KB–MB tier read no matter
+    how large raw history is. When the request equals the tier width
+    the compose step is skipped (no second shuffle). Output one row
+    per (channel, request bucket): (tier_s = routed source tier,
+    channel, bucket_us, n, avg_v, min_v, max_v).
+    """
+    eligible = [int(t) for t in tiers_s if int(width_s) % int(t) == 0]
+    if not eligible:
+        raise ValueError(
+            f"route_range_query: no tier in {tuple(tiers_s)} divides "
+            f"the requested width {width_s}s — answering it would "
+            "need a raw scan; add a finer tier or change the request"
+        )
+    routed = max(eligible)
+    w0 = routed * 1_000_000
+    tier = (
+        df.select(
+            F.col(channel),
+            (F.expr(f"unix_micros({ts}) div {w0}") * w0).alias(
+                "bucket_us"
+            ),
+            F.col(value).alias("__v"),
+        )
+        .groupBy(channel, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__v").cast(DEC)).alias("__s"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+    )
+    if int(width_s) != routed:
+        w = int(width_s) * 1_000_000
+        tier = (
+            tier.groupBy(
+                channel,
+                (F.expr(f"bucket_us div {w}") * w).alias("bucket_us"),
+            )
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("__s").alias("__s"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+    return tier.select(
+        F.lit(routed).cast("bigint").alias("tier_s"),
+        F.col(channel),
+        "bucket_us",
+        "n",
+        F.round(F.col("__s").cast("double") / F.col("n"), 6).alias(
+            "avg_v"
+        ),
+        "min_v",
+        "max_v",
+    ).orderBy(channel, "bucket_us")
+
+
 def percentile_profile(
     df: DataFrame,
     percentiles: tuple = (0.5, 0.9, 0.99),

@@ -1871,3 +1871,55 @@ def q77(spark, sf_dir):
     )
 
     return range_digest(_events(spark, sf_dir), bucket_s=DIGEST_BUCKET_S)
+
+
+ROUTE_WIDTH_S = 43_200  # 12 h: routed tier must be 21600 (6 h)
+
+
+@register(
+    "q79_tier_routed_range",
+    "consolidation",
+    f"""
+    WITH tiers(tier_s) AS (
+      VALUES {", ".join(f"(CAST({t} AS BIGINT))" for t in TIERS_S)}
+    ),
+    routed AS (
+      SELECT max(tier_s) AS tier_s FROM tiers
+      WHERE {ROUTE_WIDTH_S} % tier_s = 0
+    )
+    SELECT (SELECT tier_s FROM routed) AS tier_s,
+           event_type,
+           (epoch_us(ts) // {ROUTE_WIDTH_S * 1_000_000})
+             * {ROUTE_WIDTH_S * 1_000_000} AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_v,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events
+    GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+    doc="RRA-fetch routing (operators.trends.route_range_query): a "
+    "12 h range-aggregate request routes to the COARSEST ladder tier "
+    "dividing it (6 h — the same best-resolution-RRA pick rrdtool's "
+    "fetch makes; reference consolidation plugin "
+    "code/plugins/edoRRD.c:44-74) and the answer COMPOSES from that "
+    "tier's buckets: n/min/max fold associatively, avg re-derives "
+    "from the carried exact DECIMAL sums. The oracle aggregates raw "
+    "directly at 12 h, so the gate proves aggregate-then-compose is "
+    "bit-identical to a raw-history scan — the equality that lets a "
+    "100 TB deployment answer dashboard zooms from KB-sized "
+    "materialized tiers (recover --partitioned / q75's ladder) "
+    "without ever touching raw again. The routing decision itself is "
+    "pinned too (tier_s column, driver-side metadata; an un-servable "
+    "width raises rather than silently scanning raw).",
+)
+def q79(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        route_range_query,
+    )
+
+    return route_range_query(
+        _events(spark, sf_dir), width_s=ROUTE_WIDTH_S, tiers_s=TIERS_S
+    )
