@@ -783,3 +783,69 @@ def test_json_props_profile_null_degradation(spark):
     assert by_dec[0] == (1, 1, 7)
     assert by_dec[1] == (1, 1, 13)
     assert by_dec[None] == (4, 0, None)
+
+
+def test_route_range_query_routes_and_composes_exactly(spark):
+    """q79's operator: for every servable width the tier-routed answer
+    equals aggregating raw directly at that width (n/min/max compose;
+    avg re-derives from exact DECIMAL sums), the routed tier is the
+    COARSEST divisor, and an un-servable width raises instead of
+    silently falling back to a raw scan."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.trends import (
+        route_range_query,
+    )
+
+    # 2 channels x 3 days, minute cadence with drifting values
+    df = spark.range(0, 3 * 1440).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+        (F.col("id") % 2).cast("string").alias("event_type"),
+        ((F.col("id") * 7 % 1000) / 8.0 - 31.25).alias("value"),
+    )
+    tiers = (3600, 21600, 86400)
+
+    def direct(width_s):
+        w = width_s * 1_000_000
+        return (
+            df.groupBy(
+                "event_type",
+                (F.expr(f"unix_micros(ts) div {w}") * w).alias(
+                    "bucket_us"
+                ),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("avg_v"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+        )
+
+    for width, want_tier in (
+        (3600, 3600),       # equal: no compose step
+        (7200, 3600),       # 2 h <- 1 h tier
+        (43200, 21600),     # 12 h <- 6 h tier
+        (86400, 86400),
+        (172800, 86400),    # 2 d <- 1 d tier
+    ):
+        got = route_range_query(df, width_s=width, tiers_s=tiers)
+        assert {int(r.tier_s) for r in got.select("tier_s").distinct().collect()} \
+            == {want_tier}, (width, want_tier)
+        g = sorted(map(tuple, got.drop("tier_s").collect()))
+        d = sorted(map(tuple, direct(width).collect()))
+        assert g == d, f"width={width}"
+
+    with _pytest.raises(ValueError, match="no tier"):
+        route_range_query(df, width_s=5400, tiers_s=tiers)
