@@ -555,11 +555,12 @@ def cmd_watch(args, spark: SparkSession) -> int:
                 file=sys.stderr,
             )
             return 2
-        import os as _os
+        from etsd_time_series_database_spark.sources.store import (
+            _hadoop_fs,
+        )
 
-        if not _os.path.isdir(args.dedup_index) and not args.dedup_index.startswith(
-            ("hdfs:", "s3a:", "s3:", "gs:")
-        ):
+        _fs, _Path = _hadoop_fs(spark, args.dedup_index)
+        if not _fs.exists(_Path(args.dedup_index)):
             print(
                 f"watch: dedup index {args.dedup_index} does not exist; "
                 "seed it with `dedup-index` first (an empty index would "
@@ -894,6 +895,7 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
     their _digest_meta.json sidecars — comparing those would report
     total spurious drift). In --materialized mode --bucket is ignored:
     the tiers' own build buckets govern."""
+    channel_col = args.channel_col
     if args.materialized:
         from etsd_time_series_database_spark.sources.store import (
             read_digest_tier_meta,
@@ -914,8 +916,26 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
                 file=sys.stderr,
             )
             return 2
+        if len(known) == 2:
+            # the sidecar, not the flag, knows the tiers' channel
+            # column — a tier built with --channel-col source must
+            # not need the flag re-passed at diff time
+            channel_col = metas[args.left]["channel_col"]
+        else:
+            # pre-sidecar tier(s): the compatibility check above was
+            # vacuous — say so, because bucket-width drift from
+            # mismatched builds would otherwise be indistinguishable
+            # from real replica drift
+            unknown = [p for p in (args.left, args.right) if p not in known]
+            print(
+                "digest-diff: no _digest_meta.json sidecar on "
+                f"{', '.join(unknown)} — build parameters unverified; "
+                "if the tiers were built at different buckets this "
+                "diff reports spurious drift",
+                file=sys.stderr,
+            )
     drift = _digest_drift(
-        spark, args.left, args.right, args.bucket, args.channel_col,
+        spark, args.left, args.right, args.bucket, channel_col,
         args.value_col, materialized=args.materialized,
     )
     # display fetches at most --limit rows; the exact total comes from
@@ -971,6 +991,16 @@ def cmd_amend(args, spark: SparkSession) -> int:
     # target would come back holding ONLY the amended days — a partial
     # tier masquerading as complete
     if args.refresh_sink:
+        if 86_400 % int(args.refresh_width) != 0:
+            # the same rule refresh_downsample enforces, checked here
+            # so it cannot fire AFTER the store rewrite
+            print(
+                f"amend: --refresh-width {args.refresh_width} does not "
+                "divide 86400 — a bucket would span a day boundary "
+                "(store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
         if not list_date_partitions(spark, args.refresh_sink):
             print(
                 f"amend: --refresh-sink {args.refresh_sink} is not an "
@@ -994,6 +1024,14 @@ def cmd_amend(args, spark: SparkSession) -> int:
             )
             return 2
     if args.refresh_digest:
+        if 86_400 % int(args.digest_bucket) != 0:
+            print(
+                f"amend: --digest-bucket {args.digest_bucket} does not "
+                "divide 86400 — a digest bucket would span a day "
+                "boundary (store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
         if not list_date_partitions(spark, args.refresh_digest):
             print(
                 f"amend: --refresh-digest {args.refresh_digest} is not "

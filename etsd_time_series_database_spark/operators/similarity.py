@@ -564,7 +564,10 @@ def ivf_compact(
     """
     import uuid
 
-    from etsd_time_series_database_spark.sources.store import _hadoop_fs
+    from etsd_time_series_database_spark.sources.store import (
+        _hadoop_fs,
+        swap_in_dir,
+    )
 
     fs, Path = _hadoop_fs(spark, path)
     stats: dict = {
@@ -592,6 +595,7 @@ def ivf_compact(
             continue
         df = spark.read.parquet(cell_dir)
         stats["compact_input_files"].extend(df.inputFiles())
+        n_src = df.count()
         token = uuid.uuid4().hex
         tmp = f"{path}/__ivfc_{token}"
         (
@@ -601,17 +605,20 @@ def ivf_compact(
             .parquet(tmp)
         )
         # readability + row-conservation check of the compacted copy
-        # BEFORE anything destructive happens
+        # BEFORE anything destructive happens: a lossy rewrite must
+        # not replace the only copy of a cell
         n = spark.read.parquet(tmp).count()
-        stats["rows"] += n
-        old = f"{path}/__old_{token}"
-        if not fs.rename(Path(cell_dir), Path(old)):
+        if n != n_src:
             fs.delete(Path(tmp), True)
-            raise IOError(f"ivf_compact: failed to move {cell} aside")
-        if not fs.rename(Path(tmp), Path(cell_dir)):
-            fs.rename(Path(old), Path(cell_dir))
-            raise IOError(f"ivf_compact: failed to install {cell}")
-        fs.delete(Path(old), True)
+            raise IOError(
+                f"ivf_compact: compacted copy of {cell} holds {n} rows "
+                f"but the cell holds {n_src} — cell left untouched"
+            )
+        stats["rows"] += n
+        swap_in_dir(
+            fs, Path, tmp, cell_dir, f"{path}/__old_{token}",
+            "ivf_compact",
+        )
         stats["cells_compacted"] += 1
         stats["files_after"] += sum(
             1

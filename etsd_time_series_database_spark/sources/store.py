@@ -477,17 +477,9 @@ def amend_events(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        old = f"{path}/__old_{token}"
-        had_old = fs.exists(Path(part_dir))
-        if had_old and not fs.rename(Path(part_dir), Path(old)):
-            fs.delete(Path(tmp), True)
-            raise IOError(f"amend: failed to move {part_dir} aside")
-        if not fs.rename(Path(tmp), Path(part_dir)):
-            if had_old:
-                fs.rename(Path(old), Path(part_dir))
-            raise IOError(f"amend: failed to install {part_dir}")
-        if had_old:
-            fs.delete(Path(old), True)
+        swap_in_dir(
+            fs, Path, tmp, part_dir, f"{path}/__old_{token}", "amend"
+        )
         stats["partitions"][part] = spark.read.parquet(part_dir).count()
     # key-level accounting: each moved key contributes one removal (old
     # day) and one insertion (new day) but is neither a replace nor a
@@ -551,17 +543,10 @@ def sync_partition(
             fs_dst.delete(tmp, True)
             raise IOError(f"sync: copy of {name} failed; "
                           f"target partition {partition} untouched")
-    old = Path(f"{target_path}/__old_{token}")
-    had_old = fs_dst.exists(dst_dir)
-    if had_old and not fs_dst.rename(dst_dir, old):
-        fs_dst.delete(tmp, True)
-        raise IOError(f"sync: failed to move {dst_dir} aside")
-    if not fs_dst.rename(tmp, dst_dir):
-        if had_old:
-            fs_dst.rename(old, dst_dir)
-        raise IOError(f"sync: failed to install {dst_dir}")
-    if had_old:
-        fs_dst.delete(old, True)
+    swap_in_dir(
+        fs_dst, Path, tmp_s, f"{target_path}/{partition}",
+        f"{target_path}/__old_{token}", "sync",
+    )
     return "synced"
 
 
@@ -585,11 +570,11 @@ def refresh_digest_tier(
     recomputes only those partitions from the store and installs each
     through the crash-safe rename swap — untouched tier partitions are
     never listed, read, or rewritten. The day filter goes on the
-    store's ``dt`` PARTITION column when present (``to_date(ts)``
-    conjunct kept belt-and-braces) so Catalyst prunes the scan to that
-    one directory — a ``to_date(ts)`` predicate alone is a data-column
-    filter with zero PartitionFilters that plans tasks over every
-    day's files (plan-pinned). ``days=None`` rebuilds the whole tier.
+    store's ``dt`` PARTITION column alone when present so Catalyst
+    prunes the scan to that one directory — a ``to_date(ts)``
+    predicate is a data-column filter with zero PartitionFilters that
+    plans tasks over every day's files, and is session-timezone
+    dependent besides (plan-pinned). ``days=None`` rebuilds the whole tier.
     ``bucket_s`` must divide 86400 so no digest bucket spans a day
     boundary. ``target_files`` sets the per-day output fan-out
     (default 1 — today's layout; same knob as
@@ -665,7 +650,25 @@ def refresh_digest_tier(
             "change parameters"
         )
     if existing is None and fs.exists(Path(digest_path)):
-        # pre-sidecar tier: adopt the caller's parameters as its meta
+        # pre-sidecar tier: validate the claimed bucket against the
+        # existing buckets' alignment before adopting it as the meta —
+        # stamping an unvalidated claim would lock the wrong bucket in
+        # (a FINER claim divides the true buckets and is undetectable
+        # from data; the sidecar closes that for new builds)
+        b_us = int(bucket_s) * 1_000_000
+        misaligned = (
+            spark.read.parquet(digest_path)
+            .filter(F.col("bucket_us") % b_us != 0)
+            .limit(1)
+            .count()
+        )
+        if misaligned:
+            raise ValueError(
+                f"refresh_digest_tier: tier {digest_path} holds buckets "
+                f"not aligned to bucket_s={bucket_s} — it was built at "
+                "a different bucket; pass the tier's own bucket, or "
+                "rebuild it (days=None)"
+            )
         write_digest_tier_meta(spark, digest_path, meta)
     stats: dict = {}
     for d in sorted(days):
@@ -686,18 +689,38 @@ def refresh_digest_tier(
                 fs.delete(Path(part_dir), True)
             stats[d] = 0
             continue
-        old = f"{digest_path}/__old_{token}"
-        if had_old and not fs.rename(Path(part_dir), Path(old)):
-            fs.delete(Path(tmp), True)
-            raise IOError(f"digest refresh: failed to move {part_dir} aside")
-        if not fs.rename(Path(tmp), Path(part_dir)):
-            if had_old:
-                fs.rename(Path(old), Path(part_dir))
-            raise IOError(f"digest refresh: failed to install {part_dir}")
-        if had_old:
-            fs.delete(Path(old), True)
+        swap_in_dir(
+            fs, Path, tmp, part_dir, f"{digest_path}/__old_{token}",
+            "digest refresh",
+        )
         stats[d] = n
     return stats
+
+
+def swap_in_dir(fs, Path, tmp: str, dst: str, old: str, label: str) -> None:
+    """The crash-safe directory swap every single-dir maintenance
+    verb shares (amend, day-scoped refresh x2, ivf-compact): the new
+    data is FULLY written at ``tmp`` before anything destructive
+    happens; ``dst`` (if present) moves aside to ``old``, ``tmp``
+    renames in, ``old`` is deleted last. Hadoop rename signals most
+    failures by returning FALSE, not raising, so every step before a
+    destructive delete is checked: a failed move-aside deletes only
+    the temp; a failed install renames the old dir back. A crash
+    leaves either the old dir or a rollback-able ``old`` — the
+    target is never simply absent with no recovery copy, and never
+    double-counted. Callers pick token-suffixed ``tmp``/``old``
+    names with an underscore prefix (invisible to Spark's listing).
+    """
+    had_old = fs.exists(Path(dst))
+    if had_old and not fs.rename(Path(dst), Path(old)):
+        fs.delete(Path(tmp), True)
+        raise IOError(f"{label}: failed to move {dst} aside")
+    if not fs.rename(Path(tmp), Path(dst)):
+        if had_old:
+            fs.rename(Path(old), Path(dst))
+        raise IOError(f"{label}: failed to install {dst}")
+    if had_old:
+        fs.delete(Path(old), True)
 
 
 def day_scoped(df: DataFrame, day: str) -> DataFrame:
@@ -708,17 +731,20 @@ def day_scoped(df: DataFrame, day: str) -> DataFrame:
     alone is a data-column filter with ZERO PartitionFilters that
     plans tasks over (and reads footers of) every day's files, which
     at 100 TB turns "refresh one amended day" into O(store) work. The
-    ``to_date(ts)`` conjunct is kept belt-and-braces (also excludes
-    rows mis-filed under a foreign dt=, which the layout invariant
-    ``dt == to_date(ts)`` — pinned in tests/test_cli.py — forbids
-    anyway); flat tables fall back to it. ``dt`` is dropped from the
-    result so downstream schemas match the flat-store path.
-    Plan-pinned by tests/test_plan_shape.py."""
-    pred = F.to_date("ts") == F.lit(day)
+    ``dt`` predicate stands ALONE — deliberately no ``to_date(ts)``
+    conjunct: ``to_date`` evaluates in the SESSION timezone, so under
+    an external non-UTC session a belt-and-braces conjunct would
+    silently drop the day's midnight-adjacent rows from the refresh;
+    the layout invariant ``dt == to_date(ts)`` (UTC at write time,
+    pinned in tests/test_cli.py) already guarantees the partition
+    holds exactly the day's rows. Flat tables fall back to the
+    ``to_date(ts)`` predicate (session-tz caveat applies there — the
+    repo's own sessions pin UTC). ``dt`` is dropped from the result
+    so downstream schemas match the flat-store path. Plan-pinned by
+    tests/test_plan_shape.py."""
     if "dt" in df.columns:
-        pred = (F.col("dt") == F.lit(day)) & pred
-        return df.filter(pred).drop("dt")
-    return df.filter(pred)
+        return df.filter(F.col("dt") == F.lit(day)).drop("dt")
+    return df.filter(F.to_date("ts") == F.lit(day))
 
 
 def write_meta_sidecar(

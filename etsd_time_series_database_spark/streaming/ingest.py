@@ -699,12 +699,12 @@ def refresh_downsample(
     untouched sink partitions are never listed, read, or rewritten.
 
     When the raw store is ``dt=``-partitioned the day filter goes on
-    the PARTITION column (``dt == day``, with the ``to_date(ts)``
-    conjunct kept belt-and-braces) so Catalyst prunes the scan to that
-    one directory — a ``to_date(ts)`` predicate alone is a data-column
-    filter that plans tasks over EVERY day's files (plan-pinned:
-    non-empty PartitionFilters and input files confined to the named
-    dt= dirs). A flat raw store falls back to the ts predicate.
+    the PARTITION column alone (``dt == day``) so Catalyst prunes the
+    scan to that one directory — a ``to_date(ts)`` predicate is a
+    data-column filter that plans tasks over EVERY day's files AND is
+    session-timezone dependent (plan-pinned: non-empty
+    PartitionFilters and scan_files == the day's file count). A flat
+    raw store falls back to the ts predicate.
 
     ``target_files`` controls the per-day output fan-out (same knob as
     :func:`sources.store.compact_partition`): default 1 keeps today's
@@ -740,6 +740,7 @@ def refresh_downsample(
         _hadoop_fs,
         day_scoped,
         read_meta_sidecar,
+        swap_in_dir,
         write_meta_sidecar,
     )
 
@@ -806,7 +807,27 @@ def refresh_downsample(
             "the width"
         )
     if existing is None and fs.exists(Path(sink_path)):
-        # pre-sidecar sink: adopt the caller's width as its meta
+        # pre-sidecar sink: before ADOPTING the caller's width as its
+        # meta, check every existing bucket aligns to it — stamping an
+        # unvalidated claim would both mix widths in this refresh and
+        # lock the wrong width in for every future one. (A claimed
+        # width FINER than the build width divides its buckets and is
+        # undetectable from data; the sidecar closes that for every
+        # sink built from round 13 on.)
+        w_us = int(width_s) * 1_000_000
+        misaligned = (
+            spark.read.parquet(sink_path)
+            .filter(F.expr(f"unix_micros(bucket_ts) % {w_us}") != 0)
+            .limit(1)
+            .count()
+        )
+        if misaligned:
+            raise ValueError(
+                f"refresh_downsample: sink {sink_path} holds buckets "
+                f"not aligned to width_s={width_s} — it was built at a "
+                "different width; pass the sink's own width, or "
+                "rebuild it (days=None) to change the width"
+            )
         write_meta_sidecar(
             spark, sink_path, "_downsample_meta.json", sink_meta
         )
@@ -833,15 +854,7 @@ def refresh_downsample(
                 fs.delete(Path(part_dir), True)
             stats[d] = 0
             continue
-        if had_old and not fs.rename(Path(part_dir), Path(old)):
-            fs.delete(Path(tmp), True)
-            raise IOError(f"refresh: failed to move {part_dir} aside")
-        if not fs.rename(Path(tmp), Path(part_dir)):
-            if had_old:
-                fs.rename(Path(old), Path(part_dir))
-            raise IOError(f"refresh: failed to install {part_dir}")
-        if had_old:
-            fs.delete(Path(old), True)
+        swap_in_dir(fs, Path, tmp, part_dir, old, "refresh")
         stats[d] = n
     return stats
 

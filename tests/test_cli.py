@@ -1386,6 +1386,25 @@ def test_amend_refresh_guards_run_before_any_rewrite(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 2 and "bucket" in err and "store unchanged" in err
     assert _store_checksums(raw) == before
+    # a non-divisor width/bucket is refused BEFORE the rewrite too —
+    # previously refresh_downsample raised it after the store changed
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-sink", str(tmp_path / "s"),
+         "--refresh-width", "7000"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "86400" in err and "store unchanged" in err
+    assert _store_checksums(raw) == before
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-digest", str(tmp_path / "t"),
+         "--digest-bucket", "7000"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "86400" in err and "store unchanged" in err
+    assert _store_checksums(raw) == before
+
     # downsample sink built at width 300: a --refresh-width 60 amend
     # (or a recover --days at the wrong width) must be refused — the
     # same mixed-bucket hazard as the digest tier, via the sink's
