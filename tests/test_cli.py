@@ -1703,3 +1703,74 @@ def test_watch_follow_marks_partial_totals_on_listener_timeout(
     # the retained-progress fallback still carries the true counts
     # here (well under the 100-batch retention cap)
     assert "10 row(s) in" in out_txt
+
+
+def test_pre_sidecar_tier_adoption_validates_alignment(
+    spark, tmp_path, capsys
+):
+    """Review fixes, round 13: a tier WITHOUT a parameter sidecar
+    (pre-round-13 build) must not blindly adopt the caller's claim —
+    a day refresh claiming a width the existing buckets do not align
+    to is refused (rc 2) BEFORE any rewrite, and digest-diff
+    --materialized against a sidecar-less tier says its parameters
+    are unverified instead of silently skipping the compatibility
+    check."""
+    import os
+
+    raw = str(tmp_path / "raw_adopt")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    day = sorted(
+        d for d in os.listdir(raw) if d.startswith("dt=")
+    )[0].split("=", 1)[1]
+
+    # sink built at width 60, sidecar removed to simulate an old build
+    sink = str(tmp_path / "sink_adopt")
+    assert cli.main(
+        ["recover", raw, sink, "--partitioned", "--width", "60"],
+        spark=spark,
+    ) == 0
+    os.remove(os.path.join(sink, "_downsample_meta.json"))
+    before = _store_checksums(sink)
+    capsys.readouterr()
+    # claiming a COARSER width than built: 60 s buckets are not
+    # 300-aligned -> refused, nothing rewritten, no sidecar stamped
+    rc = cli.main(
+        ["recover", raw, sink, "--days", day, "--width", "300"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "not aligned" in err
+    assert _store_checksums(sink) == before
+    assert not os.path.exists(os.path.join(sink, "_downsample_meta.json"))
+    # the true width is adopted: refresh succeeds and stamps the meta
+    rc = cli.main(
+        ["recover", raw, sink, "--days", day, "--width", "60"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(sink, "_downsample_meta.json"))
+
+    # digest tier: same alignment refusal through the library guard
+    tier = str(tmp_path / "tier_adopt")
+    assert cli.main(
+        ["digest-tier", raw, tier, "--bucket", "3600"], spark=spark
+    ) == 0
+    os.remove(os.path.join(tier, "_digest_meta.json"))
+    rc = cli.main(
+        ["digest-tier", raw, tier, "--days", day, "--bucket", "86400"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "not aligned" in err
+
+    # materialized diff against the sidecar-less tier: rc reflects the
+    # data (identical tier vs itself -> 0) but stderr flags the
+    # unverified parameters
+    rc = cli.main(
+        ["digest-diff", tier, tier, "--materialized"], spark=spark
+    )
+    out = capsys.readouterr()
+    assert rc == 0 and "identical" in out.out
+    assert "unverified" in out.err
