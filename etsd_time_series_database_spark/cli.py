@@ -916,12 +916,15 @@ def cmd_digest_diff(args, spark: SparkSession) -> int:
                 file=sys.stderr,
             )
             return 2
-        if len(known) == 2:
+        if known:
             # the sidecar, not the flag, knows the tiers' channel
             # column — a tier built with --channel-col source must
-            # not need the flag re-passed at diff time
-            channel_col = metas[args.left]["channel_col"]
-        else:
+            # not need the flag re-passed at diff time. With exactly
+            # one sidecar, it is still the best evidence available
+            # (the flag default would select a nonexistent column on
+            # that tier and die in an AnalysisException)
+            channel_col = next(iter(known.values()))["channel_col"]
+        if len(known) < 2:
             # pre-sidecar tier(s): the compatibility check above was
             # vacuous — say so, because bucket-width drift from
             # mismatched builds would otherwise be indistinguishable
@@ -967,12 +970,15 @@ def cmd_amend(args, spark: SparkSession) -> int:
     day-scoped downsample refresh (recover --days) over exactly the
     amended days so derived tiers never go stale. Exit 2 if the target
     is not a dt= store OR a --refresh-sink/--refresh-digest target is
-    missing/incompatible (checked BEFORE any rewrite — a bad refresh
-    target must not leave the store amended but the tiers stale), 3 if
+    missing/incompatible (checked BEFORE any rewrite — sidecar compare
+    when the target carries one, the bucket-alignment probe when it
+    predates sidecars — a bad refresh target must not leave the store
+    amended but the tiers stale), 3 if
     the corrections are rejected (duplicate keys, or a cross-day move
     under --cross-day fail)."""
     from etsd_time_series_database_spark.sources.store import (
         amend_events,
+        buckets_misaligned,
         list_date_partitions,
         read_digest_tier_meta,
         read_meta_sidecar,
@@ -991,13 +997,16 @@ def cmd_amend(args, spark: SparkSession) -> int:
     # target would come back holding ONLY the amended days — a partial
     # tier masquerading as complete
     if args.refresh_sink:
-        if 86_400 % int(args.refresh_width) != 0:
+        if int(args.refresh_width) <= 0 or 86_400 % int(
+            args.refresh_width
+        ) != 0:
             # the same rule refresh_downsample enforces, checked here
-            # so it cannot fire AFTER the store rewrite
+            # so it cannot fire AFTER the store rewrite (<= 0 first:
+            # a zero width must hit this message, not ZeroDivisionError)
             print(
-                f"amend: --refresh-width {args.refresh_width} does not "
-                "divide 86400 — a bucket would span a day boundary "
-                "(store unchanged)",
+                f"amend: --refresh-width {args.refresh_width} must be "
+                "a positive divisor of 86400 — a bucket would span a "
+                "day boundary (store unchanged)",
                 file=sys.stderr,
             )
             return 2
@@ -1023,12 +1032,28 @@ def cmd_amend(args, spark: SparkSession) -> int:
                 file=sys.stderr,
             )
             return 2
-    if args.refresh_digest:
-        if 86_400 % int(args.digest_bucket) != 0:
+        if sink_meta is None and buckets_misaligned(
+            spark, args.refresh_sink, args.refresh_width, "bucket_ts"
+        ):
+            # pre-sidecar sink: the sidecar compare above was vacuous —
+            # run the library's alignment probe HERE so an incompatible
+            # width is rejected before the store rewrite, not after it
             print(
-                f"amend: --digest-bucket {args.digest_bucket} does not "
-                "divide 86400 — a digest bucket would span a day "
-                "boundary (store unchanged)",
+                f"amend: --refresh-sink {args.refresh_sink} holds "
+                "buckets not aligned to --refresh-width="
+                f"{args.refresh_width} — it was built at a different "
+                "width; pass the sink's own width (store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
+    if args.refresh_digest:
+        if int(args.digest_bucket) <= 0 or 86_400 % int(
+            args.digest_bucket
+        ) != 0:
+            print(
+                f"amend: --digest-bucket {args.digest_bucket} must be "
+                "a positive divisor of 86400 — a digest bucket would "
+                "span a day boundary (store unchanged)",
                 file=sys.stderr,
             )
             return 2
@@ -1049,6 +1074,19 @@ def cmd_amend(args, spark: SparkSession) -> int:
                 f"built with bucket_s={tier_meta['bucket_s']} but "
                 f"--digest-bucket={args.digest_bucket}; pass the "
                 "tier's own bucket (store unchanged)",
+                file=sys.stderr,
+            )
+            return 2
+        if tier_meta is None and buckets_misaligned(
+            spark, args.refresh_digest, args.digest_bucket, "bucket_us"
+        ):
+            # pre-sidecar tier: same before-any-rewrite probe as the
+            # sink branch above
+            print(
+                f"amend: --refresh-digest {args.refresh_digest} holds "
+                "digest buckets not aligned to --digest-bucket="
+                f"{args.digest_bucket} — it was built at a different "
+                "bucket; pass the tier's own bucket (store unchanged)",
                 file=sys.stderr,
             )
             return 2
@@ -1078,11 +1116,18 @@ def cmd_amend(args, spark: SparkSession) -> int:
         amended_days = sorted(
             p.split("=", 1)[1] for p in stats["partitions"]
         )
-        rstats = refresh_downsample(
-            spark, args.path, args.refresh_sink,
-            width_s=args.refresh_width, days=amended_days,
-            target_files=args.target_files,
-        )
+        try:
+            rstats = refresh_downsample(
+                spark, args.path, args.refresh_sink,
+                width_s=args.refresh_width, days=amended_days,
+                target_files=args.target_files,
+            )
+        except ValueError as exc:
+            # residual library-side refusal (the pre-checks above
+            # cover the known cases; anything new must still exit
+            # clean, not as a traceback)
+            print(f"amend: {exc}", file=sys.stderr)
+            return 2
         print(
             f"refreshed {args.refresh_sink} for day(s) "
             f"{', '.join(amended_days)} "
@@ -1263,8 +1308,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     r.add_argument(
         "--target-files", type=int, default=1,
-        help="output files per refreshed day (spread a hot day's "
-        "rewrite across N write tasks; content identical)",
+        help="output files per day (spread a hot day's rewrite across "
+        "N write tasks; applies to --days refreshes AND --partitioned "
+        "full rebuilds; content identical)",
     )
     r.set_defaults(fn=cmd_recover)
 
@@ -1310,7 +1356,8 @@ def build_parser() -> argparse.ArgumentParser:
     dt.add_argument("--value-col", default="value")
     dt.add_argument(
         "--target-files", type=int, default=1,
-        help="output files per refreshed day (--days mode only)",
+        help="output files per day (applies to --days refreshes AND "
+        "full builds)",
     )
     dt.set_defaults(fn=cmd_digest_tier)
 

@@ -597,11 +597,11 @@ def refresh_digest_tier(
     stores themselves (cli.cmd_repair), never this table; a stale
     materialized digest must not be able to fake convergence.
     """
-    if 86_400 % int(bucket_s) != 0:
+    if int(bucket_s) <= 0 or 86_400 % int(bucket_s) != 0:
         raise ValueError(
-            f"refresh_digest_tier: bucket_s={bucket_s} does not divide "
-            "86400 — a digest bucket would span a day boundary and a "
-            "day-scoped refresh would be wrong"
+            f"refresh_digest_tier: bucket_s={bucket_s} must be a "
+            "positive divisor of 86400 — a digest bucket would span a "
+            "day boundary and a day-scoped refresh would be wrong"
         )
     from etsd_time_series_database_spark.operators.range_stats import (
         range_digest,
@@ -620,11 +620,33 @@ def refresh_digest_tier(
         )
 
     if days is None:
+        full = digest(store).withColumn(
+            "dt", F.to_date(F.timestamp_micros("bucket_us"))
+        )
+        if int(target_files) > 1:
+            # spread each day across up to target_files write tasks —
+            # deterministic (channel, bucket)-hash salt, so the
+            # fan-out knob works for the full rebuild exactly as for a
+            # --days refresh without the round-robin+partitionBy
+            # anti-pattern (every task holding a writer for every day)
+            # explicit partition count: a column-only repartition is
+            # advisory and AQE coalesces the tiny shuffle back into
+            # one task per day, silently undoing the salt
+            n_part = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            full = full.repartition(
+                n_part,
+                F.col("dt"),
+                F.pmod(
+                    F.abs(F.hash(channel_col, "bucket_us")),
+                    F.lit(int(target_files)),
+                ),
+            )
+        else:
+            full = full.repartition("dt")
         (
-            digest(store)
-            .withColumn("dt", F.to_date(F.timestamp_micros("bucket_us")))
-            .repartition("dt")
-            .sortWithinPartitions(channel_col, "bucket_us")
+            full.sortWithinPartitions(channel_col, "bucket_us")
             .write.mode("overwrite")
             .partitionBy("dt")
             .parquet(digest_path)
@@ -655,14 +677,7 @@ def refresh_digest_tier(
         # stamping an unvalidated claim would lock the wrong bucket in
         # (a FINER claim divides the true buckets and is undetectable
         # from data; the sidecar closes that for new builds)
-        b_us = int(bucket_s) * 1_000_000
-        misaligned = (
-            spark.read.parquet(digest_path)
-            .filter(F.col("bucket_us") % b_us != 0)
-            .limit(1)
-            .count()
-        )
-        if misaligned:
+        if buckets_misaligned(spark, digest_path, bucket_s, "bucket_us"):
             raise ValueError(
                 f"refresh_digest_tier: tier {digest_path} holds buckets "
                 f"not aligned to bucket_s={bucket_s} — it was built at "
@@ -788,6 +803,30 @@ def read_meta_sidecar(
     finally:
         stream.close()
     return json.loads(txt)
+
+
+def buckets_misaligned(
+    spark: SparkSession, path: str, width_s: int, bucket_col: str
+) -> bool:
+    """True when any existing bucket of the derived table at ``path``
+    is NOT aligned to ``width_s`` seconds — the pre-sidecar adoption
+    probe shared by the day-scoped refresh paths and the CLI's
+    before-any-rewrite guards. ``bucket_col`` may be a timestamp
+    (downsample sinks' ``bucket_ts``) or an epoch-micros bigint
+    (digest tiers' ``bucket_us``); the probe is a ``limit(1)`` scan,
+    never a full materialization. A claimed width FINER than the build
+    width divides its buckets and is undetectable from data — the
+    sidecar closes that for every table built since it exists; this
+    probe is the best possible check for tables that predate it."""
+    df = spark.read.parquet(path)
+    dtype = dict(df.dtypes)[bucket_col]
+    col = (
+        F.unix_micros(F.col(bucket_col))
+        if dtype.startswith("timestamp")
+        else F.col(bucket_col)
+    )
+    w_us = int(width_s) * 1_000_000
+    return bool(df.filter(col % w_us != 0).limit(1).count())
 
 
 def write_digest_tier_meta(

@@ -730,14 +730,16 @@ def refresh_downsample(
     flat replay, so a refreshed day is bit-identical to a full
     recompute of that day (test-pinned). Returns {day: n_buckets}.
     """
-    if 86_400 % int(width_s) != 0:
+    if int(width_s) <= 0 or 86_400 % int(width_s) != 0:
         raise ValueError(
-            f"refresh_downsample: width_s={width_s} does not divide "
-            "86400 — a bucket would span a day boundary and a "
-            "day-scoped rewrite would lose the neighbor day's rows"
+            f"refresh_downsample: width_s={width_s} must be a positive "
+            "divisor of 86400 — a bucket would span a day boundary "
+            "and a day-scoped rewrite would lose the neighbor day's "
+            "rows"
         )
     from etsd_time_series_database_spark.sources.store import (
         _hadoop_fs,
+        buckets_misaligned,
         day_scoped,
         read_meta_sidecar,
         swap_in_dir,
@@ -774,11 +776,32 @@ def refresh_downsample(
         )
 
     if days is None:
+        full = consolidated(raw).withColumn("dt", F.to_date("bucket_ts"))
+        if int(target_files) > 1:
+            # fan each day out across up to target_files write tasks —
+            # deterministic (channel, bucket)-hash salt, so the knob
+            # works for a full rebuild exactly as for a --days refresh
+            # without the round-robin+partitionBy anti-pattern (every
+            # task holding a writer for every day). Salting by channel
+            # alone degenerates when few channels share a hash parity.
+            # explicit partition count: a column-only repartition is
+            # advisory and AQE coalesces the tiny shuffle back into
+            # one task per day, silently undoing the salt
+            n_part = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            full = full.repartition(
+                n_part,
+                F.col("dt"),
+                F.pmod(
+                    F.abs(F.hash(channel, "bucket_ts")),
+                    F.lit(int(target_files)),
+                ),
+            )
+        else:
+            full = full.repartition("dt")
         (
-            consolidated(raw)
-            .withColumn("dt", F.to_date("bucket_ts"))
-            .repartition("dt")
-            .sortWithinPartitions(channel, "bucket_ts")
+            full.sortWithinPartitions(channel, "bucket_ts")
             .write.mode("overwrite")
             .partitionBy("dt")
             .parquet(sink_path)
@@ -814,14 +837,7 @@ def refresh_downsample(
         # width FINER than the build width divides its buckets and is
         # undetectable from data; the sidecar closes that for every
         # sink built from round 13 on.)
-        w_us = int(width_s) * 1_000_000
-        misaligned = (
-            spark.read.parquet(sink_path)
-            .filter(F.expr(f"unix_micros(bucket_ts) % {w_us}") != 0)
-            .limit(1)
-            .count()
-        )
-        if misaligned:
+        if buckets_misaligned(spark, sink_path, width_s, "bucket_ts"):
             raise ValueError(
                 f"refresh_downsample: sink {sink_path} holds buckets "
                 f"not aligned to width_s={width_s} — it was built at a "

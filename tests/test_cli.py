@@ -1774,3 +1774,167 @@ def test_pre_sidecar_tier_adoption_validates_alignment(
     out = capsys.readouterr()
     assert rc == 0 and "identical" in out.out
     assert "unverified" in out.err
+
+
+def test_amend_pre_sidecar_targets_checked_before_rewrite(
+    spark, tmp_path, capsys
+):
+    """ADVICE r13: cmd_amend's 'checked BEFORE any rewrite' guarantee
+    must also hold for targets that predate the parameter sidecars —
+    with no _downsample_meta.json / _digest_meta.json the sidecar
+    compare is vacuous, so the CLI runs the library's bucket-alignment
+    probe in the pre-check and refuses with rc 2 while the store is
+    still byte-identical. Also pins the zero/negative width guards
+    (previously a ZeroDivisionError traceback)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    raw = str(tmp_path / "raw_presc")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    day = sorted(
+        d for d in os.listdir(raw) if d.startswith("dt=")
+    )[0].split("=", 1)[1]
+    corr = str(tmp_path / "corr_presc.parquet")
+    cli._load_events(spark, EVENTS).filter(
+        F.to_date("ts") == F.lit(day)
+    ).limit(3).withColumn("value", F.col("value") + 2.0).write.parquet(corr)
+    before = _store_checksums(raw)
+
+    # pre-sidecar downsample sink built at width 60, amended at 300:
+    # 60-aligned buckets are not all 300-aligned, so the alignment
+    # probe must fire in the PRE-check. (The reverse — a FINER claimed
+    # width — divides the coarser buckets and is undetectable from
+    # data; only the sidecar closes that, which is why it exists.)
+    sink = str(tmp_path / "sink_presc")
+    assert cli.main(
+        ["recover", raw, sink, "--partitioned", "--width", "60"],
+        spark=spark,
+    ) == 0
+    os.remove(os.path.join(sink, "_downsample_meta.json"))
+    capsys.readouterr()
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-sink", sink,
+         "--refresh-width", "300"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "not aligned" in err and "store unchanged" in err
+    assert _store_checksums(raw) == before
+
+    # pre-sidecar digest tier built at 3600, amended at 86400
+    tier = str(tmp_path / "tier_presc")
+    assert cli.main(
+        ["digest-tier", raw, tier, "--bucket", "3600"], spark=spark
+    ) == 0
+    os.remove(os.path.join(tier, "_digest_meta.json"))
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-digest", tier,
+         "--digest-bucket", "86400"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "not aligned" in err and "store unchanged" in err
+    assert _store_checksums(raw) == before
+
+    # zero / negative widths exit 2 with the divisor message, never a
+    # ZeroDivisionError traceback — CLI pre-checks and library twins
+    for argv in (
+        ["amend", raw, corr, "--refresh-sink", sink, "--refresh-width", "0"],
+        ["amend", raw, corr, "--refresh-digest", tier,
+         "--digest-bucket", "-60"],
+        ["recover", raw, str(tmp_path / "s0"), "--partitioned",
+         "--width", "0"],
+        ["digest-tier", raw, str(tmp_path / "t0"), "--bucket", "0"],
+    ):
+        rc = cli.main(argv, spark=spark)
+        err = capsys.readouterr().err
+        assert rc == 2 and "positive divisor" in err, argv
+    assert _store_checksums(raw) == before
+
+
+def test_digest_diff_single_sidecar_adopts_its_channel_col(
+    spark, tmp_path, capsys
+):
+    """ADVICE r13: with exactly ONE sidecar'd tier, digest-diff
+    --materialized must take the channel column from that sidecar —
+    under the old both-or-flag rule a wrong/default --channel-col
+    selected a nonexistent column and died in an AnalysisException
+    traceback instead of diffing."""
+    import os
+
+    raw = str(tmp_path / "raw_one")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    t1 = str(tmp_path / "tier_a")
+    t2 = str(tmp_path / "tier_b")
+    assert cli.main(["digest-tier", raw, t1], spark=spark) == 0
+    assert cli.main(["digest-tier", raw, t2], spark=spark) == 0
+    os.remove(os.path.join(t2, "_digest_meta.json"))
+    capsys.readouterr()
+    # a bogus flag value must NOT reach the plan: the surviving
+    # sidecar's channel_col governs
+    rc = cli.main(
+        ["digest-diff", t1, t2, "--materialized",
+         "--channel-col", "no_such_column"],
+        spark=spark,
+    )
+    out = capsys.readouterr()
+    assert rc == 0 and "identical" in out.out
+    assert "unverified" in out.err
+
+
+def test_full_rebuild_honors_target_files(spark, tmp_path, capsys):
+    """ADVICE r13: --target-files applied only to --days refreshes and
+    was silently ignored by full rebuilds — now a --partitioned
+    recover / full digest-tier build fans each day across N write
+    tasks (deterministic channel-hash salt), content identical to the
+    single-file layout."""
+    import glob
+    import os
+
+    raw = str(tmp_path / "raw_fr")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+
+    sink1 = str(tmp_path / "sink_fr1")
+    sink2 = str(tmp_path / "sink_fr2")
+    assert cli.main(
+        ["recover", raw, sink1, "--partitioned"], spark=spark
+    ) == 0
+    assert cli.main(
+        ["recover", raw, sink2, "--partitioned", "--target-files", "2"],
+        spark=spark,
+    ) == 0
+    days = [d for d in os.listdir(sink2) if d.startswith("dt=")]
+    assert days
+    for d in days:
+        assert 1 <= len(glob.glob(f"{sink2}/{d}/*.parquet")) <= 2
+    assert any(
+        len(glob.glob(f"{sink2}/{d}/*.parquet")) == 2 for d in days
+    )
+    a = spark.read.parquet(sink1).drop("dt")
+    b = spark.read.parquet(sink2).drop("dt")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    tier1 = str(tmp_path / "tier_fr1")
+    tier2 = str(tmp_path / "tier_fr2")
+    assert cli.main(
+        ["digest-tier", raw, tier1, "--bucket", "3600"], spark=spark
+    ) == 0
+    assert cli.main(
+        ["digest-tier", raw, tier2, "--bucket", "3600",
+         "--target-files", "2"],
+        spark=spark,
+    ) == 0
+    tdays = [d for d in os.listdir(tier2) if d.startswith("dt=")]
+    assert any(
+        len(glob.glob(f"{tier2}/{d}/*.parquet")) == 2 for d in tdays
+    )
+    x = spark.read.parquet(tier1).drop("dt")
+    y = spark.read.parquet(tier2).drop("dt")
+    assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
