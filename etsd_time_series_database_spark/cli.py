@@ -781,6 +781,41 @@ def cmd_recover(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_fetch(args, spark: SparkSession) -> int:
+    """rrdtool-fetch analog: answer a range aggregate at --width from
+    the MATERIALIZED consolidation ladder — one or more `recover
+    --partitioned` sinks — never touching raw history. The coarsest
+    sink whose build width (per its _downsample_meta.json) divides the
+    request serves it; exit 2 when no sink qualifies or a sink
+    predates the carried exact sums. This is the reference's actual
+    dashboard query model (code/plugins/edoRRD.c:44-74: queries read
+    the RRA, not the ring)."""
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+        route_tier,
+    )
+
+    start_us = end_us = None
+    if args.start or args.end:
+        s_dt, e_dt = resolve_range(args.start, args.end)
+        if args.start:
+            start_us = int(s_dt.timestamp() * 1_000_000)
+        if args.end:
+            end_us = int(e_dt.timestamp() * 1_000_000)
+    try:
+        path, w = route_tier(spark, args.tiers, args.width)
+        out = fetch_from_tier(
+            spark, args.tiers, args.width,
+            start_us=start_us, end_us=end_us,
+        )
+    except ValueError as exc:
+        print(f"fetch: {exc}", file=sys.stderr)
+        return 2
+    print(f"routed to {path} (tier width {w}s)")
+    out.show(n=args.limit, truncate=False)
+    return 0
+
+
 def _digest_drift(
     spark: SparkSession,
     left: str,
@@ -1313,6 +1348,28 @@ def build_parser() -> argparse.ArgumentParser:
         "full rebuilds; content identical)",
     )
     r.set_defaults(fn=cmd_recover)
+
+    fe = sub.add_parser(
+        "fetch",
+        help="answer a range aggregate from the materialized "
+        "consolidation ladder (rrdtool fetch analog) — routes to the "
+        "coarsest sink whose width divides the request, never "
+        "scanning raw history",
+    )
+    fe.add_argument(
+        "tiers", nargs="+",
+        help="downsample sink paths (recover --partitioned output); "
+        "together they form the RRA ladder",
+    )
+    fe.add_argument(
+        "--width", type=int, required=True,
+        help="requested bucket width in seconds (must be a multiple "
+        "of some sink's build width)",
+    )
+    fe.add_argument("-s", "--start", default=None, help="start time literal")
+    fe.add_argument("-e", "--end", default=None, help="end time literal")
+    fe.add_argument("--limit", type=int, default=100)
+    fe.set_defaults(fn=cmd_fetch)
 
     dd = sub.add_parser(
         "digest-diff",

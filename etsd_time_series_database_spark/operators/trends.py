@@ -2541,10 +2541,11 @@ def route_range_query(
 
     Here the routed tier is computed inline from ``df`` (one raw scan
     at tier resolution — the gate proves aggregate-then-compose ==
-    direct); in production the tier table is materialized (`recover
-    --partitioned` / `tiered_rollup` output) and the raw scan
-    disappears: the query cost becomes a KB–MB tier read no matter
-    how large raw history is. When the request equals the tier width
+    direct); the production form is :func:`fetch_from_tier` (CLI
+    ``fetch``), which routes over MATERIALIZED `recover --partitioned`
+    sinks via their sidecars and never scans raw: the query cost
+    becomes a KB–MB tier read no matter how large raw history is
+    (q80's gate). When the request equals the tier width
     the compose step is skipped (no second shuffle). Output one row
     per (channel, request bucket): (tier_s = routed source tier,
     channel, bucket_us, n, avg_v, min_v, max_v).
@@ -2599,6 +2600,127 @@ def route_range_query(
         "min_v",
         "max_v",
     ).orderBy(channel, "bucket_us")
+
+
+def route_tier(spark, tier_paths, width_s: int) -> tuple[str, int]:
+    """The routing half of :func:`fetch_from_tier`: among the ladder's
+    sinks, pick the COARSEST whose build width (per its
+    ``_downsample_meta.json`` sidecar) divides the requested width.
+    Pure driver-side metadata — only the KB sidecars are read, no
+    parquet is listed or opened. Raises when a sink lacks its sidecar
+    or no width divides the request."""
+    from etsd_time_series_database_spark.sources.store import (
+        read_meta_sidecar,
+    )
+
+    if isinstance(tier_paths, str):
+        tier_paths = [tier_paths]
+    widths: dict[str, int] = {}
+    for p in tier_paths:
+        meta = read_meta_sidecar(spark, p, "_downsample_meta.json")
+        if meta is None:
+            raise ValueError(
+                f"fetch_from_tier: {p} has no _downsample_meta.json "
+                "sidecar — not a downsample sink (or built before "
+                "sidecars); rebuild it with `recover --partitioned`"
+            )
+        widths[p] = int(meta["width_s"])
+    eligible = {p: w for p, w in widths.items() if int(width_s) % w == 0}
+    if not eligible:
+        raise ValueError(
+            f"fetch_from_tier: no tier in {sorted(widths.values())} "
+            f"divides the requested width {width_s}s — answering it "
+            "would need a raw scan; add a finer tier or change the "
+            "request"
+        )
+    return max(eligible.items(), key=lambda kv: kv[1])
+
+
+def fetch_from_tier(
+    spark,
+    tier_paths,
+    width_s: int,
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> DataFrame:
+    """RRA fetch against MATERIALIZED consolidation tiers — the
+    production twin of :func:`route_range_query`: where that operator
+    proves compose == raw-direct inline, this one never touches raw
+    history at all. ``tier_paths`` is the RRA ladder: one or more
+    downsample sinks (``recover --partitioned`` output), each carrying
+    a ``_downsample_meta.json`` sidecar naming its build width
+    (rrdtool keeps one ring per consolidation the same way; reference
+    consolidation plugin code/plugins/edoRRD.c:44-74, RRA ladder
+    `ECM-1240 storage format 2.txt:127-148`). Routing is DRIVER-SIDE
+    metadata — the sidecars are the only thing read before the plan is
+    built, so tiers that lose the route are never listed, opened, or
+    scanned (plan-pinned: the executed scan reads exactly the routed
+    tier's files); the coarsest width dividing the request wins, and
+    an un-servable width raises rather than silently scanning raw.
+
+    The answer COMPOSES from the routed tier's buckets: n/min/max fold
+    associatively and the average re-derives from the sink's carried
+    ``sum_value`` (exact DECIMAL sums — sums compose, stored doubles
+    don't), so the result is bit-identical to aggregating raw history
+    directly (q80's oracle gate). A sink built before ``sum_value``
+    existed raises with a rebuild hint instead of quietly degrading to
+    a float-composed average.
+
+    ``start_us``/``end_us`` (epoch micros, half-open) prune the read:
+    a conservative ±1-day ``dt`` partition filter (immune to the
+    session-timezone skew of ``to_date``) plus the exact bucket
+    predicate. At 100 TB this is the dashboard-zoom query: cost is the
+    KB–MB tier slice, independent of raw volume.
+    """
+    routed_path, routed_w = route_tier(spark, tier_paths, width_s)
+    tier = spark.read.parquet(routed_path)
+    if "sum_value" not in tier.columns:
+        raise ValueError(
+            f"fetch_from_tier: {routed_path} predates the carried "
+            "exact sums (no sum_value column) — rebuild it with "
+            "`recover --partitioned` to enable exact fetch"
+        )
+    keys = [
+        c for c in ("source", "channel", "event_type") if c in tier.columns
+    ]
+    if start_us is not None or end_us is not None:
+        lo = start_us if start_us is not None else 0
+        hi = end_us if end_us is not None else 4_102_444_800_000_000
+        tier = tier.filter(
+            (F.col("dt") >= F.date_sub(
+                F.to_date(F.timestamp_micros(F.lit(lo))), 1))
+            & (F.col("dt") <= F.date_add(
+                F.to_date(F.timestamp_micros(F.lit(hi))), 1))
+            & (F.unix_micros("bucket_ts") >= lo)
+            & (F.unix_micros("bucket_ts") < hi)
+        )
+    w = int(width_s) * 1_000_000
+    return (
+        tier.groupBy(
+            *keys,
+            (F.expr(f"unix_micros(bucket_ts) div {w}") * w).alias(
+                "bucket_us"
+            ),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_value").alias("__s"),
+            F.min("min_value").alias("min_v"),
+            F.max("max_value").alias("max_v"),
+        )
+        .select(
+            F.lit(routed_w).cast("bigint").alias("tier_s"),
+            *keys,
+            "bucket_us",
+            "n",
+            F.round(
+                F.col("__s").cast("double") / F.col("n"), 6
+            ).alias("avg_v"),
+            "min_v",
+            "max_v",
+        )
+        .orderBy(*keys, "bucket_us")
+    )
 
 
 def percentile_profile(

@@ -143,6 +143,9 @@ def write_ingest_epoch(
             )
             .agg(
                 F.count("value").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias(
+                    "sum_value"
+                ),
                 F.avg("value").alias("avg_value"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
@@ -152,6 +155,7 @@ def write_ingest_epoch(
                 "channel",
                 F.col("w.start").alias("bucket_ts"),
                 "n",
+                "sum_value",
                 "avg_value",
                 "min_value",
                 "max_value",
@@ -282,6 +286,7 @@ def windowed_aggregate(
         .groupBy("source", "channel", win.alias("w"))
         .agg(
             F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.avg("value").alias("avg_value"),
@@ -291,6 +296,7 @@ def windowed_aggregate(
             "channel",
             F.col("w.start").alias("bucket_ts"),
             "n",
+            "sum_value",
             "min_value",
             "max_value",
             "avg_value",
@@ -412,6 +418,7 @@ def replay(
         )
         .agg(
             F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
             F.avg("value").alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
@@ -421,6 +428,7 @@ def replay(
             "channel",
             F.col("w.start").alias("bucket_ts"),
             "n",
+            "sum_value",
             "avg_value",
             "min_value",
             "max_value",
@@ -728,7 +736,12 @@ def refresh_downsample(
 
     Same aggregate expressions as the live foreachBatch sink and the
     flat replay, so a refreshed day is bit-identical to a full
-    recompute of that day (test-pinned). Returns {day: n_buckets}.
+    recompute of that day (test-pinned). The consolidation carries
+    ``sum_value`` (exact DECIMAL sums) alongside the display
+    ``avg_value`` — sums compose associatively where stored doubles
+    don't, which is what lets :func:`operators.trends.fetch_from_tier`
+    answer coarser requests from this sink bit-identically to a raw
+    scan. Returns {day: n_buckets}.
     """
     if int(width_s) <= 0 or 86_400 % int(width_s) != 0:
         raise ValueError(
@@ -761,6 +774,9 @@ def refresh_downsample(
             )
             .agg(
                 F.count("value").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias(
+                    "sum_value"
+                ),
                 F.avg("value").alias("avg_value"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
@@ -769,6 +785,7 @@ def refresh_downsample(
                 *keys,
                 F.col("w.start").alias("bucket_ts"),
                 "n",
+                "sum_value",
                 "avg_value",
                 "min_value",
                 "max_value",

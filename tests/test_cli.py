@@ -1938,3 +1938,52 @@ def test_full_rebuild_honors_target_files(spark, tmp_path, capsys):
     x = spark.read.parquet(tier1).drop("dt")
     y = spark.read.parquet(tier2).drop("dt")
     assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+
+def test_fetch_verb_routes_ladder_and_guards(spark, tmp_path, capsys):
+    """Round-13 verdict #1: the CLI `fetch` verb — rrdtool's fetch —
+    answers a range aggregate from the materialized ladder, naming the
+    routed sink; an un-servable width or a sidecar-less path exits 2
+    with the cause, never a raw scan or a traceback."""
+    raw = str(tmp_path / "raw_fetch")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    w60 = str(tmp_path / "f_w60")
+    w3600 = str(tmp_path / "f_w3600")
+    assert cli.main(
+        ["recover", raw, w60, "--partitioned", "--width", "60"], spark=spark
+    ) == 0
+    assert cli.main(
+        ["recover", raw, w3600, "--partitioned", "--width", "3600"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["fetch", w60, w3600, "--width", "86400"], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"routed to {w3600} (tier width 3600s)" in out
+    assert "avg_v" in out and "bucket_us" in out
+
+    # bounded fetch with the time-literal grammar
+    rc = cli.main(
+        ["fetch", w60, w3600, "--width", "3600",
+         "-s", "2024-01-02", "-e", "2024-01-03"],
+        spark=spark,
+    )
+    assert rc == 0 and "routed to" in capsys.readouterr().out
+
+    # un-servable width: exit 2, cause named
+    rc = cli.main(["fetch", w3600, "--width", "5400"], spark=spark)
+    err = capsys.readouterr().err
+    assert rc == 2 and "no tier" in err
+
+    # sidecar-less path: exit 2
+    rc = cli.main(
+        ["fetch", str(tmp_path / "missing"), "--width", "3600"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "sidecar" in err

@@ -687,3 +687,70 @@ def test_day_scoped_store_scan_prunes_partitions(spark, tmp_path):
     events.write.parquet(flat)
     flat_scoped = day_scoped(spark.read.parquet(flat), day)
     assert flat_scoped.count() == scoped.count() > 0
+
+
+def test_fetch_from_tier_scans_only_the_routed_tier(spark, tmp_path):
+    """Round-13 verdict #1 'done' criterion: the materialized-tier
+    fetch (q80 / CLI `fetch`) must read ONLY the routed tier's files —
+    the raw store and the losing ladder tiers appear nowhere in the
+    plan, and the executed scan's file count equals the routed sink's
+    parquet population. Routing itself is driver-side sidecar metadata
+    (KB reads), so at 100 TB the query cost is the tier slice,
+    independent of raw volume. A bounded fetch additionally prunes the
+    tier's dt= partitions."""
+    import glob
+    import os
+
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+    )
+    from etsd_time_series_database_spark.plans.metrics import (
+        collect_plan_metrics,
+    )
+    from etsd_time_series_database_spark.sources.store import (
+        create_events_table,
+    )
+    from etsd_time_series_database_spark.streaming.ingest import (
+        refresh_downsample,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    raw = str(tmp_path / "fetch_raw")
+    create_events_table(events, raw, mode="overwrite")
+    fine = str(tmp_path / "fetch_w60")
+    coarse = str(tmp_path / "fetch_w3600")
+    refresh_downsample(spark, raw, fine, width_s=60)
+    refresh_downsample(spark, raw, coarse, width_s=3600)
+
+    out = fetch_from_tier(spark, [fine, coarse], 43200)
+    # which relations the plan reads (inputFiles is listing-level —
+    # right for "is this table in the plan at all"; the executed file
+    # COUNT is asserted via scan metrics below)
+    in_files = out.inputFiles()
+    assert in_files and all("fetch_w3600" in f for f in in_files)
+    assert not any("fetch_w60/" in f or "fetch_raw" in f for f in in_files)
+    out.collect()
+    tier_files = len(glob.glob(os.path.join(coarse, "dt=*", "*.parquet")))
+    fine_files = len(glob.glob(os.path.join(fine, "dt=*", "*.parquet")))
+    assert tier_files > 0 and fine_files > 0
+    assert collect_plan_metrics(out)["scan_files"] == tier_files
+
+    # bounded fetch: dt partition pruning inside the routed tier —
+    # executed scan strictly smaller than the whole tier
+    days = sorted(
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(os.path.join(coarse, "dt=*"))
+    )
+    assert len(days) >= 3
+    mid = days[len(days) // 2]
+    import datetime as _dt
+
+    lo = int(
+        _dt.datetime.fromisoformat(f"{mid}T00:00:00+00:00").timestamp()
+        * 1_000_000
+    )
+    hi = lo + 86_400 * 1_000_000
+    bounded = fetch_from_tier(spark, [fine, coarse], 43200,
+                              start_us=lo, end_us=hi)
+    bounded.collect()
+    assert 0 < collect_plan_metrics(bounded)["scan_files"] < tier_files
