@@ -273,7 +273,14 @@ def cmd_append_index(args, spark: SparkSession) -> int:
     )
 
     new = spark.read.parquet(args.source)
-    ivf_append(new, args.path, key=args.key, vec=args.vec)
+    try:
+        ivf_append(new, args.path, key=args.key, vec=args.vec)
+    except ValueError as exc:
+        # geometry/column mismatch against the layout's
+        # _centroids_meta.json (or a failed pre-sidecar adoption):
+        # refuse before any cell is written
+        print(f"append-index: {exc}", file=sys.stderr)
+        return 2
     print(f"appended {args.source} into IVF layout {args.path}")
     return 0
 
@@ -285,28 +292,39 @@ def cmd_probe(args, spark: SparkSession) -> int:
         read_centroids,
     )
 
-    if args.vector:
-        qv = [float(x) for x in args.vector.split(",")]
-    elif args.query_id is not None and args.source:
-        rows = (
-            spark.read.parquet(args.source)
-            .filter(F.col(args.key) == args.query_id)
-            .select(args.vec)
-            .collect()
-        )
-        if not rows:
-            raise ValueError(f"query id {args.query_id} not in {args.source}")
-        qv = list(rows[0][0])
-    else:
-        raise ValueError("pass --vector, or --query-id with --source")
-    if args.cells:
-        cells = [int(c) for c in args.cells.split(",")]
-    else:
-        cells = nearest_cells(read_centroids(spark, args.path), qv, args.nprobe)
-    print(f"probing cells: {cells}")
-    ivf_probe_partitioned(
-        spark, args.path, qv, cells, k=args.k, key=args.key, vec=args.vec
-    ).show(n=args.k, truncate=False)
+    try:
+        if args.vector:
+            qv = [float(x) for x in args.vector.split(",")]
+        elif args.query_id is not None and args.source:
+            rows = (
+                spark.read.parquet(args.source)
+                .filter(F.col(args.key) == args.query_id)
+                .select(args.vec)
+                .collect()
+            )
+            if not rows:
+                raise ValueError(
+                    f"query id {args.query_id} not in {args.source}"
+                )
+            qv = list(rows[0][0])
+        else:
+            raise ValueError("pass --vector, or --query-id with --source")
+        if args.cells:
+            cells = [int(c) for c in args.cells.split(",")]
+        else:
+            cells = nearest_cells(
+                read_centroids(spark, args.path), qv, args.nprobe
+            )
+        print(f"probing cells: {cells}")
+        ivf_probe_partitioned(
+            spark, args.path, qv, cells, k=args.k, key=args.key,
+            vec=args.vec,
+        ).show(n=args.k, truncate=False)
+    except ValueError as exc:
+        # bad arguments or a query/layout mismatch against the
+        # _centroids_meta.json sidecar
+        print(f"probe: {exc}", file=sys.stderr)
+        return 2
     return 0
 
 
@@ -332,15 +350,20 @@ def cmd_rebalance(args, spark: SparkSession) -> int:
             file=sys.stderr,
         )
         return 2
-    stats = rebalance_cells(
-        spark, args.path,
-        hot_threshold=args.hot,
-        empty_threshold=args.empty,
-        split_factor=args.split,
-        n_iter=args.iters,
-        key=args.key,
-        vec=args.vec,
-    )
+    try:
+        stats = rebalance_cells(
+            spark, args.path,
+            hot_threshold=args.hot,
+            empty_threshold=args.empty,
+            split_factor=args.split,
+            n_iter=args.iters,
+            key=args.key,
+            vec=args.vec,
+        )
+    except ValueError as exc:
+        # column mismatch against the layout's _centroids_meta.json
+        print(f"rebalance: {exc}", file=sys.stderr)
+        return 2
     for old, new in sorted(stats["split"].items()):
         print(f"split cell {old} -> {new}")
     for c in stats["retired"]:

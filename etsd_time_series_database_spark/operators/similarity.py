@@ -495,12 +495,102 @@ def write_ivf_partitioned(
         F.col("cent_id")
     ).write.mode(mode).partitionBy("cent_id").parquet(path)
     cents.coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    from etsd_time_series_database_spark.sources.store import (
+        write_meta_sidecar,
+    )
+
+    stored = cents.sparkSession.read.parquet(path + "/_centroids")
+    first = stored.select(F.size("cent_vec").alias("d")).first()
+    write_meta_sidecar(
+        cents.sparkSession,
+        path,
+        IVF_META,
+        {
+            "dim": int(first["d"]) if first else 0,
+            "metric": "cosine",
+            "nlist": int(stored.count()),
+            "key": key,
+            "vec": vec,
+        },
+    )
 
 
 def read_centroids(spark, path: str) -> DataFrame:
     """The (cent_id, cent_vec) table a :func:`write_ivf_partitioned`
     layout carries under ``{path}/_centroids``."""
     return spark.read.parquet(path + "/_centroids")
+
+
+IVF_META = "_centroids_meta.json"
+
+
+def read_ivf_meta(spark, path: str) -> dict | None:
+    """The ``_centroids_meta.json`` sidecar of an IVF layout — its
+    build geometry (``dim``/``metric``/``nlist``) and column contract
+    (``key``/``vec``) — or None for a layout that predates it."""
+    from etsd_time_series_database_spark.sources.store import (
+        read_meta_sidecar,
+    )
+
+    return read_meta_sidecar(spark, path, IVF_META)
+
+
+def check_ivf_meta(
+    spark, path: str, key: str, vec: str, adopt: bool = True
+) -> dict | None:
+    """Validate caller parameters against the IVF layout's sidecar —
+    the digest/downsample-tier pattern applied to the ANN index: the
+    geometry (vector dim, metric) and the column contract evolve only
+    through write/rebalance, so a probe or append run with OTHER
+    parameters is a caller bug that would otherwise surface as silent
+    garbage similarity (wrong ``vec``) or a corrupt mixed-dim cell
+    (wrong embedding width). Raises ValueError on mismatch.
+
+    Pre-sidecar layouts (``adopt=True``): the geometry is DERIVED from
+    the layout's own authoritative ``_centroids`` table (dim from the
+    stored vectors, nlist from the row count) and the caller's
+    key/vec are validated against the corpus schema before being
+    stamped — adoption never trusts an unverified claim, exactly like
+    :func:`sources.store.buckets_misaligned` adoption. Read-only
+    callers pass ``adopt=False`` and simply skip checks the missing
+    sidecar cannot support."""
+    from etsd_time_series_database_spark.sources.store import (
+        write_meta_sidecar,
+    )
+
+    meta = read_ivf_meta(spark, path)
+    if meta is not None:
+        if meta["key"] != key or meta["vec"] != vec:
+            raise ValueError(
+                f"ivf: layout {path} was built with key="
+                f"{meta['key']!r} vec={meta['vec']!r} but this call "
+                f"passed key={key!r} vec={vec!r} — pass the layout's "
+                "own columns (see its _centroids_meta.json)"
+            )
+        return meta
+    if not adopt:
+        return None
+    cents = read_centroids(spark, path)
+    first = cents.select(F.size("cent_vec").alias("d")).first()
+    if first is None:
+        raise ValueError(f"ivf: {path}/_centroids is empty")
+    cols = spark.read.parquet(path).columns
+    missing = [c for c in (key, vec) if c not in cols]
+    if missing:
+        raise ValueError(
+            f"ivf: cannot adopt key={key!r} vec={vec!r} for the "
+            f"pre-sidecar layout {path} — column(s) {missing} do not "
+            "exist in the corpus; pass the layout's own columns"
+        )
+    meta = {
+        "dim": int(first["d"]),
+        "metric": "cosine",
+        "nlist": int(cents.count()),
+        "key": key,
+        "vec": vec,
+    }
+    write_meta_sidecar(spark, path, IVF_META, meta)
+    return meta
 
 
 def ivf_append(
@@ -521,6 +611,24 @@ def ivf_append(
     partition pruning works per directory, not per file age.
     """
     spark = new_embeddings.sparkSession
+    meta = check_ivf_meta(spark, path, key, vec)
+    # a wrong-width batch would poison every cell it lands in with
+    # vectors no probe can score — one O(batch) pass refuses it up
+    # front (the mixed-bucket guard of the tier sidecars, applied to
+    # embedding geometry)
+    if meta is not None:
+        bad = (
+            new_embeddings.filter(F.size(F.col(vec)) != int(meta["dim"]))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"ivf_append: batch holds vectors whose width differs "
+                f"from the layout's dim={meta['dim']} — appending "
+                "would corrupt the cells; re-embed or rebuild the "
+                "index"
+            )
     cents = read_centroids(spark, path)
     assign_cells(new_embeddings, [], key, vec, _centroids=cents).repartition(
         F.col("cent_id")
@@ -687,6 +795,7 @@ def rebalance_cells(
     from etsd_time_series_database_spark.sources.store import _hadoop_fs
 
     fs, Path = _hadoop_fs(spark, path)
+    check_ivf_meta(spark, path, key, vec)
     cents = read_centroids(spark, path).collect()  # nlist rows: metadata
     cent_ids = sorted(int(r["cent_id"]) for r in cents)
     counts = {
@@ -809,6 +918,17 @@ def rebalance_cells(
         fs.rename(cold, cdir)
         raise IOError("rebalance: failed to install new _centroids")
     fs.delete(cold, True)
+    # the sidecar tracks the geometry the rebalance just changed:
+    # nlist follows the surviving centroid set (dim/metric/columns
+    # are invariants of the layout)
+    meta = read_ivf_meta(spark, path)
+    if meta is not None:
+        from etsd_time_series_database_spark.sources.store import (
+            write_meta_sidecar,
+        )
+
+        meta["nlist"] = len(survivors)
+        write_meta_sidecar(spark, path, IVF_META, meta)
     return stats
 
 
@@ -858,6 +978,14 @@ def ivf_probe_partitioned(
     probed cells' rows; merged top-k is a TakeOrdered, not a global
     sort.
     """
+    meta = check_ivf_meta(spark, path, key, vec, adopt=False)
+    if meta is not None and len(query_vec) != int(meta["dim"]):
+        raise ValueError(
+            f"ivf_probe_partitioned: query vector has "
+            f"{len(query_vec)} components but the layout's dim is "
+            f"{meta['dim']} — cosine against mismatched widths is "
+            "meaningless"
+        )
     cells = [cent_id] if isinstance(cent_id, int) else sorted(set(cent_id))
     lit_q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -1987,3 +1987,59 @@ def test_fetch_verb_routes_ladder_and_guards(spark, tmp_path, capsys):
     )
     err = capsys.readouterr().err
     assert rc == 2 and "sidecar" in err
+
+
+def test_ivf_verbs_refuse_geometry_mismatch(spark, tmp_path, capsys):
+    """Round-13 verdict #5, CLI half: append-index / probe exit 2 with
+    the cause named when the batch width, query length, or key/vec
+    columns contradict the layout's _centroids_meta.json — the
+    digest-diff incompatible-tier contract applied to the ANN index."""
+    import pyspark.sql.functions as F
+
+    emb_src = f"{SF_SMOKE}/embeddings.parquet"
+    emb = spark.read.parquet(emb_src)
+    dim = emb.select(F.size("embedding")).first()[0]
+    base = str(tmp_path / "base.parquet")
+    emb.filter(F.col("vec_id") < 40).write.parquet(base)
+    idx = str(tmp_path / "idx")
+    assert cli.main(
+        ["write-index", base, idx, "--centroids", "0,1,2,3"], spark=spark
+    ) == 0
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(idx, "_centroids_meta.json")))
+    assert meta["dim"] == dim and meta["nlist"] == 4
+
+    # wrong-width batch
+    badp = str(tmp_path / "bad.parquet")
+    emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)).withColumn(
+        "embedding", F.slice("embedding", 1, dim - 1)
+    ).write.parquet(badp)
+    capsys.readouterr()
+    rc = cli.main(["append-index", badp, idx], spark=spark)
+    err = capsys.readouterr().err
+    assert rc == 2 and "dim" in err
+
+    # wrong key column
+    rc = cli.main(
+        ["append-index", base, idx, "--key", "doc_id"], spark=spark
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "key=" in err
+
+    # wrong-length probe vector
+    rc = cli.main(
+        ["probe", idx, "--vector", "1.0,2.0", "--cells", "0"], spark=spark
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "components" in err
+
+    # the happy paths still work
+    goodp = str(tmp_path / "good.parquet")
+    emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)).write.parquet(goodp)
+    assert cli.main(["append-index", goodp, idx], spark=spark) == 0
+    qv = ",".join(str(float(i % 3)) for i in range(dim))
+    assert cli.main(
+        ["probe", idx, "--vector", qv, "--cells", "0"], spark=spark
+    ) == 0

@@ -927,3 +927,86 @@ def test_ivf_compact_targets_only_fragmented_cells(spark, tmp_path):
     rc = cli.main(["ivf-compact", path], spark=spark)
     assert rc == 0
     assert len(cell_files(0)) == 1
+
+
+def test_ivf_meta_sidecar_guards_geometry(spark, tmp_path):
+    """Round-13 verdict #5: the IVF layout gets the parameter sidecar
+    the digest/downsample tiers got in round 13 — _centroids_meta.json
+    records dim/metric/nlist and the key/vec column contract.
+    write-index stamps it, append refuses a wrong-width batch or wrong
+    columns BEFORE touching any cell, probe refuses a wrong-length
+    query, rebalance updates nlist, and a pre-sidecar layout adopts a
+    VALIDATED meta derived from its own _centroids."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.similarity import (
+        ivf_append,
+        ivf_probe_partitioned,
+        read_ivf_meta,
+        rebalance_cells,
+        write_ivf_partitioned,
+    )
+    from etsd_time_series_database_spark.sources.store import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 40)
+    path = str(tmp_path / "ivf_meta")
+    write_ivf_partitioned(base, centroid_ids=[0, 1, 2, 3], path=path)
+
+    meta = read_ivf_meta(spark, path)
+    dim = base.select(F.size("embedding")).first()[0]
+    assert meta == {
+        "dim": dim, "metric": "cosine", "nlist": 4,
+        "key": "vec_id", "vec": "embedding",
+    }
+
+    def cell_files():
+        out = set()
+        for d in os.listdir(path):
+            if d.startswith("cent_id="):
+                for f in os.listdir(os.path.join(path, d)):
+                    if f.endswith(".parquet"):
+                        out.add(os.path.join(d, f))
+        return out
+
+    before = cell_files()
+    # wrong-width batch: refused, no cell touched
+    bad = emb.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).withColumn("embedding", F.slice("embedding", 1, dim - 1))
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_append(bad, path)
+    assert cell_files() == before
+    # wrong column names: refused
+    with _pytest.raises(ValueError, match="key="):
+        ivf_append(emb.filter(F.col("vec_id") >= 40), path, key="doc_id")
+    assert cell_files() == before
+
+    # wrong-length probe vector: refused
+    with _pytest.raises(ValueError, match="components"):
+        ivf_probe_partitioned(spark, path, [1.0, 2.0], 0, k=3)
+
+    # rebalance keeps the sidecar's nlist in sync with the survivors
+    stats = rebalance_cells(
+        spark, path, hot_threshold=10 ** 9, empty_threshold=0
+    )
+    cents_now = spark.read.parquet(path + "/_centroids").count()
+    assert read_ivf_meta(spark, path)["nlist"] == cents_now
+
+    # pre-sidecar layout: a valid append ADOPTS a meta derived from
+    # _centroids (never the caller's unverified claim) ...
+    os.remove(os.path.join(path, "_centroids_meta.json"))
+    good = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+    ivf_append(good, path)
+    adopted = read_ivf_meta(spark, path)
+    assert adopted["dim"] == dim and adopted["nlist"] == cents_now
+    # ... and bogus claimed columns fail the corpus-schema validation
+    os.remove(os.path.join(path, "_centroids_meta.json"))
+    with _pytest.raises(ValueError, match="do not exist"):
+        ivf_append(good.withColumnRenamed("vec_id", "k2")
+                   .withColumnRenamed("embedding", "v2"),
+                   path, key="k2", vec="v2")
