@@ -1445,3 +1445,79 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "s19_watch_dedup_daemon",
+    "streaming",
+    # the x84 recursion VERBATIM, like s18: the survivor set depends
+    # only on arrival order, not on which surface drove the arrivals
+    ORDERED_SHARD_DEDUP_SQL,
+    doc="The `watch --mode dedup` DAEMON VERB on the oracle gate "
+    "(round-13 verdict #2): where s18 hand-builds the foreachBatch "
+    "incremental-dedup topology, this entry drives the shipped CLI "
+    "daemon itself — `watch --mode dedup --dedup-index ... --out ...` "
+    "— through the same growing-directory lifecycle: shard 1 seeds "
+    "the index via the `dedup-index` verb, shard 2 lands and session "
+    "one catches up (survivors under --out/batch=0, signatures "
+    "appended), shard 0 lands and a SECOND invocation resumes from "
+    "the verb's own checkpoint processing only the new file "
+    "(batch=1). Oracle = x84's ordered-arrival recursion VERBATIM, so "
+    "the daemon's argument plumbing, checkpoint placement, and batch "
+    "numbering are all under the same hash gate as the library "
+    "topology. The CLI test additionally covers the verb's guard "
+    "paths (missing --out/--dedup-index/index).",
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etsd_time_series_database_spark import cli
+    from etsd_time_series_database_spark.operators.dedup import (
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    work = tempfile.mkdtemp(prefix="s19_watchdedup_")
+    idx = os.path.join(work, "index")
+    src = os.path.join(work, "arrivals")
+    surv = os.path.join(work, "survivors")
+    try:
+        write_minhash_index(
+            docs.filter(F.col("doc_id") % 3 == 1), idx, hash_mode="poly"
+        )
+
+        def catch_up() -> None:
+            rc = cli.main(
+                [
+                    "watch", src, "--mode", "dedup",
+                    "--dedup-index", idx, "--out", surv,
+                ],
+                spark=spark,
+            )
+            if rc != 0:
+                raise RuntimeError(f"watch --mode dedup exited {rc}")
+
+        docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        catch_up()
+        docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        catch_up()
+
+        out = (
+            spark.read.parquet(f"{surv}/batch=0")
+            .select(F.lit(2).cast("int").alias("arrival"), "doc_id")
+            .unionByName(
+                spark.read.parquet(f"{surv}/batch=1").select(
+                    F.lit(3).cast("int").alias("arrival"), "doc_id"
+                )
+            )
+            .orderBy("arrival", "doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
