@@ -656,16 +656,22 @@ def ivf_compact(
     index"; appends concentrate in the cells current data maps to, so
     compaction cost tracks the append skew, not the corpus.
 
-    Each cell rewrites to ``files_per_cell`` files sorted by ``key``
-    and installs through the same staged-rename swap as the store
-    verbs (data lands under an underscore temp, invisible to Spark's
-    listing; the old dir moves aside before the new one renames in —
-    a crash leaves either the old cell or a rollback-able
-    ``__old_*``, never both counted). Vectors, assignments, and probe
-    results are byte-equal before/after; only the file layout
-    changes. Single-writer maintenance, like the append job itself.
-    Returns {cells_compacted, files_before, files_after, rows,
-    compact_input_files}.
+    All fragmented cells rewrite in ONE Spark job (multi-dir read with
+    ``basePath`` so the scan stays scoped to exactly those cells; a
+    ``partitionBy(cent_id)`` staged write splits the output per cell),
+    then each cell installs through the same staged-rename swap as the
+    store verbs — per-cell work after the job is driver FS metadata,
+    not job submission. The prior per-cell-job loop serialized ~0.5 s
+    of submission latency per cell (measured,
+    scripts/bench_maintenance_verbs.py), which dominates on a badly
+    fragmented index where each cell's data is tiny. Per-cell row
+    conservation is checked on the staged copy BEFORE any destructive
+    rename; a crash mid-swap leaves every cell either old or new
+    (rollback-able ``__old_*``), never double-counted. Vectors,
+    assignments, and probe results are byte-equal before/after; only
+    the file layout changes. Single-writer maintenance, like the
+    append job itself. Returns {cells_compacted, files_before,
+    files_after, rows, compact_input_files}.
 
     Reference analog: the reference compacts nothing (fixed-size
     blocks); this is lifecycle the Spark layout needs instead.
@@ -690,49 +696,99 @@ def ivf_compact(
         for st in fs.listStatus(Path(path))
         if st.isDirectory() and st.getPath().getName().startswith("cent_id=")
     )
+    fragmented: list[str] = []
     for cell in cells:
-        cell_dir = f"{path}/{cell}"
         n_files = sum(
             1
-            for f in fs.listStatus(Path(cell_dir))
+            for f in fs.listStatus(Path(f"{path}/{cell}"))
             if f.getPath().getName().endswith(".parquet")
         )
         stats["files_before"] += n_files
-        if n_files <= int(files_per_cell):
+        if n_files > int(files_per_cell):
+            fragmented.append(cell)
+        else:
             stats["files_after"] += n_files
-            continue
-        df = spark.read.parquet(cell_dir)
-        stats["compact_input_files"].extend(df.inputFiles())
-        n_src = df.count()
-        token = uuid.uuid4().hex
-        tmp = f"{path}/__ivfc_{token}"
-        (
-            df.repartition(int(files_per_cell))
-            .sortWithinPartitions(key)
-            .write.mode("overwrite")
-            .parquet(tmp)
+    if not fragmented:
+        return stats
+
+    # ONE Spark job over ALL fragmented cells (round-13 verdict #3:
+    # the sequential per-cell loop serialized ~0.5 s of job-submission
+    # latency per cell — measured in scripts/bench_maintenance_verbs.py
+    # — which dominates on a badly fragmented index where each cell's
+    # data is tiny). The multi-dir read keeps the scan scoped to
+    # exactly the fragmented cells (basePath preserves cent_id;
+    # compact_input_files still pins the scope), partitionBy(cent_id)
+    # splits the staged output per cell, and only the rename swaps
+    # remain per-cell — driver FS metadata ops, not jobs.
+    df = spark.read.option("basePath", path).parquet(
+        *[f"{path}/{c}" for c in fragmented]
+    )
+    stats["compact_input_files"].extend(df.inputFiles())
+    src_counts = {
+        int(r["cent_id"]): r["n"]
+        for r in df.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    token = uuid.uuid4().hex
+    tmp = f"{path}/__ivfc_{token}"
+    if int(files_per_cell) > 1:
+        # explicit count: AQE coalesces a column-only repartition,
+        # collapsing the per-cell fan-out salt
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        staged = df.repartition(
+            n_part,
+            F.col("cent_id"),
+            F.pmod(F.abs(F.hash(key)), F.lit(int(files_per_cell))),
         )
-        # readability + row-conservation check of the compacted copy
-        # BEFORE anything destructive happens: a lossy rewrite must
-        # not replace the only copy of a cell
-        n = spark.read.parquet(tmp).count()
-        if n != n_src:
-            fs.delete(Path(tmp), True)
-            raise IOError(
-                f"ivf_compact: compacted copy of {cell} holds {n} rows "
-                f"but the cell holds {n_src} — cell left untouched"
+    else:
+        staged = df.repartition(F.col("cent_id"))
+    (
+        staged.sortWithinPartitions("cent_id", key)
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(tmp)
+    )
+    # readability + per-cell row-conservation of the compacted copy
+    # BEFORE anything destructive happens: a lossy rewrite must not
+    # replace the only copy of a cell
+    new_counts = {
+        int(r["cent_id"]): r["n"]
+        for r in spark.read.parquet(tmp)
+        .groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if new_counts != src_counts:
+        fs.delete(Path(tmp), True)
+        bad = sorted(
+            set(src_counts) ^ set(new_counts)
+            | {c for c in src_counts if new_counts.get(c) != src_counts[c]}
+        )
+        raise IOError(
+            f"ivf_compact: compacted copy disagrees with source on "
+            f"cell(s) {bad} — index left untouched"
+        )
+    for cell in fragmented:
+        cid = int(cell.split("=", 1)[1])
+        if cid not in src_counts:
+            # only empty files: nothing staged for this cell — leave it
+            stats["files_after"] += sum(
+                1
+                for f in fs.listStatus(Path(f"{path}/{cell}"))
+                if f.getPath().getName().endswith(".parquet")
             )
-        stats["rows"] += n
+            continue
+        stats["rows"] += src_counts.get(cid, 0)
         swap_in_dir(
-            fs, Path, tmp, cell_dir, f"{path}/__old_{token}",
-            "ivf_compact",
+            fs, Path, f"{tmp}/{cell}", f"{path}/{cell}",
+            f"{path}/__old_{token}_{cid}", "ivf_compact",
         )
         stats["cells_compacted"] += 1
         stats["files_after"] += sum(
             1
-            for f in fs.listStatus(Path(cell_dir))
+            for f in fs.listStatus(Path(f"{path}/{cell}"))
             if f.getPath().getName().endswith(".parquet")
         )
+    fs.delete(Path(tmp), True)
     return stats
 
 

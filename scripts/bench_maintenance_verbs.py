@@ -148,6 +148,65 @@ def main() -> None:
         )
         out["amend_moved"] = stats["moved"]
         out["amend_partitions"] = len(stats["partitions"])
+
+        # --- multi-day refresh: does the per-day driver loop's job
+        # submission dominate a wide --days list? (round-13 verdict
+        # #1 'what's wrong') ---
+        many_days = [f"2024-01-{d:02d}" for d in range(2, 12)]  # 10 days
+        t0 = time.perf_counter()
+        refresh_downsample(spark, store, sink, width_s=3600,
+                           days=many_days)
+        ten = round(time.perf_counter() - t0, 2)
+        out["refresh_downsample_ten_days_s"] = ten
+        out["refresh_downsample_per_day_marginal_s"] = round(ten / 10, 2)
+
+        # --- ivf_compact over a deliberately fragmented index:
+        # 128 cells x 8 small files each (8 appends), dim 16 ---
+        from etsd_time_series_database_spark.operators.similarity import (
+            ivf_compact,
+            write_ivf_partitioned,
+        )
+
+        n_cells, n_appends, n_vec = 128, 8, 131_072
+        dim = 16
+        # uniform pseudo-random components so appends spread over ALL
+        # cells (the verdict's >=100-fragmented-cells shape); xxhash64
+        # keeps it deterministic
+        vecs = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (
+                    (F.xxhash64(F.col("id"), i) % 1000).cast("double")
+                    / 500.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        idx = os.path.join(work, "ivf")
+        write_ivf_partitioned(
+            vecs.filter(F.col("vec_id") % (n_appends + 1) == 0),
+            # seeds must live in the base subset (multiples of 9)
+            centroid_ids=[(n_appends + 1) * k for k in range(n_cells)],
+            path=idx,
+        )
+        from etsd_time_series_database_spark.operators.similarity import (
+            ivf_append,
+        )
+
+        for a in range(1, n_appends + 1):
+            ivf_append(
+                vecs.filter(F.col("vec_id") % (n_appends + 1) == a), idx
+            )
+        t0 = time.perf_counter()
+        cstats = ivf_compact(spark, idx, files_per_cell=1)
+        wall = round(time.perf_counter() - t0, 2)
+        out["ivf_compact"] = {
+            "wall_s": wall,
+            "cells_compacted": cstats["cells_compacted"],
+            "files_before": cstats["files_before"],
+            "files_after": cstats["files_after"],
+            "per_cell_s": round(wall / max(cstats["cells_compacted"], 1), 3),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print("MAINTJSON:" + json.dumps(out))
