@@ -1381,8 +1381,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     fe.add_argument(
         "tiers", nargs="+",
-        help="downsample sink paths (recover --partitioned output); "
-        "together they form the RRA ladder",
+        help="downsample sinks (recover --partitioned output) and/or "
+        "materialized tier-ladder tables; together they form the RRA "
+        "ladder",
     )
     fe.add_argument(
         "--width", type=int, required=True,

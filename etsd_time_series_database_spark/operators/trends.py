@@ -2615,25 +2615,35 @@ def route_tier(spark, tier_paths, width_s: int) -> tuple[str, int]:
 
     if isinstance(tier_paths, str):
         tier_paths = [tier_paths]
-    widths: dict[str, int] = {}
+    options: list[tuple[int, str]] = []  # (width, path)
     for p in tier_paths:
+        lmeta = read_meta_sidecar(spark, p, "_ladder_meta.json")
+        if lmeta is not None:
+            # a materialized tier LADDER (materialize_tier_ladder):
+            # one table, every tier a partition — contributes all its
+            # widths to the route
+            options.extend((int(t), p) for t in lmeta["tiers_s"])
+            continue
         meta = read_meta_sidecar(spark, p, "_downsample_meta.json")
         if meta is None:
             raise ValueError(
                 f"fetch_from_tier: {p} has no _downsample_meta.json "
-                "sidecar — not a downsample sink (or built before "
-                "sidecars); rebuild it with `recover --partitioned`"
+                "or _ladder_meta.json sidecar — not a downsample sink "
+                "or tier ladder (or built before sidecars); rebuild "
+                "it with `recover --partitioned` or "
+                "materialize_tier_ladder"
             )
-        widths[p] = int(meta["width_s"])
-    eligible = {p: w for p, w in widths.items() if int(width_s) % w == 0}
+        options.append((int(meta["width_s"]), p))
+    eligible = [(w, p) for w, p in options if int(width_s) % w == 0]
     if not eligible:
         raise ValueError(
-            f"fetch_from_tier: no tier in {sorted(widths.values())} "
-            f"divides the requested width {width_s}s — answering it "
-            "would need a raw scan; add a finer tier or change the "
-            "request"
+            "fetch_from_tier: no tier in "
+            f"{sorted({w for w, _ in options})} divides the requested "
+            f"width {width_s}s — answering it would need a raw scan; "
+            "add a finer tier or change the request"
         )
-    return max(eligible.items(), key=lambda kv: kv[1])
+    w, p = max(eligible)
+    return p, w
 
 
 def fetch_from_tier(
@@ -2646,9 +2656,12 @@ def fetch_from_tier(
     """RRA fetch against MATERIALIZED consolidation tiers — the
     production twin of :func:`route_range_query`: where that operator
     proves compose == raw-direct inline, this one never touches raw
-    history at all. ``tier_paths`` is the RRA ladder: one or more
-    downsample sinks (``recover --partitioned`` output), each carrying
-    a ``_downsample_meta.json`` sidecar naming its build width
+    history at all. ``tier_paths`` is the RRA ladder: any mix of
+    downsample sinks (``recover --partitioned`` output, one width
+    each, ``_downsample_meta.json``) and
+    :func:`materialize_tier_ladder` tables (every tier a ``tier_s=``
+    partition of one table, ``_ladder_meta.json``), each sidecar
+    naming its width(s)
     (rrdtool keeps one ring per consolidation the same way; reference
     consolidation plugin code/plugins/edoRRD.c:44-74, RRA ladder
     `ECM-1240 storage format 2.txt:127-148`). Routing is DRIVER-SIDE
@@ -2672,41 +2685,76 @@ def fetch_from_tier(
     predicate. At 100 TB this is the dashboard-zoom query: cost is the
     KB–MB tier slice, independent of raw volume.
     """
+    from etsd_time_series_database_spark.sources.store import (
+        read_meta_sidecar,
+    )
+
     routed_path, routed_w = route_tier(spark, tier_paths, width_s)
-    tier = spark.read.parquet(routed_path)
-    if "sum_value" not in tier.columns:
-        raise ValueError(
-            f"fetch_from_tier: {routed_path} predates the carried "
-            "exact sums (no sum_value column) — rebuild it with "
-            "`recover --partitioned` to enable exact fetch"
+    lmeta = read_meta_sidecar(spark, routed_path, "_ladder_meta.json")
+    if lmeta is not None:
+        # ladder table: tier_s is a PARTITION column, so selecting the
+        # routed tier is directory pruning; columns are already the
+        # normalized (bucket_us, n, sum_value, min_v, max_v) shape
+        keys = [lmeta["channel"]]
+        tier = (
+            spark.read.parquet(routed_path)
+            .filter(F.col("tier_s") == int(routed_w))
+            .select(
+                *keys, "bucket_us", "n", "sum_value", "min_v", "max_v"
+            )
         )
-    keys = [
-        c for c in ("source", "channel", "event_type") if c in tier.columns
-    ]
-    if start_us is not None or end_us is not None:
-        lo = start_us if start_us is not None else 0
-        hi = end_us if end_us is not None else 4_102_444_800_000_000
-        tier = tier.filter(
-            (F.col("dt") >= F.date_sub(
-                F.to_date(F.timestamp_micros(F.lit(lo))), 1))
-            & (F.col("dt") <= F.date_add(
-                F.to_date(F.timestamp_micros(F.lit(hi))), 1))
-            & (F.unix_micros("bucket_ts") >= lo)
-            & (F.unix_micros("bucket_ts") < hi)
+        if start_us is not None or end_us is not None:
+            lo = start_us if start_us is not None else 0
+            hi = end_us if end_us is not None else 4_102_444_800_000_000
+            # bucket_us is the sort column inside each tier file, so
+            # this predicate prunes at parquet row-group level
+            tier = tier.filter(
+                (F.col("bucket_us") >= lo) & (F.col("bucket_us") < hi)
+            )
+    else:
+        tier = spark.read.parquet(routed_path)
+        if "sum_value" not in tier.columns:
+            raise ValueError(
+                f"fetch_from_tier: {routed_path} predates the carried "
+                "exact sums (no sum_value column) — rebuild it with "
+                "`recover --partitioned` to enable exact fetch"
+            )
+        keys = [
+            c for c in ("source", "channel", "event_type")
+            if c in tier.columns
+        ]
+        if start_us is not None or end_us is not None:
+            lo = start_us if start_us is not None else 0
+            hi = end_us if end_us is not None else 4_102_444_800_000_000
+            tier = tier.filter(
+                (F.col("dt") >= F.date_sub(
+                    F.to_date(F.timestamp_micros(F.lit(lo))), 1))
+                & (F.col("dt") <= F.date_add(
+                    F.to_date(F.timestamp_micros(F.lit(hi))), 1))
+                & (F.unix_micros("bucket_ts") >= lo)
+                & (F.unix_micros("bucket_ts") < hi)
+            )
+        tier = tier.select(
+            *keys,
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            "n",
+            "sum_value",
+            F.col("min_value").alias("min_v"),
+            F.col("max_value").alias("max_v"),
         )
     w = int(width_s) * 1_000_000
     return (
         tier.groupBy(
             *keys,
-            (F.expr(f"unix_micros(bucket_ts) div {w}") * w).alias(
+            (F.expr(f"bucket_us div {w}") * w).alias(
                 "bucket_us"
             ),
         )
         .agg(
             F.sum("n").cast("bigint").alias("n"),
             F.sum("sum_value").alias("__s"),
-            F.min("min_value").alias("min_v"),
-            F.max("max_value").alias("max_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
         )
         .select(
             F.lit(routed_w).cast("bigint").alias("tier_s"),
@@ -2721,6 +2769,108 @@ def fetch_from_tier(
         )
         .orderBy(*keys, "bucket_us")
     )
+
+
+def materialize_tier_ladder(
+    df: DataFrame,
+    path: str,
+    tiers_s: tuple = (3600, 21600, 86400),
+    channel: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> dict:
+    """Persist the WHOLE consolidation ladder as one ``tier_s``-
+    partitioned table — :func:`tiered_rollup`'s cascade (one raw scan;
+    each coarser tier re-aggregates the previous tier's KB-sized
+    bucket table) with the exact DECIMAL sums KEPT as a ``sum_value``
+    column instead of folded into a display average, so
+    :func:`fetch_from_tier` can route INTO the table (``tier_s`` is a
+    partition directory — selecting the routed tier is pruning, like
+    a probe selecting an IVF cell) and compose coarser answers
+    bit-identically to a raw scan. The rrdtool analog is the multi-RRA
+    file: every retention level in one artifact, fetch picks the best
+    one (`ECM-1240 storage format 2.txt:127-148`).
+
+    Layout per row: (tier_s=, channel, bucket_us, n, sum_value,
+    min_v, max_v), sorted by (channel, bucket_us) within each tier so
+    a bounded fetch prunes at parquet row-group level. The root
+    carries a ``_ladder_meta.json`` sidecar ({tiers_s, channel}) —
+    the routing metadata, read driver-side before any parquet is
+    listed. Returns {tier_s: n_buckets}.
+    """
+    assert len(tiers_s) >= 1
+    for a, b in zip(tiers_s, tiers_s[1:]):
+        assert b % a == 0, f"tier {b}s is not a multiple of {a}s"
+    from etsd_time_series_database_spark.sources.store import (
+        write_meta_sidecar,
+    )
+
+    spark = df.sparkSession
+    w0 = int(tiers_s[0]) * 1_000_000
+    cur = (
+        df.select(
+            F.col(channel),
+            (F.expr(f"unix_micros({ts}) div {w0}") * w0).alias(
+                "bucket_us"
+            ),
+            F.col(value).alias("__v"),
+        )
+        .groupBy(channel, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__v").cast(DEC)).alias("sum_value"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+        .localCheckpoint()
+    )
+    out = []
+    for k, tier in enumerate(tiers_s):
+        if k > 0:
+            w = int(tier) * 1_000_000
+            cur = (
+                cur.groupBy(
+                    channel,
+                    (F.expr(f"bucket_us div {w}") * w).alias("bucket_us"),
+                )
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("sum_value").cast(DEC_SQ).alias("sum_value"),
+                    F.min("min_v").alias("min_v"),
+                    F.max("max_v").alias("max_v"),
+                )
+            )
+        out.append(
+            cur.select(
+                F.lit(int(tier)).cast("bigint").alias("tier_s"),
+                F.col(channel),
+                "bucket_us",
+                "n",
+                F.col("sum_value").cast(DEC_SQ).alias("sum_value"),
+                "min_v",
+                "max_v",
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    (
+        res.repartition("tier_s")
+        .sortWithinPartitions(channel, "bucket_us")
+        .write.mode("overwrite")
+        .partitionBy("tier_s")
+        .parquet(path)
+    )
+    write_meta_sidecar(
+        spark, path, "_ladder_meta.json",
+        {"tiers_s": [int(t) for t in tiers_s], "channel": channel},
+    )
+    return {
+        int(r.tier_s): r.n
+        for r in spark.read.parquet(path)
+        .groupBy("tier_s").count().withColumnRenamed("count", "n")
+        .collect()
+    }
 
 
 def percentile_profile(

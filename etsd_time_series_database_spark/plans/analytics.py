@@ -1998,3 +1998,69 @@ def q80(spark, sf_dir):
 
     ladder = _fetch_ladder(spark, sf_dir)
     return fetch_from_tier(spark, ladder, width_s=ROUTE_WIDTH_S)
+
+
+_LADDER_MEMO: dict = {}
+
+
+def _fetch_single_ladder(spark, sf_dir):
+    """Build (once per application × sf_dir) q81's single-table
+    ladder: the events table through materialize_tier_ladder at the
+    full TIERS_S cascade — the multi-RRA artifact, vs q80's
+    per-width-sink ladder."""
+    import tempfile
+
+    from etsd_time_series_database_spark.operators.trends import (
+        materialize_tier_ladder,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LADDER_MEMO.get(key)
+    if cached is not None:
+        return cached
+    path = tempfile.mkdtemp(prefix="q81_ladder_") + "/ladder"
+    materialize_tier_ladder(
+        _events(spark, sf_dir), path, tiers_s=TIERS_S
+    )
+    _LADDER_MEMO[key] = path
+    return path
+
+
+@register(
+    "q81_ladder_fetch_partitioned",
+    "consolidation",
+    f"""
+    SELECT CAST(21600 AS BIGINT) AS tier_s,
+           event_type,
+           (epoch_us(ts) // {ROUTE_WIDTH_S * 1_000_000})
+             * {ROUTE_WIDTH_S * 1_000_000} AS bucket_us,
+           CAST(count(value) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(value), 6) AS avg_v,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events
+    GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+    doc="RRA fetch against the SINGLE-TABLE ladder "
+    "(operators.trends.materialize_tier_ladder — q75's cascade "
+    "persisted with exact DECIMAL sums, one tier_s= partition per "
+    "retention level, the multi-RRA-file analog of "
+    "`ECM-1240 storage format 2.txt:127-148`): a 12 h request routes "
+    "via the table's _ladder_meta.json to tier_s=21600, which is a "
+    "PARTITION directory — so tier selection is Catalyst pruning "
+    "(plan-pinned: the executed scan reads exactly that tier's "
+    "files), the ANN-cell-probe shape applied to time. The oracle "
+    "aggregates raw directly at 12 h: compose-from-materialized == "
+    "raw scan, bit-identical, same gate as q80 but through the "
+    "one-artifact layout a dashboard deployment ships.",
+)
+def q81(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+    )
+
+    return fetch_from_tier(
+        spark, _fetch_single_ladder(spark, sf_dir), width_s=ROUTE_WIDTH_S
+    )

@@ -754,3 +754,40 @@ def test_fetch_from_tier_scans_only_the_routed_tier(spark, tmp_path):
                               start_us=lo, end_us=hi)
     bounded.collect()
     assert 0 < collect_plan_metrics(bounded)["scan_files"] < tier_files
+
+
+def test_ladder_fetch_prunes_to_the_routed_tier_partition(spark, tmp_path):
+    """materialize_tier_ladder + fetch: tier_s is a PARTITION column,
+    so the routed fetch must carry a tier_s PartitionFilter and its
+    EXECUTED scan must read exactly the routed tier's files (inputFiles
+    is listing-level and does not reflect partition pruning — the
+    metrics are the witness, per the day_scoped test)."""
+    import glob
+    import os
+    import re
+
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+        materialize_tier_ladder,
+    )
+    from etsd_time_series_database_spark.plans.metrics import (
+        collect_plan_metrics,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    lad = str(tmp_path / "ladder_prune")
+    materialize_tier_ladder(events, lad, tiers_s=(3600, 21600, 86400))
+
+    out = fetch_from_tier(spark, lad, 43200)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "tier_s" in m.group(1) and "21600" in m.group(1), plan
+    out.collect()
+    tier_files = len(
+        glob.glob(os.path.join(lad, "tier_s=21600", "*.parquet"))
+    )
+    all_files = len(
+        glob.glob(os.path.join(lad, "tier_s=*", "*.parquet"))
+    )
+    assert 0 < tier_files < all_files
+    assert collect_plan_metrics(out)["scan_files"] == tier_files

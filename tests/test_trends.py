@@ -953,3 +953,98 @@ def test_fetch_from_tier_routes_and_composes_exactly(spark, tmp_path):
         json.dump({"width_s": 3600}, fh)
     with _pytest.raises(ValueError, match="sum_value"):
         fetch_from_tier(spark, [legacy], 7200)
+
+
+def test_materialize_tier_ladder_fetch_routes_and_composes(spark, tmp_path):
+    """The single-table ladder (materialize_tier_ladder — q75's
+    cascade persisted with exact sums, tier_s-partitioned): fetch
+    routes INTO the table (coarsest dividing tier wins across ladder
+    AND sink sources in one list), composes bit-identically to raw,
+    and un-servable widths still raise."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+        materialize_tier_ladder,
+        route_tier,
+    )
+    from etsd_time_series_database_spark.streaming.ingest import (
+        refresh_downsample,
+    )
+    from etsd_time_series_database_spark.sources.store import (
+        create_events_table,
+    )
+
+    df = spark.range(0, 2 * 1440).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        ((F.col("id") * 13 % 997) / 4.0 - 100.0).alias("value"),
+    )
+    lad = str(tmp_path / "ladder")
+    stats = materialize_tier_ladder(df, lad, tiers_s=(3600, 21600, 86400))
+    assert set(stats) == {3600, 21600, 86400} and all(
+        v > 0 for v in stats.values()
+    )
+
+    def direct(width_s, tier):
+        w = width_s * 1_000_000
+        return (
+            df.groupBy(
+                "event_type",
+                (F.expr(f"unix_micros(ts) div {w}") * w).alias("bucket_us"),
+            )
+            .agg(
+                F.count("value").cast("bigint").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    ) / F.count("value"),
+                    6,
+                ).alias("avg_v"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+            .select(
+                F.lit(tier).cast("bigint").alias("tier_s"),
+                "event_type", "bucket_us", "n", "avg_v", "min_v", "max_v",
+            )
+            .orderBy("event_type", "bucket_us")
+        )
+
+    for width, want_tier in (
+        (3600, 3600), (43200, 21600), (86400, 86400), (172800, 86400),
+    ):
+        path, w = route_tier(spark, [lad], width)
+        assert (path, w) == (lad, want_tier), width
+        got = fetch_from_tier(spark, lad, width)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, direct(width, want_tier).collect())
+        ), width
+
+    # mixed list: a sink finer than any useful ladder tier loses to
+    # the ladder's coarsest divisor; a sink COARSER than the ladder's
+    # best wins
+    raw = str(tmp_path / "raw_mix")
+    create_events_table(df, raw, mode="overwrite")
+    s60 = str(tmp_path / "mix_w60")
+    refresh_downsample(spark, raw, s60, width_s=60)
+    path, w = route_tier(spark, [s60, lad], 43200)
+    assert (path, w) == (lad, 21600)
+    s43200 = str(tmp_path / "mix_w43200")
+    refresh_downsample(spark, raw, s43200, width_s=43200)
+    # 1.5 d: 86400 does not divide it, so the ladder's best divisor is
+    # 21600 and the 12 h sink out-coarsens it
+    path, w = route_tier(spark, [s43200, lad], 129600)
+    assert (path, w) == (s43200, 43200)
+    got = fetch_from_tier(spark, [s43200, lad], 129600)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct(129600, 43200).collect())
+    )
+
+    with _pytest.raises(ValueError, match="no tier"):
+        fetch_from_tier(spark, [lad], 5400)
