@@ -818,22 +818,32 @@ def cmd_fetch(args, spark: SparkSession) -> int:
         route_tier,
     )
 
+    from datetime import datetime, timezone
+
     start_us = end_us = None
-    if args.start or args.end:
-        s_dt, e_dt = resolve_range(args.start, args.end)
-        if args.start:
-            start_us = int(s_dt.timestamp() * 1_000_000)
-        if args.end:
-            end_us = int(e_dt.timestamp() * 1_000_000)
     try:
-        path, w = route_tier(spark, args.tiers, args.width)
+        if args.start or args.end:
+            # begin = epoch: an --end-only fetch means "everything
+            # before end", not "from now" (which would raise
+            # end-before-start for any historical bound); tier bounds
+            # never need the table's own min(ts)
+            s_dt, e_dt = resolve_range(
+                args.start, args.end,
+                begin=datetime(1970, 1, 1, tzinfo=timezone.utc),
+            )
+            if args.start:
+                start_us = int(s_dt.timestamp() * 1_000_000)
+            if args.end:
+                end_us = int(e_dt.timestamp() * 1_000_000)
+        routed = route_tier(spark, args.tiers, args.width)
         out = fetch_from_tier(
             spark, args.tiers, args.width,
-            start_us=start_us, end_us=end_us,
+            start_us=start_us, end_us=end_us, routed=routed,
         )
     except ValueError as exc:
         print(f"fetch: {exc}", file=sys.stderr)
         return 2
+    path, w = routed
     print(f"routed to {path} (tier width {w}s)")
     out.show(n=args.limit, truncate=False)
     return 0

@@ -499,19 +499,11 @@ def write_ivf_partitioned(
         write_meta_sidecar,
     )
 
-    stored = cents.sparkSession.read.parquet(path + "/_centroids")
-    first = stored.select(F.size("cent_vec").alias("d")).first()
     write_meta_sidecar(
         cents.sparkSession,
         path,
         IVF_META,
-        {
-            "dim": int(first["d"]) if first else 0,
-            "metric": "cosine",
-            "nlist": int(stored.count()),
-            "key": key,
-            "vec": vec,
-        },
+        _derive_ivf_meta(cents.sparkSession, path, key, vec),
     )
 
 
@@ -533,6 +525,23 @@ def read_ivf_meta(spark, path: str) -> dict | None:
     )
 
     return read_meta_sidecar(spark, path, IVF_META)
+
+
+def _derive_ivf_meta(spark, path: str, key: str, vec: str) -> dict:
+    """The layout's geometry derived from its own authoritative
+    ``_centroids`` table — the ONE construction both the write-time
+    stamp and the pre-sidecar adoption use, so the two can't drift."""
+    cents = read_centroids(spark, path)
+    first = cents.select(F.size("cent_vec").alias("d")).first()
+    if first is None:
+        raise ValueError(f"ivf: {path}/_centroids is empty")
+    return {
+        "dim": int(first["d"]),
+        "metric": "cosine",
+        "nlist": int(cents.count()),
+        "key": key,
+        "vec": vec,
+    }
 
 
 def check_ivf_meta(
@@ -570,10 +579,6 @@ def check_ivf_meta(
         return meta
     if not adopt:
         return None
-    cents = read_centroids(spark, path)
-    first = cents.select(F.size("cent_vec").alias("d")).first()
-    if first is None:
-        raise ValueError(f"ivf: {path}/_centroids is empty")
     cols = spark.read.parquet(path).columns
     missing = [c for c in (key, vec) if c not in cols]
     if missing:
@@ -582,13 +587,7 @@ def check_ivf_meta(
             f"pre-sidecar layout {path} — column(s) {missing} do not "
             "exist in the corpus; pass the layout's own columns"
         )
-    meta = {
-        "dim": int(first["d"]),
-        "metric": "cosine",
-        "nlist": int(cents.count()),
-        "key": key,
-        "vec": vec,
-    }
+    meta = _derive_ivf_meta(spark, path, key, vec)
     write_meta_sidecar(spark, path, IVF_META, meta)
     return meta
 
@@ -611,24 +610,25 @@ def ivf_append(
     partition pruning works per directory, not per file age.
     """
     spark = new_embeddings.sparkSession
+    # check_ivf_meta (adopt=True) always returns a meta or raises —
+    # there is no sidecar-less path past this line
     meta = check_ivf_meta(spark, path, key, vec)
     # a wrong-width batch would poison every cell it lands in with
     # vectors no probe can score — one O(batch) pass refuses it up
     # front (the mixed-bucket guard of the tier sidecars, applied to
     # embedding geometry)
-    if meta is not None:
-        bad = (
-            new_embeddings.filter(F.size(F.col(vec)) != int(meta["dim"]))
-            .limit(1)
-            .count()
+    bad = (
+        new_embeddings.filter(F.size(F.col(vec)) != int(meta["dim"]))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"ivf_append: batch holds vectors whose width differs "
+            f"from the layout's dim={meta['dim']} — appending "
+            "would corrupt the cells; re-embed or rebuild the "
+            "index"
         )
-        if bad:
-            raise ValueError(
-                f"ivf_append: batch holds vectors whose width differs "
-                f"from the layout's dim={meta['dim']} — appending "
-                "would corrupt the cells; re-embed or rebuild the "
-                "index"
-            )
     cents = read_centroids(spark, path)
     assign_cells(new_embeddings, [], key, vec, _centroids=cents).repartition(
         F.col("cent_id")

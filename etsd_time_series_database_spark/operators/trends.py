@@ -2652,6 +2652,7 @@ def fetch_from_tier(
     width_s: int,
     start_us: int | None = None,
     end_us: int | None = None,
+    routed: tuple[str, int] | None = None,
 ) -> DataFrame:
     """RRA fetch against MATERIALIZED consolidation tiers — the
     production twin of :func:`route_range_query`: where that operator
@@ -2689,7 +2690,13 @@ def fetch_from_tier(
         read_meta_sidecar,
     )
 
-    routed_path, routed_w = route_tier(spark, tier_paths, width_s)
+    # callers that already routed (the CLI prints the decision before
+    # fetching) pass it through instead of re-reading every sidecar
+    routed_path, routed_w = (
+        routed
+        if routed is not None
+        else route_tier(spark, tier_paths, width_s)
+    )
     lmeta = read_meta_sidecar(spark, routed_path, "_ladder_meta.json")
     if lmeta is not None:
         # ladder table: tier_s is a PARTITION column, so selecting the
@@ -2817,7 +2824,10 @@ def materialize_tier_ladder(
         )
         .groupBy(channel, "bucket_us")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # count NON-NULL values, matching the downsample sinks'
+            # F.count("value") — fetch's n/avg must not depend on
+            # which tier kind wins the route when values hold nulls
+            F.count("__v").cast("bigint").alias("n"),
             F.sum(F.col("__v").cast(DEC)).alias("sum_value"),
             F.min("__v").alias("min_v"),
             F.max("__v").alias("max_v"),

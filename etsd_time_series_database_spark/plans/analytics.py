@@ -1948,7 +1948,13 @@ def _fetch_ladder(spark, sf_dir):
     cached = _FETCH_MEMO.get(key)
     if cached is not None:
         return cached
+    import atexit
+    import shutil
+
     base = tempfile.mkdtemp(prefix="q80_ladder_")
+    # the fixture must outlive this call (the memoized DataFrames read
+    # it lazily) but not the process
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     raw = f"{base}/raw"
     create_events_table(_events(spark, sf_dir), raw, mode="overwrite")
     ladder = [f"{base}/w3600", f"{base}/w21600"]
@@ -2018,7 +2024,12 @@ def _fetch_single_ladder(spark, sf_dir):
     cached = _LADDER_MEMO.get(key)
     if cached is not None:
         return cached
-    path = tempfile.mkdtemp(prefix="q81_ladder_") + "/ladder"
+    import atexit
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="q81_ladder_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = base + "/ladder"
     materialize_tier_ladder(
         _events(spark, sf_dir), path, tiers_s=TIERS_S
     )

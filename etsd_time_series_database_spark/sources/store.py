@@ -817,8 +817,15 @@ def buckets_misaligned(
     never a full materialization. A claimed width FINER than the build
     width divides its buckets and is undetectable from data — the
     sidecar closes that for every table built since it exists; this
-    probe is the best possible check for tables that predate it."""
+    probe is the best possible check for tables that predate it.
+
+    A table without ``bucket_col`` at all is reported misaligned — it
+    is definitionally not the kind of derived table the caller thinks
+    it is (e.g. a digest tier passed as a downsample sink), and the
+    refusal must fire before any rewrite, not as a KeyError."""
     df = spark.read.parquet(path)
+    if bucket_col not in df.columns:
+        return True
     dtype = dict(df.dtypes)[bucket_col]
     col = (
         F.unix_micros(F.col(bucket_col))

@@ -864,6 +864,15 @@ def refresh_downsample(
         write_meta_sidecar(
             spark, sink_path, "_downsample_meta.json", sink_meta
         )
+    # pre-round-14 sink (no carried exact sums): preserve ITS column
+    # set rather than upgrading one day — a mixed-schema sink would
+    # let fetch compose null sums for un-refreshed days; a full
+    # rebuild (days=None) is the upgrade path
+    legacy_cols: list[str] | None = None
+    if fs.exists(Path(sink_path)):
+        sink_cols = spark.read.parquet(sink_path).columns
+        if "sum_value" not in sink_cols:
+            legacy_cols = [c for c in sink_cols if c != "dt"]
     stats: dict = {}
     for d in sorted(days):
         day_rows = day_scoped(raw, d)
@@ -872,6 +881,8 @@ def refresh_downsample(
             .repartition(int(target_files))
             .sortWithinPartitions(channel, "bucket_ts")
         )
+        if legacy_cols is not None:
+            fresh = fresh.select(*legacy_cols)
         token = uuid.uuid4().hex
         tmp = f"{sink_path}/__refresh_{token}"
         fresh.write.mode("overwrite").parquet(tmp)

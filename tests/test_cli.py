@@ -2121,3 +2121,112 @@ def test_watch_dedup_follow_survivors_and_partial_marker(
         .select("doc_id").collect()
     }
     assert got == expect
+
+
+def test_fetch_end_only_and_wrong_kind_refresh_target(
+    spark, tmp_path, capsys
+):
+    """Review fixes, round 14: (a) `fetch -e <past>` without -s means
+    'everything before end' — previously start defaulted to now and
+    any historical end died in an uncaught end-before-start traceback;
+    (b) an amend --refresh-sink pointed at a DIGEST tier (dt=-
+    partitioned, sidecar-less, no bucket_ts column) is refused rc 2 by
+    the alignment probe instead of a KeyError."""
+    import os
+
+    raw = str(tmp_path / "raw_rf")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    sink = str(tmp_path / "rf_sink")
+    assert cli.main(
+        ["recover", raw, sink, "--partitioned", "--width", "3600"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["fetch", sink, "--width", "3600", "-e", "2024-01-03"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "routed to" in out
+    # a bad range still exits 2 cleanly
+    rc = cli.main(
+        ["fetch", sink, "--width", "3600",
+         "-s", "2024-02-01", "-e", "2024-01-01"],
+        spark=spark,
+    )
+    assert rc == 2 and "before start" in capsys.readouterr().err
+
+    # (b): digest tier as --refresh-sink target
+    tier = str(tmp_path / "rf_tier")
+    assert cli.main(
+        ["digest-tier", raw, tier, "--bucket", "3600"], spark=spark
+    ) == 0
+    os.remove(os.path.join(tier, "_digest_meta.json"))
+    day = sorted(
+        d for d in os.listdir(raw) if d.startswith("dt=")
+    )[0].split("=", 1)[1]
+    corr = str(tmp_path / "rf_corr.parquet")
+    import pyspark.sql.functions as F
+
+    cli._load_events(spark, EVENTS).filter(
+        F.to_date("ts") == F.lit(day)
+    ).limit(3).write.parquet(corr)
+    rc = cli.main(
+        ["amend", raw, corr, "--refresh-sink", tier,
+         "--refresh-width", "3600"],
+        spark=spark,
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "store unchanged" in err
+
+
+def test_legacy_sink_day_refresh_keeps_schema(spark, tmp_path, capsys):
+    """Review fixes, round 14: a day-scoped refresh of a pre-sum_value
+    sink preserves the sink's own column set (a mixed-schema sink
+    would let fetch compose null sums for the un-refreshed days);
+    fetch on such a sink keeps raising the rebuild hint."""
+    import glob
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+    )
+
+    raw = str(tmp_path / "raw_leg")
+    assert cli.main(
+        ["create", EVENTS, raw, "--mode", "overwrite"], spark=spark
+    ) == 0
+    sink = str(tmp_path / "leg_sink")
+    assert cli.main(
+        ["recover", raw, sink, "--partitioned", "--width", "3600"],
+        spark=spark,
+    ) == 0
+    # strip sum_value to simulate a pre-round-14 build
+    legacy = spark.read.parquet(sink).drop("sum_value")
+    tmp_copy = str(tmp_path / "leg_copy")
+    legacy.repartition("dt").write.partitionBy("dt").parquet(tmp_copy)
+    import shutil
+
+    shutil.rmtree(sink)
+    shutil.move(tmp_copy, sink)
+    with open(os.path.join(sink, "_downsample_meta.json"), "w") as fh:
+        json.dump({"width_s": 3600}, fh)
+
+    day = sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(f"{sink}/dt=*")
+    )[0]
+    assert cli.main(
+        ["recover", raw, sink, "--days", day, "--width", "3600"],
+        spark=spark,
+    ) == 0
+    refreshed = spark.read.parquet(f"{sink}/dt={day}")
+    assert "sum_value" not in refreshed.columns
+    assert "sum_value" not in spark.read.parquet(sink).columns
+    with _pytest.raises(ValueError, match="sum_value"):
+        fetch_from_tier(spark, sink, 7200)

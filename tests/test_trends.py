@@ -1048,3 +1048,42 @@ def test_materialize_tier_ladder_fetch_routes_and_composes(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no tier"):
         fetch_from_tier(spark, [lad], 5400)
+
+
+def test_ladder_n_counts_non_null_values_like_the_sinks(spark, tmp_path):
+    """Review fixes, round 14: materialize_tier_ladder counts
+    NON-NULL values (the sinks' F.count('value') convention) — with
+    nulls present, fetch's n/avg_v must not depend on which tier kind
+    wins the route, and q81's count(value) oracle stays exact."""
+    import pyspark.sql.functions as F
+
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+        materialize_tier_ladder,
+    )
+
+    df = spark.range(0, 200).select(
+        (
+            F.to_timestamp(F.lit("2024-05-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+        F.lit("c").alias("event_type"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("id").cast("double")).alias("value"),
+    )
+    lad = str(tmp_path / "null_ladder")
+    materialize_tier_ladder(df, lad, tiers_s=(3600,))
+    got = fetch_from_tier(spark, lad, 3600).collect()
+    w = 3600 * 1_000_000
+    want = {
+        (r.bucket_us, r.n)
+        for r in df.groupBy(
+            (F.expr(f"unix_micros(ts) div {w}") * w).alias("bucket_us")
+        ).agg(F.count("value").cast("bigint").alias("n")).collect()
+    }
+    assert {(r.bucket_us, r.n) for r in got} == want
+    # avg over non-null values only
+    row0 = sorted(got, key=lambda r: r.bucket_us)[0]
+    vals = [i for i in range(60) if i % 5 != 0]
+    assert row0.n == len(vals)
+    assert abs(row0.avg_v - round(sum(vals) / len(vals), 6)) < 1e-9
