@@ -160,6 +160,54 @@ def main() -> None:
         out["refresh_downsample_ten_days_s"] = ten
         out["refresh_downsample_per_day_marginal_s"] = round(ten / 10, 2)
 
+        # --- RRA fetch vs raw aggregate (round-14 headline): the
+        # same 12 h range answer from the materialized 1 h sink vs
+        # scanning raw history — the query model that makes dashboard
+        # zooms O(tier) at 100 TB ---
+        from etsd_time_series_database_spark.operators.trends import (
+            fetch_from_tier,
+        )
+
+        def timed_metrics(frame):
+            t0 = time.perf_counter()
+            frame.collect()
+            wall = round(time.perf_counter() - t0, 2)
+            m = collect_plan_metrics(frame)
+            return {
+                "wall_s": wall,
+                "scan_files": m["scan_files"],
+                "scan_mb": round(m["scan_bytes"] / 1e6, 1),
+            }
+
+        # fresh read: the earlier `raw` frame's file listing predates
+        # the amend's partition rewrites
+        raw2 = spark.read.parquet(store)
+        w12 = 43_200 * 1_000_000
+        raw_direct = (
+            raw2.groupBy(
+                "event_type",
+                (F.expr(f"unix_micros(ts) div {w12}") * w12).alias(
+                    "bucket_us"
+                ),
+            )
+            .agg(
+                F.count("value").cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+            .select(
+                "event_type", "bucket_us", "n",
+                F.round(
+                    F.col("__s").cast("double") / F.col("n"), 6
+                ).alias("avg_v"),
+                "min_v", "max_v",
+            )
+        )
+        out["fetch_raw_direct_12h"] = timed_metrics(raw_direct)
+        fetched = fetch_from_tier(spark, sink, 43_200)
+        out["fetch_from_tier_12h"] = timed_metrics(fetched)
+
         # --- ivf_compact over a deliberately fragmented index:
         # 128 cells x 8 small files each (8 appends), dim 16 ---
         from etsd_time_series_database_spark.operators.similarity import (
