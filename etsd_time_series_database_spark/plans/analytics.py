@@ -2075,3 +2075,64 @@ def q81(spark, sf_dir):
     return fetch_from_tier(
         spark, _fetch_single_ladder(spark, sf_dir), width_s=ROUTE_WIDTH_S
     )
+
+
+XFF_WIDTH_S = 3600
+XFF_STEP_S = 600
+XFF_PCT = 50
+
+
+@register(
+    "q82_xff_consolidation",
+    "consolidation",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             (epoch_us(ts) // {XFF_WIDTH_S * 1_000_000})
+               * {XFF_WIDTH_S * 1_000_000} AS bucket_us,
+             CAST(count(value) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY event_type, bucket_us
+    )
+    SELECT event_type, bucket_us, n,
+           CAST({XFF_WIDTH_S // XFF_STEP_S} AS BIGINT) AS expected,
+           ({XFF_WIDTH_S // XFF_STEP_S} - n) * 100
+             <= {XFF_PCT * (XFF_WIDTH_S // XFF_STEP_S)} AS is_valid,
+           CASE WHEN ({XFF_WIDTH_S // XFF_STEP_S} - n) * 100
+                     <= {XFF_PCT * (XFF_WIDTH_S // XFF_STEP_S)}
+                THEN round(CAST(s AS DOUBLE) / n, 6) END AS avg_v,
+           CASE WHEN ({XFF_WIDTH_S // XFF_STEP_S} - n) * 100
+                     <= {XFF_PCT * (XFF_WIDTH_S // XFF_STEP_S)}
+                THEN mn END AS min_v,
+           CASE WHEN ({XFF_WIDTH_S // XFF_STEP_S} - n) * 100
+                     <= {XFF_PCT * (XFF_WIDTH_S // XFF_STEP_S)}
+                THEN mx END AS max_v
+    FROM agg ORDER BY event_type, bucket_us
+    """,
+    doc="Consolidation under the xfiles factor "
+    "(operators.range_stats.xff_consolidate): "
+    "`RRA:AVERAGE:xff:steps:rows` declares what fraction of a "
+    "consolidation interval may be UNKNOWN source intervals while "
+    "the consolidated value still counts as known "
+    "(`ECM-1240 storage format 2.txt:142-148`), and the reference's "
+    "own block header carries 'Total intervals | Valid intervals' "
+    "for the same accounting (format spec line 8; short-block commit "
+    "code/etsdSave.c:58-66). Here: expected = width/step source "
+    "intervals per 1 h bucket (step 600 s — the config-fixed polling "
+    "cadence), a bucket is valid iff (expected - n) * 100 <= "
+    "xff * expected (pure integer threshold — hashes identically on "
+    "any engine), and INVALID buckets keep their counts but NULL "
+    "their aggregates: a dashboard must see unknown, never an "
+    "average quietly computed from a sliver of the interval. One "
+    "map-side-combinable hash aggregate.",
+)
+def q82(spark, sf_dir):
+    from etsd_time_series_database_spark.operators.range_stats import (
+        xff_consolidate,
+    )
+
+    return xff_consolidate(
+        _events(spark, sf_dir),
+        width_s=XFF_WIDTH_S, step_s=XFF_STEP_S, xff_pct=XFF_PCT,
+    )

@@ -2027,3 +2027,56 @@ def test_range_digest_detects_drift_and_ignores_order(spark):
     assert [(r[0], r[1], r[2]) for r in changed] == [
         (r[0], r[1], r[2]) for r in base
     ]
+
+
+def test_xff_consolidate_validity_threshold_and_status(spark):
+    """q82's operator: the xfiles-factor rule
+    (`ECM-1240 storage format 2.txt:142-148`) — a bucket is valid iff
+    (expected - n) * 100 <= xff * expected with pure integer
+    arithmetic; invalid buckets keep counts but NULL aggregates; a
+    status column (plugin ABI invalid-reading marker) excludes
+    non-zero-status rows from the known count; a non-dividing step
+    raises."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        xff_consolidate,
+    )
+
+    # channel a: 3 readings in hour 0 (== threshold, valid),
+    #            2 in hour 1 (< threshold, invalid)
+    # channel b: 6 in hour 0, 2 of them status=1 -> known 4 (valid)
+    rows = []
+    for i in range(3):
+        rows.append(("a", f"2024-01-01 00:{i:02d}:00", float(i), 0))
+    for i in range(2):
+        rows.append(("a", f"2024-01-01 01:{i:02d}:00", 10.0 + i, 0))
+    for i in range(6):
+        rows.append(
+            ("b", f"2024-01-01 00:{i:02d}:00", float(i), 1 if i >= 4 else 0)
+        )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double, status int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = xff_consolidate(
+        df, width_s=3600, step_s=600, xff_pct=50
+    ).collect()
+    by = {(r.event_type, r.bucket_us): r for r in out}
+    h0 = 1704067200000000
+
+    a0 = by[("a", h0)]
+    assert (a0.n, a0.expected, a0.is_valid) == (3, 6, True)
+    assert a0.avg_v == 1.0 and a0.min_v == 0.0 and a0.max_v == 2.0
+    a1 = by[("a", h0 + 3600 * 1_000_000)]
+    assert (a1.n, a1.is_valid) == (2, False)
+    assert a1.avg_v is None and a1.min_v is None and a1.max_v is None
+    b0 = by[("b", h0)]
+    # status!=0 readings are not 'known' — the plugin ABI's invalid
+    # marker (Plugin_API.txt:31-32)
+    assert (b0.n, b0.is_valid) == (4, True)
+    assert b0.avg_v == 1.5 and b0.max_v == 3.0
+
+    with _pytest.raises(ValueError, match="divide"):
+        xff_consolidate(df, width_s=3600, step_s=700)
