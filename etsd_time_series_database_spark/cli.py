@@ -839,6 +839,7 @@ def cmd_fetch(args, spark: SparkSession) -> int:
         out = fetch_from_tier(
             spark, args.tiers, args.width,
             start_us=start_us, end_us=end_us, routed=routed,
+            step_s=args.step, xff_pct=args.xff,
         )
     except ValueError as exc:
         print(f"fetch: {exc}", file=sys.stderr)
@@ -1402,6 +1403,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     fe.add_argument("-s", "--start", default=None, help="start time literal")
     fe.add_argument("-e", "--end", default=None, help="end time literal")
+    fe.add_argument(
+        "--step", type=int, default=None,
+        help="polling cadence seconds: adds expected/is_valid per "
+        "bucket and NULLs the aggregates of buckets failing the "
+        "xfiles factor (rrdtool's UNKNOWN consolidated points)",
+    )
+    fe.add_argument(
+        "--xff", type=int, default=50,
+        help="xfiles factor as integer percent (with --step)",
+    )
     fe.add_argument("--limit", type=int, default=100)
     fe.set_defaults(fn=cmd_fetch)
 

@@ -2653,6 +2653,8 @@ def fetch_from_tier(
     start_us: int | None = None,
     end_us: int | None = None,
     routed: tuple[str, int] | None = None,
+    step_s: int | None = None,
+    xff_pct: int = 50,
 ) -> DataFrame:
     """RRA fetch against MATERIALIZED consolidation tiers — the
     production twin of :func:`route_range_query`: where that operator
@@ -2679,6 +2681,12 @@ def fetch_from_tier(
     directly (q80's oracle gate). A sink built before ``sum_value``
     existed raises with a rebuild hint instead of quietly degrading to
     a float-composed average.
+
+    With ``step_s`` (the deployment's polling cadence) the result
+    additionally carries ``expected``/``is_valid`` per request bucket
+    and NULLs the aggregates of invalid ones — q82's xfiles-factor
+    rule applied at fetch time, rrdtool's UNKNOWN consolidated
+    points (`ECM-1240 storage format 2.txt:142-148`).
 
     ``start_us``/``end_us`` (epoch micros, half-open) prune the read:
     a conservative ±1-day ``dt`` partition filter (immune to the
@@ -2750,20 +2758,17 @@ def fetch_from_tier(
             F.col("max_value").alias("max_v"),
         )
     w = int(width_s) * 1_000_000
-    return (
-        tier.groupBy(
-            *keys,
-            (F.expr(f"bucket_us div {w}") * w).alias(
-                "bucket_us"
-            ),
-        )
-        .agg(
-            F.sum("n").cast("bigint").alias("n"),
-            F.sum("sum_value").alias("__s"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-        )
-        .select(
+    composed = tier.groupBy(
+        *keys,
+        (F.expr(f"bucket_us div {w}") * w).alias("bucket_us"),
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_value").alias("__s"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    if step_s is None:
+        return composed.select(
             F.lit(routed_w).cast("bigint").alias("tier_s"),
             *keys,
             "bucket_us",
@@ -2773,9 +2778,37 @@ def fetch_from_tier(
             ).alias("avg_v"),
             "min_v",
             "max_v",
+        ).orderBy(*keys, "bucket_us")
+    # xff mode — rrdtool fetch returns UNKNOWN for consolidated
+    # points built from too little source data: with ``step_s`` the
+    # deployment's polling cadence, a request bucket expects
+    # width_s/step_s readings and q82's integer validity rule
+    # (operators.range_stats.xff_consolidate) applies at the REQUEST
+    # width; invalid buckets keep their counts but NULL aggregates.
+    if int(width_s) % int(step_s) != 0:
+        raise ValueError(
+            f"fetch_from_tier: step_s={step_s} does not divide the "
+            f"requested width {width_s}s — expected-interval "
+            "accounting needs whole steps per bucket"
         )
-        .orderBy(*keys, "bucket_us")
+    expected = int(width_s) // int(step_s)
+    valid = (
+        (F.lit(expected) - F.col("n")) * 100
+        <= F.lit(int(xff_pct) * expected)
     )
+    return composed.select(
+        F.lit(routed_w).cast("bigint").alias("tier_s"),
+        *keys,
+        "bucket_us",
+        "n",
+        F.lit(expected).cast("bigint").alias("expected"),
+        valid.alias("is_valid"),
+        F.when(
+            valid, F.round(F.col("__s").cast("double") / F.col("n"), 6)
+        ).alias("avg_v"),
+        F.when(valid, F.col("min_v")).alias("min_v"),
+        F.when(valid, F.col("max_v")).alias("max_v"),
+    ).orderBy(*keys, "bucket_us")
 
 
 def materialize_tier_ladder(

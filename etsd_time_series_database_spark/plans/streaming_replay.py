@@ -1521,3 +1521,84 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "s20_xff_windowed_replay",
+    "streaming",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    agg AS (
+      SELECT event_type AS channel,
+             epoch_us(ts) // 3600000000 * 3600000000 AS bucket_us,
+             CAST(count(value) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             min(value) AS mn, max(value) AS mx_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT channel, bucket_us, n,
+           CAST(6 AS BIGINT) AS expected,
+           (6 - n) * 100 <= 300 AS is_valid,
+           CASE WHEN (6 - n) * 100 <= 300
+                THEN round(CAST(s AS DOUBLE) / n, 6) END AS avg_v,
+           CASE WHEN (6 - n) * 100 <= 300 THEN mn END AS min_v,
+           CASE WHEN (6 - n) * 100 <= 300 THEN mx_v END AS max_v
+    FROM agg, mx
+    WHERE bucket_us + 3600000000 <= m - 120000000
+    ORDER BY channel, bucket_us
+    """,
+    doc="q82's xfiles-factor validity computed LIVE on the streaming "
+    "consolidation (s07's watermarked tumbling windows at 1 h, "
+    "step 600 s, xff 50%): each CLOSED window carries "
+    "expected/is_valid, invalid windows NULL their aggregates, and — "
+    "new with the round-14 sum_value column — the average gates "
+    "EXACTLY (the state-held DECIMAL sum makes the streaming mean "
+    "fold-order-independent, so it joins the hash compare instead of "
+    "being excluded like s06/s07's double means). Oracle reproduces "
+    "the watermark cutoff (window end <= max ts - 2 min) plus the "
+    "integer validity rule. The reference analog is the per-block "
+    "Total/Valid interval accounting applied at the RRD export "
+    "(`ECM-1240 storage format 2.txt:8,142-148`; "
+    "code/etsdSave.c:58-66).",
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etsd_time_series_database_spark.streaming.ingest import (
+        windowed_aggregate,
+    )
+
+    expected = 3600 // 600
+    out = _replay(
+        spark,
+        sf_dir,
+        lambda rows: windowed_aggregate(
+            rows, width_s=3600, watermark="2 minutes"
+        ).select(
+            "channel",
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            F.col("n").cast("bigint").alias("n"),
+            "sum_value",
+            "min_value",
+            "max_value",
+        ),
+        "s20_sink",
+        inject_nulls=False,
+    )
+    valid = (F.lit(expected) - F.col("n")) * 100 <= F.lit(50 * expected)
+    return (
+        out.select(
+            "channel",
+            "bucket_us",
+            "n",
+            F.lit(expected).cast("bigint").alias("expected"),
+            valid.alias("is_valid"),
+            F.when(
+                valid,
+                F.round(
+                    F.col("sum_value").cast("double") / F.col("n"), 6
+                ),
+            ).alias("avg_v"),
+            F.when(valid, F.col("min_value")).alias("min_v"),
+            F.when(valid, F.col("max_value")).alias("max_v"),
+        )
+        .orderBy("channel", "bucket_us")
+    )

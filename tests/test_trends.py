@@ -1087,3 +1087,60 @@ def test_ladder_n_counts_non_null_values_like_the_sinks(spark, tmp_path):
     vals = [i for i in range(60) if i % 5 != 0]
     assert row0.n == len(vals)
     assert abs(row0.avg_v - round(sum(vals) / len(vals), 6)) < 1e-9
+
+
+def test_fetch_from_tier_xff_mode_matches_direct_rule(spark, tmp_path):
+    """Review-round completion: fetch with step_s applies q82's
+    xfiles-factor rule at the REQUEST width — is_valid/expected match
+    xff_consolidate computed directly on raw at that width, invalid
+    buckets NULL their aggregates, and a non-dividing step raises."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etsd_time_series_database_spark.operators.range_stats import (
+        xff_consolidate,
+    )
+    from etsd_time_series_database_spark.operators.trends import (
+        fetch_from_tier,
+    )
+    from etsd_time_series_database_spark.sources.store import (
+        create_events_table,
+    )
+    from etsd_time_series_database_spark.streaming.ingest import (
+        refresh_downsample,
+    )
+
+    # sparse, uneven cadence: some hours hold >= 3 readings, some fewer
+    df = spark.range(0, 140).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+            + F.make_interval(mins=(F.col("id") * 401 % 2880).cast("int"))
+        ).alias("ts"),
+        F.lit("c").alias("event_type"),
+        (F.col("id") % 89).cast("double").alias("value"),
+    )
+    raw = str(tmp_path / "xff_raw")
+    create_events_table(df, raw, mode="overwrite")
+    sink = str(tmp_path / "xff_sink")
+    refresh_downsample(spark, raw, sink, width_s=60)
+
+    got = fetch_from_tier(
+        spark, sink, 3600, step_s=600, xff_pct=50
+    ).drop("tier_s")
+    want = xff_consolidate(
+        df, width_s=3600, step_s=600, xff_pct=50
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    rows = got.collect()
+    assert any(r.is_valid for r in rows) and any(
+        not r.is_valid for r in rows
+    )
+    assert all(
+        r.avg_v is None and r.min_v is None and r.max_v is None
+        for r in rows if not r.is_valid
+    )
+    with _pytest.raises(ValueError, match="whole steps"):
+        fetch_from_tier(spark, sink, 3600, step_s=700)
