@@ -1967,6 +1967,14 @@ def test_fetch_verb_routes_ladder_and_guards(spark, tmp_path, capsys):
     assert f"routed to {w3600} (tier width 3600s)" in out
     assert "avg_v" in out and "bucket_us" in out
 
+    # --step adds the xfiles-factor validity columns
+    rc = cli.main(
+        ["fetch", w60, w3600, "--width", "86400", "--step", "600"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "is_valid" in out and "expected" in out
+
     # bounded fetch with the time-literal grammar
     rc = cli.main(
         ["fetch", w60, w3600, "--width", "3600",
