@@ -149,19 +149,23 @@ def bpe_train(
                 F.col("cnt").alias("__mc"),
             )
         )
-        merge_rows.append(
-            best.select(
-                F.lit(rank).alias("rank"),
-                F.col("__ml").alias("lhs"),
-                F.col("__mr").alias("rhs"),
-                F.concat("__ml", "__mr").alias("merged"),
-                F.col("__mc").alias("pair_count"),
-            )
-        )
         if rank == n_merges and not with_words:
-            break  # the merge table is complete; applying it is waste
+            # the last round's argmax has no checkpoint to ride — the
+            # merge table is complete and applying the merge is waste
+            # (the :func:`bpe_merges` path) — so it stays the ONE
+            # argmax the final collect computes live
+            merge_rows.append(
+                best.select(
+                    F.lit(rank).alias("rank"),
+                    F.col("__ml").alias("lhs"),
+                    F.col("__mr").alias("rhs"),
+                    F.concat("__ml", "__mr").alias("merged"),
+                    F.col("__mc").alias("pair_count"),
+                )
+            )
+            break
         ml, mr = F.col("__ml"), F.col("__mr")
-        words = (
+        words_ck = (
             words.join(best, F.lit(True), "left")
             .select(
                 "w",
@@ -171,9 +175,32 @@ def bpe_train(
                 )
                 .otherwise(_apply_merge(F.col("syms"), ml, mr))
                 .alias("syms"),
+                # carry the merge just applied on every row: the
+                # eager checkpoint below then holds it, so the final
+                # merge table reads ONE checkpointed row per round
+                # instead of re-running each round's pair aggregation
+                # + argmax (and re-building its broadcast) a second
+                # time inside the collecting action (round-14
+                # optimization; all-null when the vocab had no pairs,
+                # filtered below exactly like the old empty argmax)
+                F.col("__ml"),
+                F.col("__mr"),
+                F.col("__mc"),
             )
             .localCheckpoint(eager=True)
         )
+        merge_rows.append(
+            words_ck.filter(F.col("__ml").isNotNull())
+            .limit(1)
+            .select(
+                F.lit(rank).alias("rank"),
+                F.col("__ml").alias("lhs"),
+                F.col("__mr").alias("rhs"),
+                F.concat("__ml", "__mr").alias("merged"),
+                F.col("__mc").alias("pair_count"),
+            )
+        )
+        words = words_ck.drop("__ml", "__mr", "__mc")
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)

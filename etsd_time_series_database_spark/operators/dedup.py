@@ -149,40 +149,89 @@ def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
     return sh.join(dict_df, "shingle")
 
 
-def _signatures_from_shingles(sh: DataFrame, key: str) -> DataFrame:
-    """(key, j, h) MinHash signatures from a shingle-id table —
-    factored out so consumers that already hold the shingle table
-    (e.g. :func:`minhash_estimate_audit`) don't re-shingle."""
-    params = F.array(
+def _shingles_multiset(
+    df: DataFrame, text: str, key: str, n: int
+) -> DataFrame:
+    """(key, shingle) WITHOUT the distinct of :func:`doc_shingles`.
+
+    MinHash only ever takes a ``min`` over each document's shingles,
+    and min over a multiset equals min over its distinct set — so the
+    signature path never needed the dedup, while ``distinct()`` cost a
+    full shuffle of the raw shingle STRINGS (the widest column in the
+    pipeline) before a single hash was computed. Consumers that COUNT
+    shingles (Jaccard, segment stats) keep using :func:`doc_shingles`.
+    """
+    toks = df.select(key, _tokens(text).alias("__toks"))
+    return toks.select(
+        key, F.explode(shingle_expr("__toks", n)).alias("shingle")
+    )
+
+
+def _minhash_wide(sh: DataFrame, key: str) -> DataFrame:
+    """(key, __h0..__h{k-1}): every MinHash value in ONE map-side
+    combinable hash aggregation over the (key, sid) shingle-id table.
+
+    Replaces the explode-×k + ``groupBy(key, j)`` formulation: the k
+    hash-family evaluations are plain projection expressions over each
+    shingle row (no row multiplication), the partial aggregate
+    collapses a task's rows to one row per key BEFORE the exchange,
+    and the one shuffle carries (key, k BIGINTs) instead of k rows per
+    (key, shingle). Bit-identical h values — same integer expression,
+    same min.
+    """
+    return sh.groupBy(key).agg(
         *[
-            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            F.min(
+                (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"__h{j}")
             for j, (a, b) in enumerate(MINHASH_PARAMS)
         ]
     )
-    exploded = sh.select(key, "sid", F.explode(params).alias("p"))
-    return exploded.groupBy(key, F.col("p.j").alias("j")).agg(
-        F.min(
-            (F.col("p.a") * F.col("sid") + F.col("p.b")) % F.lit(MINHASH_P)
-        ).alias("h")
+
+
+def _signatures_from_wide(wide: DataFrame, key: str) -> DataFrame:
+    """(key, j, h) signature rows unpivoted from the wide per-key
+    MinHash columns — a post-aggregation explode of k tiny structs per
+    document, not a pre-shuffle explode of k rows per shingle."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.col(f"__h{j}").alias("h"))
+            for j in range(len(MINHASH_PARAMS))
+        ]
+    )
+    return wide.select(key, F.explode(pairs).alias("__p")).select(
+        key, F.col("__p.j").alias("j"), F.col("__p.h").alias("h")
     )
 
 
-def _bands_from_signatures(
-    mh: DataFrame, key: str, rows_per_band: int
+def _bands_from_wide(
+    wide: DataFrame, key: str, rows_per_band: int
 ) -> DataFrame:
-    """(key, band, sig) LSH band table from a signature table."""
-    return (
-        mh.withColumn("band", F.expr(f"j div {rows_per_band}"))
-        .groupBy(key, "band")
-        .agg(
+    """(key, band, sig) LSH band table straight from the wide MinHash
+    columns: each band's signature is a comma-join of its rows'
+    already-aggregated h columns (same j-ascending order and string
+    form as the old collect_list/array_sort formulation, hash-equal),
+    exploded AFTER the aggregation — the second (key, band) shuffle
+    and its collect_list buffers are gone."""
+    k = len(MINHASH_PARAMS)
+    structs = [
+        # band was `j div rows_per_band` — IntegralDivide yields BIGINT
+        F.struct(
+            F.lit(b).cast("bigint").alias("band"),
             F.concat_ws(
                 ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "h"))),
-                    lambda s: s["h"].cast("string"),
-                ),
-            ).alias("sig")
+                *[
+                    F.col(f"__h{j}").cast("string")
+                    for j in range(
+                        b * rows_per_band, min((b + 1) * rows_per_band, k)
+                    )
+                ],
+            ).alias("sig"),
         )
+        for b in range((k + rows_per_band - 1) // rows_per_band)
+    ]
+    return wide.select(key, F.explode(F.array(*structs)).alias("__b")).select(
+        key, F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig")
     )
 
 
@@ -195,8 +244,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: (key, j, h) with
     h = min over shingles of (a_j*sid + b_j) mod P."""
-    sh = _shingle_ids(doc_shingles(df, text, key, n), hash_mode)
-    return _signatures_from_shingles(sh, key)
+    sh = _shingle_ids(_shingles_multiset(df, text, key, n), hash_mode)
+    return _signatures_from_wide(_minhash_wide(sh, key), key)
 
 
 def minhash_band_table(
@@ -213,9 +262,18 @@ def minhash_band_table(
     near-duplicate candidates. This table IS the dedup index — both
     the in-run self-join (:func:`minhash_lsh_candidates`) and the
     persisted cross-run index (:func:`write_minhash_index` /
-    :func:`minhash_probe_new`) are joins over it."""
-    mh = minhash_signatures(df, text, key, n, hash_mode)
-    return _bands_from_signatures(mh, key, rows_per_band)
+    :func:`minhash_probe_new`) are joins over it.
+
+    Physical shape (round-14 optimization): shingle explode →
+    stateless sid hash → ONE (key)-keyed hash aggregation with k
+    ``min`` columns → post-agg band explode. One exchange total, down
+    from three (the shingle-string distinct, the (key, j) min agg over
+    k-exploded rows, and the (key, band) collect_list agg), with the
+    shuffle narrowed from k rows per (key, shingle) of strings to one
+    (key, k×BIGINT) row per document. Output bit-identical (pinned in
+    tests/test_band_hotspot.py)."""
+    sh = _shingle_ids(_shingles_multiset(df, text, key, n), hash_mode)
+    return _bands_from_wide(_minhash_wide(sh, key), key, rows_per_band)
 
 
 def keep_lowest_drop_ids(bands: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -391,8 +449,11 @@ def minhash_estimate_audit(
     identical doubles.
     """
     raw_sh = doc_shingles(df, text, key, n).cache()
-    mh = _signatures_from_shingles(_shingle_ids(raw_sh, hash_mode), key)
-    bands = _bands_from_signatures(mh, key, rows_per_band)
+    # min over the cached DISTINCT shingles == min over the multiset,
+    # so the audit keeps sharing raw_sh with the exact-Jaccard side
+    wide = _minhash_wide(_shingle_ids(raw_sh, hash_mode), key)
+    mh = _signatures_from_wide(wide, key)
+    bands = _bands_from_wide(wide, key, rows_per_band)
     bx, by = bands.alias("bx"), bands.alias("by")
     cand = (
         bx.join(

@@ -274,9 +274,18 @@ def ngram_novelty(
     (scan-speed). First-occurrence attribution groups on
     ``xxhash64(gram)`` by default — a fixed 8-byte shuffle key;
     ``fingerprint=False`` is the exact raw-string oracle form (the
-    segment-dedup quarantine pattern). min() and the per-doc rollup
-    are both map-side combinable; no window, no global sort (the
-    ORDER BY is presentation-only).
+    segment-dedup quarantine pattern). All aggs map-side combinable;
+    no window, no global sort (the ORDER BY is presentation-only).
+
+    Physical shape (round-14 optimization): a doc's novel count is the
+    number of grams whose first-occurrence doc is that doc — so after
+    the (gram -> min doc) aggregate, ``n_novel`` is just a count of
+    the GRAM-DISTINCT rows grouped by their min doc, and ``n_ngrams``
+    a count of the gram rows grouped by doc. The old form instead
+    joined the corpus-sized gram table back against the firsts table
+    (a second full shuffle of the gram rows by gram key, plus a third
+    by doc for the rollup); the join and both gram-sized shuffles are
+    gone, replaced by two doc-sized aggregate outputs joined on key.
     """
     from etsd_time_series_database_spark.operators.dedup import shingle_expr
 
@@ -289,16 +298,11 @@ def ngram_novelty(
     if fingerprint:
         grams = grams.withColumn("__gfp", F.xxhash64("__g")).drop("__g")
     firsts = grams.groupBy(gk).agg(F.min(key).alias("__first"))
-    per = (
-        grams.join(firsts, gk)
-        .groupBy(key)
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(
-                F.when(F.col("__first") == F.col(key), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel = firsts.groupBy(F.col("__first").alias(key)).agg(
+        F.count(F.lit(1)).alias("n_novel")
     )
+    totals = grams.groupBy(key).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    per = totals.join(novel, key, "left")
     return (
         df.select(key)
         .join(per, key, "left")

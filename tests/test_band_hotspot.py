@@ -258,3 +258,70 @@ def test_x85_headline_runs_the_pairfree_forms(spark):
     assert not re.search(r"doc_id#\d+L? [<>] doc_id#\d+L?", plan), plan
     b = catalog()["x74_incremental_dedup_survivors"].build(spark, sf)
     assert sorted(map(tuple, rows_a)) == sorted(map(tuple, b.collect()))
+
+
+def test_band_table_is_single_wide_hash_agg(spark):
+    """Round-14 optimization: the band table must be ONE map-side
+    combinable hash aggregation — shingle explode, stateless sid hash,
+    a (key)-keyed agg with k min columns, post-agg band explode.
+    Pins: exactly one hashpartitioning exchange, partial_min before
+    it, no shuffle of shingle strings (the old doc_shingles distinct),
+    no collect_list band agg — and the output is row-identical to the
+    original three-shuffle formulation, rebuilt inline."""
+    from etsd_time_series_database_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_PARAMS,
+        _shingle_ids,
+        doc_shingles,
+    )
+
+    docs = _corpus(spark, 77, 40, 6)
+    bands = minhash_band_table(docs, hash_mode="poly")
+    plan = bands._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+    # the original formulation: distinct shingles -> explode x k ->
+    # groupBy(key, j) min -> groupBy(key, band) collect_list
+    sh = _shingle_ids(doc_shingles(docs), "poly")
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    mh = (
+        sh.select("doc_id", "sid", F.explode(params).alias("p"))
+        .groupBy("doc_id", F.col("p.j").alias("j"))
+        .agg(
+            F.min(
+                (F.col("p.a") * F.col("sid") + F.col("p.b"))
+                % F.lit(MINHASH_P)
+            ).alias("h")
+        )
+    )
+    legacy = (
+        mh.withColumn("band", F.expr("j div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "h"))),
+                    lambda s: s["h"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    # nullability flags differ (post-agg literals are non-null);
+    # names and types must match exactly
+    assert [(f.name, f.dataType) for f in bands.schema] == [
+        (f.name, f.dataType) for f in legacy.schema
+    ]
+    assert sorted(map(tuple, bands.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )

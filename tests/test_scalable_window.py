@@ -185,3 +185,21 @@ def test_running_zscore_scalable_nulls_and_nonfinite(spark):
     got = _rows(sw.running_zscore_scalable(df, min_n=5, bucket_s=60))
     assert got == want
     assert any(r[3] == 444.0 for r in want)  # outlier flagged
+
+
+def test_lag_stitched_boundary_agg_is_hash_agg(spark):
+    """Round-14 optimization: the per-(channel, bucket) boundary table
+    must be a map-side-combinable HashAggregate. The old
+    max_by(c, struct(ts, seq)) ordering forced SortAggregate — a full
+    per-partition sort of the fact table BEFORE the partial aggregate;
+    the packed DECIMAL(38,0) ordering (the ohlc idiom) keeps it a
+    hash aggregate. Pinned on q07's full plan: no SortAggregate
+    anywhere, and the boundary branch carries a partial_max_by."""
+    from etsd_time_series_database_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    for name in ("q07_delta_rate", "q08_rollover_correction"):
+        df = catalog()[name].build(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, name
+        assert "partial_max_by" in plan, name
