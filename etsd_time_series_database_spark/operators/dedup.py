@@ -160,10 +160,20 @@ def _shingles_multiset(
     full shuffle of the raw shingle STRINGS (the widest column in the
     pipeline) before a single hash was computed. Consumers that COUNT
     shingles (Jaccard, segment stats) keep using :func:`doc_shingles`.
+
+    ``array_distinct`` keeps the old form's work reduction LOCALLY (a
+    per-row set build, no shuffle): within one document repeated
+    shingles would otherwise each pay the sid hash — material for the
+    'poly' mode, whose per-character rolling fold is the pipeline's
+    CPU hot spot — and the per-doc distinct set is exactly what the
+    global distinct produced per key. Same min, fewer hash folds.
     """
     toks = df.select(key, _tokens(text).alias("__toks"))
     return toks.select(
-        key, F.explode(shingle_expr("__toks", n)).alias("shingle")
+        key,
+        F.explode(F.array_distinct(shingle_expr("__toks", n))).alias(
+            "shingle"
+        ),
     )
 
 

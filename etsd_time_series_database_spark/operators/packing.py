@@ -67,6 +67,19 @@ def pack_sequences(
         F.pmod(F.col(key), F.lit(n_shards)).cast("int").alias("shard"),
         F.size(_tokens(text)).cast("bigint").alias("n_tokens"),
     )
+    return pack_from_counts(toks, ctx_tokens, key=key)
+
+
+def pack_from_counts(
+    toks: DataFrame, ctx_tokens: int = 128, key: str = "doc_id"
+) -> DataFrame:
+    """The windowed packing core of :func:`pack_sequences` over an
+    already-counted (key, shard, n_tokens BIGINT) table — for
+    composites whose upstream gates have ALREADY tokenized (x54's
+    clean-gate carries exact per-doc token counts), so the pack stage
+    needn't re-read and re-tokenize the corpus text a second time
+    (round-14 optimization; bit-identical manifest, since the gate's
+    n_tokens == size(tokens) by construction)."""
     w = (
         Window.partitionBy("shard")
         .orderBy(key)

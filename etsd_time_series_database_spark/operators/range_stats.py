@@ -416,6 +416,8 @@ def exact_percentiles(
     channel: str = "event_type",
     value: str = "value",
     seq: str = "event_id",
+    scalable: bool = True,
+    value_bucket_w: float = 100.0,
 ) -> DataFrame:
     """Exact linear-interpolated percentiles per channel, computed with
     explicit rank arithmetic (pos = p*(n-1); lerp between the two
@@ -424,16 +426,63 @@ def exact_percentiles(
     bit-exact cross-engine where builtin percentile implementations
     drift by ulps.
 
-    Plan: one rank window per channel + a tiny broadcast of the
-    percentile spec + two self-joins on (channel, rank) — the joined
-    side carries only the straddling rows, not the full series.
-    """
-    w = Window.partitionBy(channel).orderBy(F.col(value), F.col(seq))
-    ranked = (
-        df.filter(F.col(value).isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .select(channel, value, "__rn")
-    )
+    Plan: one rank window + a tiny broadcast of the percentile spec +
+    two self-joins on (channel, rank) — the joined side carries only
+    the straddling rows, not the full series.
+
+    The default rank window is the stitched (channel, value-bucket)
+    form (round-14 optimization; the lag_stitched/cumsum_scalable
+    pattern applied to VALUE order instead of time order): a window
+    partitioned by channel alone caps parallelism at n_channels — at
+    100 TB a handful of tasks would each sort the full history by
+    value. Bucketing on ``floor(value / value_bucket_w)`` (an
+    order-preserving split of the value axis; NaN pinned to the top
+    bucket, where in-bucket value order still places it after +Inf,
+    and the non-ANSI double->long saturation keeps extreme values
+    monotone) makes the global rank = in-bucket row_number + the
+    exclusive running count of lower buckets, computed on a
+    (channels x buckets)-row summary. Bit-identical ranks;
+    ``scalable=False`` keeps the plain per-channel window (the
+    equivalence oracle in tests)."""
+    src = df.filter(F.col(value).isNotNull())
+    if scalable:
+        vb = (
+            F.when(F.isnan(F.col(value)), F.lit((1 << 63) - 1))
+            .otherwise(F.floor(F.col(value) / F.lit(float(value_bucket_w))))
+            .cast("bigint")
+        )
+        b = src.withColumn("__vb", vb)
+        w_in = Window.partitionBy(channel, "__vb").orderBy(
+            F.col(value), F.col(seq)
+        )
+        sizes = b.groupBy(channel, "__vb").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        w_excl = (
+            Window.partitionBy(channel)
+            .orderBy("__vb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = sizes.select(
+            channel,
+            "__vb",
+            F.coalesce(F.sum("__bn").over(w_excl), F.lit(0)).alias("__off"),
+        )
+        ranked = (
+            b.withColumn("__rin", F.row_number().over(w_in))
+            # unhinted boundary join, same rationale as lag_stitched
+            .join(offsets, [channel, "__vb"])
+            .select(
+                channel,
+                value,
+                (F.col("__rin") + F.col("__off")).cast("int").alias("__rn"),
+            )
+        )
+    else:
+        w = Window.partitionBy(channel).orderBy(F.col(value), F.col(seq))
+        ranked = src.withColumn("__rn", F.row_number().over(w)).select(
+            channel, value, "__rn"
+        )
     counts = ranked.groupBy(channel).agg(F.max("__rn").alias("__n"))
     spec = F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
     pos = F.col("p") * (F.col("__n") - 1)

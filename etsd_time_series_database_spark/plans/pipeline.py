@@ -2352,21 +2352,33 @@ def p53(spark, sf_dir):
     headline=True,
 )
 def p54(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    # gate set only — the TF-IDF metadata branch is not re-computed
-    kept, _, _ = _clean_gate(docs)
+    from etsd_time_series_database_spark.operators.packing import (
+        pack_from_counts,
+    )
     from etsd_time_series_database_spark.operators.sampling import (
         split_assign as _sa,
     )
 
+    docs = load_table(spark, sf_dir, "documents")
+    # gate set only — the TF-IDF metadata branch is not re-computed
+    kept, _, _ = _clean_gate(docs)
+    # the gate's n_tokens IS size(tokens) (sum of the per-token counts),
+    # and the split is a pure function of doc_id — so the pack stage
+    # runs on the gate output directly instead of semi-joining back to
+    # the corpus and re-tokenizing every surviving document (round-14
+    # optimization: one documents scan + Generate fewer, manifest
+    # bit-identical)
     train = (
-        _sa(docs.join(kept.select("doc_id"), "doc_id", "left_semi"), SPLIT_PERMILLE)
+        _sa(kept.select("doc_id", "n_tokens"), SPLIT_PERMILLE)
         .filter(F.col("split") == "train")
         .drop("split")
     )
-    return pack_sequences(
-        train, ctx_tokens=PACK_CTX, n_shards=PACK_SHARDS
+    toks = train.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+    return pack_from_counts(toks, ctx_tokens=PACK_CTX)
 
 
 PQ_M = 8       # subspaces (64-dim embedding -> 8-dim subvectors)

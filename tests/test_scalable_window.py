@@ -203,3 +203,58 @@ def test_lag_stitched_boundary_agg_is_hash_agg(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortAggregate" not in plan, name
         assert "partial_max_by" in plan, name
+
+
+def test_exact_percentiles_scalable_equals_global_rank(spark):
+    """Round-14 optimization: q33's rank window must run at (channel,
+    value-bucket) parallelism, never as a channel-global sort of the
+    fact table; the stitched form (in-bucket row_number + exclusive
+    running bucket counts) must reproduce the plain form bit-exactly,
+    including on NaN/Inf values (NaN pins to the top bucket, where
+    in-bucket value order still places it after +Inf)."""
+    import re
+
+    e = _events(spark)
+    got = _rows(ops.exact_percentiles(e))
+    want = _rows(ops.exact_percentiles(e, scalable=False))
+    assert got == want
+
+    plan = (
+        ops.exact_percentiles(e)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the fact-table rank window partitions by (channel, __vb);
+    # channel-only specs are legal only on the tiny bucket-counts table
+    # (ordered by __vb, never by value)
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, __vb#\d+L?, value#", plan
+    ), plan
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, value#", plan
+    ), plan
+
+    # NaN / Inf ordering parity between the two forms
+    rows = [
+        (1, "a", float("nan")),
+        (2, "a", float("inf")),
+        (3, "a", float("-inf")),
+        (4, "a", 1e300),
+        (5, "a", -1e300),
+        (6, "a", 42.0),
+        (7, "a", 42.0),
+        (8, "b", float("nan")),
+        (9, "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+
+    def _norm(rows_):
+        # NaN != NaN under tuple equality; compare by repr instead
+        return [tuple(map(repr, r)) for r in rows_]
+
+    assert _norm(_rows(ops.exact_percentiles(df))) == _norm(
+        _rows(ops.exact_percentiles(df, scalable=False))
+    )
