@@ -69,24 +69,24 @@ def lag_stitched(
     w_in = Window.partitionBy(channel, "__bkt").orderBy(F.col(ts), F.col(seq))
 
     # per-bucket last row of each column (the "register"): one row per
-    # (channel, bucket) — thousands of rows, not billions. The (ts,
-    # seq) ordering is packed into one order-preserving DECIMAL(38,0)
-    # (the ohlc idiom, operators/trends.ohlc): a struct ordering makes
-    # max_by's buffer non-mutable and forces SortAggregate — a full
-    # per-partition sort of the fact table before the partial agg —
-    # while the primitive packing keeps this a map-side-combinable
-    # HashAggregate (plan-pinned in tests/test_plan_shape.py).
-    # Requires seq to be a non-negative BIGINT id (0 <= seq < 10^19,
-    # collision-free for any ts including pre-epoch), which every
-    # caller satisfies (event ids). Ties on (ts, seq) are impossible,
-    # so per-column max_by cannot mix rows.
-    ordk = (
-        epoch_us(ts).cast("decimal(19,0)")
-        * F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))")
-        + F.col(seq).cast("decimal(19,0)")
-    )
+    # (channel, bucket) — thousands of rows, not billions.
+    #
+    # The struct ordering makes max_by's buffer non-mutable, so this
+    # plans as SortAggregate — and that is the MEASURED right choice,
+    # not an oversight (round-14 optimization pass): the ohlc-style
+    # DECIMAL(38,0) packed ordering does flip it to a HashAggregate,
+    # but precision-38 decimals are BigDecimal-backed (not primitive),
+    # and at 20M rows / 32 cores the packed hash agg measured 2.15 s
+    # vs 1.13 s for this struct form — the per-row BigDecimal
+    # multiply+add costs ~2x what the partial sort (by the group key
+    # the data is often already clustered on) costs. The packing also
+    # broke on non-integral seq columns (lag_stitched is generic in
+    # its tie column; ohlc's is pinned to an integer id).
     lasts = b.groupBy(channel, "__bkt").agg(
-        *[F.max_by(c, ordk).alias(f"__last_{c}") for c in cols]
+        *[
+            F.max_by(c, F.struct(F.col(ts), F.col(seq))).alias(f"__last_{c}")
+            for c in cols
+        ]
     )
     # previous bucket's last row, per channel: window over the tiny table.
     w_bkt = Window.partitionBy(channel).orderBy("__bkt")

@@ -187,21 +187,22 @@ def test_running_zscore_scalable_nulls_and_nonfinite(spark):
     assert any(r[3] == 444.0 for r in want)  # outlier flagged
 
 
-def test_lag_stitched_boundary_agg_is_hash_agg(spark):
-    """Round-14 optimization: the per-(channel, bucket) boundary table
-    must be a map-side-combinable HashAggregate. The old
-    max_by(c, struct(ts, seq)) ordering forced SortAggregate — a full
-    per-partition sort of the fact table BEFORE the partial aggregate;
-    the packed DECIMAL(38,0) ordering (the ohlc idiom) keeps it a
-    hash aggregate. Pinned on q07's full plan: no SortAggregate
-    anywhere, and the boundary branch carries a partial_max_by."""
+def test_lag_stitched_boundary_agg_combines_map_side(spark):
+    """The per-(channel, bucket) boundary table must stay a partial+
+    final aggregate pair (map-side combine before its exchange),
+    whatever the physical aggregate strategy. Round-14 measured the
+    two strategies head-to-head at 20M rows: the struct-ordered
+    max_by's SortAggregate (partial sort by the group key) beat the
+    ohlc-style DECIMAL(38,0)-packed HashAggregate 1.13 s vs 2.15 s —
+    precision-38 decimals are BigDecimal-backed, so the 'hash' form
+    pays per-row BigDecimal multiplies. Pin only the map-side combine,
+    not the strategy."""
     from etsd_time_series_database_spark.plans import catalog
     from tests.conftest import SF_SMOKE
 
     for name in ("q07_delta_rate", "q08_rollover_correction"):
         df = catalog()[name].build(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "SortAggregate" not in plan, name
         assert "partial_max_by" in plan, name
 
 
