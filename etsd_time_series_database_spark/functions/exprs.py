@@ -79,27 +79,87 @@ def bucket_epoch(col: Column | str, width_s: int) -> Column:
     return (F.floor(F.unix_micros(_c(col)) / F.lit(w_us)) * F.lit(width_s)).cast("bigint")
 
 
-def dot_product(a: Column | str, b: Column | str) -> Column:
+def _el(col: Column, i: int) -> Column:
+    return F.element_at(col, i + 1).cast("double")
+
+
+def _unrolled_dot(a: Column, b: Column, width: int) -> Column:
+    """The fold's left-associated sum written out as a static chain:
+    (((0.0 + a1*b1) + a2*b2) + ...) — bit-identical to the
+    zip_with/aggregate fold (including the 0.0 + -0.0 head), but pure
+    codegen'd double arithmetic instead of an interpreted
+    higher-order-function eval per row."""
+    acc = F.lit(0.0)
+    for i in range(width):
+        acc = acc + _el(a, i) * _el(b, i)
+    return acc
+
+
+def _width_guard(a: Column, b: Column | None, width: int) -> Column:
+    g = F.size(a) == F.lit(width)
+    if b is not None:
+        g = g & (F.size(b) == F.lit(width))
+    return g
+
+
+def dot_product(
+    a: Column | str, b: Column | str, width: int | None = None
+) -> Column:
     """Sequential-order dot product of two array<float/double> columns.
 
     F.aggregate folds left-to-right, matching a sequential oracle
-    exactly up to ulps; stays in Catalyst codegen (no UDF).
+    exactly up to ulps. The fold is a higher-order function —
+    CodegenFallback, i.e. interpreted per row. Pass ``width`` (the
+    expected vector width) to wrap a STATICALLY UNROLLED arithmetic
+    chain in a CASE size guard: arrays of exactly that width run the
+    unrolled codegen'd chain, every other input falls back to the
+    fold, and both branches are bit-identical by construction (the
+    chain IS the fold's left-associated sum). Measured at 5M x 64
+    floats: task time 118.8 s (fold) -> 46.7 s (guarded chain), 2.5x
+    (scripts/bench_vector_fold.py; the guard also keeps each
+    generated method under the JIT's 8 KB compile limit — the BARE
+    unrolled chain compiles into one 15.8 KB method that HotSpot
+    refuses to JIT and measured 2.8x SLOWER than the fold).
     """
-    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def l2_norm(a: Column | str) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
+    ca, cb = _c(a), _c(b)
+    prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
+    hof = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    if width is None:
+        return hof
+    return F.when(_width_guard(ca, cb, width), _unrolled_dot(ca, cb, width)).otherwise(
+        hof
     )
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """cosine(a,b) as double; compose of dot/norms (all codegen)."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+def l2_norm(a: Column | str, width: int | None = None) -> Column:
+    """L2 norm; ``width`` engages the same guarded unrolled chain as
+    :func:`dot_product` (result-identical, 2.5x on matching widths)."""
+    ca = _c(a)
+    hof = F.sqrt(
+        F.aggregate(
+            ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    if width is None:
+        return hof
+    return F.when(
+        _width_guard(ca, None, width), F.sqrt(_unrolled_dot(ca, ca, width))
+    ).otherwise(hof)
+
+
+def cosine_similarity(
+    a: Column | str, b: Column | str, width: int | None = None
+) -> Column:
+    """cosine(a,b) as double; compose of dot/norms. ``width`` guards
+    ONE unrolled chain for the whole composite (see dot_product)."""
+    ca, cb = _c(a), _c(b)
+    hof = dot_product(ca, cb) / (l2_norm(ca) * l2_norm(cb))
+    if width is None:
+        return hof
+    unrolled = _unrolled_dot(ca, cb, width) / (
+        F.sqrt(_unrolled_dot(ca, ca, width)) * F.sqrt(_unrolled_dot(cb, cb, width))
+    )
+    return F.when(_width_guard(ca, cb, width), unrolled).otherwise(hof)
 
 
 FP_MOD = 1_000_000_007
@@ -126,14 +186,100 @@ def poly_fingerprint(text: Column | str) -> Column:
     )
 
 
-def sq_l2_distance(a: Column | str, b: Column | str) -> Column:
+def sq_l2_distance(
+    a: Column | str, b: Column | str, width: int | None = None
+) -> Column:
     """Squared L2 distance between two array<float/double> columns as a
     sequential left-to-right fold (same oracle-matching shape as
-    dot_product); stays in Catalyst codegen."""
+    dot_product). ``width`` engages the guarded unrolled chain (see
+    dot_product; result-identical by construction)."""
+    ca, cb = _c(a), _c(b)
     diffs = F.zip_with(
-        _c(a),
-        _c(b),
+        ca,
+        cb,
         lambda x, y: (x.cast("double") - y.cast("double"))
         * (x.cast("double") - y.cast("double")),
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    hof = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    if width is None:
+        return hof
+    acc = F.lit(0.0)
+    for i in range(width):
+        d = _el(ca, i) - _el(cb, i)
+        acc = acc + d * d
+    return F.when(_width_guard(ca, cb, width), acc).otherwise(hof)
+
+
+def double_sortable_bits(col: Column | str) -> Column:
+    """BIGINT image of a DOUBLE that is order-isomorphic to Spark's
+    total ordering of doubles (java.lang.Double.compare): for any two
+    doubles a, b:  compare(a, b) == compare(bits(a), bits(b)), with
+    NaN above +Inf and -0.0 just below +0.0.
+
+    This is the IEEE-754 sortable-bits trick (sign-adjusted raw bits)
+    computed with pure arithmetic — no quantization anywhere, so ties
+    and orderings of the original doubles are preserved EXACTLY. It
+    exists to turn struct-ordered argmin/argmax aggregations (whose
+    non-primitive comparison buffers force SortAggregate) into
+    primitive-ordered ones that plan as map-side-combinable
+    HashAggregate (round-15 optimization; see similarity.assign_cells).
+
+    Construction (all steps exact):
+      * the exponent guess floor(log2(|x|)) is corrected by
+        re-deriving the significand M = |x| * 2^(52-e) and nudging e
+        until M lands in [2^52, 2^53) — power-of-two scaling of a
+        double is exact, so M is the exact integer significand;
+      * normals then map to the actual IEEE bit pattern
+        (e+1023)*2^52 + (M - 2^52); subnormals to |x| * 2^1074 (their
+        bit pattern verbatim, staged as two *2^537 scalings because
+        2^1074 overflows a double); magnitudes below 2^-500 are
+        pre-scaled by 2^600 so the significand scaling never
+        overflows;
+      * negatives map to -1 - bits(|x|) (strictly order-reversing,
+        the standard sortable-bits complement), so -0.0 lands on -1 —
+        strictly between the smallest negative subnormal (-2) and
+        +0.0 (0) — and NaN on the canonical quiet-NaN bits.
+
+    Pinned against java.lang.Double.doubleToLongBits on boundary and
+    random bit patterns in tests/test_operators_unit.py.
+    """
+    x = _c(col)
+    a = F.abs(x)
+    # normals (and the boost branch keeps tiny magnitudes in range)
+    boosted = a < F.lit(2.0**-500)
+    a2 = F.when(boosted, a * F.lit(2.0**600)).otherwise(a)
+    e0 = F.floor(F.log2(a2))
+    m0 = a2 * F.pow(F.lit(2.0), (F.lit(52) - e0).cast("double"))
+    m = (
+        F.when(m0 >= F.lit(2.0**53), m0 * F.lit(0.5))
+        .when(m0 < F.lit(2.0**52), m0 * F.lit(2.0))
+        .otherwise(m0)
+    )
+    e = (
+        F.when(m0 >= F.lit(2.0**53), e0 + 1)
+        .when(m0 < F.lit(2.0**52), e0 - 1)
+        .otherwise(e0)
+        - F.when(boosted, F.lit(600)).otherwise(F.lit(0))
+    )
+    normal_bits = (e + F.lit(1023)) * F.lit(1 << 52) + (
+        m.cast("bigint") - F.lit(1 << 52)
+    )
+    sub_bits = ((a * F.lit(2.0**537)) * F.lit(2.0**537)).cast("bigint")
+    mag_bits = F.when(a < F.lit(2.0**-1022), sub_bits).otherwise(normal_bits)
+    return (
+        F.when(F.isnan(x), F.lit(0x7FF8000000000000))
+        .when(x == F.lit(float("inf")), F.lit(0x7FF0000000000000))
+        .when(x == F.lit(float("-inf")), F.lit(-1 - 0x7FF0000000000000))
+        .when(
+            # -0.0 == 0.0 is true, so the sign must come from the
+            # rendering (1/x is blocked by ANSI even for doubles);
+            # the cast only evaluates on actual zeros (lazy CASE).
+            x == F.lit(0.0),
+            F.when(x.cast("string") == F.lit("-0.0"), F.lit(-1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .when(x < F.lit(0.0), F.lit(-1) - mag_bits)
+        .otherwise(mag_bits)
+        .cast("bigint")
+    )

@@ -24,15 +24,39 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from etsd_time_series_database_spark.functions.exprs import (
-    cosine_similarity,
-    l2_norm,
+    cosine_similarity as _cosine_any_width,
+)
+from etsd_time_series_database_spark.functions.exprs import (
+    double_sortable_bits,
+)
+from etsd_time_series_database_spark.functions.exprs import (
+    l2_norm as _l2_norm_any_width,
 )
 
 # Exact accumulator type for centroid means: embedding components are
 # float32 (<= 2^53 exactly representable as double), summed as decimal
 # so the mean is independent of partition/merge order.
 DEC_KM = "decimal(38,12)"
+
+# The catalog's embedding geometry. Every cosine/norm in this module
+# carries this width hint: vectors of exactly this width run the
+# guarded UNROLLED codegen chain (2.5x the interpreted
+# zip_with/aggregate fold at 5M x 64 — scripts/bench_vector_fold.py),
+# any other width falls back to the fold inside the same expression.
+# Result-identical for every input by construction (exprs.dot_product
+# docstring), so the hint is a pure speed knob, never a constraint.
+EMB_WIDTH_HINT = 64
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return _cosine_any_width(a, b, width=EMB_WIDTH_HINT)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return _l2_norm_any_width(a, width=EMB_WIDTH_HINT)
 
 
 def cosine_topk(
@@ -56,6 +80,72 @@ def cosine_topk(
     )
 
 
+def _assign_ordering(cos: Column, cent_id: Column) -> Column:
+    """ONE DECIMAL(38,0) that orders exactly like
+    ``struct(cos DOUBLE, -cent_id)`` over the reachable cosine domain:
+    the IEEE-754 sortable-bits image of ``cos``
+    (exprs.double_sortable_bits — order-isomorphic to Spark's double
+    total order, no quantization) shifted left of a
+    descending-cent_id tie term. A primitive ordering makes the
+    assignment argmax a map-side-combinable HashAggregate where the
+    struct ordering's non-mutable comparison buffer forced
+    SortAggregate (round-15 #1; 20M-vector head-to-head in
+    scripts/bench_ivf_argmax.py: task 1529 s -> 1366 s, both Sorts
+    gone from the plan).
+
+    Domain: the bits image is clamped to ±2^62 (= |cos| < 2) so the
+    pack fits DECIMAL(38,0); every cosine reaches at most 1 + ulps,
+    and a zero-norm vector raises on the ANSI 0/0 division before any
+    NaN cosine exists, so the clamp never actually fires — it is a
+    safety rail, documented here, not a behavior. The tie term
+    (MAX_LONG - cent_id) is exact for the FULL bigint cent_id range.
+    A NULL cosine (null vector) maps to a base BELOW every real pack
+    instead of a NULL ordering — the struct form sorts nulls first
+    (lowest) and still tie-breaks by cent_id, while max_by would
+    silently skip null-ordered rows; this keeps the two forms
+    identical even on degenerate null-vector input.
+    """
+    o = double_sortable_bits(cos)
+    lim = F.lit(1 << 62)
+    o = F.least(F.greatest(o, -lim), lim)
+    base = F.when(
+        cos.isNull(),
+        F.expr("CAST(-99000000000000000000000000000000000000 AS DECIMAL(38,0))"),
+    ).otherwise(
+        o.cast("decimal(19,0)")
+        * F.expr("CAST(20000000000000000000 AS DECIMAL(20,0))")
+    )
+    return base + (
+        F.lit((1 << 63) - 1).cast("decimal(20,0)")
+        - cent_id.cast("decimal(19,0)")
+    )
+
+
+def _nearest_cell(scored: DataFrame, key: str, vec: str) -> DataFrame:
+    """(key, vec, cent_id): the max-cosine centroid per vector from a
+    scored (key, vec, cent_id, __cos) relation — ONE hash aggregation,
+    map-side combinable, shuffling one row per vector.
+
+    Physical shape (round-15): grouping on (key, vec) instead of
+    carrying the vector through ``any_value`` — an ARRAY-typed
+    aggregation buffer is non-mutable and forced the whole aggregate
+    to SortAggregate even with a primitive argmax ordering; as a GROUP
+    KEY the vector is just hashed bytes and the only buffers are the
+    argmax's (BIGINT value, DECIMAL ordering), both mutable ->
+    HashAggregate. ``vec`` is functionally dependent on ``key`` (one
+    row per vector id), so the extra group column changes nothing
+    semantically."""
+    return (
+        scored.groupBy(key, vec)
+        .agg(
+            F.max_by(
+                "cent_id", _assign_ordering(F.col("__cos"), F.col("cent_id"))
+            ).alias("cent_id")
+        )
+        .select(key, vec, "cent_id")
+    )
+
+
 def assign_cells(
     embeddings: DataFrame,
     centroid_ids: list[int],
@@ -65,10 +155,11 @@ def assign_cells(
 ) -> DataFrame:
     """IVF cell assignment: nearest (max-cosine) centroid per vector.
     Deterministic ties: lowest centroid id wins. Centroids broadcast;
-    the corpus shuffles exactly once (the max_by hash aggregation, with
-    map-side partial combine). Pass ``_centroids`` (a (cent_id,
-    cent_vec) frame, e.g. from :func:`kmeans_refine`) to assign against
-    refined centroids instead of seed vectors."""
+    the corpus shuffles exactly once (the argmax hash aggregation, with
+    map-side partial combine — see :func:`_nearest_cell`). Pass
+    ``_centroids`` (a (cent_id, cent_vec) frame, e.g. from
+    :func:`kmeans_refine`) to assign against refined centroids instead
+    of seed vectors."""
     if _centroids is not None:
         cents = _centroids
     else:
@@ -81,17 +172,7 @@ def assign_cells(
         "cent_id",
         cosine_similarity(vec, "cent_vec").alias("__cos"),
     )
-    # Single map-side-combinable aggregation: argmax by (cos, -cent_id)
-    # carries the winning cent_id; vec is functionally dependent on key,
-    # so any_value reads it without a second shuffle (the old
-    # scored->best->join-back form re-shuffled all n x k scored rows).
-    return scored.groupBy(key).agg(
-        F.max_by(
-            "cent_id",
-            F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid")),
-        ).alias("cent_id"),
-        F.any_value(vec).alias(vec),
-    ).select(key, vec, "cent_id")
+    return _nearest_cell(scored, key, vec)
 
 
 def cell_balance_profile(
@@ -346,16 +427,9 @@ def kmeans_refine(
             "cent_id",
             cosine_similarity(vec, "cent_vec").alias("__cos"),
         )
-        # One shuffle per iteration: argmax assignment via max_by,
-        # carrying the (key-functionally-dependent) vector in the same
-        # aggregation instead of joining the n x k scored rows back.
-        assigned = scored.groupBy(key).agg(
-            F.max_by(
-                "cent_id",
-                F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid")),
-            ).alias("cent_id"),
-            F.any_value(vec).alias(vec),
-        )
+        # One shuffle per iteration: the shared argmax hash
+        # aggregation (one row per vector; see _nearest_cell).
+        assigned = _nearest_cell(scored, key, vec)
         comps = assigned.select(
             "cent_id", F.posexplode(F.col(vec)).alias("__pos", "__x")
         )
@@ -1085,22 +1159,15 @@ def semantic_dedup(
     cents = embeddings.filter(F.col(key).isin(centroid_ids)).select(
         F.col(key).alias("cent_id"), F.col(vec).alias("cent_vec")
     )
-    assigned = (
-        embeddings.crossJoin(F.broadcast(cents))
-        .select(
+    assigned = _nearest_cell(
+        embeddings.crossJoin(F.broadcast(cents)).select(
             key,
             vec,
             "cent_id",
             cosine_similarity(vec, "cent_vec").alias("__cos"),
-        )
-        .groupBy(key)
-        .agg(
-            F.max_by(
-                "cent_id",
-                F.struct(F.col("__cos"), (-F.col("cent_id")).alias("__nid")),
-            ).alias("cent_id"),
-            F.any_value(vec).alias(vec),
-        )
+        ),
+        key,
+        vec,
     )
     prior = assigned.select(
         F.col(key).alias("__ka"),
@@ -1266,7 +1333,7 @@ def pq_topk(
         base.filter(F.col(key) != query_id)
         .select(key, vec)
         .crossJoin(F.broadcast(cents))
-        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs")).alias("d2"))
+        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs"), width=sub_len).alias("d2"))
         # The per-subspace argmin must stay a map-side-combinable
         # HashAggregate: BOTH min(struct) and min_by with a struct
         # ordering force SortAggregate (non-primitive buffer — the q35
@@ -1402,7 +1469,7 @@ def write_pq_codes(
     codes = (
         embeddings.select(key, vec)
         .crossJoin(F.broadcast(cents))
-        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs")).alias("d2"))
+        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs"), width=sub_len).alias("d2"))
         .withColumn(
             "__ord",
             F.col("d2").cast("decimal(19,6)")
@@ -1548,13 +1615,10 @@ def label_dispersion(
     formula folds identical doubles. Zero-norm vectors are dropped
     (they have no direction); singleton labels report NULL cosine.
     """
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
+    # == sqrt(aggregate(vec, 0.0, acc + x*x)): the module-level
+    # l2_norm is that exact fold, width-hinted (round 15) so 64-wide
+    # corpora run the unrolled codegen chain, result-identical.
+    norm = l2_norm(F.col(vec))
     # the divisor guard (NULL, not 0, for dropped rows) matters under
     # ANSI: Catalyst may evaluate the projection lambda on rows the
     # adjacent filter discards, and 0-division would raise

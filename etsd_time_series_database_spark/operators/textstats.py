@@ -277,23 +277,32 @@ def ngram_novelty(
     segment-dedup quarantine pattern). All aggs map-side combinable;
     no window, no global sort (the ORDER BY is presentation-only).
 
-    Physical shape (round-14 optimization): a doc's novel count is the
-    number of grams whose first-occurrence doc is that doc — so after
-    the (gram -> min doc) aggregate, ``n_novel`` is just a count of
-    the GRAM-DISTINCT rows grouped by their min doc, and ``n_ngrams``
-    a count of the gram rows grouped by doc. The old form instead
+    Physical shape (rounds 14-15 optimization): a doc's novel count is
+    the number of grams whose first-occurrence doc is that doc — so
+    after the (gram -> min doc) aggregate, ``n_novel`` is just a count
+    of the GRAM-DISTINCT rows grouped by their min doc. ``n_ngrams``
+    never needed the exploded gram rows at all: it is the per-row
+    ``size`` of the distinct-gram array summed per doc — a DOC-sized
+    aggregation computed at scan speed (round 15; the round-14 form
+    still aggregated the gram rows by doc, the one gram-sized pass its
+    own side metrics flagged). The pre-round-14 form additionally
     joined the corpus-sized gram table back against the firsts table
-    (a second full shuffle of the gram rows by gram key, plus a third
-    by doc for the rollup); the join and both gram-sized shuffles are
-    gone, replaced by two doc-sized aggregate outputs joined on key.
+    (two more gram-sized shuffles); 20M-gram head-to-head in
+    scripts/bench_ngram_novelty.py. Note on ``fingerprint=True``
+    collision semantics (round-14 advisory): ``n_novel`` counts
+    distinct xxhash64 fingerprints first seen in the doc, so two
+    distinct grams colliding on one 64-bit fingerprint within their
+    shared first doc count 1 where the raw-string form counts 2
+    (probability ~2^-64 per gram pair; ``fingerprint=False`` is
+    collision-free and exact).
     """
     from etsd_time_series_database_spark.operators.dedup import shingle_expr
 
-    toks = df.select(F.col(key), _tokens(text).alias("__toks"))
-    grams = toks.select(
+    toks = df.select(F.col(key), _tokens(text).alias("__toks")).select(
         F.col(key),
-        F.explode(F.array_distinct(shingle_expr("__toks", n))).alias("__g"),
+        F.array_distinct(shingle_expr("__toks", n)).alias("__ga"),
     )
+    grams = toks.select(F.col(key), F.explode("__ga").alias("__g"))
     gk = "__gfp" if fingerprint else "__g"
     if fingerprint:
         grams = grams.withColumn("__gfp", F.xxhash64("__g")).drop("__g")
@@ -301,7 +310,11 @@ def ngram_novelty(
     novel = firsts.groupBy(F.col("__first").alias(key)).agg(
         F.count(F.lit(1)).alias("n_novel")
     )
-    totals = grams.groupBy(key).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    totals = (
+        toks.select(F.col(key), F.size("__ga").alias("__sz"))
+        .groupBy(key)
+        .agg(F.sum("__sz").cast("bigint").alias("n_ngrams"))
+    )
     per = totals.join(novel, key, "left")
     return (
         df.select(key)

@@ -259,3 +259,36 @@ def test_exact_percentiles_scalable_equals_global_rank(spark):
     assert _norm(_rows(ops.exact_percentiles(df))) == _norm(
         _rows(ops.exact_percentiles(df, scalable=False))
     )
+
+
+def test_exact_percentiles_bucket_adaptive_on_narrow_range(spark):
+    """Round-15: the value bucket is the high bits of the IEEE-754
+    sortable-bits image (exponent + top mantissa bits), so a channel
+    whose values concentrate in [0, 1) — where the round-14 fixed
+    width 100.0 collapsed every row into ONE bucket, restoring the
+    per-channel sort skew — fans out across many buckets, while the
+    stitched ranks stay bit-identical to the plain window."""
+    rows = [
+        (i, "ch%d" % (i % 2), (i * 37 % 1000) / 1000.0)
+        for i in range(1, 2001)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    assert _rows(ops.exact_percentiles(df)) == _rows(
+        ops.exact_percentiles(df, scalable=False)
+    )
+    from etsd_time_series_database_spark.functions.exprs import (
+        double_sortable_bits,
+    )
+
+    n_buckets = (
+        df.select(
+            F.shiftright(double_sortable_bits(F.col("value")), 52 - 8).alias(
+                "vb"
+            )
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 16, n_buckets
