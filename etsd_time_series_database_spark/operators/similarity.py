@@ -399,14 +399,21 @@ def kmeans_refine(
     assign every vector to its nearest centroid (broadcast, max-cosine),
     recompute each cell's mean vector, repeat.
 
-    The assignment is ONE shuffle of the corpus per iteration — a
-    max_by hash aggregation keyed on ``key`` that carries the vector
-    (functionally dependent on the key) alongside the winning cent_id.
-    The mean of array columns is then computed relationally: posexplode
-    to (cell, dim_pos, component) -> groupBy(cell, dim_pos)
-    exact-decimal mean -> re-assemble with array_agg sorted by
-    position; those two later shuffles are keyed by (cell[, dim]) and
-    bounded by n_cells x dims rows after the first groupBy.
+    The assignment is ONE shuffle of the corpus per iteration — the
+    shared argmax hash aggregation of :func:`_nearest_cell` (one row
+    per vector). The mean of array columns is then computed
+    relationally: posexplode to (cell, dim_pos, component) ->
+    groupBy(cell, dim_pos) exact-decimal mean -> re-assemble with
+    array_agg sorted by position. The posexplode rows NEVER hit the
+    wire: the partial aggregation combines them map-side to
+    (cells x dims) rows per task before either exchange, so the
+    explode multiplies per-task rows, not shuffle bytes. A round-15
+    "wide" alternative — one groupBy(cell) hash agg holding dims
+    DECIMAL(38,12) sum buffers, no explode — measured 15% MORE task
+    time at 1M x 64 (scripts/bench_kmeans_mean.py: 69.2 s -> 79.6 s):
+    updating 64 BigDecimal buffer columns per input row costs more
+    than the explode machinery plus one decimal add per generated
+    row. Measured and rejected; recorded so it is not re-attempted.
 
     The per-dimension mean is an exact DECIMAL(38,12) sum divided by
     the exact count (the registry's order-independence policy), so the
@@ -1247,6 +1254,41 @@ def hard_negatives(
     )
 
 
+def _pq_sub_d2(
+    vec_col: Column, s_col: Column, cvs_col: Column, sub_len: int, dim: int
+) -> Column:
+    """Squared L2 between subspace ``s`` of a ``dim``-wide vector and a
+    ``sub_len``-wide codebook slice, WITHOUT materializing the
+    subvector: the round-14 form sliced vec per scored row
+    (``slice(vec, s*sub_len+1, sub_len)`` — one 8-float array
+    allocation per (vector, subspace, centroid) row, m*k_c per
+    vector), then folded. Here each term reads straight out of the
+    full vector with element_at(vec, s*sub_len + j + 1) — same
+    left-associated sum from the same 0.0, bit-identical — under the
+    usual width guard; any other geometry falls back to the
+    slice+fold. Round-15 x56 attempt; measured in
+    scripts/bench_pq_encode.py."""
+    from etsd_time_series_database_spark.functions.exprs import (
+        sq_l2_distance,
+    )
+
+    acc = F.lit(0.0)
+    for j in range(sub_len):
+        d = F.element_at(vec_col, s_col * sub_len + j + 1).cast(
+            "double"
+        ) - F.element_at(cvs_col, j + 1).cast("double")
+        acc = acc + d * d
+    fallback = sq_l2_distance(
+        F.slice(vec_col, s_col * sub_len + 1, sub_len), cvs_col,
+        width=sub_len,
+    )
+    return F.when(
+        (F.size(vec_col) == F.lit(dim))
+        & (F.size(cvs_col) == F.lit(sub_len)),
+        acc,
+    ).otherwise(fallback)
+
+
 def _check_pq_n_cents(n_cents: int) -> None:
     """The PQ encode packs (d2, cent_id) into one DECIMAL with a
     10^13 shift; d2's 1e-6 quantum then clears only a < 10^7 cent_id
@@ -1326,14 +1368,20 @@ def pq_topk(
             F.slice("cv", F.col("s") * sub_len + 1, sub_len).alias("cvs"),
         )
     )
-    sub = F.slice(vec, F.col("s") * sub_len + 1, sub_len)
     if base is None:
         base = embeddings
     codes = (
         base.filter(F.col(key) != query_id)
         .select(key, vec)
         .crossJoin(F.broadcast(cents))
-        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs"), width=sub_len).alias("d2"))
+        .select(
+            key,
+            "s",
+            "cent_id",
+            _pq_sub_d2(
+                F.col(vec), F.col("s"), F.col("cvs"), sub_len, dim
+            ).alias("d2"),
+        )
         # The per-subspace argmin must stay a map-side-combinable
         # HashAggregate: BOTH min(struct) and min_by with a struct
         # ordering force SortAggregate (non-primitive buffer — the q35
@@ -1450,8 +1498,6 @@ def write_pq_codes(
     = invisible to the corpus listing, same convention as the IVF
     layout's ``_centroids``), so a prober needs only the index path.
     """
-    from etsd_time_series_database_spark.functions.exprs import sq_l2_distance
-
     _check_pq_n_cents(n_cents)
     sub_len = dim // m
     s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
@@ -1465,11 +1511,17 @@ def write_pq_codes(
             F.slice("cv", F.col("s") * sub_len + 1, sub_len).alias("cvs"),
         )
     )
-    sub = F.slice(vec, F.col("s") * sub_len + 1, sub_len)
     codes = (
         embeddings.select(key, vec)
         .crossJoin(F.broadcast(cents))
-        .select(key, "s", "cent_id", sq_l2_distance(sub, F.col("cvs"), width=sub_len).alias("d2"))
+        .select(
+            key,
+            "s",
+            "cent_id",
+            _pq_sub_d2(
+                F.col(vec), F.col("s"), F.col("cvs"), sub_len, dim
+            ).alias("d2"),
+        )
         .withColumn(
             "__ord",
             F.col("d2").cast("decimal(19,6)")

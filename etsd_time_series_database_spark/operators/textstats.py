@@ -277,32 +277,36 @@ def ngram_novelty(
     segment-dedup quarantine pattern). All aggs map-side combinable;
     no window, no global sort (the ORDER BY is presentation-only).
 
-    Physical shape (rounds 14-15 optimization): a doc's novel count is
-    the number of grams whose first-occurrence doc is that doc — so
-    after the (gram -> min doc) aggregate, ``n_novel`` is just a count
-    of the GRAM-DISTINCT rows grouped by their min doc. ``n_ngrams``
-    never needed the exploded gram rows at all: it is the per-row
-    ``size`` of the distinct-gram array summed per doc — a DOC-sized
-    aggregation computed at scan speed (round 15; the round-14 form
-    still aggregated the gram rows by doc, the one gram-sized pass its
-    own side metrics flagged). The pre-round-14 form additionally
-    joined the corpus-sized gram table back against the firsts table
-    (two more gram-sized shuffles); 20M-gram head-to-head in
-    scripts/bench_ngram_novelty.py. Note on ``fingerprint=True``
-    collision semantics (round-14 advisory): ``n_novel`` counts
-    distinct xxhash64 fingerprints first seen in the doc, so two
-    distinct grams colliding on one 64-bit fingerprint within their
-    shared first doc count 1 where the raw-string form counts 2
-    (probability ~2^-64 per gram pair; ``fingerprint=False`` is
-    collision-free and exact).
+    Physical shape (round-14 optimization, CONFIRMED at volume in
+    round 15): a doc's novel count is the number of grams whose
+    first-occurrence doc is that doc — so after the (gram -> min doc)
+    aggregate, ``n_novel`` is just a count of the GRAM-DISTINCT rows
+    grouped by their min doc, and ``n_ngrams`` a count of the gram
+    rows grouped by doc (map-side combinable — collapses to doc-sized
+    before the exchange). The pre-round-14 form instead joined the
+    corpus-sized gram table back against the firsts table; the
+    round-15 20M-gram head-to-head (scripts/bench_ngram_novelty.py)
+    measured it at task 206 s vs 129 s for this form — the structural
+    claim the round-14 side metrics left unproven. A round-15 attempt
+    to compute ``n_ngrams`` from size(array_distinct(...)) WITHOUT the
+    explode measured 350 s (2.7x WORSE): with no Generate boundary,
+    CollapseProject inlines the token split into every one of
+    shingle_expr's column references, so tokenization runs 4x per
+    row — measured and reverted, recorded here so it is not
+    re-attempted. Note on ``fingerprint=True`` collision semantics
+    (round-14 advisory): ``n_novel`` counts distinct xxhash64
+    fingerprints first seen in the doc, so two distinct grams
+    colliding on one 64-bit fingerprint within their shared first doc
+    count 1 where the raw-string form counts 2 (probability ~2^-64
+    per gram pair; ``fingerprint=False`` is collision-free and exact).
     """
     from etsd_time_series_database_spark.operators.dedup import shingle_expr
 
-    toks = df.select(F.col(key), _tokens(text).alias("__toks")).select(
+    toks = df.select(F.col(key), _tokens(text).alias("__toks"))
+    grams = toks.select(
         F.col(key),
-        F.array_distinct(shingle_expr("__toks", n)).alias("__ga"),
+        F.explode(F.array_distinct(shingle_expr("__toks", n))).alias("__g"),
     )
-    grams = toks.select(F.col(key), F.explode("__ga").alias("__g"))
     gk = "__gfp" if fingerprint else "__g"
     if fingerprint:
         grams = grams.withColumn("__gfp", F.xxhash64("__g")).drop("__g")
@@ -310,11 +314,7 @@ def ngram_novelty(
     novel = firsts.groupBy(F.col("__first").alias(key)).agg(
         F.count(F.lit(1)).alias("n_novel")
     )
-    totals = (
-        toks.select(F.col(key), F.size("__ga").alias("__sz"))
-        .groupBy(key)
-        .agg(F.sum("__sz").cast("bigint").alias("n_ngrams"))
-    )
+    totals = grams.groupBy(key).agg(F.count(F.lit(1)).alias("n_ngrams"))
     per = totals.join(novel, key, "left")
     return (
         df.select(key)

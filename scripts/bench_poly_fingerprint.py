@@ -15,7 +15,7 @@ and non-BMP emoji / SMP ideographs — asserted before timing):
   CUR      substr walk (shipped)
   REGEX    regexp_extract_all('(?s).') -> one string per CODE POINT,
            then the same ascii() fold (linear, one regex pass)
-  UTF32    encode(c,'UTF-32BE') -> binary; code point i is the
+  UTF32    encode(c,'UTF-32') -> binary (Java: BE, no BOM); code point i is
            big-endian int at byte 4i, read with an O(1) binary
            substr + hex + conv (linear, no regex)
   SPLIT    split('') reference (code units — EXPECTED to diverge on
@@ -65,15 +65,24 @@ def main() -> None:
         codes = F.transform(
             F.regexp_extract_all(c, F.lit("(?s)."), 0), lambda ch: F.ascii(ch)
         )
-        return fold(codes)
+        # empty string: the shipped walk degenerates to ascii('') = 0
+        # folds (hash 0); short-circuit the same value
+        return F.when(F.length(c) == 0, F.lit(0).cast("bigint")).otherwise(
+            fold(codes)
+        )
 
     def fp_utf32(c):
-        b = F.encode(c, "UTF-32BE")
+        # Java's UTF-32 charset encodes big-endian with NO BOM
+        b = F.encode(c, "UTF-32")
         codes = F.transform(
             F.sequence(F.lit(0), F.length(c) - 1),
             lambda i: F.conv(F.hex(F.substr(b, i * 4 + 1, F.lit(4))), 16, 10),
         )
-        return fold(codes)
+        # sequence(0, -1) on an empty string is a DESCENDING range —
+        # guard it to the shipped walk's hash-0 value
+        return F.when(F.length(c) == 0, F.lit(0).cast("bigint")).otherwise(
+            fold(codes)
+        )
 
     def fp_split(c):
         return fold(F.transform(F.split(c, ""), lambda ch: F.ascii(ch)))

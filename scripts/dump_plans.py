@@ -2,10 +2,11 @@
 
 Usage: python scripts/dump_plans.py <suffix> [query ...]
 
-Writes plans/r14/<query>_<suffix>.txt for each query. Plans only —
-nothing is executed (iterative operators that materialize during
-build() still run their eager prefix; that is the plan the bench
-times, so it is the honest artifact).
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt (default
+plans/r15) for each query. Plans only — nothing is executed
+(iterative operators that materialize during build() still run their
+eager prefix; that is the plan the bench times, so it is the honest
+artifact).
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ def main() -> None:
     if not names:
         names = sorted(n for n, q in c.items() if q.headline)
     spark = get_spark("etsd_plan_dump")
-    out_dir = REPO / "plans" / "r14"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = c[name].build(spark, sf_dir)

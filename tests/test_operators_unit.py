@@ -2080,3 +2080,85 @@ def test_xff_consolidate_validity_threshold_and_status(spark):
 
     with _pytest.raises(ValueError, match="divide"):
         xff_consolidate(df, width_s=3600, step_s=700)
+
+
+def test_poly_fingerprint_code_points_and_sortable_bits(spark):
+    """Round-15 pins. (1) poly_fingerprint's linear split('') walk
+    must hash CODE POINTS — identical to the old O(len^2) substr walk
+    and to a Python code-point reference — including non-BMP
+    (supplementary-plane) text, combining marks, and the empty
+    string. (2) double_sortable_bits must be the exact sortable image
+    of java.lang.Double.doubleToLongBits on every special value."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etsd_time_series_database_spark.functions.exprs import (
+        FP_BASE,
+        FP_MOD,
+        double_sortable_bits,
+        poly_fingerprint,
+    )
+
+    corpus = [
+        "",
+        "a",
+        "hello world shingle",
+        "café naïve über",
+        "日本語 漢字 한글",
+        "é combining acute",
+        "emoji \U0001f4a9 pile \U0001f600 grin",
+        "\U00020000\U0002a700 ideographs",
+        "mixed aé\U0001f600z end",
+    ]
+
+    def py_ref(s):
+        h = 0
+        for ch in s:  # Python iterates code points
+            h = (h * FP_BASE + ord(ch)) % FP_MOD
+        return h
+
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    c = F.col("s")
+    old_walk_codes = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(F.substr(c, i, F.lit(1))),
+    )
+    old_walk = F.aggregate(
+        old_walk_codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_BASE + x.cast("bigint")) % F.lit(FP_MOD),
+    )
+    rows = df.select(
+        "s", poly_fingerprint(c).alias("new"), old_walk.alias("old")
+    ).collect()
+    for r in rows:
+        assert r["new"] == r["old"], r["s"]
+        if r["s"]:  # the empty string's old walk folds two synthetic 0s
+            assert r["new"] == py_ref(r["s"]), r["s"]
+
+    def ref_bits(x):
+        if math.isnan(x):
+            return 0x7FF8000000000000
+        b = struct.unpack("<q", struct.pack("<d", x))[0]
+        return b if b >= 0 else -1 - (b & 0x7FFFFFFFFFFFFFFF)
+
+    vals = [
+        0.0, -0.0, float("inf"), float("-inf"), float("nan"),
+        5e-324, -5e-324, 2.0**-1022, -(2.0**-1022),
+        2.0**-1022 - 5e-324, 1.0, -1.0, 1.0 + 2**-52, 1.0 - 2**-53,
+        1.7976931348623157e308, -1.7976931348623157e308,
+        2.0**-500, 2.0**-501, 0.9999999403953552, 42.0, -273.15,
+    ]
+    vdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in vdf.select(
+            "i", double_sortable_bits(F.col("x")).alias("o")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == ref_bits(v), (v, got[i], ref_bits(v))
