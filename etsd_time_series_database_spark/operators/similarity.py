@@ -1254,39 +1254,15 @@ def hard_negatives(
     )
 
 
-def _pq_sub_d2(
-    vec_col: Column, s_col: Column, cvs_col: Column, sub_len: int, dim: int
-) -> Column:
-    """Squared L2 between subspace ``s`` of a ``dim``-wide vector and a
-    ``sub_len``-wide codebook slice, WITHOUT materializing the
-    subvector: the round-14 form sliced vec per scored row
-    (``slice(vec, s*sub_len+1, sub_len)`` — one 8-float array
-    allocation per (vector, subspace, centroid) row, m*k_c per
-    vector), then folded. Here each term reads straight out of the
-    full vector with element_at(vec, s*sub_len + j + 1) — same
-    left-associated sum from the same 0.0, bit-identical — under the
-    usual width guard; any other geometry falls back to the
-    slice+fold. Round-15 x56 attempt; measured in
-    scripts/bench_pq_encode.py."""
-    from etsd_time_series_database_spark.functions.exprs import (
-        sq_l2_distance,
-    )
-
-    acc = F.lit(0.0)
-    for j in range(sub_len):
-        d = F.element_at(vec_col, s_col * sub_len + j + 1).cast(
-            "double"
-        ) - F.element_at(cvs_col, j + 1).cast("double")
-        acc = acc + d * d
-    fallback = sq_l2_distance(
-        F.slice(vec_col, s_col * sub_len + 1, sub_len), cvs_col,
-        width=sub_len,
-    )
-    return F.when(
-        (F.size(vec_col) == F.lit(dim))
-        & (F.size(cvs_col) == F.lit(sub_len)),
-        acc,
-    ).otherwise(fallback)
+# Round-15 measured attempt, rejected: a slice-free subspace distance
+# (element_at(vec, s*sub_len + j + 1) terms, no intermediate slice)
+# measured 177.6 s task vs 168.9 s for slice + the width-guarded
+# unrolled sq_l2_distance at 500k x 64 vectors (64M scored rows,
+# scripts/bench_pq_encode.py): the per-term dynamic index arithmetic
+# costs more than one 8-float slice materialization per scored row.
+# The UNROLL itself is the win either way — the same harness put the
+# round-14 slice + interpreted fold at 666.9 s (3.9x). Kept: slice +
+# sq_l2_distance(width=sub_len).
 
 
 def _check_pq_n_cents(n_cents: int) -> None:
@@ -1368,6 +1344,7 @@ def pq_topk(
             F.slice("cv", F.col("s") * sub_len + 1, sub_len).alias("cvs"),
         )
     )
+    sub = F.slice(vec, F.col("s") * sub_len + 1, sub_len)
     if base is None:
         base = embeddings
     codes = (
@@ -1378,9 +1355,7 @@ def pq_topk(
             key,
             "s",
             "cent_id",
-            _pq_sub_d2(
-                F.col(vec), F.col("s"), F.col("cvs"), sub_len, dim
-            ).alias("d2"),
+            sq_l2_distance(sub, F.col("cvs"), width=sub_len).alias("d2"),
         )
         # The per-subspace argmin must stay a map-side-combinable
         # HashAggregate: BOTH min(struct) and min_by with a struct
@@ -1498,6 +1473,8 @@ def write_pq_codes(
     = invisible to the corpus listing, same convention as the IVF
     layout's ``_centroids``), so a prober needs only the index path.
     """
+    from etsd_time_series_database_spark.functions.exprs import sq_l2_distance
+
     _check_pq_n_cents(n_cents)
     sub_len = dim // m
     s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
@@ -1511,6 +1488,7 @@ def write_pq_codes(
             F.slice("cv", F.col("s") * sub_len + 1, sub_len).alias("cvs"),
         )
     )
+    sub = F.slice(vec, F.col("s") * sub_len + 1, sub_len)
     codes = (
         embeddings.select(key, vec)
         .crossJoin(F.broadcast(cents))
@@ -1518,9 +1496,7 @@ def write_pq_codes(
             key,
             "s",
             "cent_id",
-            _pq_sub_d2(
-                F.col(vec), F.col("s"), F.col("cvs"), sub_len, dim
-            ).alias("d2"),
+            sq_l2_distance(sub, F.col("cvs"), width=sub_len).alias("d2"),
         )
         .withColumn(
             "__ord",

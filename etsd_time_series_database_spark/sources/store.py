@@ -910,7 +910,27 @@ def write_bucketed_table(
     WITHOUT a shuffle — at 100 TB that removes the dominant exchange of
     lineitem-x-orders-shaped joins. (The reference never joins — it has
     one table — but a 100 TB deployment of this engine will.)
+
+    ``mode="overwrite"`` is made genuinely idempotent (round 15): a
+    process killed mid-write leaves the managed location on disk with
+    no metastore entry, and every LATER process (whose fresh metastore
+    has never heard of the table) then fails saveAsTable with
+    LOCATION_ALREADY_EXISTS — .mode("overwrite") only overwrites
+    REGISTERED tables. Drop the registration if any and clear the
+    orphaned default-warehouse location first.
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        loc = f"{wh.rstrip('/')}/{table_name.lower()}"
+        try:
+            fs, Path = _hadoop_fs(spark, loc)
+            fs.delete(Path(loc), True)
+        except Exception:
+            pass  # non-default layouts: saveAsTable reports precisely
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

@@ -9,8 +9,10 @@ identical codes (asserted on a slice first):
   R15_slice_un    slice + CASE-width-guarded unrolled chain
                   (what exprs.sq_l2_distance(width=w) now emits)
   R15_direct      no slice at all: element_at(vec, s*w + j + 1) terms
-                  read straight from the full vector (the shipped
-                  round-15 form, similarity._pq_sub_d2)
+                  read straight from the full vector (measured 5%
+                  WORSE than R15_slice_un at 500k x 64 — dynamic
+                  index arithmetic per term beats one slice; rejected,
+                  R15_slice_un is the shipped form)
 
 Corpus: n vectors x dim floats; codebook = first n_cents ids, m
 subspaces. The timed query is the full encode (crossJoin broadcast +
@@ -43,9 +45,6 @@ def main() -> None:
     import bench
     from etsd_time_series_database_spark import get_spark
     from etsd_time_series_database_spark.functions import exprs
-    from etsd_time_series_database_spark.operators.similarity import (
-        _pq_sub_d2,
-    )
 
     spark = get_spark("bench_pq_encode", {"spark.ui.enabled": "true"})
     path = "/tmp/_pq_encode_corpus"
@@ -89,9 +88,23 @@ def main() -> None:
         return exprs.sq_l2_distance(sub, F.col("cvs"), width=sub_len)
 
     def direct_d2():
-        return _pq_sub_d2(
-            F.col("embedding"), F.col("s"), F.col("cvs"), sub_len, dim
+        # the rejected slice-free form, kept inline for reproducibility
+        vec_col, s_col, cvs_col = F.col("embedding"), F.col("s"), F.col("cvs")
+        acc = F.lit(0.0)
+        for j in range(sub_len):
+            d = F.element_at(vec_col, s_col * sub_len + j + 1).cast(
+                "double"
+            ) - F.element_at(cvs_col, j + 1).cast("double")
+            acc = acc + d * d
+        fb = exprs.sq_l2_distance(
+            F.slice(vec_col, s_col * sub_len + 1, sub_len), cvs_col,
+            width=sub_len,
         )
+        return F.when(
+            (F.size(vec_col) == F.lit(dim))
+            & (F.size(cvs_col) == F.lit(sub_len)),
+            acc,
+        ).otherwise(fb)
 
     def encode(d2_f):
         return (

@@ -6,13 +6,19 @@ from __future__ import annotations
 import pytest
 
 from etsd_time_series_database_spark.plans import catalog
-from tests.conftest import SF_ORACLE
+from tests.conftest import SLOW_CATALOG, SF_ORACLE
 from tests.oracle import diff_report, run_pair
 
 _WITH_ORACLE = sorted(n for n, q in catalog().items() if q.oracle is not None)
 
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_CATALOG else n
+        for n in _WITH_ORACLE
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     q = catalog()[name]
     s, d = run_pair(spark, duck, q, SF_ORACLE)

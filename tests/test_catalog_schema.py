@@ -16,12 +16,18 @@ import pytest
 from pyspark.sql import types as T
 
 from etsd_time_series_database_spark.plans import catalog
-from tests.conftest import SF_SMOKE
+from tests.conftest import SLOW_CATALOG, SF_SMOKE
 
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
-@pytest.mark.parametrize("name", sorted(catalog()))
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_CATALOG else n
+        for n in sorted(catalog())
+    ],
+)
 def test_catalog_output_schema_is_scalar(spark, name):
     q = catalog()[name]
     schema = q.build(spark, SF_SMOKE).schema

@@ -3,6 +3,8 @@ session fixture so no extra JVM spins up."""
 
 from __future__ import annotations
 
+import pytest
+
 from etsd_time_series_database_spark import cli
 from tests.conftest import SF_SMOKE
 
@@ -277,6 +279,7 @@ def test_dedup_index_lifecycle_cli(spark, tmp_path, capsys):
     ) == kept_ids
 
 
+@pytest.mark.slow
 def test_watch_alarms_then_site_cli(spark, tmp_path, capsys):
     """watch --mode alarms writes hysteresis transitions to parquet;
     watch --mode site folds that directory into the live union — the
@@ -572,6 +575,7 @@ def test_repair_reports_incomplete_on_misfiled_rows(spark, tmp_path, capsys):
     assert "INCOMPLETE" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_watch_compact_then_resume(spark, tmp_path, capsys):
     """watch --compact (O26 rotation for the monitor topology): the
     alarms sink's per-micro-batch files compact in place after
@@ -863,6 +867,7 @@ def test_recover_days_rejects_flat_sink_layout(spark, tmp_path, capsys):
     assert sorted(os.listdir(sink)) == listing
 
 
+@pytest.mark.slow
 def test_amend_refresh_sink_chains_day_refresh(spark, tmp_path, capsys):
     """Round-11 verdict #6: amend --refresh-sink chains the day-scoped
     downsample refresh over exactly the amended days — the tier rows
@@ -935,6 +940,7 @@ def test_amend_refresh_sink_chains_day_refresh(spark, tmp_path, capsys):
     assert "not a" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_watch_timeout_stops_and_skips_compact(spark, tmp_path, capsys):
     """ADVICE r11 (medium): a catch-up that outlives --timeout must
     NOT proceed to --compact/--metrics-log against the still-running
@@ -1048,6 +1054,7 @@ def test_recover_days_refresh_after_amend(spark, tmp_path, capsys):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+@pytest.mark.slow
 def test_rebalance_cli_splits_hot_cell(spark, tmp_path, capsys):
     """The rebalance verb drives operators.similarity.rebalance_cells
     through the CLI against a write-index layout: the hot cell splits

@@ -10,6 +10,8 @@ instead of in the external gate.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -52,6 +54,7 @@ if not failures:
 """
 
 
+@pytest.mark.slow
 def test_vanilla_session_runs_entire_catalog():
     """A foreign SparkSession with default confs must be able to run
     every catalog entry (fails on round-1 code with

@@ -7,6 +7,8 @@ episodes on boundaries, duplicate intervals across channels)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -113,6 +115,7 @@ def _run_co_alarm(spark, eps_rows, bucket_s, scalable):
     eps=st.lists(episode, min_size=1, max_size=15),
     bucket_s=st.sampled_from([7, 60, 250]),
 )
+@pytest.mark.slow
 def test_co_alarm_stitched_equals_plain(spark, eps, bucket_s):
     got = _run_co_alarm(spark, eps, bucket_s, scalable=True)
     want = _run_co_alarm(spark, eps, bucket_s, scalable=False)
@@ -125,6 +128,7 @@ def test_co_alarm_stitched_equals_plain(spark, eps, bucket_s):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(eps=st.lists(episode, min_size=1, max_size=15))
+@pytest.mark.slow
 def test_co_alarm_auto_bucket_equals_plain(spark, eps):
     """bucket_s='auto' (density-derived join bucket) must be a pure
     physical choice: identical output to the plain theta-join on
@@ -143,6 +147,7 @@ def test_co_alarm_auto_bucket_equals_plain(spark, eps):
     eps=st.lists(episode, min_size=1, max_size=15),
     salt=st.sampled_from([2, 3, 7]),
 )
+@pytest.mark.slow
 def test_co_alarm_salted_join_equals_plain(spark, eps, salt):
     """A forced salt factor (the hot-bucket sub-split) must be a pure
     physical choice: every episode pair meets exactly once (side b

@@ -8,6 +8,8 @@ explores boundary structures (empty-ish, constant, adversarial drops).
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -142,6 +144,7 @@ def test_ewma_carry_margin_any_bucket_layout(spark, samples, bucket_s):
     ),
     st.sampled_from([2, 4]),
 )
+@pytest.mark.slow
 def test_segment_dedup_fingerprint_equals_raw(spark, docs, seg_tokens):
     """The xxhash64-keyed segment-count path (the scale default) must
     be row-identical to the exact raw-string form for both the

@@ -703,6 +703,7 @@ def test_incremental_dedup_completes_torn_append(spark, tmp_path):
     assert got_rows == want_rows
 
 
+@pytest.mark.slow
 def test_rebalance_cells_splits_hot_retires_empty(spark, tmp_path):
     """rebalance_cells (round-11 verdict #3 — acting on x83's
     observation): the hot cell splits into fresh sub-cells via a LOCAL
@@ -818,6 +819,7 @@ def test_rebalance_cells_splits_hot_retires_empty(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ivf_compact_targets_only_fragmented_cells(spark, tmp_path):
     """ivf_compact: repeated ivf_appends fragment exactly the cells
     new data maps to; compaction rewrites ONLY cells over
