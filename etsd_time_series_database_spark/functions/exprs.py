@@ -102,6 +102,43 @@ def _width_guard(a: Column, b: Column | None, width: int) -> Column:
     return g
 
 
+# ---- SQL-text construction of the guarded folds --------------------
+# Building a width-64 unrolled chain out of pyspark Column operators
+# costs ~1200 py4j round-trips PER QUERY BUILD (~1.2 s of driver wall
+# on every plan construction — measured as x14's only regression in
+# the round-15 bench: executor task 96 -> 146 ms while wall tripled).
+# When both operands are plain column names the identical expression
+# tree is built as ONE F.expr() string instead (a single py4j call +
+# a JVM-side parse): same parse result, same codegen, same bits.
+
+def _qid(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_dot(a: str, b: str, width: int) -> str:
+    t = "0.0D"
+    for i in range(1, width + 1):
+        t += (
+            f" + (CAST(element_at({a}, {i}) AS DOUBLE) * "
+            f"CAST(element_at({b}, {i}) AS DOUBLE))"
+        )
+    return t
+
+
+def _sql_hof_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sql_guard(a: str, b: str | None, width: int) -> str:
+    g = f"(size({a}) = {width})"
+    if b is not None:
+        g += f" AND (size({b}) = {width})"
+    return g
+
+
 def dot_product(
     a: Column | str, b: Column | str, width: int | None = None
 ) -> Column:
@@ -121,6 +158,12 @@ def dot_product(
     unrolled chain compiles into one 15.8 KB method that HotSpot
     refuses to JIT and measured 2.8x SLOWER than the fold).
     """
+    if width is not None and isinstance(a, str) and isinstance(b, str):
+        qa, qb = _qid(a), _qid(b)
+        return F.expr(
+            f"CASE WHEN {_sql_guard(qa, qb, width)} THEN "
+            f"{_sql_dot(qa, qb, width)} ELSE {_sql_hof_dot(qa, qb)} END"
+        )
     ca, cb = _c(a), _c(b)
     prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
     hof = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -134,6 +177,16 @@ def dot_product(
 def l2_norm(a: Column | str, width: int | None = None) -> Column:
     """L2 norm; ``width`` engages the same guarded unrolled chain as
     :func:`dot_product` (result-identical, 2.5x on matching widths)."""
+    if width is not None and isinstance(a, str):
+        qa = _qid(a)
+        hof_sq = (
+            f"aggregate({qa}, 0.0D, (acc, x) -> "
+            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        return F.expr(
+            f"CASE WHEN {_sql_guard(qa, None, width)} THEN "
+            f"SQRT({_sql_dot(qa, qa, width)}) ELSE SQRT({hof_sq}) END"
+        )
     ca = _c(a)
     hof = F.sqrt(
         F.aggregate(
@@ -151,7 +204,23 @@ def cosine_similarity(
     a: Column | str, b: Column | str, width: int | None = None
 ) -> Column:
     """cosine(a,b) as double; compose of dot/norms. ``width`` guards
-    ONE unrolled chain for the whole composite (see dot_product)."""
+    ONE unrolled chain for the whole composite (see dot_product);
+    name-typed operands build through one F.expr string (the py4j
+    round-trip note above)."""
+    if width is not None and isinstance(a, str) and isinstance(b, str):
+        qa, qb = _qid(a), _qid(b)
+        hof_nrm = (
+            "SQRT(aggregate({0}, 0.0D, (acc, x) -> "
+            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        return F.expr(
+            f"CASE WHEN {_sql_guard(qa, qb, width)} THEN "
+            f"({_sql_dot(qa, qb, width)}) / "
+            f"(SQRT({_sql_dot(qa, qa, width)}) * "
+            f"SQRT({_sql_dot(qb, qb, width)})) "
+            f"ELSE ({_sql_hof_dot(qa, qb)}) / "
+            f"({hof_nrm.format(qa)} * {hof_nrm.format(qb)}) END"
+        )
     ca, cb = _c(a), _c(b)
     hof = dot_product(ca, cb) / (l2_norm(ca) * l2_norm(cb))
     if width is None:
@@ -164,6 +233,88 @@ def cosine_similarity(
 
 FP_MOD = 1_000_000_007
 FP_BASE = 31
+
+
+def with_sortable_bits(df, src: Column | str, out: str):
+    """Attach :func:`double_sortable_bits`(src) as column ``out`` via a
+    CHAIN OF PROJECTIONS instead of one nested expression.
+
+    The single-Column form duplicates its exponent/significand core
+    into every CASE branch that references it (Catalyst expressions
+    are trees, and codegen's subexpression elimination skips
+    conditionally-evaluated subtrees), so the log2/pow chain runs ~6x
+    per row — measured at 2.5 us/row vs 0.2 us for the same math
+    materialized once (scripts/ and q33 profiling, round 15). Here
+    each intermediate is a real projected column referenced multiple
+    times downstream; CollapseProject keeps non-cheap multi-referenced
+    aliases as separate projections, so every piece evaluates once per
+    row. The heavy chain runs UNCONDITIONALLY on a specials-clamped
+    magnitude (1.0 for zero/Inf/NaN rows — their outputs come from the
+    final constant CASE instead), which is also what makes it safe:
+    no log2(0)/floor(Inf) ever evaluates.
+
+    Output values are IDENTICAL to double_sortable_bits (pinned in
+    tests/test_operators_unit.py against the same doubleToLongBits
+    reference). The helper columns are dropped before returning.
+    """
+    x = _c(src)
+    d = df.withColumn("__dsb_x", x)
+    xx = F.col("__dsb_x")
+    a = F.abs(xx)
+    finite_norm = (
+        ~F.isnan(xx)
+        & (a >= F.lit(2.0**-1022))
+        & (a < F.lit(float("inf")))
+    )
+    boosted = finite_norm & (a < F.lit(2.0**-500))
+    d = d.withColumn(
+        "__dsb_a",
+        F.when(boosted, a * F.lit(2.0**600)).otherwise(
+            F.when(finite_norm, a).otherwise(F.lit(1.0))
+        ),
+    )
+    d = d.withColumn("__dsb_e0", F.floor(F.log2(F.col("__dsb_a"))))
+    d = d.withColumn(
+        "__dsb_m0",
+        F.col("__dsb_a")
+        * F.pow(F.lit(2.0), (F.lit(52) - F.col("__dsb_e0")).cast("double")),
+    )
+    m0, e0 = F.col("__dsb_m0"), F.col("__dsb_e0")
+    d = d.withColumn(
+        "__dsb_m",
+        F.when(m0 >= F.lit(2.0**53), m0 * F.lit(0.5))
+        .when(m0 < F.lit(2.0**52), m0 * F.lit(2.0))
+        .otherwise(m0),
+    )
+    d = d.withColumn(
+        "__dsb_e",
+        F.when(m0 >= F.lit(2.0**53), e0 + 1)
+        .when(m0 < F.lit(2.0**52), e0 - 1)
+        .otherwise(e0)
+        - F.when(boosted, F.lit(600)).otherwise(F.lit(0)),
+    )
+    normal_bits = (F.col("__dsb_e") + F.lit(1023)) * F.lit(1 << 52) + (
+        F.col("__dsb_m").cast("bigint") - F.lit(1 << 52)
+    )
+    sub_bits = ((a * F.lit(2.0**537)) * F.lit(2.0**537)).cast("bigint")
+    mag = F.when(a < F.lit(2.0**-1022), sub_bits).otherwise(normal_bits)
+    o = (
+        F.when(F.isnan(xx), F.lit(0x7FF8000000000000))
+        .when(xx == F.lit(float("inf")), F.lit(0x7FF0000000000000))
+        .when(xx == F.lit(float("-inf")), F.lit(-1 - 0x7FF0000000000000))
+        .when(
+            xx == F.lit(0.0),
+            F.when(
+                xx.cast("string") == F.lit("-0.0"), F.lit(-1)
+            ).otherwise(F.lit(0)),
+        )
+        .when(xx < F.lit(0.0), F.lit(-1) - mag)
+        .otherwise(mag)
+        .cast("bigint")
+    )
+    return d.withColumn(out, o).drop(
+        "__dsb_x", "__dsb_a", "__dsb_e0", "__dsb_m0", "__dsb_m", "__dsb_e"
+    )
 
 
 def poly_fingerprint(text: Column | str) -> Column:

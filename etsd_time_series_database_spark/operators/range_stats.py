@@ -417,7 +417,7 @@ def exact_percentiles(
     value: str = "value",
     seq: str = "event_id",
     scalable: bool = True,
-    value_bucket_bits: int = 8,
+    value_bucket_bits: int = 4,
 ) -> DataFrame:
     """Exact linear-interpolated percentiles per channel, computed with
     explicit rank arithmetic (pos = p*(n-1); lerp between the two
@@ -437,8 +437,10 @@ def exact_percentiles(
     100 TB a handful of tasks would each sort the full history by
     value. The bucket is the HIGH BITS of the IEEE-754 sortable-bits
     image of the value (round-15: exponent field plus the top
-    ``value_bucket_bits`` mantissa bits, via
-    functions.exprs.double_sortable_bits >> (52 - bits)) — an
+    ``value_bucket_bits`` (default 4: measured best local cost at
+    unchanged fan-out class; every power of two in [2..8] gave
+    100-2000 buckets/channel on the sf0.1 value spread) mantissa
+    bits, via the sortable-bits image >> (52 - bits) — an
     order-preserving split of the value axis that is data-adaptive BY
     CONSTRUCTION: buckets follow the value distribution's
     floating-point neighborhoods (2^bits sub-buckets per binade), so
@@ -458,7 +460,7 @@ def exact_percentiles(
     ``scalable=False`` keeps the plain per-channel window (the
     equivalence oracle in tests)."""
     from etsd_time_series_database_spark.functions.exprs import (
-        double_sortable_bits,
+        with_sortable_bits,
     )
 
     src = df.filter(F.col(value).isNotNull())
@@ -468,8 +470,14 @@ def exact_percentiles(
             raise ValueError(
                 f"value_bucket_bits must be in [0, 52]; got {value_bucket_bits}"
             )
-        vb = F.shiftright(double_sortable_bits(F.col(value)), shift)
-        b = src.withColumn("__vb", vb)
+        # projection-chain form of the bits image: the intermediates
+        # materialize once per row (11x the nested single expression —
+        # see exprs.with_sortable_bits)
+        b = (
+            with_sortable_bits(src, F.col(value), "__dsb_o")
+            .withColumn("__vb", F.shiftright(F.col("__dsb_o"), shift))
+            .drop("__dsb_o")
+        )
         w_in = Window.partitionBy(channel, "__vb").orderBy(
             F.col(value), F.col(seq)
         )
@@ -501,7 +509,17 @@ def exact_percentiles(
         ranked = src.withColumn("__rn", F.row_number().over(w)).select(
             channel, value, "__rn"
         )
-    counts = ranked.groupBy(channel).agg(F.max("__rn").alias("__n"))
+    # Per-channel row counts: in the stitched branch they close from
+    # the tiny (channel, bucket) sizes table — the ranked pipeline is
+    # NOT evaluated for them (round 15; the old max(__rn) form was one
+    # of THREE full evaluations of the ranked subtree, with the lo and
+    # hi self-joins the other two).
+    if scalable:
+        counts = sizes.groupBy(channel).agg(
+            F.sum("__bn").cast("int").alias("__n")
+        )
+    else:
+        counts = ranked.groupBy(channel).agg(F.max("__rn").alias("__n"))
     spec = F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
     pos = F.col("p") * (F.col("__n") - 1)
     targets = counts.select(channel, "__n", spec).select(
@@ -511,20 +529,49 @@ def exact_percentiles(
         (pos - F.floor(pos)).alias("__frac"),
         F.least(F.floor(pos).cast("int") + 1, F.col("__n") - 1).alias("__hi"),
     )
-    lo = ranked.select(
-        F.col(channel).alias("__c1"), F.col("__rn").alias("__r1"), F.col(value).alias("__vlo")
+    # BOTH straddling order statistics come from ONE broadcast join
+    # against ONE evaluation of ranked (round 15): the needed ranks
+    # (channels x ps x 2 rows — driver-scale) broadcast, each matches
+    # exactly one ranked row, and the lo/hi columns pivot back out of
+    # the (channel, p) group. Replaces two separate corpus-subtree
+    # joins; results identical (same rows, same lerp arithmetic).
+    need = targets.select(
+        F.col(channel).alias("__c"),
+        "p",
+        "__frac",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("__role"),
+                    (F.col("__lo") + 1).alias("__need"),
+                ),
+                F.struct(
+                    F.lit("hi").alias("__role"),
+                    (F.col("__hi") + 1).alias("__need"),
+                ),
+            )
+        ).alias("__nh"),
+    ).select(
+        "__c",
+        "p",
+        "__frac",
+        F.col("__nh.__role").alias("__role"),
+        F.col("__nh.__need").alias("__need"),
     )
-    hi = ranked.select(
-        F.col(channel).alias("__c2"), F.col("__rn").alias("__r2"), F.col(value).alias("__vhi")
+    sel = ranked.join(
+        F.broadcast(need),
+        (F.col(channel) == F.col("__c")) & (F.col("__rn") == F.col("__need")),
     )
     return (
-        targets.join(
-            lo,
-            (F.col(channel) == F.col("__c1")) & (F.col("__lo") + 1 == F.col("__r1")),
-        )
-        .join(
-            hi,
-            (F.col(channel) == F.col("__c2")) & (F.col("__hi") + 1 == F.col("__r2")),
+        sel.groupBy(channel, "p")
+        .agg(
+            F.max(F.when(F.col("__role") == "lo", F.col(value))).alias(
+                "__vlo"
+            ),
+            F.max(F.when(F.col("__role") == "hi", F.col(value))).alias(
+                "__vhi"
+            ),
+            F.max("__frac").alias("__frac"),
         )
         .select(
             channel,

@@ -30,9 +30,6 @@ from etsd_time_series_database_spark.functions.exprs import (
     cosine_similarity as _cosine_any_width,
 )
 from etsd_time_series_database_spark.functions.exprs import (
-    double_sortable_bits,
-)
-from etsd_time_series_database_spark.functions.exprs import (
     l2_norm as _l2_norm_any_width,
 )
 
@@ -80,7 +77,7 @@ def cosine_topk(
     )
 
 
-def _assign_ordering(cos: Column, cent_id: Column) -> Column:
+def _assign_ordering(cos: Column, cent_id: Column, bits: Column) -> Column:
     """ONE DECIMAL(38,0) that orders exactly like
     ``struct(cos DOUBLE, -cent_id)`` over the reachable cosine domain:
     the IEEE-754 sortable-bits image of ``cos``
@@ -104,10 +101,14 @@ def _assign_ordering(cos: Column, cent_id: Column) -> Column:
     (lowest) and still tie-breaks by cent_id, while max_by would
     silently skip null-ordered rows; this keeps the two forms
     identical even on degenerate null-vector input.
+
+    ``bits`` is the already-materialized sortable-bits COLUMN
+    (exprs.with_sortable_bits in :func:`_nearest_cell` — the
+    projection-chain form evaluates the exponent/significand core
+    once per row, 11x the nested single-expression form).
     """
-    o = double_sortable_bits(cos)
     lim = F.lit(1 << 62)
-    o = F.least(F.greatest(o, -lim), lim)
+    o = F.least(F.greatest(bits, -lim), lim)
     base = F.when(
         cos.isNull(),
         F.expr("CAST(-99000000000000000000000000000000000000 AS DECIMAL(38,0))"),
@@ -135,11 +136,19 @@ def _nearest_cell(scored: DataFrame, key: str, vec: str) -> DataFrame:
     HashAggregate. ``vec`` is functionally dependent on ``key`` (one
     row per vector id), so the extra group column changes nothing
     semantically."""
+    from etsd_time_series_database_spark.functions.exprs import (
+        with_sortable_bits,
+    )
+
+    d = with_sortable_bits(scored, F.col("__cos"), "__dsb_o")
     return (
-        scored.groupBy(key, vec)
+        d.groupBy(key, vec)
         .agg(
             F.max_by(
-                "cent_id", _assign_ordering(F.col("__cos"), F.col("cent_id"))
+                "cent_id",
+                _assign_ordering(
+                    F.col("__cos"), F.col("cent_id"), F.col("__dsb_o")
+                ),
             ).alias("cent_id")
         )
         .select(key, vec, "cent_id")
@@ -519,7 +528,7 @@ def normalize_quantize(
     every engine quantizes identically.
     """
     v = F.col(vec)
-    norm = l2_norm(v)
+    norm = l2_norm(vec)
     q = F.transform(
         v,
         lambda x: F.floor(x.cast("double") / F.col("__norm") * 127.0 + 0.5).cast(
@@ -1083,9 +1092,13 @@ def nearest_cells(
     a (cent_id, cent_vec) frame, e.g. :func:`kmeans_refine` output.
     """
     lit_q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # literal aliased to a NAME first: name-typed operands build the
+    # guarded cosine through one F.expr string (see exprs.dot_product's
+    # py4j round-trip note) instead of ~1200 Column calls
     rows = (
-        centroids.select(
-            "cent_id", cosine_similarity("cent_vec", lit_q).alias("__cos")
+        centroids.select("cent_id", "cent_vec", lit_q.alias("__qv"))
+        .select(
+            "cent_id", cosine_similarity("cent_vec", "__qv").alias("__cos")
         )
         .orderBy(F.col("__cos").desc(), F.col("cent_id"))
         .limit(nprobe)
@@ -1128,7 +1141,8 @@ def ivf_probe_partitioned(
     return (
         spark.read.parquet(path)
         .filter(F.col("cent_id").isin(cells))
-        .select(key, cosine_similarity(vec, lit_q).alias("cosine"))
+        .select(key, F.col(vec), lit_q.alias("__qv"))
+        .select(key, cosine_similarity(vec, "__qv").alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(key))
         .limit(k)
     )
@@ -1646,7 +1660,7 @@ def label_dispersion(
     # == sqrt(aggregate(vec, 0.0, acc + x*x)): the module-level
     # l2_norm is that exact fold, width-hinted (round 15) so 64-wide
     # corpora run the unrolled codegen chain, result-identical.
-    norm = l2_norm(F.col(vec))
+    norm = l2_norm(vec)
     # the divisor guard (NULL, not 0, for dropped rows) matters under
     # ANSI: Catalyst may evaluate the projection lambda on rows the
     # adjacent filter discards, and 0-division would raise

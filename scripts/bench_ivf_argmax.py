@@ -109,28 +109,15 @@ def main() -> None:
             .select("vec_id", "embedding", "cent_id")
         )
 
-    def pack(cos, cent_id):
-        o = double_sortable_bits(cos)
-        lim = F.lit(1 << 62)
-        o = F.least(F.greatest(o, -lim), lim)
-        return o.cast("decimal(19,0)") * F.expr(
-            "CAST(20000000000000000000 AS DECIMAL(20,0))"
-        ) + (
-            F.lit(MAXL).cast("decimal(20,0)")
-            - F.col(cent_id).cast("decimal(19,0)")
+    def form_b():
+        # the production path: sortable-bits ordering materialized via
+        # the projection chain (exprs.with_sortable_bits), DECIMAL(38,0)
+        # pack, HashAggregate on (key, vec)
+        from etsd_time_series_database_spark.operators.similarity import (
+            _nearest_cell,
         )
 
-    def form_b():
-        return (
-            scored()
-            .groupBy("vec_id", "embedding")
-            .agg(
-                F.max_by("cent_id", pack(F.col("__cos"), "cent_id")).alias(
-                    "cent_id"
-                )
-            )
-            .select("vec_id", "embedding", "cent_id")
-        )
+        return _nearest_cell(scored(), "vec_id", "embedding")
 
     def form_c():
         carr = F.array(
@@ -170,8 +157,10 @@ def main() -> None:
             "vec_id", "embedding", best["cid"].alias("cent_id")
         )
 
-    forms = {"A_sortagg_struct": form_a, "B_hashagg_bits": form_b,
-             "C_literal_fold": form_c}
+    forms = {"A_sortagg_struct": form_a, "B_hashagg_bits": form_b}
+    if os.environ.get("SPARK_GRAFT_BENCH_LITERAL_FOLD") == "1":
+        # 30x WORSE at 300k rows (interpreted HOF class) — off by default
+        forms["C_literal_fold"] = form_c
 
     # equality gate on a slice before any timing
     sl = 200_000
@@ -189,30 +178,38 @@ def main() -> None:
           "(every row carries an exact duplicate-centroid cosine tie)",
           flush=True)
 
+    # INTERLEAVED timing (A,B,A,B,...): the 20M task-time band between
+    # separate passes measured +-30-40% this session, so only
+    # alternating same-process passes give a fair A/B ratio. Min and
+    # per-pass lists are both reported.
     out = {"n": n, "dims": dims, "k": k}
+    dfs = {}
     for name, f in forms.items():
-        spark.sparkContext.setJobDescription(f"ivf_argmax: {name}")
-        df = f()
-        df.write.format("noop").mode("overwrite").save()  # warm-up
-        best = float("inf")
-        task_ms = None
-        for i in range(2):
+        dfs[name] = f()
+        dfs[name].write.format("noop").mode("overwrite").save()  # warm-up
+        plan = dfs[name]._jdf.queryExecution().executedPlan().toString()
+        out[name] = {
+            "wall_s": [],
+            "task_ms": [],
+            "sortagg": plan.count("SortAggregate"),
+            "hashagg": plan.count("HashAggregate"),
+            "exchange": plan.count("Exchange hashpartitioning"),
+        }
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    for _ in range(n_rounds):
+        for name, df in dfs.items():
+            spark.sparkContext.setJobDescription(f"ivf_argmax: {name}")
             before = bench._executor_totals(spark)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             after = bench._executor_totals(spark)
-            if dt < best and before and after:
-                task_ms = after["task_time_ms"] - before["task_time_ms"]
-            best = min(best, dt)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        out[name] = {
-            "wall_s": round(best, 3),
-            "task_ms": task_ms,
-            "sortagg": plan.count("SortAggregate"),
-            "hashagg": plan.count("HashAggregate"),
-            "exchange": plan.count("Exchange hashpartitioning"),
-        }
+            out[name]["wall_s"].append(round(dt, 3))
+            if before and after:
+                out[name]["task_ms"].append(
+                    after["task_time_ms"] - before["task_time_ms"]
+                )
+    for name in dfs:
         print(name, out[name], flush=True)
     print("IVFARGMAX:" + json.dumps(out), flush=True)
     shutil.rmtree(path, ignore_errors=True)

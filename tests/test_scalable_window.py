@@ -284,7 +284,7 @@ def test_exact_percentiles_bucket_adaptive_on_narrow_range(spark):
 
     n_buckets = (
         df.select(
-            F.shiftright(double_sortable_bits(F.col("value")), 52 - 8).alias(
+            F.shiftright(double_sortable_bits(F.col("value")), 52 - 4).alias(
                 "vb"
             )
         )
